@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator inventory over the driver's synthetic star schema.
+  *
+  * Each query is a second expression of one operator family from
+  * SURVEY.md §2 (cited per query), stated over `lineitem`/`orders`/... so
+  * the driver can hash-compare against a DuckDB oracle. Every aggregate
+  * over doubles is rounded (2 decimals) so float summation order can never
+  * flip the hash; every result carries a total ORDER BY on a unique key so
+  * row order is deterministic on both engines.
+  *
+  * Scale notes (100 TB stance):
+  *  - filters/projections stay in `Column` expressions → parquet pushdown
+  *    and column pruning are visible in `PushedFilters`/`ReadSchema`;
+  *  - small dimensions (region/nation/customer/supplier/part at TPC-H
+  *    ratios) are explicitly `broadcast()` so the fact never shuffles for
+  *    them; fact-to-fact joins (lineitem⋈orders) shuffle on the join key
+  *    once and AQE coalesces post-shuffle partitions;
+  *  - aggregates are plain `groupBy` → Catalyst plans partial (map-side)
+  *    + final hash aggregation, no driver-side collection anywhere.
+  */
+object Relational extends OpsModule {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def supp(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def prt(s: SparkSession, d: String) = Tables.part(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2 + P3-style date filter (reference: flat models' watermark +
+    // validation_photo_gaps.sql:17-30 aggregates). TPC-H Q1 shape.
+    "q1_agg" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1997-12-31")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r2(sum("l_quantity")).as("sum_qty"),
+          r2(sum("l_extendedprice")).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          r2(avg("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // P1-P4: projection + predicate, both pushed to the parquet scan.
+    "q2_filter_project" -> ((s, d) =>
+      ord(s, d)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // J3: 3-way join, dims broadcast, fact-fact sort-merge/shuffle-hash.
+    "q3_join_agg" -> ((s, d) =>
+      li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")),
+
+    // J2: anti-join (reference: validation_photo_gaps.sql:54-59) —
+    // customers with no finished order (anti side pre-filtered, like the
+    // gap view's per-sol actuals).
+    "q4_anti_join" -> ((s, d) =>
+      cust(s, d)
+        .join(ord(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // W2: partitioned ROW_NUMBER (reference: dim_coordinate.sql:7-8);
+    // unique (o_orderdate, o_orderkey) ordering keeps ties impossible.
+    "q5_window_rownum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, d)
+        .withColumn("order_seq", row_number().over(w))
+        .filter(col("order_seq") <= 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "order_seq")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // P6/P7: CASE bucketing + set-membership (reference: fact_path.sql:20-29,
+    // dim_cameras.sql:16-33).
+    "q6_case_bucket" -> ((s, d) =>
+      ord(s, d)
+        .withColumn("price_tier",
+          when(col("o_totalprice") < 50000.0, "small")
+            .when(col("o_totalprice") < 150000.0, "medium")
+            .otherwise("large"))
+        .withColumn("is_urgent",
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("price_tier", "is_urgent")
+        .agg(count(lit(1)).as("n_orders"), r2(avg("o_totalprice")).as("avg_price"))
+        .orderBy("price_tier", "is_urgent")),
+
+    // P9: regex group extraction + cast (reference:
+    // camera_travel_correlation.sql:15).
+    "q7_regex_extract" -> ((s, d) =>
+      ord(s, d)
+        .withColumn("priority_rank",
+          regexp_extract(col("o_orderpriority"), "^([0-9]+)-", 1).cast("int"))
+        .groupBy("priority_rank")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("priority_rank")),
+
+    // P10: BETWEEN as a value (reference: taken_during_travel,
+    // camera_travel_correlation.sql:33) — shipped within 90 days of order.
+    "q8_between_flag" -> ((s, d) =>
+      li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("shipped_fast",
+          col("l_shipdate").between(col("o_orderdate"),
+            col("o_orderdate") + expr("INTERVAL 90 DAYS")))
+        .groupBy("shipped_fast")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("shipped_fast")),
+
+    // A2: conditional-sum pivot (reference: daily_activity.sql:14-17).
+    "q9_conditional_pivot" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_linestatus") === "O", 1).otherwise(0)).as("open_items"),
+          sum(when(col("l_linestatus") === "F", 1).otherwise(0)).as("finished_items"),
+          r2(sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0.0))).as("open_qty"))
+        .orderBy("l_returnflag")),
+
+    // A3: GROUP BY as DISTINCT (reference: dim_cameras.sql:38-41).
+    "q10_distinct" -> ((s, d) =>
+      ord(s, d)
+        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderpriority")
+        .distinct()
+        .orderBy("c_mktsegment", "o_orderpriority")),
+
+    // A6: dense range materialization (reference: snowflake.py:94 dense sol
+    // range) — all months between first and last order date, with counts;
+    // months with zero orders survive via left join + coalesce (P8).
+    "q11_dense_range" -> ((s, d) => {
+      val o = ord(s, d).withColumn("order_month", date_trunc("month", col("o_orderdate")))
+      val bounds = o.agg(min("order_month").as("lo"), max("order_month").as("hi"))
+      val months = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as("order_month"))
+      val counts = o.groupBy("order_month").agg(count(lit(1)).as("n_orders"))
+      months.join(counts, Seq("order_month"), "left")
+        .select(col("order_month"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("order_month")
+    }),
+
+    // O1+O2: top-k (reference: ORDER BY sol + LIMIT 200 made deterministic
+    // per SURVEY §7.3).
+    "q12_topk" -> ((s, d) =>
+      ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // §2.8: union of heterogenous sources (reference: batch assembly concat).
+    "q13_union" -> ((s, d) =>
+      cust(s, d).select(col("c_custkey").as("entity_id"), lit("customer").as("kind"),
+          r2(col("c_acctbal")).as("acctbal"))
+        .unionByName(
+          supp(s, d).select(col("s_suppkey").as("entity_id"), lit("supplier").as("kind"),
+            r2(col("s_acctbal")).as("acctbal")))
+        .orderBy("kind", "entity_id")),
+
+    // J4+P8: left join + COALESCE defaulting (reference:
+    // daily_activity.sql:12-13,18-25) — every order keeps a row even with
+    // no lineitems.
+    "q14_left_coalesce" -> ((s, d) =>
+      ord(s, d)
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(
+          coalesce(r2(sum("l_quantity")), lit(0.0)).as("total_qty"),
+          count(col("l_linenumber")).as("n_items"))
+        .orderBy("o_orderkey")),
+
+    // A1: COUNT + COUNT(DISTINCT) (reference: validation_photo_gaps.sql:17-30).
+    "q15_count_distinct" -> ((s, d) =>
+      ord(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct("o_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // Event-time tumbling aggregation (batch form of the §2.10 stream shape).
+    "q16_events_hourly" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // P13: JSON parse of a dynamic payload column (reference:
+    // parse_json at flat_photo_response.sql:26).
+    "q17_json_extract" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(r2(avg("k")).as("avg_k"), max("k").as("max_k"))
+        .orderBy("event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 2) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-12-31'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q2_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+         ORDER BY o_orderkey""",
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q4_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q5_window_rownum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, order_seq FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS order_seq
+           FROM orders) t
+         WHERE order_seq <= 3 ORDER BY o_custkey, o_orderkey""",
+    "q6_case_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                     WHEN o_totalprice < 150000 THEN 'medium'
+                     ELSE 'large' END AS price_tier,
+                o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent,
+                count(*) AS n_orders,
+                round(avg(o_totalprice), 2) AS avg_price
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q7_regex_extract" ->
+      """SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS INT) AS priority_rank,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q8_between_flag" ->
+      """SELECT l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY AS shipped_fast,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q9_conditional_pivot" ->
+      """SELECT l_returnflag,
+                sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS open_items,
+                sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS finished_items,
+                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS open_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q10_distinct" ->
+      """SELECT DISTINCT c_mktsegment, o_orderpriority
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY 1, 2""",
+    "q11_dense_range" ->
+      """WITH o AS (SELECT date_trunc('month', o_orderdate) AS order_month FROM orders),
+           bounds AS (SELECT min(order_month) AS lo, max(order_month) AS hi FROM o),
+           months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS order_month FROM bounds),
+           counts AS (SELECT order_month, count(*) AS n_orders FROM o GROUP BY 1)
+         SELECT m.order_month, coalesce(c.n_orders, 0) AS n_orders
+         FROM months m LEFT JOIN counts c USING (order_month)
+         ORDER BY 1""",
+    "q12_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q13_union" ->
+      """SELECT entity_id, kind, acctbal FROM (
+           SELECT c_custkey AS entity_id, 'customer' AS kind, round(c_acctbal, 2) AS acctbal FROM customer
+           UNION ALL
+           SELECT s_suppkey AS entity_id, 'supplier' AS kind, round(s_acctbal, 2) AS acctbal FROM supplier)
+         ORDER BY kind, entity_id""",
+    "q14_left_coalesce" ->
+      """SELECT o_orderkey,
+                coalesce(round(sum(l_quantity), 2), 0) AS total_qty,
+                count(l_linenumber) AS n_items
+         FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q15_count_distinct" ->
+      """SELECT o_orderpriority,
+                count(DISTINCT o_custkey) AS n_customers,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q16_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q17_json_extract" ->
+      """SELECT event_type,
+                round(avg(CAST(props->>'$.k' AS INT)), 2) AS avg_k,
+                max(CAST(props->>'$.k' AS INT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class QueriesSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and is non-trivial") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      // q4-style anti joins may legitimately shrink, but zero rows at
+      // sf0.001 would make the oracle check vacuous.
+      assert(df.count() > 0, s"$name returned 0 rows at $sf")
+    }
+  }
+
+  test("q1_agg has the aliased columns the oracle expects") {
+    val cols = SparkEntry.queries("q1_agg")(spark, sf).columns.toSet
+    assert(Set("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+      "sum_disc_price", "avg_qty", "count_order").subsetOf(cols))
+  }
+}
