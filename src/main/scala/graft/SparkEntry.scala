@@ -16,7 +16,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  private val modules: Seq[OpsModule] = Seq(Relational, MarsOps)
+  private val modules: Seq[OpsModule] = Seq(Relational, MarsOps, TrainingOps)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

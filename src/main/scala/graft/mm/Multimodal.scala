@@ -1,0 +1,104 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` content + typed metadata.
+  *
+  * The pattern for a 100 TB media lake: content is an opaque BinaryType
+  * column (or a pointer to object storage beyond ~1 MB per object);
+  * metadata (format/width/height/frame count) is typed columns so
+  * Catalyst can prune and push down on them WITHOUT touching the bytes.
+  * Decode / feature-extraction runs batched per partition — the Scala
+  * analogue of Python's mapInPandas — so codec state is amortized across
+  * a partition, not re-created per row.
+  *
+  * Codec libraries are absent in this environment, so `decodeStub`
+  * produces a deterministic hash-derived feature vector; the schema,
+  * batch shape, partitioning, and the per-partition amortization are the
+  * real, tested plumbing — swap `decodeStub` for an actual codec call on
+  * a real cluster.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, format: String, width: Int,
+                               height: Int, n_frames: Int, content: Array[Byte])
+
+  final case class MediaFeatures(doc_id: Long, format: String,
+                                 feature: Array[Double], decoder: String)
+
+  /** Synthesize a media table from the documents corpus: text bytes play
+    * the role of encoded content; metadata derives deterministically from
+    * doc columns. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "jpeg")
+        .when(col("doc_id") % 3 === 1, "png")
+        .otherwise("webp").as("format"),
+      ((col("n_chars") % 64) * 10 + 64).cast("int").as("width"),
+      ((col("n_chars") % 48) * 10 + 48).cast("int").as("height"),
+      (col("n_chars") % 7 + 1).cast("int").as("n_frames"),
+      col("text").cast("binary").as("content"))
+
+  /** Batched per-partition decode — mapPartitions so the (stubbed) codec
+    * is initialized once per partition and records stream through in one
+    * buffer, exactly the mapInPandas batch shape. */
+  def decodeBatched(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // per-partition init: a real build opens the codec context here
+      val decoder = decodeStub _
+      records.map { r =>
+        MediaFeatures(r.doc_id, r.format, decoder(r.content, r.width, r.height),
+          decoder = "stub-1.0")
+      }
+    }
+  }
+
+  /** Deterministic stand-in for an image decode + feature extraction:
+    * 8 pseudo-channel means derived from byte content. Replace with a
+    * real codec on a cluster that has one. */
+  private def decodeStub(content: Array[Byte], width: Int, height: Int): Array[Double] = {
+    val feat = new Array[Double](8)
+    var i = 0
+    while (i < content.length) {
+      feat(i % 8) += (content(i) & 0xff).toDouble
+      i += 1
+    }
+    val n = math.max(1, content.length / 8)
+    feat.map(v => v / n / math.max(1, width.toDouble / height.toDouble))
+  }
+
+  /** Column-expression feature surface (no bytes leave the executor):
+    * digest, length, header slice — metadata-only pruning stays possible
+    * because these never touch width/height. */
+  def decodeFeatures(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"), col("format"), col("width"), col("height"),
+      length(col("content")).as("content_len"),
+      md5(col("content")).as("content_md5"),
+      upper(hex(substring(col("content"), 1, 8))).as("header_hex"),
+      round(col("width").cast("double") / col("height").cast("double"), 6)
+        .as("aspect_ratio"))
+
+  /** Frame sampling: one row per sampled frame, frame = a fixed-stride
+    * byte slice (a real video build slices at keyframe offsets; identical
+    * plumbing). explode(sequence(...)) is the narrow row-generator — no
+    * shuffle, scales linearly. */
+  def frameSample(media: DataFrame, stride: Int = 32): DataFrame =
+    media
+      .select(col("doc_id"), col("n_frames"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * stride + 1).as("frame_offset"),
+        md5(substring_index_bytes(col("content"), col("frame_idx"), stride)).as("frame_md5"))
+
+  /** substring on binary with a column offset (functions.substring takes
+    * literal positions only; expr form accepts columns). */
+  private def substring_index_bytes(content: org.apache.spark.sql.Column,
+                                    idx: org.apache.spark.sql.Column,
+                                    stride: Int): org.apache.spark.sql.Column =
+    expr(s"substring(content, frame_idx * $stride + 1, $stride)")
+}

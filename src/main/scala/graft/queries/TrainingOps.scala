@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextOps
+import graft.sim.Embeddings
+import graft.mm.Multimodal
+
+/** Training-data pipeline operators over the documents/embeddings tables,
+  * driver-verified against DuckDB oracles that re-derive the identical
+  * math (md5-based hashing keeps every value engine-independent).
+  */
+object TrainingOps extends OpsModule {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: group on the content digest, keep canonical min id —
+    // shuffles 16-byte hashes, never documents.
+    "td_exact_dedup" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_doc_id")),
+
+    "td_token_stats" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(TextOps.tokens(col("text")))).as("n_distinct_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("n_regex_tokens"))
+        .orderBy("doc_id")),
+
+    "td_quality" -> ((s, d) =>
+      TextOps.qualityScores(docs(s, d)).orderBy("doc_id")),
+
+    "td_lang_id" -> ((s, d) =>
+      TextOps.langId(docs(s, d)).orderBy("doc_id")),
+
+    "td_fingerprint" -> ((s, d) =>
+      TextOps.fingerprints(docs(s, d)).orderBy("doc_id")),
+
+    "td_minhash_sig" -> ((s, d) =>
+      TextOps.minhashSignatures(docs(s, d)).orderBy("doc_id")),
+
+    "td_near_dup_pairs" -> ((s, d) =>
+      TextOps.nearDupPairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
+
+    "emb_knn_brute" -> ((s, d) =>
+      Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5)
+        .orderBy("query_id", "knn_rank")),
+
+    "emb_ivf_knn" -> ((s, d) =>
+      Embeddings.ivfSearch(embs(s, d), col("vec_id") < 5)
+        .orderBy("query_id", "knn_rank")),
+
+    "emb_cluster_stats" -> ((s, d) =>
+      Embeddings.clusterStats(embs(s, d)).orderBy("cell")),
+
+    "mm_decode_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy("doc_id")),
+
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy("doc_id", "frame_idx"))
+  )
+
+  // ---- DuckDB oracle building blocks ----
+
+  /** 60-bit md5-derived hash, DuckDB side. */
+  private def dHash(x: String) =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** distinct word 3-shingles, one row each. */
+  private val duckShingles =
+    """sh AS (
+       SELECT DISTINCT doc_id, shingle FROM (
+         SELECT doc_id,
+                unnest(list_transform(generate_series(0, len(toks) - 3),
+                       i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE len(string_split(text, ' ')) >= 3)))"""
+
+  private val simhashVotes = (0 until 16).map(j =>
+    s"sum(CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END) AS s_$j").mkString(", ")
+  private val simhashBits = (0 until 16).map(j =>
+    s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
+  private val duckSimhash =
+    s"""simhash AS (
+        SELECT doc_id, $simhashBits AS simhash FROM (
+          SELECT doc_id, $simhashVotes FROM (
+            SELECT DISTINCT doc_id, tok, ${dHash("tok")} AS h FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+          GROUP BY doc_id))"""
+
+  private val langScoreCols = TextOps.langMarkers.map { case (l, ms) =>
+    val list = ms.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS score_$l"
+  }.mkString(", ")
+
+  private val langCase = {
+    val langs = TextOps.langMarkers.map(_._1)
+    val branches = langs.init.map { l =>
+      val cond = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $branches ELSE '${langs.last}' END"
+  }
+
+  private val duckCosPrelude =
+    """e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+       q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5)"""
+
+  private def dCos(a: String, b: String) =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val duckCentroids =
+    """cent AS (
+       SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
+         SELECT cell, idx, avg(v) AS cv FROM (
+           SELECT cell, generate_subscripts(emb, 1) AS idx, unnest(emb) AS v FROM e)
+         GROUP BY cell, idx)
+       GROUP BY cell)"""
+
+  val oracles: Map[String, String] = Map(
+    "td_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY canonical_doc_id""",
+
+    "td_token_stats" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                len(regexp_extract_all(text, '[a-z0-9]+')) AS n_regex_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "td_quality" ->
+      """SELECT doc_id, n_tokens, n_stopwords, n_punct, avg_token_len, stopword_ratio,
+                CASE WHEN n_tokens >= 60 AND stopword_ratio < 0.2 THEN 'high'
+                     WHEN n_tokens >= 30 THEN 'medium' ELSE 'low' END AS quality_bucket
+         FROM (
+           SELECT doc_id, n_tokens, n_stopwords, n_punct,
+                  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+                  round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+           FROM (
+             SELECT doc_id, n_chars,
+                    len(toks) AS n_tokens,
+                    len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) AS n_stopwords,
+                    len(list_filter(toks, t -> regexp_matches(t, '^[^a-z0-9]+$'))) AS n_punct
+             FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)))
+         ORDER BY doc_id""",
+
+    "td_lang_id" ->
+      s"""SELECT doc_id, lang, score_en, score_de, score_fr, score_es, score_zh,
+                 $langCase AS predicted_lang,
+                 CAST(lang = $langCase AS INT) AS lang_match
+          FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
+          ORDER BY doc_id""",
+
+    "td_fingerprint" ->
+      s"""WITH $duckShingles,
+          w AS (SELECT doc_id, min(md5(shingle)) AS winnow_fp FROM sh GROUP BY doc_id)
+          SELECT d.doc_id, w.winnow_fp, ${dHash("d.text")} AS doc_hash
+          FROM documents d LEFT JOIN w USING (doc_id) ORDER BY doc_id""",
+
+    "td_minhash_sig" -> {
+      val mins = (0 until 4).map(i =>
+        s"min(${dHash(s"concat('$i:', shingle)")}) AS mh_$i").mkString(", ")
+      s"""WITH $duckShingles,
+          mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+          SELECT doc_id, mh_0, mh_1, mh_2, mh_3,
+                 md5(concat_ws('_', 0, mh_0, mh_1)) AS band_0,
+                 md5(concat_ws('_', 1, mh_2, mh_3)) AS band_1
+          FROM mh ORDER BY doc_id"""
+    },
+
+    "td_near_dup_pairs" ->
+      s"""WITH $duckSimhash,
+          side AS (
+            SELECT d.doc_id, d.source,
+                   list_distinct(string_split(d.text, ' ')) AS dtoks, s.simhash
+            FROM documents d JOIN simhash s USING (doc_id)),
+          p AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   len(list_intersect(a.dtoks, b.dtoks)) AS inter,
+                   len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks)) AS un,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming_distance
+            FROM side a JOIN side b ON a.source = b.source AND a.doc_id < b.doc_id)
+          SELECT doc_id_a, doc_id_b,
+                 round(CAST(inter AS DOUBLE) / un, 6) AS jaccard, hamming_distance
+          FROM p WHERE round(CAST(inter AS DOUBLE) / un, 6) >= 0.5
+          ORDER BY doc_id_a, doc_id_b""",
+
+    "emb_knn_brute" ->
+      s"""WITH $duckCosPrelude
+          SELECT query_id, neighbor_id, round(cos, 6) AS cosine, knn_rank FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ${dCos("q.qemb", "e.emb")} AS cos,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC) AS knn_rank
+            FROM q, e WHERE e.vec_id != q.query_id)
+          WHERE knn_rank <= 10 ORDER BY query_id, knn_rank""",
+
+    "emb_ivf_knn" ->
+      s"""WITH $duckCosPrelude, $duckCentroids,
+          probe AS (
+            SELECT query_id, qemb, cell AS probe_cell FROM (
+              SELECT q.query_id, q.qemb, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${dCos("q.qemb", "c.cemb")} DESC, c.cell ASC) AS pr
+              FROM q, cent c) WHERE pr = 1),
+          scored AS (
+            SELECT p.query_id, p.probe_cell, e.vec_id AS neighbor_id,
+                   ${dCos("p.qemb", "e.emb")} AS cos
+            FROM probe p JOIN e ON e.cell = p.probe_cell AND e.vec_id != p.query_id)
+          SELECT query_id, probe_cell, neighbor_id, round(cos, 6) AS cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS knn_rank
+          FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
+
+    "emb_cluster_stats" ->
+      s"""WITH $duckCosPrelude, $duckCentroids,
+          per AS (SELECT cell, sqrt(list_dot_product(emb, emb)) AS vnorm FROM e),
+          st AS (SELECT cell, count(*) AS n_vectors, round(avg(vnorm), 6) AS avg_norm
+                 FROM per GROUP BY cell)
+          SELECT st.cell, st.n_vectors, st.avg_norm,
+                 round(sqrt(list_dot_product(cent.cemb, cent.cemb)), 6) AS centroid_norm
+          FROM st JOIN cent USING (cell) ORDER BY cell""",
+
+    "mm_decode_features" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+                     WHEN doc_id % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
+                (n_chars % 64) * 10 + 64 AS width,
+                (n_chars % 48) * 10 + 48 AS height,
+                length(text) AS content_len,
+                md5(text) AS content_md5,
+                upper(hex(CAST(substr(text, 1, 8) AS BLOB))) AS header_hex,
+                round(CAST((n_chars % 64) * 10 + 64 AS DOUBLE) /
+                      ((n_chars % 48) * 10 + 48), 6) AS aspect_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, frame_idx,
+                frame_idx * 32 + 1 AS frame_offset,
+                md5(substr(text, frame_idx * 32 + 1, 32)) AS frame_md5
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(0, CAST(n_chars % 7 AS INT))) AS frame_idx
+               FROM documents)
+         ORDER BY doc_id, frame_idx"""
+  )
+}

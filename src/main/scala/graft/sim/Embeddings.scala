@@ -1,0 +1,103 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `Array[Float]` embedding column.
+  *
+  * All vector math is higher-order Column expressions (`zip_with` +
+  * `aggregate`) in DOUBLE precision — codegen-friendly, no UDF, and the
+  * sequential left-fold accumulation order is deterministic and identical
+  * to the oracle's list_dot_product, so cosine values match bit-for-bit
+  * before rounding.
+  *
+  * Scale design:
+  *  - brute-force top-k: the query set is broadcast; the corpus side
+  *    streams through a BroadcastNestedLoopJoin with no shuffle of the big
+  *    side; per-query top-k is a windowed row_number over (query) — a
+  *    k-bounded partial aggregation would replace it beyond ~1e9 rows.
+  *  - IVF: coarse cells (here the existing cluster labels; k-means
+  *    centroids in a real build) → centroid table is tiny and broadcast;
+  *    a query probes only its nearest cell, cutting the scan by the cell
+  *    count. This is the standard ANN recall/latency trade.
+  */
+object Embeddings {
+
+  /** float[] → double[] (must happen before any arithmetic: float
+    * accumulation is engine-dependent, double is exact parity). */
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k for the query vectors against the
+    * whole corpus (minus self-matches). */
+  def knnBruteForce(embeddings: DataFrame, queryFilter: Column, k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qemb"), col("emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("knn_rank"))
+  }
+
+  /** Per-cell mean centroid: posexplode → (cell, idx) partial avg →
+    * re-assemble ordered arrays. Two narrow-ish aggregations; the partial
+    * (map-side) combine keeps shuffle volume at |cells| × dims. */
+  def centroids(embeddings: DataFrame, cellCol: String = "label"): DataFrame =
+    embeddings
+      .select(col(cellCol).as("cell"), posexplode(asDouble(col("embedding"))).as(Seq("idx", "v")))
+      .groupBy("cell", "idx").agg(avg("v").as("cv"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("cv")))),
+        s => s.getField("cv")).as("cemb"))
+
+  /** IVF-style ANN: route each query to its single nearest centroid
+    * (nprobe=1), then exact top-k within that cell only. */
+  def ivfSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label").as("cell"),
+      asDouble(col("embedding")).as("emb"))
+    val cents = centroids(embeddings)
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("qemb"), col("cemb")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") === 1)
+      .select(col("query_id"), col("qemb"), col("cell").as("probe_cell"))
+
+    val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    probes
+      .join(e, col("probe_cell") === col("cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qemb"), col("emb")))
+      .withColumn("knn_rank", row_number().over(wK))
+      .filter(col("knn_rank") <= k)
+      .select(col("query_id"), col("probe_cell"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("knn_rank"))
+  }
+
+  /** Per-cell stats: size, centroid norm, mean vector norm. */
+  def clusterStats(embeddings: DataFrame): DataFrame = {
+    val perRow = embeddings.select(col("label").as("cell"),
+      norm(asDouble(col("embedding"))).as("vnorm"))
+    val stats = perRow.groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"), round(avg("vnorm"), 6).as("avg_norm"))
+    stats.join(
+      centroids(embeddings).select(col("cell"),
+        round(norm(col("cemb")), 6).as("centroid_norm")),
+      "cell")
+  }
+}

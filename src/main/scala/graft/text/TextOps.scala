@@ -1,0 +1,179 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure Column expressions / narrow transforms — no UDFs
+  * (keeps whole-stage codegen, SURVEY §2.11 stance) and no windows where a
+  * higher-order array function does the job (shingling via `transform` over
+  * the token array is per-row, so it needs no shuffle at all; a
+  * window-by-doc formulation would shuffle the full corpus by doc_id).
+  *
+  * Determinism contract: every hash derives from md5 of the value, so
+  * results are identical across engines, runs, and partitionings — which is
+  * what makes these operators oracle-checkable AND makes dedup reproducible
+  * on a 1000-executor cluster.
+  *
+  * 100 TB notes per operator:
+  *  - exactDedup: one hash-shuffle on the 16-byte digest, not the document.
+  *  - minhash/LSH: signatures are per-row (narrow); the only shuffle is the
+  *    band-bucket join, whose fan-in LSH explicitly bounds.
+  *  - simhash: per-row after a doc-grain distinct; pair search is blocked.
+  *  - near-dup pair search is blocked (here by `source`) — an unblocked
+  *    all-pairs join is quadratic and must never reach the planner.
+  */
+object TextOps {
+
+  /** Documents are single-space tokenized (matches the synthetic corpus and
+    * keeps exact parity with the oracle's string_split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** First 60 bits of md5 as a non-negative long — the shared cross-engine
+    * hash primitive (DuckDB: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word-level k-shingles per row via higher-order functions —
+    * no explode, no window, no shuffle. Rows with < k tokens yield an
+    * empty shingle set. */
+  def shingles(toks: Column, k: Int = 3): Column = {
+    val sh = transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j + 1))): _*))
+    // CASE guards the THEN branch: sequence(0, negative) never evaluates
+    array_distinct(
+      when(size(toks) >= k, sh).otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature component i: min over the shingle set of the
+    * md5-derived hash salted with i. NULL when the set is empty. */
+  def minhash(shingleSet: Column, i: Int): Column =
+    array_min(transform(shingleSet, s => md5Long(concat(lit(s"$i:"), s))))
+
+  /** doc_id + k minhash components (mh_0..mh_{k-1}) + band keys pairing
+    * consecutive components (LSH banding: equal band key → candidate pair). */
+  def minhashSignatures(docs: DataFrame, k: Int = 4): DataFrame = {
+    val withShingles = docs.select(
+      col("doc_id"),
+      shingles(tokens(col("text"))).as("sh"))
+    val sig = withShingles.select(
+      col("doc_id") +: (0 until k).map(i => minhash(col("sh"), i).as(s"mh_$i")): _*)
+    val bands = (0 until k / 2).map { b =>
+      md5(concat_ws("_", lit(b), col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}")))
+        .as(s"band_$b")
+    }
+    sig.select(col("doc_id") +: (0 until k).map(i => col(s"mh_$i")) ++: bands: _*)
+  }
+
+  /** 16-bit SimHash over the distinct token set: bit j of the fingerprint
+    * is set iff the sum of ±1 votes (from bit j of each token's hash) is
+    * positive. Per-doc aggregation only — fully parallel. */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val tokenHashes = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+    val votes = (0 until 16).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"s_$j")
+    }
+    tokenHashes.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"s_$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Blocked near-duplicate pair search: within each `source` block, token-
+    * set Jaccard + SimHash Hamming distance for every pair above the
+    * Jaccard threshold. Blocking keys the join (quadratic only within a
+    * block); at 100 TB the block key would be an LSH band from
+    * minhashSignatures instead of a metadata column — same shape. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = simhash16(docs)
+    val side = docs
+      .select(col("doc_id"), col("source"),
+        array_distinct(tokens(col("text"))).as("dtoks"))
+      .join(sh, "doc_id")
+    val a = side.select(col("source"), col("doc_id").as("doc_id_a"),
+      col("dtoks").as("toks_a"), col("simhash").as("sim_a"))
+    val b = side.select(col("source"), col("doc_id").as("doc_id_b"),
+      col("dtoks").as("toks_b"), col("simhash").as("sim_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val union = size(col("toks_a")) + size(col("toks_b")) - inter
+    a.join(b, Seq("source"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming_distance"))
+  }
+
+  /** Winnowing-style fingerprint: the minimum shingle digest (stable under
+    * token reordering outside the minimal window) + a whole-document hash. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      array_min(transform(shingles(tokens(col("text"))), s => md5(s))).as("winnow_fp"),
+      md5Long(col("text")).as("doc_hash"))
+
+  /** Per-language marker token lists for the n-gram/stopword lang-id
+    * heuristic. (Markers chosen from the corpus vocabulary; on real text
+    * these would be per-language stopword n-grams.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "order", "table", "group"),
+    "de" -> Seq("customer", "big", "hash"),
+    "fr" -> Seq("scan", "data", "query"),
+    "es" -> Seq("merge", "agg", "slow"),
+    "zh" -> Seq("join", "fast", "stream"))
+
+  /** Language-ID heuristic: count marker hits per language over the token
+    * array, predict the max with a fixed precedence tie-break. */
+  def langId(docs: DataFrame): DataFrame = {
+    val withScores = langMarkers.foldLeft(
+      docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))) {
+      case (df, (l, markers)) =>
+        val list = markers.map(m => s"'$m'").mkString(", ")
+        df.withColumn(s"score_$l",
+          expr(s"size(filter(toks, t -> t IN ($list)))"))
+    }
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(geAll, l).otherwise(rest)
+    }
+    withScores.select(
+      col("doc_id") +: col("lang") +:
+        langs.map(l => col(s"score_$l")) :+
+        predicted.as("predicted_lang"): _*)
+      .withColumn("lang_match", (col("lang") === col("predicted_lang")).cast("int"))
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Quality scoring: token stats, stopword/punctuation ratios, and a
+    * 3-tier quality bucket — the standard cheap pre-filters of a training-
+    * data pipeline. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    docs
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"),
+        col("text"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stopwords", expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+      .withColumn("n_punct", expr("size(filter(toks, t -> t RLIKE '^[^a-z0-9]+$'))"))
+      .withColumn("avg_token_len",
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("stopword_ratio",
+        round(col("n_stopwords").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") >= 60 && col("stopword_ratio") < 0.2, "high")
+          .when(col("n_tokens") >= 30, "medium")
+          .otherwise("low"))
+      .select("doc_id", "n_tokens", "n_stopwords", "n_punct",
+        "avg_token_len", "stopword_ratio", "quality_bucket")
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextOps
+import graft.sim.Embeddings
+import graft.mm.Multimodal
+
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docDF(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+
+  test("exact dedup groups identical content under one canonical id") {
+    val df = docDF(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "alpha beta gamma", "s2"),
+      (3L, "something else entirely", "s1"))
+    val dedup = df.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("canonical"), count(lit(1)).as("n"))
+    val m = dedup.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("shingles: distinct word 3-grams, empty under 3 tokens") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L).toSet == Set("a b c", "b c d"))
+    assert(m(2L).isEmpty)
+  }
+
+  test("minhash: identical docs share signatures; disjoint docs do not") {
+    val df = docDF(
+      (1L, "one two three four five six", "s"),
+      (2L, "one two three four five six", "s"),
+      (3L, "seven eight nine ten eleven twelve", "s"))
+    val sig = TextOps.minhashSignatures(df).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("simhash: identical → 0 hamming; near-identical → small hamming") {
+    val df = docDF(
+      (1L, "the quick brown fox jumps over the lazy dog today", "s"),
+      (2L, "the quick brown fox jumps over the lazy dog today", "s"),
+      (3L, "the quick brown fox jumps over the lazy cat today", "s"),
+      (4L, "completely unrelated words about spark executors shuffling data", "s"))
+    val sh = TextOps.simhash16(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) == 0)
+    assert(hamming(sh(1L), sh(3L)) <= 6)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("near-dup pairs: finds the planted near-duplicate, skips cross-source") {
+    val df = docDF(
+      (1L, "one two three four five six seven eight", "s1"),
+      (2L, "one two three four five six seven nine", "s1"), // 7/9 shared
+      (3L, "one two three four five six seven eight", "s2"), // same as 1, other block
+      (4L, "alpha beta gamma delta epsilon zeta eta theta", "s1"))
+    val pairs = TextOps.nearDupPairs(df, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // blocked by source
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("knn brute force: nearest vector is the near-parallel one") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val knn = Embeddings.knnBruteForce(e, col("vec_id") === 0, k = 3).collect()
+    assert(knn.head.getAs[Long]("neighbor_id") == 1L)
+    assert(knn.map(_.getAs[Int]("knn_rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("ivf: probes the right cell and searches only within it") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.05f), 0), (1L, Array(0.9f, 0.0f), 0),
+      (2L, Array(0.95f, 0.1f), 0),
+      (10L, Array(0.0f, 1.0f), 1), (11L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val res = Embeddings.ivfSearch(e, col("vec_id") === 0, k = 5).collect()
+    assert(res.forall(_.getAs[Int]("probe_cell") == 0))
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L))
+  }
+
+  test("multimodal: batched decode is deterministic and schema-stable") {
+    val docs = docDF((7L, "some media payload bytes here", "s1"))
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("content").dataType.typeName == "binary")
+    val ds = media.as[Multimodal.MediaRecord]
+    val f1 = Multimodal.decodeBatched(ds).collect().head
+    val f2 = Multimodal.decodeBatched(ds).collect().head
+    assert(f1.feature.toSeq == f2.feature.toSeq)
+    assert(f1.feature.length == 8 && f1.decoder == "stub-1.0")
+  }
+
+  test("frame sample: one row per frame, offsets at stride") {
+    val docs = docDF((9L, "x" * 100, "s1")) // n_chars=100 → n_frames = 100%7+1 = 3
+    val frames = Multimodal.frameSample(Multimodal.mediaFromDocuments(docs)).collect()
+    assert(frames.length == 3)
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    assert(frames.map(_.getAs[Int]("frame_offset")).toSeq == Seq(1, 33, 65))
+  }
+
+  test("lang id scores count marker tokens") {
+    val df = docDF((1L, "the table order group the", "s"))
+    val r = TextOps.langId(df).collect().head
+    assert(r.getAs[Int]("score_en") == 5)
+    assert(r.getAs[String]("predicted_lang") == "en")
+    assert(r.getAs[Int]("lang_match") == 1)
+  }
+}
