@@ -90,6 +90,12 @@ FEATURES = [
 ]
 
 
+def fn_ts(ts):
+    # filenames must be Hadoop-path-safe: no colons (the reference's MinIO
+    # keys allow them; a Hadoop-backed lake does not)
+    return ts.replace(":", "")
+
+
 def img_src(rover, camera, sol, sclk):
     if sclk is None:
         return f"https://mars.nasa.gov/{rover}/{camera}/sol{sol}/NOTIME_EDR.JPG"
@@ -114,7 +120,7 @@ def main():
     photos = [photo_row(*p) for p in PHOTOS]
     sols = [p[1] for p in PHOTOS]
     photo_doc = {
-        "filename": f"mars_rover_photos_batch_sol_{min(sols)}_to_{max(sols)}_{T_PHOTOS}.json",
+        "filename": f"mars_rover_photos_batch_sol_{min(sols)}_to_{max(sols)}_{fn_ts(T_PHOTOS)}.json",
         "sol_start": min(sols), "sol_end": max(sols), "photo_count": len(photos),
         "photos": photos, "ingestion_date": T_PHOTOS,
     }
@@ -131,7 +137,7 @@ def main():
             ],
         })
     manifest_doc = {
-        "filename": f"mars_rover_manifests_{T_MANIFESTS}.json",
+        "filename": f"mars_rover_manifests_{fn_ts(T_MANIFESTS)}.json",
         "manifests": manifests, "ingestion_date": T_MANIFESTS,
     }
 
@@ -144,7 +150,7 @@ def main():
                            "length": length, "SCLK_START": s0, "SCLK_END": s1},
         })
     coord_doc = {
-        "filename": f"mars_rover_coordinates_{T_COORDS}.json",
+        "filename": f"mars_rover_coordinates_{fn_ts(T_COORDS)}.json",
         "coordinate_count": len(features), "coordinates": features,
         "ingestion_date": T_COORDS,
     }
