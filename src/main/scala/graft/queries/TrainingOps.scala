@@ -13,7 +13,10 @@ import graft.mm.Multimodal
   */
 object TrainingOps extends OpsModule {
 
-  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def docs(s: SparkSession, d: String) = {
+    graft.functions.GraftFunctions.register(s) // md5_prefix64 for TextOps
+    Tables.documents(s, d)
+  }
   private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -31,8 +31,15 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** First 60 bits of md5 as a non-negative long — the shared cross-engine
-    * hash primitive (DuckDB: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)). */
-  def md5Long(c: Column): Column =
+    * hash primitive (DuckDB: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)).
+    * Resolved to the native codegen'd graft.functions.Md5Prefix64 (register
+    * via GraftFunctions.register(spark)); md5LongPortable is the equivalent
+    * built-ins-only composition. */
+  def md5Long(c: Column): Column = call_function("md5_prefix64", c)
+
+  /** Built-ins-only equivalent of md5Long (hex-string round trip) — kept
+    * for parity testing and for sessions without the registered function. */
+  def md5LongPortable(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct word-level k-shingles per row via higher-order functions —

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextOps
+
+class Md5Prefix64Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native md5_prefix64 == built-ins composition, row for row") {
+    val df = (Seq("", "a", "abc", "hello world", "0:some shingle text") ++
+      (1 to 500).map(i => s"doc $i content with words $i")).toDF("s")
+    val mismatches = df.select(
+      TextOps.md5Long(col("s")).as("native"),
+      TextOps.md5LongPortable(col("s")).as("portable"))
+      .filter(col("native") =!= col("portable"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("known value: first 15 hex chars of md5('abc')") {
+    // md5('abc') = 900150983cd24fb0... → 0x900150983cd24fb
+    val v = Seq("abc").toDF("s")
+      .select(TextOps.md5Long(col("s"))).first().getLong(0)
+    assert(v == java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
+  test("null-safe and non-negative") {
+    val df = Seq(Some("x"), None).toDF("s")
+      .select(TextOps.md5Long(col("s")).as("h"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.filter(!_.isNullAt(0)).forall(_.getLong(0) >= 0))
+  }
+
+  test("participates in codegen (no fallback to interpreted projection)") {
+    // needs a real scan: a local relation constant-folds the expression away
+    val plan = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(TextOps.md5Long(col("text")))
+      .queryExecution.executedPlan.toString
+    // '*(n)' marks a whole-stage-codegen'd operator in the plan string
+    assert(plan.contains("*(1) Project [md5_prefix64"), plan.take(500))
+  }
+}
