@@ -51,6 +51,12 @@ object TrainingOps extends OpsModule {
     "td_near_dup_pairs" -> ((s, d) =>
       TextOps.nearDupPairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
 
+    "td_lsh_candidates" -> ((s, d) =>
+      TextOps.lshCandidatePairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
+
+    "emb_near_dup" -> ((s, d) =>
+      Embeddings.cosineNearDup(embs(s, d)).orderBy("vec_id_a", "vec_id_b")),
+
     "emb_knn_brute" -> ((s, d) =>
       Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -199,6 +205,43 @@ object TrainingOps extends OpsModule {
                  round(CAST(inter AS DOUBLE) / un, 6) AS jaccard, hamming_distance
           FROM p WHERE round(CAST(inter AS DOUBLE) / un, 6) >= 0.5
           ORDER BY doc_id_a, doc_id_b""",
+
+    "td_lsh_candidates" -> {
+      val mins = (0 until 4).map(i =>
+        s"min(${dHash(s"concat('$i:', shingle)")}) AS mh_$i").mkString(", ")
+      s"""WITH $duckShingles,
+          mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, 0 AS band_idx, md5(concat_ws('_', 0, mh_0, mh_1)) AS band_key
+            FROM mh WHERE mh_0 IS NOT NULL
+            UNION ALL
+            SELECT doc_id, 1 AS band_idx, md5(concat_ws('_', 1, mh_2, mh_3)) AS band_key
+            FROM mh WHERE mh_0 IS NOT NULL),
+          cand AS (
+            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS n_shared_bands
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          ss AS (SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id)
+          SELECT c.doc_id_a, c.doc_id_b, c.n_shared_bands,
+                 round(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) /
+                       (len(sa.shset) + len(sb.shset)
+                        - len(list_intersect(sa.shset, sb.shset))), 6) AS jaccard
+          FROM cand c
+          JOIN ss sa ON sa.doc_id = c.doc_id_a
+          JOIN ss sb ON sb.doc_id = c.doc_id_b
+          ORDER BY doc_id_a, doc_id_b"""
+    },
+
+    "emb_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
+                     FROM embeddings)
+          SELECT a.cell, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                 round(${dCos("a.emb", "b.emb")}, 6) AS cosine
+          FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(${dCos("a.emb", "b.emb")}, 6) >= 0.4
+          ORDER BY vec_id_a, vec_id_b""",
 
     "emb_knn_brute" ->
       s"""WITH $duckCosPrelude

@@ -89,6 +89,23 @@ object Embeddings {
         round(col("cos"), 6).as("cosine"), col("knn_rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, blocked by the coarse cell
+    * (IVF blocking): the quadratic pair join runs only within a cell, so
+    * total cost is Σ|cell|² not N². At 100 TB the cell would come from
+    * k-means or a random-hyperplane LSH sign-bucket over the vectors;
+    * here the corpus ships with cluster labels, the same shape. */
+  def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = embeddings.select(col("label").as("cell"), col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+    val a = e.select(col("cell"), col("vec_id").as("vec_id_a"), col("emb").as("emb_a"))
+    val b = e.select(col("cell"), col("vec_id").as("vec_id_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("cell", "vec_id_a", "vec_id_b", "cosine")
+  }
+
   /** Per-cell stats: size, centroid norm, mean vector norm. */
   def clusterStats(embeddings: DataFrame): DataFrame = {
     val perRow = embeddings.select(col("label").as("cell"),

@@ -116,6 +116,36 @@ object TextOps {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming_distance"))
   }
 
+  /** MinHash+LSH candidate-pair generation — the scale path for near-dup:
+    * shingle → minhash → band → bucket self-join → exact-Jaccard verify on
+    * candidates only. Docs with an empty shingle set (< k tokens) carry
+    * NULL minhashes and are excluded — they cannot be shingle-similar to
+    * anything. The bucket join's fan-in is bounded by bucket size (bands
+    * hash near-uniformly), so the join never goes quadratic in the corpus;
+    * only the final verify touches shingle sets, and only for candidates. */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 4): DataFrame = {
+    val nBands = k / 2
+    val bands = minhashSignatures(docs, k)
+      .filter(col("mh_0").isNotNull)
+      .select(col("doc_id"), explode(array((0 until nBands).map(bd =>
+        struct(lit(bd).as("band_idx"), col(s"band_$bd").as("band_key"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+    val candidates = bands.as("x")
+      .join(bands.as("y"), Seq("band_idx", "band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val shingleSets = docs.select(col("doc_id"),
+      shingles(tokens(col("text"))).as("shset"))
+    val inter = size(array_intersect(col("shset_a"), col("shset_b")))
+    val union = size(col("shset_a")) + size(col("shset_b")) - inter
+    candidates
+      .join(shingleSets.select(col("doc_id").as("doc_id_a"), col("shset").as("shset_a")), "doc_id_a")
+      .join(shingleSets.select(col("doc_id").as("doc_id_b"), col("shset").as("shset_b")), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_shared_bands"),
+        round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
+  }
+
   /** Winnowing-style fingerprint: the minimum shingle digest (stable under
     * token reordering outside the minimal window) + a whole-document hash. */
   def fingerprints(docs: DataFrame): DataFrame =

@@ -71,6 +71,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("lsh candidates: identical docs collide in every band with jaccard 1") {
+    val df = docDF(
+      (1L, "one two three four five six seven eight", "s"),
+      (2L, "one two three four five six seven eight", "s"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (4L, "a b", "s")) // <3 tokens → no shingles → excluded
+    val rows = TextOps.lshCandidatePairs(df).collect()
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(m.get((1L, 2L)).contains((2L, 1.0)))
+    assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!m.contains((1L, 3L)) && !m.contains((2L, 3L)))
+  }
+
+  test("cosine near-dup: finds near-parallel pair inside a cell only") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.14f), 0),  // cos ≈ 0.990 with vec 0
+      (2L, Array(0.0f, 1.0f), 0),    // orthogonal to vec 0
+      (3L, Array(1.0f, 0.01f), 1))   // near-parallel to vec 0, other cell
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Embeddings.cosineNearDup(e, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("knn brute force: nearest vector is the near-parallel one") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
