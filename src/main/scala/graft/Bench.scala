@@ -19,7 +19,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolate queries: drop any cache an operator materialized (LSH
+      // persists its shingle sets) and give the cleaner a chance to free
+      // accumulated broadcasts, so later queries aren't timed under an
+      // earlier query's memory pressure.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

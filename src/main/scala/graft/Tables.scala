@@ -31,6 +31,21 @@ object Tables {
     table(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  /** The corpus tables feed CPU-bound per-row operators (shingling, token
+    * hashing, vector arithmetic), so scan parallelism — not IO — decides
+    * their wall-clock. The local testdata files are a single parquet row
+    * group, which Spark cannot split: the scan yields ONE task and the
+    * whole operator runs single-threaded. Rebalance up to the session's
+    * parallelism when the scan under-splits; on a cluster where 100 TB
+    * arrives as ~100k splits the condition is false and this is a no-op.
+    */
+  private def rebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    rebalanced(spark, table(spark, sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    rebalanced(spark, table(spark, sfDir, "embeddings"))
 }

@@ -54,6 +54,9 @@ object TrainingOps extends OpsModule {
     "td_lsh_candidates" -> ((s, d) =>
       TextOps.lshCandidatePairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
 
+    "td_simhash" -> ((s, d) =>
+      TextOps.simhash16(docs(s, d)).orderBy("doc_id")),
+
     "emb_near_dup" -> ((s, d) =>
       Embeddings.cosineNearDup(embs(s, d)).orderBy("vec_id_a", "vec_id_b")),
 
@@ -205,6 +208,10 @@ object TrainingOps extends OpsModule {
                  round(CAST(inter AS DOUBLE) / un, 6) AS jaccard, hamming_distance
           FROM p WHERE round(CAST(inter AS DOUBLE) / un, 6) >= 0.5
           ORDER BY doc_id_a, doc_id_b""",
+
+    "td_simhash" ->
+      s"""WITH $duckSimhash
+          SELECT doc_id, simhash FROM simhash ORDER BY doc_id""",
 
     "td_lsh_candidates" -> {
       val mins = (0 until 4).map(i =>

@@ -35,14 +35,24 @@ object Embeddings {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with the norms hoisted out: inside a pair join, norm(v) is a
+    * per-vector quantity — computing it per PAIR multiplies the vector
+    * passes by the pair fan-out. Callers precompute a norm column per side
+    * (identical fold, so values are bit-identical to cosine()). */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
   /** Exact brute-force cosine top-k for the query vectors against the
     * whole corpus (minus self-matches). */
   def knnBruteForce(embeddings: DataFrame, queryFilter: Column, k: Int = 10): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
     val q = e.filter(queryFilter)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("vnorm").as("qnorm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qemb"), col("emb")))
+      .withColumn("cos",
+        cosinePre(col("qemb"), col("emb"), col("qnorm"), col("vnorm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("knn_rank", row_number().over(w))
@@ -67,9 +77,11 @@ object Embeddings {
   def ivfSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label").as("cell"),
       asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
     val cents = centroids(embeddings)
     val q = e.filter(queryFilter)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("vnorm").as("qnorm"))
 
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("cell").asc)
@@ -77,12 +89,13 @@ object Embeddings {
       .withColumn("ccos", cosine(col("qemb"), col("cemb")))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") === 1)
-      .select(col("query_id"), col("qemb"), col("cell").as("probe_cell"))
+      .select(col("query_id"), col("qemb"), col("qnorm"), col("cell").as("probe_cell"))
 
     val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     probes
       .join(e, col("probe_cell") === col("cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qemb"), col("emb")))
+      .withColumn("cos",
+        cosinePre(col("qemb"), col("emb"), col("qnorm"), col("vnorm")))
       .withColumn("knn_rank", row_number().over(wK))
       .filter(col("knn_rank") <= k)
       .select(col("query_id"), col("probe_cell"), col("vec_id").as("neighbor_id"),
@@ -97,11 +110,15 @@ object Embeddings {
   def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     val e = embeddings.select(col("label").as("cell"), col("vec_id"),
       asDouble(col("embedding")).as("emb"))
-    val a = e.select(col("cell"), col("vec_id").as("vec_id_a"), col("emb").as("emb_a"))
-    val b = e.select(col("cell"), col("vec_id").as("vec_id_b"), col("emb").as("emb_b"))
+      .withColumn("vnorm", norm(col("emb")))
+    val a = e.select(col("cell"), col("vec_id").as("vec_id_a"),
+      col("emb").as("emb_a"), col("vnorm").as("norm_a"))
+    val b = e.select(col("cell"), col("vec_id").as("vec_id_b"),
+      col("emb").as("emb_b"), col("vnorm").as("norm_b"))
     a.join(b, Seq("cell"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cosine", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cosine", round(
+        cosinePre(col("emb_a"), col("emb_b"), col("norm_a"), col("norm_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("cell", "vec_id_a", "vec_id_b", "cosine")
   }
