@@ -209,7 +209,16 @@ object Relational extends OpsModule {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy("event_type")
         .agg(r2(avg("k")).as("avg_k"), max("k").as("max_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // The streaming windowed-aggregation operator run in batch mode: the
+    // SAME EventStreams.windowedCounts definition powers the live stream
+    // (append mode, watermark-bounded state) and this oracle-checked query.
+    "q18_stream_window" -> ((s, d) =>
+      graft.streaming.EventStreams.windowedCounts(
+        ev(s, d).select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+        .orderBy("window_start", "event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -308,6 +317,10 @@ object Relational extends OpsModule {
       """SELECT event_type,
                 round(avg(CAST(props->>'$.k' AS INT)), 2) AS avg_k,
                 max(CAST(props->>'$.k' AS INT)) AS max_k
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q18_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS n_events, round(sum(value), 6) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

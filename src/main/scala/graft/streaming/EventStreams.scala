@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed view of one row of the events table (TESTDATA.md). */
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+
+/** Accumulating per-user session state between micro-batches. */
+final case class SessionBuf(startMs: Long, endMs: Long, n: Int, total: Double)
+
+/** One closed session, emitted when the event-time watermark passes the
+  * session gap past its last event. */
+final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Int,
+                         total_value: Double)
+
+/** Event-time data-plane streaming over the events stream — the part of the
+  * streaming surface the reference never needed (its Kafka use is
+  * control-plane choreography only, SURVEY §2.10) but a training-data
+  * pipeline does: windowed rollups of telemetry and stateful sessionization.
+  *
+  * Both operators are watermark-driven, so state is bounded: windows older
+  * than the watermark are finalized and dropped, sessions time out and are
+  * emitted once the watermark passes their gap. That bounding is what makes
+  * them runnable forever on an unbounded stream — state size tracks the
+  * number of OPEN windows/sessions, not stream length.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregation with a watermark. Works on a
+    * streaming DataFrame (append-mode emission once the watermark passes
+    * window end) and identically on a batch DataFrame (watermark is a
+    * no-op there), so the batch oracle and the stream share one
+    * definition. */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: per-user custom
+    * state with an event-time timeout. A session closes (and is emitted)
+    * when the watermark passes `last event + gapMinutes`. State per key is
+    * a single fixed-size SessionBuf — no event buffering. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionBuf]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new java.sql.Timestamp(s.startMs),
+          new java.sql.Timestamp(s.endMs), s.n, s.total))
+      } else {
+        val evs = batch.toVector
+        val lo = evs.iterator.map(_.ts.getTime).min
+        val hi = evs.iterator.map(_.ts.getTime).max
+        val sum = evs.iterator.map(_.value).sum
+        val merged = state.getOption match {
+          case Some(s) => SessionBuf(math.min(s.startMs, lo),
+            math.max(s.endMs, hi), s.n + evs.size, s.total + sum)
+          case None => SessionBuf(lo, hi, evs.size, sum)
+        }
+        state.update(merged)
+        state.setTimeoutTimestamp(merged.endMs + gapMs)
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Event, EventStreams}
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // offset from epoch 0: an event whose time equals the initial watermark
+  // (0) is treated as late and dropped by stateful operators
+  private def ts(minute: Int) = new Timestamp((60 + minute) * 60000L)
+
+  test("windowed counts: batch and streaming agree on the same input") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 2, "click", 2.0),
+      Event(3, ts(65), 1, "view", 4.0))
+    // batch path
+    val batch = EventStreams.windowedCounts(events.toDF(), "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    assert(batch.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((ts(0), "click", 2L), (ts(60), "view", 1L)))
+    // streaming path: window [0,60) emits once the watermark passes its end
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.windowedCounts(input.toDF(), "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      input.addData(events.take(2): _*)
+      q.processAllAvailable()
+      input.addData(events(2)) // advances watermark to minute 65 > window end 60
+      q.processAllAvailable()
+      val out = spark.table("wc").orderBy("window_start").collect()
+      assert(out.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq((ts(0), "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: session closes when watermark passes the gap") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.5),
+        Event(2, ts(10), 7, "view", 2.5))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0) // session still open
+      // event 100 min later: watermark(100) > last(10) + gap(30) → close
+      input.addData(Event(3, ts(100), 8, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(200), 9, "click", 0.0)) // push watermark again
+      q.processAllAvailable()
+      val sessions = spark.table("sess").orderBy("user_id").collect()
+      val s7 = sessions.find(_.getLong(0) == 7L).get
+      assert(s7.getTimestamp(1) == ts(0) && s7.getTimestamp(2) == ts(10))
+      assert(s7.getInt(3) == 2 && s7.getDouble(4) == 4.0)
+      val s8 = sessions.find(_.getLong(0) == 8L)
+      assert(s8.nonEmpty, "user 8's single-event session should close too")
+    } finally q.stop()
+  }
+
+  test("windowed counts on the batch events table match a plain group-by") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val viaWindow = EventStreams.windowedCounts(events, "1 hour")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    val viaTrunc = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("h", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaWindow == viaTrunc)
+  }
+}
