@@ -42,9 +42,19 @@ object TextOps {
   def md5LongPortable(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Materialize the token array as a real column. Callers of shingles()
+    * MUST pass an attribute, not `tokens(col("text"))` inline: a Column
+    * tree is duplicated at every reference site, and inside higher-order
+    * lambdas (interpreted, no codegen CSE) an inline split() would re-split
+    * the text for every element_at — O(tokens²) per row, measured ~4x the
+    * whole operator's cost. Catalyst keeps this projection separate
+    * (CollapseProject refuses to duplicate non-cheap expressions). */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+
   /** Distinct word-level k-shingles per row via higher-order functions —
     * no explode, no window, no shuffle. Rows with < k tokens yield an
-    * empty shingle set. */
+    * empty shingle set. Pass a materialized token column (see tokenized). */
   def shingles(toks: Column, k: Int = 3): Column = {
     val sh = transform(
       sequence(lit(0), size(toks) - k),
@@ -62,9 +72,9 @@ object TextOps {
   /** doc_id + k minhash components (mh_0..mh_{k-1}) + band keys pairing
     * consecutive components (LSH banding: equal band key → candidate pair). */
   def minhashSignatures(docs: DataFrame, k: Int = 4): DataFrame = {
-    val withShingles = docs.select(
+    val withShingles = tokenized(docs).select(
       col("doc_id"),
-      shingles(tokens(col("text"))).as("sh"))
+      shingles(col("toks")).as("sh"))
     val sig = withShingles.select(
       col("doc_id") +: (0 until k).map(i => minhash(col("sh"), i).as(s"mh_$i")): _*)
     val bands = (0 until k / 2).map { b =>
@@ -96,7 +106,17 @@ object TextOps {
     * Jaccard threshold. Blocking keys the join (quadratic only within a
     * block); at 100 TB the block key would be an LSH band from
     * minhashSignatures instead of a metadata column — same shape. */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** `broadcastPairs`: the build side of the pair join is the corpus
+    * itself. Locally (and on any corpus that fits an executor) explicitly
+    * broadcasting it is the fast, DETERMINISTIC plan — the probe side keeps
+    * full scan parallelism, and pinning the strategy stops AQE from
+    * flipping between broadcast and sort-merge run-to-run when the side's
+    * runtime size straddles the threshold (measured as a 2s-vs-8s bimodal
+    * timing at sf0.1; block-key cardinality is low, so sort-merge also
+    * collapses parallelism to |blocks|). At cluster scale, pass false to
+    * shuffle both sides instead of shipping the corpus to every executor. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
+                   broadcastPairs: Boolean = true): DataFrame = {
     val sh = simhash16(docs)
     val side = docs
       .select(col("doc_id"), col("source"),
@@ -108,13 +128,7 @@ object TextOps {
       col("dtoks").as("toks_b"), col("simhash").as("sim_b"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    // Join strategy is left to Catalyst/AQE deliberately: below the
-    // broadcast threshold the build side ships once and the probe side
-    // keeps full scan parallelism (block-key cardinality is low, so a
-    // forced sort-merge would collapse parallelism to |blocks| — measured
-    // 30% slower at sf0.1); past the threshold AQE flips to sort-merge,
-    // which is the only viable plan for corpus-sized sides.
-    a.join(b, Seq("source"))
+    a.join(if (broadcastPairs) broadcast(b) else b, Seq("source"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
       .filter(col("jaccard") >= threshold)
@@ -137,8 +151,8 @@ object TextOps {
     // Materialize it once — without this, Catalyst re-derives it from the
     // scan per consumer (measured 17s→5s at sf0.1). At cluster scale this
     // persist would be a staged parquet write; the shape is the same.
-    val shingleSets = docs
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("shset"))
+    val shingleSets = tokenized(docs)
+      .select(col("doc_id"), shingles(col("toks")).as("shset"))
       .persist()
     val sig = shingleSets.select(
       col("doc_id") +: (0 until k).map(i => minhash(col("shset"), i).as(s"mh_$i")): _*)
@@ -166,10 +180,12 @@ object TextOps {
   /** Winnowing-style fingerprint: the minimum shingle digest (stable under
     * token reordering outside the minimal window) + a whole-document hash. */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      array_min(transform(shingles(tokens(col("text"))), s => md5(s))).as("winnow_fp"),
-      md5Long(col("text")).as("doc_hash"))
+    tokenized(docs)
+      .select(col("doc_id"), shingles(col("toks")).as("sh"), col("text"))
+      .select(
+        col("doc_id"),
+        array_min(transform(col("sh"), s => md5(s))).as("winnow_fp"),
+        md5Long(col("text")).as("doc_hash"))
 
   /** Per-language marker token lists for the n-gram/stopword lang-id
     * heuristic. (Markers chosen from the corpus vocabulary; on real text
