@@ -56,6 +56,29 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(doc_id: Long, new_width: Int, new_height: Int,
+                                resized_len: Int, resized_md5: String)
+
+  /** Batched per-partition resize — same mapPartitions shape as
+    * decodeBatched (codec/digest state initialized once per partition).
+    * The stub "resize" halves the dimensions and keeps the first half of
+    * the content bytes (a real build would re-encode); deterministic, so
+    * the whole pipeline stays oracle-checkable. */
+  def resizeBatched(media: Dataset[MediaRecord], factor: Int = 2): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // per-partition init: a real build creates the codec context here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      records.map { r =>
+        val resized = java.util.Arrays.copyOfRange(r.content, 0, r.content.length / factor)
+        md.reset()
+        val hex = md.digest(resized).map("%02x".format(_)).mkString
+        ResizedMedia(r.doc_id, r.width / factor, r.height / factor,
+          resized.length, hex)
+      }
+    }
+  }
+
   /** Deterministic stand-in for an image decode + feature extraction:
     * 8 pseudo-channel means derived from byte content. Replace with a
     * real codec on a cluster that has one. */

@@ -77,7 +77,14 @@ object TrainingOps extends OpsModule {
 
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaFromDocuments(docs(s, d)))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resizeBatched(
+        Multimodal.mediaFromDocuments(docs(s, d)).as[Multimodal.MediaRecord])
+        .toDF().orderBy("doc_id")
+    })
   )
 
   // ---- DuckDB oracle building blocks ----
@@ -297,6 +304,14 @@ object TrainingOps extends OpsModule {
                 upper(hex(CAST(substr(text, 1, 8) AS BLOB))) AS header_hex,
                 round(CAST((n_chars % 64) * 10 + 64 AS DOUBLE) /
                       ((n_chars % 48) * 10 + 48), 6) AS aspect_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "mm_resize" ->
+      """SELECT doc_id,
+                CAST(((n_chars % 64) * 10 + 64) // 2 AS INT) AS new_width,
+                CAST(((n_chars % 48) * 10 + 48) // 2 AS INT) AS new_height,
+                CAST(length(text) // 2 AS INT) AS resized_len,
+                md5(substr(text, 1, CAST(length(text) // 2 AS INT))) AS resized_md5
          FROM documents ORDER BY doc_id""",
 
     "mm_frame_sample" ->

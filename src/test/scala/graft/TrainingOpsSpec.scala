@@ -130,6 +130,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(f1.feature.length == 8 && f1.decoder == "stub-1.0")
   }
 
+  test("resize: halves dimensions, keeps first half of content") {
+    val docs = docDF((4L, "abcdefgh", "s1"))
+    val media = Multimodal.mediaFromDocuments(docs)
+    val ds = media.as[Multimodal.MediaRecord]
+    val r = Multimodal.resizeBatched(ds).collect().head
+    val m = media.collect().head
+    assert(r.new_width == m.getAs[Int]("width") / 2)
+    assert(r.new_height == m.getAs[Int]("height") / 2)
+    assert(r.resized_len == 4)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("abcd".getBytes).map("%02x".format(_)).mkString
+    assert(r.resized_md5 == expected)
+  }
+
   test("frame sample: one row per frame, offsets at stride") {
     val docs = docDF((9L, "x" * 100, "s1")) // n_chars=100 → n_frames = 100%7+1 = 3
     val frames = Multimodal.frameSample(Multimodal.mediaFromDocuments(docs)).collect()
