@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mars.{Incremental, Validation}
+
+/** The SURVEY §5.2 property tests: algebraic invariants over generated
+  * inputs (deterministic seeds, so failures reproduce). */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val rovers = Seq("Perseverance", "Curiosity", "Spirit")
+
+  test("gap view == manifest minus actuals, exactly (5 seeded trials)") {
+    import spark.implicits._
+    val solSet = Gen.someOf(0 to 30)
+    for (seed <- 1 to 5) {
+      val manifest = rovers.flatMap { r =>
+        sample(solSet, seed).map(s => (r, s, java.sql.Date.valueOf("2024-01-01"), 5, 2))
+      }
+      val actual = rovers.flatMap { r =>
+        sample(solSet, seed + 100).map(s =>
+          (r, s, java.sql.Date.valueOf("2024-01-01"), 1, s.toLong))
+      }
+      val manifestDF = manifest.toDF("rover_name", "sol", "earth_date",
+        "manifest_total_photos", "manifest_camera_count")
+      val actualDF = actual.toDF("rover_name", "sol", "earth_date",
+        "camera_id", "image_id")
+      val gaps = Validation.validationPhotoGaps(manifestDF, actualDF)
+        .select("rover_name", "sol").as[(String, Int)].collect().toSet
+      val m = manifest.map(x => (x._1, x._2)).toSet
+      val a = actual.map(x => (x._1, x._2)).toSet
+      assert(gaps == m -- a, s"seed=$seed")
+      assert(gaps.intersect(a).isEmpty, s"seed=$seed gap ∩ actuals must be empty")
+    }
+  }
+
+  test("merge upsert: result == new ∪ (old minus overlapping keys); idempotent") {
+    import spark.implicits._
+    val kv = Gen.listOfN(12, Gen.zip(Gen.choose(0, 9), Gen.choose(100, 999)))
+    for (seed <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory("merge_prop").toString
+      val target = s"$dir/t"
+      val oldRows = sample(kv, seed).distinctBy(_._1)
+        .map { case (k, v) => (k, v, "2024-01-01T00:00:00") }
+      val newRows = sample(kv, seed + 50).distinctBy(_._1)
+        .map { case (k, v) => (k, v, "2024-01-02T00:00:00") }
+      def df(rows: Seq[(Int, Int, String)]) =
+        rows.toDF("k", "v", "ingestion_date")
+      Incremental.mergeIncremental(spark, target, df(oldRows), Seq("k"))
+      Incremental.mergeIncremental(spark, target, df(newRows), Seq("k"))
+      val got = Incremental.read(spark, target)
+        .as[(Int, Int, String)].collect().toSet
+      val expected = (newRows ++
+        oldRows.filterNot(o => newRows.exists(_._1 == o._1))).toSet
+      assert(got == expected, s"seed=$seed")
+      // idempotence: replaying the same source changes nothing (watermark
+      // filter drops rows not strictly newer)
+      Incremental.mergeIncremental(spark, target, df(newRows), Seq("k"))
+      val again = Incremental.read(spark, target)
+        .as[(Int, Int, String)].collect().toSet
+      assert(again == expected, s"seed=$seed replay must be a no-op")
+    }
+  }
+
+  test("exact dedup partitions the corpus: copies sum to total, one canonical per hash") {
+    import spark.implicits._
+    val textGen = Gen.listOfN(40, Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh", "ii jj"))
+    for (seed <- 1 to 3) {
+      val texts = sample(textGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val dedup = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("canonical"), count(lit(1)).as("n"))
+        .collect()
+      assert(dedup.map(_.getLong(2)).sum == texts.size, s"seed=$seed")
+      assert(dedup.map(_.getString(0)).distinct.length == dedup.length, s"seed=$seed")
+      assert(dedup.length == texts.distinct.size, s"seed=$seed")
+    }
+  }
+
+  test("jaccard in near-dup output is symmetric-safe and bounded in (0,1]") {
+    import spark.implicits._
+    val docs = (1 to 12).map { i =>
+      (i.toLong, (1 to 8).map(j => s"w${(i + j) % 10}").mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val pairs = graft.text.TextOps.nearDupPairs(docs, threshold = 0.0).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 - 1e-9 && j <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("doc_id_a") < r.getAs[Long]("doc_id_b"))
+      val h = r.getAs[Int]("hamming_distance")
+      assert(h >= 0 && h <= 16)
+    }
+  }
+
+  test("append with watermark never duplicates rows on replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("append_prop").toString
+    val target = s"$dir/t"
+    val rows = (1 to 10).map(i => (i, s"2024-01-0${i % 9 + 1}T00:00:00"))
+    val df = rows.toDF("v", "ingestion_date")
+    Incremental.appendIncremental(spark, target, df)
+    Incremental.appendIncremental(spark, target, df) // replay: all rows <= wm
+    assert(Incremental.read(spark, target).count() == rows.size)
+  }
+}
