@@ -11,10 +11,10 @@ import graft.queries._
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Same shape as the reference's daily_activity mart (SURVEY §7.2):
-    * join + CASE bucketing + conditional-sum aggregation.
+    * multi-join (broadcast dim) + conditional-sum aggregation.
     */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    Relational.queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[OpsModule] = Seq(Relational, MarsOps, TrainingOps)
 
