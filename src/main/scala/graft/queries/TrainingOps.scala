@@ -185,7 +185,13 @@ object TrainingOps extends OpsModule {
     "td_fingerprint" ->
       s"""WITH $duckShingles,
           w AS (SELECT doc_id, min(md5(shingle)) AS winnow_fp FROM sh GROUP BY doc_id)
-          SELECT d.doc_id, w.winnow_fp, ${dHash("d.text")} AS doc_hash
+          SELECT d.doc_id, w.winnow_fp,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(d.text, ' '),
+                       t -> ${dHash("t")} % 65536)),
+                   (acc, v) -> (acc * 31 + v) % 1099511627776) AS rolling_fp,
+                 ${dHash("d.text")} AS doc_hash
           FROM documents d LEFT JOIN w USING (doc_id) ORDER BY doc_id""",
 
     "td_minhash_sig" -> {

@@ -177,14 +177,26 @@ object TextOps {
         round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
   }
 
-  /** Winnowing-style fingerprint: the minimum shingle digest (stable under
-    * token reordering outside the minimal window) + a whole-document hash. */
+  /** Order-sensitive polynomial rolling hash over the token sequence
+    * (Rabin–Karp shape): h ← (h·31 + tokenHash) mod 2^40. The left fold via
+    * `aggregate` is sequential per row — deterministic and engine-portable.
+    * Token hashes are masked to 16 bits and the modulus keeps the
+    * accumulator under 2^45, so the arithmetic never overflows a signed
+    * 64-bit value in any engine. */
+  def rollingHash(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => (acc * lit(31L) + md5Long(t) % lit(65536L)) % lit(1099511627776L))
+
+  /** Document fingerprints: the minimum shingle digest (winnowing-style,
+    * stable under reordering outside the minimal window), an
+    * order-sensitive rolling hash, and a whole-document hash. */
   def fingerprints(docs: DataFrame): DataFrame =
     tokenized(docs)
-      .select(col("doc_id"), shingles(col("toks")).as("sh"), col("text"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"), col("toks"), col("text"))
       .select(
         col("doc_id"),
         array_min(transform(col("sh"), s => md5(s))).as("winnow_fp"),
+        rollingHash(col("toks")).as("rolling_fp"),
         md5Long(col("text")).as("doc_hash"))
 
   /** Per-language marker token lists for the n-gram/stopword lang-id
