@@ -73,8 +73,10 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("md5_prefix64"),
       GraftFunctions.md5Prefix64Info,
       (children: Seq[Expression]) => Md5Prefix64(children.head)))
+    ext.injectOptimizerRule(_ => RewriteMd5Prefix)
+  }
 }

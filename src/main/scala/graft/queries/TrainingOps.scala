@@ -64,6 +64,10 @@ object TrainingOps extends OpsModule {
       Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
 
+    "emb_knn_topk" -> ((s, d) =>
+      Embeddings.knnTopKAgg(embs(s, d), col("vec_id") < 5)
+        .orderBy("query_id", "knn_rank")),
+
     "emb_ivf_knn" -> ((s, d) =>
       Embeddings.ivfSearch(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -264,6 +268,18 @@ object TrainingOps extends OpsModule {
           ORDER BY vec_id_a, vec_id_b""",
 
     "emb_knn_brute" ->
+      s"""WITH $duckCosPrelude
+          SELECT query_id, neighbor_id, round(cos, 6) AS cosine, knn_rank FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ${dCos("q.qemb", "e.emb")} AS cos,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC) AS knn_rank
+            FROM q, e WHERE e.vec_id != q.query_id)
+          WHERE knn_rank <= 10 ORDER BY query_id, knn_rank""",
+
+    // identical semantics to emb_knn_brute — the Spark side differs only in
+    // physical strategy (k-bounded typed Aggregator vs windowed row_number)
+    "emb_knn_topk" ->
       s"""WITH $duckCosPrelude
           SELECT query_id, neighbor_id, round(cos, 6) AS cosine, knn_rank FROM (
             SELECT q.query_id, e.vec_id AS neighbor_id,

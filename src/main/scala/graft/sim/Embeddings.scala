@@ -1,6 +1,7 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,6 +59,61 @@ object Embeddings {
       .withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("knn_rank"))
+  }
+
+  /** One scored candidate inside the top-k aggregation. */
+  final case class Neighbor(neighbor_id: Long, cosine: Double)
+
+  /** k-bounded top-k as a typed Aggregator: the buffer holds at most k
+    * neighbors, so partial (map-side) aggregation ships k rows per query
+    * per partition instead of the full candidate set — the scale path that
+    * replaces the windowed row_number (which must shuffle and sort EVERY
+    * candidate) once candidates-per-query outgrow memory. Ordering matches
+    * the window variant exactly: cosine desc, neighbor_id asc. */
+  final class TopKNeighbors(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Neighbor, Seq[Neighbor], Seq[Neighbor]] {
+    private val ord: Ordering[Neighbor] =
+      Ordering.by(n => (-n.cosine, n.neighbor_id))
+    override def zero: Seq[Neighbor] = Nil
+    override def reduce(buf: Seq[Neighbor], n: Neighbor): Seq[Neighbor] =
+      if (buf.sizeIs >= k && ord.gteq(n, buf.last)) buf
+      else (buf :+ n).sorted(ord).take(k)
+    override def merge(a: Seq[Neighbor], b: Seq[Neighbor]): Seq[Neighbor] =
+      (a ++ b).sorted(ord).take(k)
+    override def finish(buf: Seq[Neighbor]): Seq[Neighbor] = buf.sorted(ord)
+    override def bufferEncoder: Encoder[Seq[Neighbor]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Neighbor]] = ExpressionEncoder()
+  }
+
+  /** knnBruteForce semantics via the k-bounded Aggregator instead of a
+    * window: identical output, hash-aggregated (partial+final) rather than
+    * shuffle-sorted. */
+  def knnTopKAgg(embeddings: DataFrame, queryFilter: Column, k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("vnorm").as("qnorm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        struct(col("vec_id").as("neighbor_id"),
+          cosinePre(col("qemb"), col("emb"), col("qnorm"), col("vnorm")).as("cosine"))
+          .as("n"))
+      .as[(Long, Neighbor)]
+    scored
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKNeighbors(k).toColumn.name("topk"))
+      .flatMap { case (queryId, neighbors) =>
+        neighbors.iterator.zipWithIndex.map { case (n, i) =>
+          (queryId, n.neighbor_id, n.cosine, i + 1)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos", "knn_rank")
+      .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"), col("knn_rank"))
   }
 

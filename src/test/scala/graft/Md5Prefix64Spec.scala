@@ -34,6 +34,24 @@ class Md5Prefix64Spec extends AnyFunSuite {
     assert(rows.filter(!_.isNullAt(0)).forall(_.getLong(0) >= 0))
   }
 
+  test("optimizer rule rewrites the portable composition to the native expression") {
+    val sessionWithRule = spark.newSession()
+    sessionWithRule.experimental.extraOptimizations =
+      Seq(graft.functions.RewriteMd5Prefix)
+    // needs a real scan: constant folding evaluates literal inputs away
+    val df = Tables.documents(sessionWithRule, "/root/testdata/sf0.001")
+      .select(TextOps.md5LongPortable(col("text")).as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("md5_prefix64"), optimized)
+    // rewritten plan values == un-rewritten portable values (base session
+    // has no extra optimizations)
+    val viaRule = df.orderBy("h").collect().map(_.getLong(0)).toSeq
+    val portable = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(TextOps.md5LongPortable(col("text")).as("h"))
+      .orderBy("h").collect().map(_.getLong(0)).toSeq
+    assert(viaRule == portable && viaRule.nonEmpty)
+  }
+
   test("participates in codegen (no fallback to interpreted projection)") {
     // needs a real scan: a local relation constant-folds the expression
     // away. Execute first — AQE materializes codegen markers ('*(n)')

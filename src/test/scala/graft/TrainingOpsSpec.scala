@@ -108,6 +108,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(knn.map(_.getAs[Int]("knn_rank")).toSeq == Seq(1, 2, 3))
   }
 
+  test("top-k aggregator matches the windowed knn row for row") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "knn_rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("knn_rank"))).toSeq
+    val win = rows(Embeddings.knnBruteForce(e, col("vec_id") < 3, k = 7))
+    val agg = rows(Embeddings.knnTopKAgg(e, col("vec_id") < 3, k = 7))
+    assert(agg == win)
+    assert(agg.nonEmpty)
+  }
+
   test("ivf: probes the right cell and searches only within it") {
     val e = Seq(
       (0L, Array(1.0f, 0.05f), 0), (1L, Array(0.9f, 0.0f), 0),
