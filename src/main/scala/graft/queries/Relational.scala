@@ -218,7 +218,16 @@ object Relational extends OpsModule {
       graft.streaming.EventStreams.windowedCounts(
         ev(s, d).select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // Session windows in batch mode — the oracle re-derives the same
+    // sessions with the islands-and-gaps idiom (new session when the gap
+    // to the previous event reaches 30 min; end = last event + gap).
+    "q19_session_window" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionWindows(
+        ev(s, d).select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+        .orderBy("user_id", "session_start"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -321,6 +330,25 @@ object Relational extends OpsModule {
     "q18_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n_events, round(sum(value), 6) AS total_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q19_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         numbered AS (
+           SELECT user_id, ts, value,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sess_id
+           FROM marked)
+         SELECT user_id,
+                min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events,
+                round(sum(value), 6) AS total_value
+         FROM numbered GROUP BY user_id, sess_id
+         ORDER BY user_id, session_start"""
   )
 }

@@ -45,6 +45,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Gap-based session windows via the built-in session_window: merges
+    * events whose gap is under `gap`; window end = last event + gap. Works
+    * identically on batch and streaming input (streaming needs the
+    * watermark for state eviction). This is the declarative sibling of
+    * [[sessionize]] — use this when per-session output is min/max/count
+    * aggregates; use flatMapGroupsWithState when session state needs
+    * custom logic. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Gap-based sessionization via flatMapGroupsWithState: per-user custom
     * state with an event-time timeout. A session closes (and is emitted)
     * when the watermark passes `last event + gapMinutes`. State per key is
