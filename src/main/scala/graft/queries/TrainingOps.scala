@@ -72,6 +72,10 @@ object TrainingOps extends OpsModule {
       Embeddings.ivfSearch(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
 
+    "emb_lsh_knn" -> ((s, d) =>
+      Embeddings.lshSearch(embs(s, d), col("vec_id") < 5)
+        .orderBy("query_id", "knn_rank")),
+
     "emb_cluster_stats" -> ((s, d) =>
       Embeddings.clusterStats(embs(s, d)).orderBy("cell")),
 
@@ -288,6 +292,30 @@ object TrainingOps extends OpsModule {
                      ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC) AS knn_rank
             FROM q, e WHERE e.vec_id != q.query_id)
           WHERE knn_rank <= 10 ORDER BY query_id, knn_rank""",
+
+    "emb_lsh_knn" ->
+      s"""WITH $duckCosPrelude,
+          planes AS (
+            SELECT p, list((${dHash("concat(p, ':', d)")} % 2001 - 1000) / 1000.0
+                           ORDER BY d) AS pv
+            FROM generate_series(0, 3) AS gp(p),
+                 generate_series(0, 63) AS gd(d)
+            GROUP BY p),
+          buckets AS (
+            SELECT vec_id, sum(CASE WHEN list_dot_product(e.emb, pl.pv) >= 0
+                                    THEN 1 << pl.p ELSE 0 END) AS bucket
+            FROM e, planes pl GROUP BY vec_id),
+          eb AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN buckets b USING (vec_id)),
+          qb AS (SELECT q.query_id, q.qemb, b.bucket
+                 FROM q JOIN buckets b ON b.vec_id = q.query_id),
+          scored AS (
+            SELECT qb.query_id, qb.bucket, eb.vec_id AS neighbor_id,
+                   ${dCos("qb.qemb", "eb.emb")} AS cos
+            FROM qb JOIN eb ON eb.bucket = qb.bucket AND eb.vec_id != qb.query_id)
+          SELECT query_id, bucket, neighbor_id, round(cos, 6) AS cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS knn_rank
+          FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
 
     "emb_ivf_knn" ->
       s"""WITH $duckCosPrelude, $duckCentroids,

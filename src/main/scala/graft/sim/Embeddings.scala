@@ -179,6 +179,50 @@ object Embeddings {
       .select("cell", "vec_id_a", "vec_id_b", "cosine")
   }
 
+  /** Deterministic random hyperplanes for sign-LSH: component (p, d) is a
+    * uniform value in [-1, 1] derived from md5 — reproducible across
+    * engines, runs, and partitionings (same property as the text hashes).
+    */
+  def hyperplanes(nPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dims) { (p, d) =>
+      (graft.functions.Md5Prefix64.hash(s"$p:$d".getBytes) % 2001 - 1000) / 1000.0
+    }
+
+  /** Sign-LSH bucket id: bit p is set iff emb · plane_p >= 0. With n
+    * planes the corpus splits into 2^n buckets; near-parallel vectors land
+    * together with high probability. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = array(plane.map(lit).toIndexedSeq: _*)
+      when(dot(emb, planeLit) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Sign-LSH ANN — the hash-bucketed alternative to [[ivfSearch]]: no
+    * centroid training pass, the bucket is a pure per-row expression. Each
+    * query searches only its own bucket (nprobe=1 analog); multi-probe
+    * (flipping low-confidence bits) is the standard recall extension.
+    * Scale shape: bucket assignment is narrow (no shuffle), the bucket
+    * equi-join is the only exchange. */
+  def lshSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
+                nPlanes: Int = 4): DataFrame = {
+    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, dims)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+      .withColumn("bucket", lshBucket(col("emb"), planes))
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("vnorm").as("qnorm"), col("bucket"))
+    val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosinePre(col("qemb"), col("emb"), col("qnorm"), col("vnorm")))
+      .withColumn("knn_rank", row_number().over(wK))
+      .filter(col("knn_rank") <= k)
+      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("knn_rank"))
+  }
+
   /** Per-cell stats: size, centroid norm, mean vector norm. */
   def clusterStats(embeddings: DataFrame): DataFrame = {
     val perRow = embeddings.select(col("label").as("cell"),

@@ -131,6 +131,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(res.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L))
   }
 
+  test("lsh search: identical vectors share a bucket and find each other first") {
+    val e = Seq(
+      (0L, Array.fill(8)(0.5f), 0),
+      (1L, Array.fill(8)(0.5f), 0),           // identical to 0 → same bucket, cos 1
+      (2L, Array.fill(8)(-0.5f), 1))          // antipodal → different bucket
+      .toDF("vec_id", "embedding", "label")
+    val res = Embeddings.lshSearch(e, col("vec_id") === 0, k = 3, nPlanes = 4).collect()
+    assert(res.nonEmpty)
+    assert(res.head.getAs[Long]("neighbor_id") == 1L)
+    assert(math.abs(res.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    assert(!res.exists(_.getAs[Long]("neighbor_id") == 2L),
+      "antipodal vector must land in a different sign bucket")
+  }
+
   test("multimodal: batched decode is deterministic and schema-stable") {
     val docs = docDF((7L, "some media payload bytes here", "s1"))
     val media = Multimodal.mediaFromDocuments(docs)
