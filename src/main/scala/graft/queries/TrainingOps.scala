@@ -57,6 +57,9 @@ object TrainingOps extends OpsModule {
     "td_simhash" -> ((s, d) =>
       TextOps.simhash16(docs(s, d)).orderBy("doc_id")),
 
+    "td_dedup_clusters" -> ((s, d) =>
+      TextOps.dedupClusters(TextOps.nearDupPairs(docs(s, d))).orderBy("doc_id")),
+
     "emb_near_dup" -> ((s, d) =>
       Embeddings.cosineNearDup(embs(s, d)).orderBy("vec_id_a", "vec_id_b")),
 
@@ -123,6 +126,21 @@ object TrainingOps extends OpsModule {
             SELECT DISTINCT doc_id, tok, ${dHash("tok")} AS h FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
           GROUP BY doc_id))"""
+
+  /** blocked pair comparison (token Jaccard + SimHash Hamming) — shared by
+    * the near-dup pair oracle and the dedup-cluster oracle. */
+  private val duckNearDupCtes =
+    s"""$duckSimhash,
+       side AS (
+         SELECT d.doc_id, d.source,
+                list_distinct(string_split(d.text, ' ')) AS dtoks, s.simhash
+         FROM documents d JOIN simhash s USING (doc_id)),
+       p AS (
+         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                len(list_intersect(a.dtoks, b.dtoks)) AS inter,
+                len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks)) AS un,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming_distance
+         FROM side a JOIN side b ON a.source = b.source AND a.doc_id < b.doc_id)"""
 
   private val langScoreCols = TextOps.langMarkers.map { case (l, ms) =>
     val list = ms.map(m => s"'$m'").mkString(", ")
@@ -214,21 +232,28 @@ object TrainingOps extends OpsModule {
     },
 
     "td_near_dup_pairs" ->
-      s"""WITH $duckSimhash,
-          side AS (
-            SELECT d.doc_id, d.source,
-                   list_distinct(string_split(d.text, ' ')) AS dtoks, s.simhash
-            FROM documents d JOIN simhash s USING (doc_id)),
-          p AS (
-            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                   len(list_intersect(a.dtoks, b.dtoks)) AS inter,
-                   len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks)) AS un,
-                   bit_count(xor(a.simhash, b.simhash)) AS hamming_distance
-            FROM side a JOIN side b ON a.source = b.source AND a.doc_id < b.doc_id)
+      s"""WITH $duckNearDupCtes
           SELECT doc_id_a, doc_id_b,
                  round(CAST(inter AS DOUBLE) / un, 6) AS jaccard, hamming_distance
           FROM p WHERE round(CAST(inter AS DOUBLE) / un, 6) >= 0.5
           ORDER BY doc_id_a, doc_id_b""",
+
+    // connected components over the near-dup graph via recursive closure:
+    // every node paired with every label reachable in its component; the
+    // min is the component's canonical id (matches Spark's min-label
+    // propagation fixpoint exactly)
+    "td_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckNearDupCtes,
+          nd AS (SELECT doc_id_a, doc_id_b FROM p
+                 WHERE round(CAST(inter AS DOUBLE) / un, 6) >= 0.5),
+          edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM nd
+                    UNION SELECT doc_id_b, doc_id_a FROM nd),
+          cc AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node)
+          SELECT node AS doc_id, min(label) AS canonical_id
+          FROM cc GROUP BY node ORDER BY doc_id""",
 
     "td_simhash" ->
       s"""WITH $duckSimhash

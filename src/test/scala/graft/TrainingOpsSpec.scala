@@ -71,6 +71,14 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("dedup clusters: chains merge to one canonical, separate components stay apart") {
+    // pairs form a chain 1-2, 2-3 (one component) plus 7-9 (another)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_id_a", "doc_id_b")
+    val clusters = TextOps.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("lsh candidates: identical docs collide in every band with jaccard 1") {
     val df = docDF(
       (1L, "one two three four five six seven eight", "s"),
