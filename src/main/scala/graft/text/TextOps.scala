@@ -217,8 +217,12 @@ object TextOps {
     // TRUNCATE lineage each round, or the logical plan embeds the previous
     // round's plan in each branch and Catalyst analysis grows 3^rounds —
     // measured minutes of pure driver planning on kilobytes of data.
-    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    // materialize the pair list once: the symmetric-edge union references
+    // it twice, and without truncation the (expensive) pair pipeline would
+    // execute once per reference
+    val p = pairs.select(col("doc_id_a"), col("doc_id_b")).localCheckpoint(true)
+    val edges = p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
@@ -235,8 +239,9 @@ object TextOps {
     var prevSum: Option[Long] = None
     var iter = 0
     var converged = false
+    var liveEdges = edges
     while (!converged && iter < maxIter) {
-      val viaEdges = edges.join(labels, edges("src") === labels("node"))
+      val viaEdges = liveEdges.join(labels, liveEdges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       val viaPointer = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.node"))
@@ -246,6 +251,22 @@ object TextOps {
         .localCheckpoint(true)
       val s = next.agg(sum("label")).first().getLong(0)
       labels = next
+      // Contract edges onto the label graph: (u,v) becomes
+      // (label(u), label(v)), self-loops dropped, duplicates merged.
+      // Contraction (not dropping — dropping an intra-label edge can
+      // disconnect a pointer chain from the component minimum, which the
+      // oracle diff caught) preserves connectivity at the supernode level:
+      // the min keeps flowing between label nodes, and every original node
+      // follows its label node via pointer doubling. Near-dup graphs are
+      // dense cliques, so the contracted graph after round one is ~1% of
+      // the original edges and later rounds touch only that frontier.
+      liveEdges = liveEdges
+        .join(labels.select(col("node").as("src"), col("label").as("src_label")), "src")
+        .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), "dst")
+        .filter(col("src_label") =!= col("dst_label"))
+        .select(col("src_label").as("src"), col("dst_label").as("dst"))
+        .distinct()
+        .localCheckpoint(true)
       converged = prevSum.contains(s)
       prevSum = Some(s)
       iter += 1

@@ -102,6 +102,28 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters match a union-find ground truth on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)))
+    for (seed <- 1 to 5) {
+      val raw = sample(edgeGen, seed)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      // ground truth: classic union-find
+      val parent = scala.collection.mutable.Map((0L to 29L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = raw.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = graft.text.TextOps.dedupClusters(raw.toDF("doc_id_a", "doc_id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed edges=$raw")
+    }
+  }
+
   test("append with watermark never duplicates rows on replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("append_prop").toString
