@@ -227,7 +227,19 @@ object Relational extends OpsModule {
       graft.streaming.EventStreams.sessionWindows(
         ev(s, d).select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // HLL approximate distinct — the 100 TB path for COUNT(DISTINCT):
+    // mergeable fixed-size sketches instead of the exact path's per-group
+    // expansion shuffle. Deliberately has NO DuckDB oracle (HLL registers
+    // are implementation-specific; the driver records a rows-only check);
+    // QueriesSpec bounds its relative error against the exact count.
+    "q20_approx_distinct" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -39,6 +39,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q20 approx distinct stays within 5% of the exact count") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q20_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("q1_agg has the aliased columns the oracle expects") {
     val cols = SparkEntry.queries("q1_agg")(spark, sf).columns.toSet
     assert(Set("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
