@@ -99,6 +99,31 @@ class OrchestratorSpec extends AnyFunSuite {
     } finally queries.foreach(_.stop())
   }
 
+  test("streaming stage resumes from its checkpoint without reprocessing") {
+    val (orch, _, topics, store) = mkOrchestrator("resume")
+    val q1 = orch.startLoadStream()
+    try {
+      val key1 = seed(store, "manifests.jsonl")
+      ControlPlane.produce(topics, ControlPlane.TopicMinioEvents,
+        ControlPlane.minioEventJson(key1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(ControlPlane.readTopicBatch(spark, topics,
+      ControlPlane.TopicLoadComplete).count() == 1)
+
+    // an event arrives while the stage is down
+    val key2 = seed(store, "coordinates.jsonl")
+    ControlPlane.produce(topics, ControlPlane.TopicMinioEvents,
+      ControlPlane.minioEventJson(key2))
+
+    // restart: only the new event is processed (checkpoint skips the old)
+    val q2 = orch.startLoadStream()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ControlPlane.readTopicBatch(spark, topics,
+      ControlPlane.TopicLoadComplete).count() == 2,
+      "restart must process exactly the one missed event")
+  }
+
   test("topic value parsing: per-topic extraction incl. URL-decoded keys") {
     import spark.implicits._
     val df = Seq("""{"Key":"photos/mars%20rover.json","EventName":"s3:ObjectCreated:Put"}""")
