@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (photos.jsonl / manifests.jsonl / coordinates.jsonl batch-envelope
   * files, FIXTURES.md §2-§4).
   *
-  * Views are lazy DataFrames (the reference's materialized='view' models,
-  * SURVEY §2.9); incremental append/merge materialization is layered on by
-  * `Incremental` when a target store is used.
+  * Views are lazy DataFrames (the reference's materialized='view' models —
+  * e.g. dbt/martian_moments/models/staging/fact_photos.sql:1-4,
+  * dim_rovers.sql:1-5; SURVEY §2.9); incremental append/merge
+  * materialization is layered on by `Incremental` when a target store is
+  * used.
   */
 final case class MarsPipeline(spark: SparkSession, bronzeDir: String) {
 

@@ -16,6 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Views (dims/facts/validation) stay lazy — recomputed per query.
   * `MarsPipeline` is the view-only variant over raw fixtures; this is the
   * stateful store the orchestration loop writes through.
+  *
+  * reference: the dbt config blocks at
+  * dbt/martian_moments/models/staging/flat_photo_response.sql:1-7 (append),
+  * flat_manifest_response.sql:1-7 / flat_manifest_photos.sql:1-7 /
+  * flat_coordinate_response.sql:1-7 (merge + unique_key), and the three
+  * mart models' `:1-7` headers (append + cluster_by).
   */
 final case class Warehouse(spark: SparkSession, root: String) {
 
