@@ -239,7 +239,28 @@ object Relational extends OpsModule {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           count(lit(1)).as("n_items"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // lag/lead analytics: hour-over-hour event-count delta
+    "q21_lag_delta" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+      hourly
+        .withColumn("prev_n", lag("n_events", 1).over(w))
+        .withColumn("delta", col("n_events") - coalesce(col("prev_n"), lit(0L)))
+        .orderBy("event_type", "hour")
+    }),
+
+    // ROLLUP grouping sets: subtotals per (returnflag, linestatus), per
+    // returnflag, and grand total in one pass
+    "q22_rollup" -> ((s, d) =>
+      li(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"), r2(sum("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))
   )
 
   val oracles: Map[String, String] = Map(
@@ -343,6 +364,22 @@ object Relational extends OpsModule {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n_events, round(sum(value), 6) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q21_lag_delta" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS hour, event_type,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT hour, event_type, n_events,
+                lag(n_events) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n,
+                n_events - coalesce(
+                  lag(n_events) OVER (PARTITION BY event_type ORDER BY hour), 0) AS delta
+         FROM hourly ORDER BY event_type, hour""",
+    "q22_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q19_session_window" ->
       """WITH marked AS (
            SELECT user_id, ts, value,
