@@ -260,7 +260,19 @@ object Relational extends OpsModule {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_items"), r2(sum("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first))
+          col("l_linestatus").asc_nulls_first)),
+
+    // as-of join: for every click, the user's most recent earlier error —
+    // verified against DuckDB's native ASOF LEFT JOIN
+    "q23_asof_join" -> ((s, d) => {
+      val evts = ev(s, d).select("event_id", "user_id", "ts", "event_type")
+      val clicks = evts.filter(col("event_type") === "click").drop("event_type")
+      val errors = evts.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"),
+          col("event_id").as("last_error_id"))
+      graft.ops.AsOf.joinAsOf(clicks, errors, Seq("user_id"), "ts", "err_ts")
+        .orderBy("event_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,6 +392,16 @@ object Relational extends OpsModule {
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q23_asof_join" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         errors AS (
+           SELECT user_id, ts AS err_ts, event_id AS last_error_id
+           FROM events WHERE event_type = 'error')
+         SELECT c.event_id, c.user_id, c.ts, e.err_ts, e.last_error_id
+         FROM clicks c ASOF LEFT JOIN errors e
+           ON c.user_id = e.user_id AND c.ts >= e.err_ts
+         ORDER BY c.event_id""",
     "q19_session_window" ->
       """WITH marked AS (
            SELECT user_id, ts, value,

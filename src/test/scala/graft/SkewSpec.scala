@@ -21,6 +21,27 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("as-of join picks the nearest earlier right row; earlier-than-all gets null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100), (2L, 10L, 250), (3L, 20L, 50))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 90, "r90"), (10L, 200, "r200"), (20L, 60, "r60"))
+      .toDF("k", "rt", "rv")
+    val out = graft.ops.AsOf.joinAsOf(left, right, Seq("k"), "t", "rt")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("rv")))).toSeq
+    // id=1 t=100 → r90; id=2 t=250 → r200; id=3 t=50 → no error yet → null
+    assert(out == Seq((1L, Some("r90")), (2L, Some("r200")), (3L, None)))
+  }
+
+  test("as-of join tie: right row at exactly the left timestamp matches") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 100)).toDF("id", "k", "t")
+    val right = Seq((5L, 100, "exact")).toDF("k", "rt", "rv")
+    val out = graft.ops.AsOf.joinAsOf(left, right, Seq("k"), "t", "rt").collect()
+    assert(out.head.getAs[String]("rv") == "exact")
+  }
+
   test("salt spreads the hot key across multiple values") {
     import spark.implicits._
     val big = (1 to 500).map(i => (1, s"v$i")).toDF("k", "payload")
