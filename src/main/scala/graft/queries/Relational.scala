@@ -262,6 +262,22 @@ object Relational extends OpsModule {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // bucketized range join: error events landing inside any user's
+    // first-hour activity window (a pure interval containment — no equi
+    // key — that would otherwise plan as a nested-loop join)
+    "q24_range_join" -> ((s, d) => {
+      val evts = ev(s, d)
+      val intervals = evts.groupBy(col("user_id").as("window_user"))
+        .agg(min(unix_timestamp(col("ts"))).as("lo"))
+        .withColumn("hi", col("lo") + 3600L)
+      val errors = evts.filter(col("event_type") === "error")
+        .select(col("event_id"), unix_timestamp(col("ts")).as("err_sec"))
+      graft.ops.RangeJoin.pointInInterval(errors, "err_sec",
+          intervals, "lo", "hi", bucketWidth = 600L)
+        .select("event_id", "err_sec", "window_user", "lo", "hi")
+        .orderBy("event_id", "window_user")
+    }),
+
     // as-of join: for every click, the user's most recent earlier error —
     // verified against DuckDB's native ASOF LEFT JOIN
     "q23_asof_join" -> ((s, d) => {
@@ -392,6 +408,18 @@ object Relational extends OpsModule {
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q24_range_join" ->
+      """WITH intervals AS (
+           SELECT user_id AS window_user,
+                  CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+                  CAST(floor(epoch(min(ts))) AS BIGINT) + 3600 AS hi
+           FROM events GROUP BY user_id),
+         errors AS (
+           SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS err_sec
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.err_sec, i.window_user, i.lo, i.hi
+         FROM errors e JOIN intervals i ON e.err_sec BETWEEN i.lo AND i.hi
+         ORDER BY e.event_id, i.window_user""",
     "q23_asof_join" ->
       """WITH clicks AS (
            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

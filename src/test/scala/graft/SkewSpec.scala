@@ -42,6 +42,25 @@ class SkewSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("rv") == "exact")
   }
 
+  test("bucketized range join equals the naive between-filter join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 200).map(i => (i.toLong, rnd.nextInt(1000).toLong)).toDF("pid", "p")
+    val intervals = (1 to 40).map { i =>
+      val lo = rnd.nextInt(950).toLong; (i.toLong, lo, lo + rnd.nextInt(120).toLong)
+    }.toDF("iid", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .filter(col("p").between(col("lo"), col("hi")))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (width <- Seq(1L, 37L, 128L, 5000L)) {
+      val bucketized = graft.ops.RangeJoin
+        .pointInInterval(points, "p", intervals, "lo", "hi", width)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketized == naive, s"width=$width")
+    }
+    assert(naive.nonEmpty)
+  }
+
   test("salt spreads the hot key across multiple values") {
     import spark.implicits._
     val big = (1 to 500).map(i => (1, s"v$i")).toDF("k", "payload")
