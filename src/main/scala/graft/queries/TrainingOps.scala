@@ -79,6 +79,31 @@ object TrainingOps extends OpsModule {
       Embeddings.lshSearch(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
 
+    "emb_ivf_nprobe2" -> ((s, d) =>
+      Embeddings.ivfSearch(embs(s, d), col("vec_id") < 5, k = 5, nprobe = 2)
+        .orderBy("query_id", "knn_rank")),
+
+    // the end-to-end training-data filter: quality tier + language match +
+    // exact-dedup canonicality composed into one keep decision
+    "td_filter_pipeline" -> ((s, d) => {
+      val dd = docs(s, d)
+      val quality = TextOps.qualityScores(dd).select("doc_id", "quality_bucket")
+      val lang = TextOps.langId(dd).select("doc_id", "lang_match")
+      val canon = dd.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("canonical_doc_id"))
+      val hashed = dd.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(canon, "h").select("doc_id", "canonical_doc_id")
+      quality.join(lang, "doc_id").join(hashed, "doc_id")
+        .withColumn("is_canonical",
+          (col("doc_id") === col("canonical_doc_id")).cast("int"))
+        .withColumn("keep",
+          (col("quality_bucket") =!= "low" && col("lang_match") === 1 &&
+            col("is_canonical") === 1).cast("int"))
+        .select("doc_id", "quality_bucket", "lang_match", "canonical_doc_id",
+          "is_canonical", "keep")
+        .orderBy("doc_id")
+    }),
+
     "emb_cluster_stats" -> ((s, d) =>
       Embeddings.clusterStats(embs(s, d)).orderBy("cell")),
 
@@ -341,6 +366,46 @@ object TrainingOps extends OpsModule {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id) AS knn_rank
           FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
+
+    "emb_ivf_nprobe2" ->
+      s"""WITH $duckCosPrelude, $duckCentroids,
+          probe AS (
+            SELECT query_id, qemb, cell AS probe_cell FROM (
+              SELECT q.query_id, q.qemb, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${dCos("q.qemb", "c.cemb")} DESC, c.cell ASC) AS pr
+              FROM q, cent c) WHERE pr <= 2),
+          scored AS (
+            SELECT p.query_id, p.probe_cell, e.vec_id AS neighbor_id,
+                   ${dCos("p.qemb", "e.emb")} AS cos
+            FROM probe p JOIN e ON e.cell = p.probe_cell AND e.vec_id != p.query_id)
+          SELECT query_id, probe_cell, neighbor_id, round(cos, 6) AS cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS knn_rank
+          FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
+
+    "td_filter_pipeline" ->
+      s"""WITH q AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 60 AND
+                             round(CAST(len(list_filter(toks,
+                               t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                               / len(toks), 6) < 0.2 THEN 'high'
+                        WHEN len(toks) >= 30 THEN 'medium' ELSE 'low'
+                   END AS quality_bucket
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+          l AS (
+            SELECT doc_id, CAST(lang = $langCase AS INT) AS lang_match
+            FROM (SELECT doc_id, lang, $langScoreCols FROM documents)),
+          c AS (SELECT md5(text) AS h, min(doc_id) AS canonical_doc_id
+                FROM documents GROUP BY 1),
+          d AS (SELECT doc_id, md5(text) AS h FROM documents)
+          SELECT d.doc_id, q.quality_bucket, l.lang_match, c.canonical_doc_id,
+                 CAST(d.doc_id = c.canonical_doc_id AS INT) AS is_canonical,
+                 CAST(q.quality_bucket != 'low' AND l.lang_match = 1
+                      AND d.doc_id = c.canonical_doc_id AS INT) AS keep
+          FROM d JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN c USING (h)
+          ORDER BY d.doc_id""",
 
     "emb_ivf_knn" ->
       s"""WITH $duckCosPrelude, $duckCentroids,

@@ -128,9 +128,11 @@ object Embeddings {
       .agg(transform(array_sort(collect_list(struct(col("idx"), col("cv")))),
         s => s.getField("cv")).as("cemb"))
 
-  /** IVF-style ANN: route each query to its single nearest centroid
-    * (nprobe=1), then exact top-k within that cell only. */
-  def ivfSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5): DataFrame = {
+  /** IVF-style ANN: route each query to its `nprobe` nearest centroids,
+    * then exact top-k within those cells only. nprobe is the standard
+    * recall/latency knob — scanned fraction ≈ nprobe / |cells|. */
+  def ivfSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
+                nprobe: Int = 1): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label").as("cell"),
       asDouble(col("embedding")).as("emb"))
       .withColumn("vnorm", norm(col("emb")))
@@ -144,7 +146,7 @@ object Embeddings {
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("qemb"), col("cemb")))
       .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") === 1)
+      .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("qemb"), col("qnorm"), col("cell").as("probe_cell"))
 
     val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
