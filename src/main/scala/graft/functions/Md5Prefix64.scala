@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's shared hash primitive: the
@@ -27,18 +27,26 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Md5Prefix64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"md5_prefix64 requires STRING input, got ${child.dataType.catalogString}")
+      s"md5_prefix64 requires STRING or BINARY input, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix64"
 
+  private def isBinary = child.dataType == BinaryType
+
   override protected def nullSafeEval(input: Any): Any =
-    Md5Prefix64.hash(input.asInstanceOf[UTF8String].getBytes)
+    Md5Prefix64.hash(
+      if (isBinary) input.asInstanceOf[Array[Byte]]
+      else input.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix64.hash($c.getBytes())")
+    if (isBinary)
+      defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix64.hash($c)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix64.hash($c.getBytes())")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Prefix64 =
     copy(child = newChild)

@@ -262,6 +262,18 @@ object Relational extends OpsModule {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // exact percentiles (sort-based, linear interpolation — matches
+    // DuckDB's quantile_cont); the approximate sibling at scale is
+    // percentile_approx, which like HLL has no cross-engine oracle
+    "q25_percentile" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(max("value"), 6).as("p100"))
+        .orderBy("event_type")),
+
     // bucketized range join: error events landing inside any user's
     // first-hour activity window (a pure interval containment — no equi
     // key — that would otherwise plan as a nested-loop join)
@@ -408,6 +420,12 @@ object Relational extends OpsModule {
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q25_percentile" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.95), 6) AS p95,
+                round(max(value), 6) AS p100
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q24_range_join" ->
       """WITH intervals AS (
            SELECT user_id AS window_user,

@@ -26,6 +26,15 @@ class Md5Prefix64Spec extends AnyFunSuite {
     assert(v == java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
+  test("binary input hashes the raw bytes (same as the equivalent string)") {
+    val df = Seq("media bytes here").toDF("s")
+      .select(
+        TextOps.md5Long(col("s")).as("from_string"),
+        call_function("md5_prefix64", col("s").cast("binary")).as("from_binary"))
+    val r = df.first()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("null-safe and non-negative") {
     val df = Seq(Some("x"), None).toDF("s")
       .select(TextOps.md5Long(col("s")).as("h"))
