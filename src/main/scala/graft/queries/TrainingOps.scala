@@ -60,6 +60,19 @@ object TrainingOps extends OpsModule {
     "td_dedup_clusters" -> ((s, d) =>
       TextOps.dedupClusters(TextOps.nearDupPairs(docs(s, d))).orderBy("doc_id")),
 
+    "td_tfidf_top_term" -> ((s, d) =>
+      TextOps.topTfidfTerm(docs(s, d)).orderBy("doc_id")),
+
+    "td_hash_sample" -> ((s, d) => {
+      val rates = (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 50 else 20)).toMap
+      docs(s, d)
+        .withColumn("sample_bucket",
+          TextOps.md5Long(concat(lit("sample:"), col("doc_id").cast("string"))) % 100)
+        .filter(TextOps.hashSample(docs(s, d), rates))
+        .select("doc_id", "source", "sample_bucket")
+        .orderBy("doc_id")
+    }),
+
     "emb_near_dup" -> ((s, d) =>
       Embeddings.cosineNearDup(embs(s, d)).orderBy("vec_id_a", "vec_id_b")),
 
@@ -283,6 +296,30 @@ object TrainingOps extends OpsModule {
     "td_simhash" ->
       s"""WITH $duckSimhash
           SELECT doc_id, simhash FROM simhash ORDER BY doc_id""",
+
+    "td_tfidf_top_term" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df
+                   FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                  round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         SELECT doc_id, term AS top_term, tf, df, tfidf
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rk FROM scored)
+         WHERE rk = 1 ORDER BY doc_id""",
+
+    "td_hash_sample" ->
+      s"""SELECT doc_id, source,
+                 ${dHash("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 AS sample_bucket
+          FROM documents
+          WHERE ${dHash("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 <
+                CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 50 ELSE 20 END
+          ORDER BY doc_id""",
 
     "td_lsh_candidates" -> {
       val mins = (0 until 4).map(i =>

@@ -308,6 +308,40 @@ object TextOps {
       .withColumn("lang_match", (col("lang") === col("predicted_lang")).cast("int"))
   }
 
+  /** Per-document top TF-IDF term: tf = in-doc count, idf = ln(N/df) over
+    * the corpus, ties broken lexicographically. Two aggregations (term
+    * frequency per doc, document frequency per term) + one broadcast-able
+    * join on the term — the standard distributed shape; at 100 TB the df
+    * table is vocabulary-sized, orders of magnitude under the corpus. */
+  def topTfidfTerm(docs: DataFrame): DataFrame = {
+    val toks = tokenized(docs).select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.count()
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  /** Deterministic hash-based stratified sampling: keep a row iff
+    * md5(doc_id) mod 100 falls under its stratum's percentage. Unlike
+    * rand()-based sampling this is reproducible across engines, runs, task
+    * retries, and partitionings — the property that makes corpus sampling
+    * auditable — and it needs no shuffle at all (pure per-row filter). */
+  def hashSample(docs: DataFrame, rates: Map[String, Int],
+                 strataCol: String = "source"): Column = {
+    val bucket = md5Long(concat(lit("sample:"), col("doc_id").cast("string"))) % 100
+    rates.foldLeft(lit(false)) { case (acc, (stratum, pct)) =>
+      acc || (col(strataCol) === stratum && bucket < pct)
+    }
+  }
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in")
 
   /** Quality scoring: token stats, stopword/punctuation ratios, and a
