@@ -63,6 +63,16 @@ object TrainingOps extends OpsModule {
     "td_tfidf_top_term" -> ((s, d) =>
       TextOps.topTfidfTerm(docs(s, d)).orderBy("doc_id")),
 
+    "td_normalize" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextOps.normalized(col("text")).as("norm_text"),
+        md5(TextOps.normalized(col("text"))).as("norm_hash"))
+        .orderBy("doc_id")),
+
+    "td_chunk" -> ((s, d) =>
+      TextOps.chunked(docs(s, d)).orderBy("doc_id", "chunk_idx")),
+
     "td_hash_sample" -> ((s, d) => {
       val rates = (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 50 else 20)).toMap
       docs(s, d)
@@ -312,6 +322,27 @@ object TrainingOps extends OpsModule {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                  ORDER BY tfidf DESC, term) AS rk FROM scored)
          WHERE rk = 1 ORDER BY doc_id""",
+
+    "td_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+         FROM documents ORDER BY doc_id""",
+
+    "td_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                      unnest(generate_series(0,
+                        CAST(greatest(ceil(CAST(len(toks) - 32 AS DOUBLE) / 24), 0) AS INT)))
+                        AS chunk_idx
+               FROM t)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+                  AS chunk_text,
+                CAST(least(len(toks) - chunk_idx * 24, 32) AS INT) AS chunk_tokens
+         FROM c ORDER BY doc_id, chunk_idx""",
 
     "td_hash_sample" ->
       s"""SELECT doc_id, source,

@@ -274,6 +274,32 @@ object TextOps {
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Normalization: lowercase, strip non-alphanumeric to spaces, squeeze
+    * runs of spaces, trim — the standard cheap canonicalization before
+    * hashing/dedup. Pure per-row expressions, no shuffle. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Fixed-size token chunking with overlap — context-window packing for
+    * training: one output row per chunk of `size` tokens advancing by
+    * `stride` (< size ⇒ overlapping chunks). A per-row transform + explode
+    * (narrow, no shuffle); rows shorter than one chunk yield one chunk. */
+  def chunked(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    val nChunks = greatest(
+      ceil((size(col("toks")) - lit(chunkSize)).cast("double") / stride).cast("int") + 1,
+      lit(1))
+    tokenized(docs)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(size(col("toks")) - col("chunk_idx") * stride, lit(chunkSize))
+          .as("chunk_tokens"))
+  }
+
   /** Per-language marker token lists for the n-gram/stopword lang-id
     * heuristic. (Markers chosen from the corpus vocabulary; on real text
     * these would be per-language stopword n-grams.) */
