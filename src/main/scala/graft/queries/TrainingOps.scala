@@ -63,6 +63,23 @@ object TrainingOps extends OpsModule {
     "td_tfidf_top_term" -> ((s, d) =>
       TextOps.topTfidfTerm(docs(s, d)).orderBy("doc_id")),
 
+    // one-row corpus health rollup: volume, vocabulary, dedup ratio
+    "td_corpus_stats" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.tokenized(dd)
+        .select(col("doc_id"), col("lang"), col("text"), size(col("toks")).as("n_toks"),
+          explode(col("toks")).as("term"))
+        .agg(
+          countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct("term").as("vocabulary"),
+          countDistinct(md5(col("text"))).as("n_unique_contents"),
+          countDistinct("lang").as("n_langs"))
+        .withColumn("dup_ratio",
+          round(lit(1.0) - col("n_unique_contents").cast("double") /
+            col("n_docs").cast("double"), 6))
+    }),
+
     "td_normalize" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
@@ -322,6 +339,18 @@ object TrainingOps extends OpsModule {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                  ORDER BY tfidf DESC, term) AS rk FROM scored)
          WHERE rk = 1 ORDER BY doc_id""",
+
+    "td_corpus_stats" ->
+      """SELECT count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_tokens,
+                count(DISTINCT term) AS vocabulary,
+                count(DISTINCT md5(text)) AS n_unique_contents,
+                count(DISTINCT lang) AS n_langs,
+                round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                      / count(DISTINCT doc_id), 6) AS dup_ratio
+         FROM (SELECT doc_id, lang, text,
+                      unnest(string_split(text, ' ')) AS term
+               FROM documents)""",
 
     "td_normalize" ->
       """SELECT doc_id,
