@@ -186,6 +186,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(frames.map(_.getAs[Int]("frame_offset")).toSeq == Seq(1, 33, 65))
   }
 
+  test("normalized: lowercases, strips punctuation, squeezes spaces") {
+    val out = Seq("Hello,  WORLD! 42").toDF("s")
+      .select(TextOps.normalized(col("s"))).first().getString(0)
+    assert(out == "hello world 42")
+  }
+
+  test("chunked: overlapping windows cover every token; short docs one chunk") {
+    val df = docDF(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" "), "s"), // 80 tokens → 3 chunks
+      (2L, "a b c", "s"))                                  // short → 1 chunk
+    val rows = TextOps.chunked(df, chunkSize = 32, stride = 24).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 3)
+    assert(byDoc(2L).length == 1 &&
+      byDoc(2L).head.getAs[String]("chunk_text") == "a b c")
+    val c1 = byDoc(1L).sortBy(_.getInt(1))
+    assert(c1.head.getAs[Int]("chunk_tokens") == 32)
+    assert(c1.last.getAs[Int]("chunk_tokens") == 80 - 2 * 24) // tail remainder
+    // overlap: chunk 1 starts at token 25 while chunk 0 ends at 32
+    assert(c1(1).getAs[String]("chunk_text").startsWith("t25 "))
+  }
+
   test("lang id scores count marker tokens") {
     val df = docDF((1L, "the table order group the", "s"))
     val r = TextOps.langId(df).collect().head
