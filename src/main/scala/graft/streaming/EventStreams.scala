@@ -45,6 +45,26 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact-dedup with bounded state: drop rows whose dedup key
+    * was already seen within the watermark horizon
+    * (dropDuplicatesWithinWatermark) — the streaming face of
+    * td_exact_dedup. State holds only keys younger than the watermark, so
+    * it is bounded by arrival rate × delay, not stream length; an
+    * unbounded dropDuplicates would grow state forever. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment: join the stream against a static dimension
+    * (broadcast by Catalyst when small). No streaming state at all — the
+    * static side is re-resolved per micro-batch, which also picks up dim
+    * updates between batches. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    stream.join(dim, keys, "left")
+
   /** Gap-based session windows via the built-in session_window: merges
     * events whose gap is under `gap`; window end = last event + gap. Works
     * identically on batch and streaming input (streaming needs the

@@ -64,6 +64,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon repeats, keeps distinct keys") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.streamingDedup(input.toDF(), Seq("user_id"), "5 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(1), 7, "click", 2.0), // same user within horizon → dropped
+        Event(3, ts(1), 8, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins the dim per micro-batch") {
+    import spark.implicits._
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.enrichWithStatic(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(1), 9, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("windowed counts on the batch events table match a plain group-by") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
