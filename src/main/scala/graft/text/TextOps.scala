@@ -225,8 +225,15 @@ object TextOps {
       .unionByName(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // fold the first propagation into the init: label₀ = min(self,
+    // neighbors). The loop's pointer branch is a no-op while label == node,
+    // so running round 1 through the generic body would pay the pointer
+    // join on the full-size edge set for nothing.
+    val neighborMin = edges.groupBy(col("dst").as("node")).agg(min("src").as("nmin"))
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+      .join(neighborMin, Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("nmin"), col("node"))).as("label"))
       .localCheckpoint(true)
     // Convergence in O(log diameter) rounds: each round takes the min over
     // (a) the current label, (b) neighbors' labels (edge propagation), and
