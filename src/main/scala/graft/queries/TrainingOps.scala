@@ -95,7 +95,7 @@ object TrainingOps extends OpsModule {
       docs(s, d)
         .withColumn("sample_bucket",
           TextOps.md5Long(concat(lit("sample:"), col("doc_id").cast("string"))) % 100)
-        .filter(TextOps.hashSample(docs(s, d), rates))
+        .filter(TextOps.hashSample(rates))
         .select("doc_id", "source", "sample_bucket")
         .orderBy("doc_id")
     }),

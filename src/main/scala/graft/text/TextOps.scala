@@ -367,7 +367,7 @@ object TextOps {
     * rand()-based sampling this is reproducible across engines, runs, task
     * retries, and partitionings — the property that makes corpus sampling
     * auditable — and it needs no shuffle at all (pure per-row filter). */
-  def hashSample(docs: DataFrame, rates: Map[String, Int],
+  def hashSample(rates: Map[String, Int],
                  strataCol: String = "source"): Column = {
     val bucket = md5Long(concat(lit("sample:"), col("doc_id").cast("string"))) % 100
     rates.foldLeft(lit(false)) { case (acc, (stratum, pct)) =>
