@@ -123,6 +123,22 @@ object TrainingOps extends OpsModule {
       Embeddings.ivfSearch(embs(s, d), col("vec_id") < 5, k = 5, nprobe = 2)
         .orderBy("query_id", "knn_rank")),
 
+    "emb_quantize" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"),
+        Embeddings.quantizeInt8(Embeddings.asDouble(col("embedding"))).as("qz"))
+      e.select(
+        col("vec_id"), col("qz.scale").as("scale"),
+        element_at(col("qz.q"), 1).as("q_0"), element_at(col("qz.q"), 2).as("q_1"),
+        element_at(col("qz.q"), 3).as("q_2"), element_at(col("qz.q"), 4).as("q_3"),
+        aggregate(col("qz.q"), lit(0L), (a, v) => a + v).as("q_sum"))
+        .orderBy("vec_id")
+    }),
+
+    "td_term_topk" -> ((s, d) =>
+      TextOps.tokenized(docs(s, d)).select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(20)),
+
     // the end-to-end training-data filter: quality tier + language match +
     // exact-dedup canonicality composed into one keep decision
     "td_filter_pipeline" -> ((s, d) => {
@@ -339,6 +355,23 @@ object TrainingOps extends OpsModule {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                  ORDER BY tfidf DESC, term) AS rk FROM scored)
          WHERE rk = 1 ORDER BY doc_id""",
+
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         s AS (SELECT vec_id, emb,
+                      list_max(list_transform(emb, v -> abs(v))) / 127.0 AS scale
+               FROM e),
+         q AS (SELECT vec_id, round(scale, 9) AS scale,
+                      list_transform(emb, v -> CAST(trunc(v / scale) AS INT)) AS qv
+               FROM s)
+         SELECT vec_id, scale, qv[1] AS q_0, qv[2] AS q_1, qv[3] AS q_2, qv[4] AS q_3,
+                CAST(list_sum(qv) AS BIGINT) AS q_sum
+         FROM q ORDER BY vec_id""",
+
+    "td_term_topk" ->
+      """SELECT term, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         GROUP BY 1 ORDER BY freq DESC, term LIMIT 20""",
 
     "td_corpus_stats" ->
       """SELECT count(DISTINCT doc_id) AS n_docs,

@@ -225,6 +225,20 @@ object Embeddings {
         round(col("cos"), 6).as("cosine"), col("knn_rank"))
   }
 
+  /** Symmetric int8 scalar quantization: per-vector scale = max|v| / 127,
+    * q_i = trunc(v_i / scale) ∈ [-127, 127]. Truncation (not rounding) is
+    * chosen deliberately: it is bit-identical across engines, while
+    * round-half behavior differs. Cuts an embedding store to ~1/4 the
+    * bytes; search re-ranks the quantized candidates against float
+    * vectors. Zero vectors quantize to zeros with scale 0. */
+  def quantizeInt8(emb: Column): Column = {
+    val scale = array_max(transform(emb, v => abs(v))) / lit(127.0)
+    struct(
+      round(scale, 9).as("scale"),
+      when(scale === 0.0, transform(emb, _ => lit(0)))
+        .otherwise(transform(emb, v => (v / scale).cast("int"))).as("q"))
+  }
+
   /** Per-cell stats: size, centroid norm, mean vector norm. */
   def clusterStats(embeddings: DataFrame): DataFrame = {
     val perRow = embeddings.select(col("label").as("cell"),
