@@ -123,6 +123,10 @@ object TrainingOps extends OpsModule {
       Embeddings.ivfSearch(embs(s, d), col("vec_id") < 5, k = 5, nprobe = 2)
         .orderBy("query_id", "knn_rank")),
 
+    "emb_quant_knn" -> ((s, d) =>
+      Embeddings.quantizedKnn(embs(s, d), col("vec_id") < 5)
+        .orderBy("query_id", "knn_rank")),
+
     "emb_quantize" -> ((s, d) => {
       val e = embs(s, d).select(col("vec_id"),
         Embeddings.quantizeInt8(Embeddings.asDouble(col("embedding"))).as("qz"))
@@ -355,6 +359,26 @@ object TrainingOps extends OpsModule {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                  ORDER BY tfidf DESC, term) AS rk FROM scored)
          WHERE rk = 1 ORDER BY doc_id""",
+
+    "emb_quant_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          s AS (SELECT vec_id, emb,
+                       list_max(list_transform(emb, v -> abs(v))) / 127.0 AS rawscale
+                FROM e),
+          qz AS (SELECT vec_id, emb, round(rawscale, 9) AS scale,
+                        list_transform(emb, v -> CAST(trunc(v / rawscale) AS INT)) AS qv
+                 FROM s),
+          qu AS (SELECT vec_id AS query_id, emb AS qemb, qv AS qqv, scale AS qscale
+                 FROM qz WHERE vec_id < 5),
+          scored AS (
+            SELECT qu.query_id, z.vec_id AS neighbor_id,
+                   round(list_dot_product(qu.qqv, z.qv) * qu.qscale * z.scale, 6) AS est,
+                   round(${dCos("qu.qemb", "z.emb")}, 6) AS true_cosine
+            FROM qu JOIN qz z ON z.vec_id != qu.query_id)
+          SELECT query_id, neighbor_id, est, true_cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY est DESC, neighbor_id) AS knn_rank
+          FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
 
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -239,6 +239,35 @@ object Embeddings {
         .otherwise(transform(emb, v => (v / scale).cast("int"))).as("q"))
   }
 
+  /** Approximate kNN over the int8-quantized store: similarity estimate =
+    * (int dot of quantized vectors) × scale_a × scale_b — exact integer
+    * arithmetic plus two double multiplies, so fully engine-portable. The
+    * real pipeline re-ranks these candidates against float vectors; here
+    * the estimate itself is the ranked output (with the true cosine
+    * alongside to expose the quantization error). */
+  def quantizedKnn(embeddings: DataFrame, queryFilter: Column, k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("emb"),
+      quantizeInt8(asDouble(col("embedding"))).as("qz"))
+      .withColumn("vnorm", norm(col("emb")))
+    val q = e.filter(queryFilter).select(
+      col("vec_id").as("query_id"), col("emb").as("qemb"),
+      col("qz").as("qqz"), col("vnorm").as("qnorm"))
+    val qdot = aggregate(
+      zip_with(col("qqz.q"), col("qz.q"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("query_id").orderBy(col("est").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("est",
+        round(qdot.cast("double") * col("qqz.scale") * col("qz.scale"), 6))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("est"),
+        round(cosinePre(col("qemb"), col("emb"), col("qnorm"), col("vnorm")), 6)
+          .as("true_cosine"),
+        col("knn_rank"))
+  }
+
   /** Per-cell stats: size, centroid norm, mean vector norm. */
   def clusterStats(embeddings: DataFrame): DataFrame = {
     val perRow = embeddings.select(col("label").as("cell"),
