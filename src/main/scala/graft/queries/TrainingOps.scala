@@ -143,6 +143,9 @@ object TrainingOps extends OpsModule {
         .groupBy("term").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("term")).limit(20)),
 
+    "td_pmi_pairs" -> ((s, d) =>
+      TextOps.pmiPairs(docs(s, d))),
+
     // the end-to-end training-data filter: quality tier + language match +
     // exact-dedup canonicality composed into one keep decision
     "td_filter_pipeline" -> ((s, d) => {
@@ -396,6 +399,26 @@ object TrainingOps extends OpsModule {
       """SELECT term, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
          GROUP BY 1 ORDER BY freq DESC, term LIMIT 20""",
+
+    "td_pmi_pairs" ->
+      """WITH dt AS (
+           SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+         dfc AS (SELECT term, count(*) AS df FROM dt GROUP BY 1
+                 HAVING count(*) BETWEEN 10 AND 400),
+         banded AS (SELECT dt.doc_id, dt.term, dfc.df FROM dt JOIN dfc USING (term)),
+         n AS (SELECT count(*) AS n FROM documents),
+         pairs AS (
+           SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+                  count(*) AS df_ab
+           FROM banded a JOIN banded b
+             ON a.doc_id = b.doc_id AND a.term < b.term
+           GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
+         SELECT term_a, term_b, df_a, df_b, df_ab,
+                round(ln(CAST(df_ab AS DOUBLE) * n.n / (CAST(df_a AS DOUBLE) * df_b)), 6)
+                  AS pmi
+         FROM pairs CROSS JOIN n
+         ORDER BY pmi DESC, term_a, term_b LIMIT 20""",
 
     "td_corpus_stats" ->
       """SELECT count(DISTINCT doc_id) AS n_docs,

@@ -362,6 +362,36 @@ object TextOps {
         col("tfidf"))
   }
 
+  /** Top term-pair association by PMI over document co-occurrence:
+    * pmi(a,b) = ln(df_ab · N / (df_a · df_b)) with all df counts at
+    * document grain. Restricting to a mid-frequency band keeps the
+    * per-document pair fan-out bounded (the top of the vocabulary
+    * co-occurs with everything and tells you nothing) — the standard
+    * guard that keeps the pair explosion polynomial in band size, not
+    * vocabulary size. All counts are integers, so only the final ln is
+    * floating point — engine-portable. */
+  def pmiPairs(docs: DataFrame, minDf: Int = 10, maxDf: Int = 400,
+               minPairDf: Int = 5, topK: Int = 20): DataFrame = {
+    val n = docs.count()
+    val docTerms = tokenized(docs)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+    val dfCounts = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    val banded = docTerms.join(dfCounts, "term")
+    val a = banded.select(col("doc_id"), col("term").as("term_a"), col("df").as("df_a"))
+    val b = banded.select(col("doc_id"), col("term").as("term_b"), col("df").as("df_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b", "df_a", "df_b")
+      .agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= minPairDf)
+      .withColumn("pmi", round(
+        log(col("df_ab").cast("double") * n /
+          (col("df_a").cast("double") * col("df_b"))), 6))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(topK)
+  }
+
   /** Deterministic hash-based stratified sampling: keep a row iff
     * md5(doc_id) mod 100 falls under its stratum's percentage. Unlike
     * rand()-based sampling this is reproducible across engines, runs, task
