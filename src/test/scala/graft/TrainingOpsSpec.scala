@@ -153,6 +153,21 @@ class TrainingOpsSpec extends AnyFunSuite {
       "antipodal vector must land in a different sign bucket")
   }
 
+  test("int8 quantization: values in range, dequantization error under one step") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qz = e.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("emb"),
+      Embeddings.quantizeInt8(Embeddings.asDouble(col("embedding"))).as("z"))
+    val bad = qz.select(
+      expr("size(filter(z.q, v -> abs(v) > 127))").as("out_of_range"),
+      // |v - q*scale| < scale must hold per component (truncation error)
+      expr("size(filter(zip_with(emb, z.q, (v, q) -> abs(v - q * z.scale)), d -> d >= z.scale * 1.0001))")
+        .as("err_too_big"))
+      .agg(sum("out_of_range").as("oor"), sum("err_too_big").as("etb"))
+      .first()
+    assert(bad.getLong(0) == 0 && bad.getLong(1) == 0)
+  }
+
   test("multimodal: batched decode is deterministic and schema-stable") {
     val docs = docDF((7L, "some media payload bytes here", "s1"))
     val media = Multimodal.mediaFromDocuments(docs)
