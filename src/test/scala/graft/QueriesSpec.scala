@@ -53,6 +53,18 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("every query cited in SURVEY's coverage map is registered") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")))
+    val start = survey.indexOf("### 2.12")
+    val coverage = survey.substring(start, survey.indexOf("\n## 3.", start))
+    val cited = """`(q\d+[a-z0-9_]*|mars_[a-z0-9_]+|td_[a-z0-9_]+|emb_[a-z0-9_]+|mm_[a-z0-9_]+)`"""
+      .r.findAllMatchIn(coverage).map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    val dangling = cited.filter(c => registered.exists(r => c.startsWith(r.take(3)))) -- registered
+    assert(dangling.isEmpty, s"coverage map cites unregistered queries: $dangling")
+  }
+
   test("q1_agg has the aliased columns the oracle expects") {
     val cols = SparkEntry.queries("q1_agg")(spark, sf).columns.toSet
     assert(Set("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
