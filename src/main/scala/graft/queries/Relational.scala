@@ -262,6 +262,24 @@ object Relational extends OpsModule {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // CUBE grouping sets: all four grouping combinations in one pass
+    "q26_cube" -> ((s, d) =>
+      li(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"), r2(avg("l_discount")).as("avg_disc"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // statistical aggregates: spread and linear association per group
+    "q27_stats" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r2(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r2(var_samp(col("l_quantity"))).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+        .orderBy("l_returnflag")),
+
     // exact percentiles (sort-based, linear interpolation — matches
     // DuckDB's quantile_cont); the approximate sibling at scale is
     // percentile_approx, which like HLL has no cross-engine oracle
@@ -420,6 +438,18 @@ object Relational extends OpsModule {
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q26_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                count(*) AS n_items, round(avg(l_discount), 2) AS avg_disc
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q27_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 2) AS sd_qty,
+                round(var_samp(l_quantity), 2) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q25_percentile" ->
       """SELECT event_type,
                 round(quantile_cont(value, 0.5), 6) AS p50,
