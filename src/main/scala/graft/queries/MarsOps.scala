@@ -264,9 +264,9 @@ object MarsOps extends OpsModule {
                  fph.sol AS sol_number,
                  coalesce(fpa.day_type, 'Stationary') AS day_type,
                  coalesce(fpa.length, 0) AS travel_distance,
-                 SUM(CASE WHEN dca.camera_category = 'Engineering' THEN 1 ELSE 0 END) AS engineering_photo_count,
-                 SUM(CASE WHEN dca.camera_category = 'Science' THEN 1 ELSE 0 END) AS science_photo_count,
-                 SUM(CASE WHEN dca.camera_category = 'Entry, Descent, and Landing' THEN 1 ELSE 0 END) AS edl_photo_count,
+                 CAST(SUM(CASE WHEN dca.camera_category = 'Engineering' THEN 1 ELSE 0 END) AS BIGINT) AS engineering_photo_count,
+                 CAST(SUM(CASE WHEN dca.camera_category = 'Science' THEN 1 ELSE 0 END) AS BIGINT) AS science_photo_count,
+                 CAST(SUM(CASE WHEN dca.camera_category = 'Entry, Descent, and Landing' THEN 1 ELSE 0 END) AS BIGINT) AS edl_photo_count,
                  MAX(fph.ingestion_date) AS ingestion_date
           FROM fact_photos fph
           LEFT JOIN dim_rovers dro ON fph.rover_id = dro.rover_id

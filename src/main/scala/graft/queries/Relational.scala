@@ -373,8 +373,8 @@ object Relational extends OpsModule {
          GROUP BY 1 ORDER BY 1""",
     "q9_conditional_pivot" ->
       """SELECT l_returnflag,
-                sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS open_items,
-                sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS finished_items,
+                CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_items,
+                CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_items,
                 round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS open_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q10_distinct" ->

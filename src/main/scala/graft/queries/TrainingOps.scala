@@ -529,8 +529,8 @@ object TrainingOps extends OpsModule {
                  generate_series(0, 63) AS gd(d)
             GROUP BY p),
           buckets AS (
-            SELECT vec_id, sum(CASE WHEN list_dot_product(e.emb, pl.pv) >= 0
-                                    THEN 1 << pl.p ELSE 0 END) AS bucket
+            SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(e.emb, pl.pv) >= 0
+                                    THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
             FROM e, planes pl GROUP BY vec_id),
           eb AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN buckets b USING (vec_id)),
           qb AS (SELECT q.query_id, q.qemb, b.bucket
