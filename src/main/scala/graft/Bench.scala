@@ -16,7 +16,11 @@ object Bench {
     Seq("q1_agg", "td_fingerprint").foreach { n =>
       SparkEntry.queries.get(n).foreach(fn => fn(spark, sfDir).count())
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional args: query names to bench (default all) — local iteration
+    // aid; the driver invokes with no args.
+    val wanted = if (args.isEmpty) SparkEntry.queries
+                 else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -212,7 +212,20 @@ object TextOps {
     * Input: pairs with doc_id_a < doc_id_b. Output: (doc_id,
     * canonical_id) for every doc that appears in at least one pair, where
     * canonical_id is the smallest doc_id in its component. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Pair graphs at or below this size resolve with a driver-side
+    * union-find instead of the distributed loop: 1M (long,long) pairs is
+    * ~16 MB on the driver — the same order a broadcast join ships — and
+    * union-find with path compression resolves it in milliseconds, where
+    * the DataFrame loop pays seconds of per-round planning + scheduling
+    * regardless of data size. The verified near-dup graph is orders of
+    * magnitude smaller than the corpus that produced it (only docs with a
+    * ≥-threshold match appear), so even multi-TB corpora usually land in
+    * this tier; corpora whose duplicate graph genuinely exceeds it take
+    * the distributed path below. */
+  val DriverUnionFindMaxPairs: Long = 1L << 20
+
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20,
+                    driverMaxPairs: Long = DriverUnionFindMaxPairs): DataFrame = {
     // localCheckpoint (not persist): an iterative DataFrame algorithm must
     // TRUNCATE lineage each round, or the logical plan embeds the previous
     // round's plan in each branch and Catalyst analysis grows 3^rounds —
@@ -220,7 +233,67 @@ object TextOps {
     // materialize the pair list once: the symmetric-edge union references
     // it twice, and without truncation the (expensive) pair pipeline would
     // execute once per reference
-    val p = pairs.select(col("doc_id_a"), col("doc_id_b")).localCheckpoint(true)
+    val p = pairs
+      .select(col("doc_id_a").cast("long"), col("doc_id_b").cast("long"))
+      .localCheckpoint(true)
+    val spark = p.sparkSession
+    val pairCount = p.count()
+    if (pairCount <= driverMaxPairs) return driverUnionFind(p)
+    // Distributed tier. Size the loop's shuffle parallelism to the GRAPH,
+    // not the corpus: at 32 default partitions a ~10⁴-edge frontier spends
+    // ~90% of each round in task scheduling + AQE micro-jobs (measured
+    // ~44 jobs/run → 14 with this block). AQE is switched off for the
+    // loop because its per-stage job materialization is pure overhead at
+    // frontier scale — every join below is on checkpointed frames whose
+    // sizes we already know better than the optimizer. Both confs are
+    // restored in the finally; the loop is driver-sequential so no
+    // concurrent query in this session planned under the override (confs
+    // are read at planning time only).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val loopParts = math.max(4L, math.min(prevParts.toLong, pairCount / 500000L))
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      dedupClustersLoop(p, maxIter)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  /** Small-graph tier: exact union-find with path compression, canonical =
+    * component minimum (union always points the larger root at the
+    * smaller). One collect of the pair list, O(E α(E)) on the driver, one
+    * parallelize back out — versus ~2 Spark jobs per propagation round for
+    * the loop. Only reached when the pair count is already known to be
+    * ≤ driverMaxPairs. */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val it = p.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      else { parent.getOrElseUpdate(ra, ra); () }
+      // both endpoints must appear in the result even when already merged
+      parent.getOrElseUpdate(row.getLong(0), find(row.getLong(0)))
+      parent.getOrElseUpdate(row.getLong(1), find(row.getLong(1)))
+    }
+    val assignments = parent.keysIterator.map(n => (n, find(n))).toSeq
+    spark.createDataset(assignments).toDF("doc_id", "canonical_id")
+  }
+
+  private def dedupClustersLoop(p: DataFrame, maxIter: Int): DataFrame = {
     val edges = p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .unionByName(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
       .distinct()
@@ -234,16 +307,12 @@ object TextOps {
       .join(neighborMin, Seq("node"), "left")
       .select(col("node"),
         least(col("node"), coalesce(col("nmin"), col("node"))).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized (and cached) by round 1's contraction job
     // Convergence in O(log diameter) rounds: each round takes the min over
     // (a) the current label, (b) neighbors' labels (edge propagation), and
     // (c) the label OF the label (pointer doubling — contracts chains
     // exponentially; plain propagation alone is O(diameter) rounds, which
-    // on chain-shaped near-dup graphs was ~20 rounds vs 5 here). One
-    // action per round: labels only ever decrease, so an unchanged
-    // label-sum IS the fixpoint (at 1e9+-node scale swap the sum for a
-    // changed-count check to avoid overflow).
-    var prevSum: Option[Long] = None
+    // on chain-shaped near-dup graphs was ~20 rounds vs 5 here).
     var iter = 0
     var converged = false
     var liveEdges = edges
@@ -253,10 +322,14 @@ object TextOps {
       val viaPointer = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.node"))
         .select(col("a.node").as("node"), col("b.label").as("label"))
+      // Lazy checkpoint: truncates SQL lineage immediately (the returned
+      // plan is already a LogicalRDD) but defers materialization to the
+      // eager edge-contraction checkpoint below, which computes every
+      // label partition as a dependency — one Spark job per round instead
+      // of two. Eager here would pay a second full job for nothing.
       val next = labels.unionByName(viaEdges).unionByName(viaPointer)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val s = next.agg(sum("label")).first().getLong(0)
+        .localCheckpoint(false)
       labels = next
       // Contract edges onto the label graph: (u,v) becomes
       // (label(u), label(v)), self-loops dropped, duplicates merged.
@@ -274,9 +347,43 @@ object TextOps {
         .select(col("src_label").as("src"), col("dst_label").as("dst"))
         .distinct()
         .localCheckpoint(true)
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
+      // Merge-phase fixpoint: the contracted edge set is empty ⟺ every
+      // component's supernodes have merged into one label (contraction
+      // preserves supernode connectivity, and the only label that can be a
+      // fixpoint is the component minimum — its own label can never drop
+      // below itself). isEmpty on the just-checkpointed edges is a
+      // first-partition probe — unlike a label-sum compare it costs no
+      // extra aggregation job and no confirmation round. It does NOT mean
+      // every node's label IS the minimum yet: node→label pointer chains
+      // can still be >1 hop (the property spec caught exactly that), hence
+      // the tail phase below.
+      converged = liveEdges.isEmpty
       iter += 1
+    }
+    // Tail phase: pure pointer doubling until no label can decrease. No
+    // edge joins — just the (small) label map chasing itself; chains are
+    // already short from doubling during the merge phase, so this is
+    // usually 1 probe + 0-1 update rounds.
+    var settled = false
+    var tail = 0
+    while (!settled && tail < maxIter) {
+      val parents = labels.select(col("node").as("p_node"), col("label").as("p_label"))
+      val shorter = labels.join(parents, col("label") === col("p_node"))
+        .filter(col("p_label") < col("label"))
+        .select(col("node"), col("p_label").as("label"))
+        .localCheckpoint(true)
+      if (shorter.isEmpty) settled = true
+      else {
+        // shorter is node-unique (labels is node-unique, parent map is
+        // functional), so the update is a left join + coalesce — no
+        // re-aggregation needed.
+        labels = labels
+          .join(shorter.withColumnRenamed("label", "new_label"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint(false) // materialized by the next probe or the caller
+
+      }
+      tail += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }

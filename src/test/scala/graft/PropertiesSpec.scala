@@ -118,9 +118,16 @@ class PropertiesSpec extends AnyFunSuite {
       }
       val expected = raw.flatMap(e => Seq(e._1, e._2)).distinct
         .map(n => n -> find(n)).toMap
-      val got = graft.text.TextOps.dedupClusters(raw.toDF("doc_id_a", "doc_id_b"))
+      // both tiers must agree with ground truth: driver union-find
+      // (default — pair count under the threshold) and the distributed
+      // label-propagation loop (forced via driverMaxPairs = 0)
+      val gotDriver = graft.text.TextOps.dedupClusters(raw.toDF("doc_id_a", "doc_id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"seed=$seed edges=$raw")
+      assert(gotDriver == expected, s"driver tier: seed=$seed edges=$raw")
+      val gotDist = graft.text.TextOps.dedupClusters(
+        raw.toDF("doc_id_a", "doc_id_b"), driverMaxPairs = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == expected, s"distributed tier: seed=$seed edges=$raw")
     }
   }
 
