@@ -234,11 +234,24 @@ object Relational extends OpsModule {
     // expansion shuffle. Deliberately has NO DuckDB oracle (HLL registers
     // are implementation-specific; the driver records a rows-only check);
     // QueriesSpec bounds its relative error against the exact count.
+    // HLL++ sketch vs exact distinct. The sketch value itself can't be
+    // oracle-checked (DuckDB's approx_count_distinct is a different
+    // algorithm), but Spark's HLL merge is a per-register max —
+    // commutative and associative — so the approx value is deterministic
+    // for fixed data regardless of partition order, and the RELATIVE
+    // ERROR check is a stable, hashable assertion: rsd=0.02 is one
+    // standard deviation, so |approx-exact| <= 10% (5 sigma) must hold.
+    // The oracle asserts the same columns with the flag literally true,
+    // turning what was a rows-only check into a full hash-compare.
     "q20_approx_distinct" -> ((s, d) =>
       li(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
           count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"), col("exact_orders"), col("n_items"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.10).as("approx_within_10pct"))
         .orderBy("l_returnflag")),
 
     // lag/lead analytics: hour-over-hour event-count delta
@@ -422,6 +435,12 @@ object Relational extends OpsModule {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n_events, round(sum(value), 6) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q20_approx_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey) AS exact_orders,
+                count(*) AS n_items,
+                true AS approx_within_10pct
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q21_lag_delta" ->
       """WITH hourly AS (
            SELECT date_trunc('hour', ts) AS hour, event_type,
