@@ -85,5 +85,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       GraftFunctions.md5Prefix64Info,
       (children: Seq[Expression]) => Md5Prefix64(children.head)))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

@@ -38,6 +38,11 @@ object Dims {
       .select(
         RoverKeys.roverId(col("rover_name")).as("rover_id"),
         col("camera_name"), col("camera_category"))
+      // Unpartitioned window = one-partition sort, deliberate: a dense
+      // surrogate key needs a global order, and this dimension is bounded
+      // by physical camera hardware per rover (tens of rows at ANY corpus
+      // scale — fact growth never widens a rover's camera list). Spark's
+      // WindowExec warning about it is expected; never do this on a fact.
       .withColumn("camera_id",
         row_number().over(Window.orderBy(col("camera_name"), col("rover_id"))))
       .select(col("rover_id"), col("camera_name"), col("camera_id"), col("camera_category"))

@@ -321,6 +321,23 @@ object Relational extends OpsModule {
         .orderBy("event_id", "window_user")
     }),
 
+    // native (custom SparkPlan) range join, keyed: each user's error
+    // events inside that user's own first-hour window. Same semantics as
+    // an equi-join + BETWEEN filter — which is exactly what the oracle
+    // runs — but executed by graft's sweep-merge RangeJoinExec.
+    "q28_range_join_native" -> ((s, d) => {
+      val evts = ev(s, d)
+      val intervals = evts.groupBy(col("user_id").as("window_user"))
+        .agg(min(unix_timestamp(col("ts"))).as("lo"))
+        .withColumn("hi", col("lo") + 3600L)
+      val errors = evts.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("err_sec"))
+      graft.plans.NativeRangeJoin.pointInInterval(errors, "err_sec",
+          intervals, "lo", "hi", keys = Seq(("user_id", "window_user")))
+        .select("event_id", "err_sec", "user_id", "lo", "hi")
+        .orderBy("event_id")
+    }),
+
     // as-of join: for every click, the user's most recent earlier error —
     // verified against DuckDB's native ASOF LEFT JOIN
     "q23_asof_join" -> ((s, d) => {
@@ -487,6 +504,18 @@ object Relational extends OpsModule {
          SELECT e.event_id, e.err_sec, i.window_user, i.lo, i.hi
          FROM errors e JOIN intervals i ON e.err_sec BETWEEN i.lo AND i.hi
          ORDER BY e.event_id, i.window_user""",
+    "q28_range_join_native" ->
+      """WITH intervals AS (
+           SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+                  CAST(floor(epoch(min(ts))) AS BIGINT) + 3600 AS hi
+           FROM events GROUP BY user_id),
+         errors AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS err_sec
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.err_sec, e.user_id, i.lo, i.hi
+         FROM errors e JOIN intervals i
+           ON e.user_id = i.user_id AND e.err_sec BETWEEN i.lo AND i.hi
+         ORDER BY e.event_id""",
     "q23_asof_join" ->
       """WITH clicks AS (
            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
