@@ -123,6 +123,10 @@ object TrainingOps extends OpsModule {
       Embeddings.ivfSearch(embs(s, d), col("vec_id") < 5, k = 5, nprobe = 2)
         .orderBy("query_id", "knn_rank")),
 
+    "emb_lsh_multiprobe" -> ((s, d) =>
+      Embeddings.lshSearchMultiProbe(embs(s, d), col("vec_id") < 5, maxFlips = 1)
+        .orderBy("query_id", "knn_rank")),
+
     "emb_quant_knn" -> ((s, d) =>
       Embeddings.quantizedKnn(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -540,6 +544,35 @@ object TrainingOps extends OpsModule {
                    ${dCos("qb.qemb", "eb.emb")} AS cos
             FROM qb JOIN eb ON eb.bucket = qb.bucket AND eb.vec_id != qb.query_id)
           SELECT query_id, bucket, neighbor_id, round(cos, 6) AS cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS knn_rank
+          FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
+
+    "emb_lsh_multiprobe" ->
+      s"""WITH $duckCosPrelude,
+          planes AS (
+            SELECT p, list((${dHash("concat(p, ':', d)")} % 2001 - 1000) / 1000.0
+                           ORDER BY d) AS pv
+            FROM generate_series(0, 3) AS gp(p),
+                 generate_series(0, 63) AS gd(d)
+            GROUP BY p),
+          buckets AS (
+            SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(e.emb, pl.pv) >= 0
+                                    THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+            FROM e, planes pl GROUP BY vec_id),
+          eb AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN buckets b USING (vec_id)),
+          qb AS (SELECT q.query_id, q.qemb, b.bucket
+                 FROM q JOIN buckets b ON b.vec_id = q.query_id),
+          probes AS (
+            SELECT qb.query_id, qb.qemb,
+                   xor(qb.bucket, CAST(m.mask AS BIGINT)) AS probe_bucket
+            FROM qb, (VALUES (0), (1), (2), (4), (8)) AS m(mask)),
+          scored AS (
+            SELECT p.query_id, eb.vec_id AS neighbor_id,
+                   ${dCos("p.qemb", "eb.emb")} AS cos
+            FROM probes p JOIN eb ON eb.bucket = p.probe_bucket
+                                 AND eb.vec_id != p.query_id)
+          SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id) AS knn_rank
           FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",

@@ -225,6 +225,45 @@ object Embeddings {
         round(col("cos"), 6).as("cosine"), col("knn_rank"))
   }
 
+  /** Multi-probe sign-LSH: the recall knob [[lshSearch]] documents.
+    * Each query probes its own bucket plus every bucket whose code is
+    * within Hamming distance `maxFlips` (flipping hyperplane sign bits —
+    * the buckets a near-boundary neighbor most likely fell into), so
+    * recall rises without adding hyperplanes or a second index. Probed
+    * fraction ≈ (1 + C(nPlanes,1) + … + C(nPlanes,maxFlips)) / 2^nPlanes.
+    * Scale shape is unchanged: the probe expansion is a row-local explode
+    * on the (small, broadcast) query side — candidate generation is still
+    * one equi-join on the bucket code, and a vector still lives in
+    * exactly one bucket so no dedup step is needed. */
+  def lshSearchMultiProbe(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
+                          nPlanes: Int = 4, maxFlips: Int = 1): DataFrame = {
+    require(maxFlips >= 0 && maxFlips <= 2, "maxFlips in 0..2 supported")
+    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, dims)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+      .withColumn("bucket", lshBucket(col("emb"), planes))
+    val single = (0 until nPlanes).map(i => 1L << i)
+    val double = for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+      yield (1L << i) | (1L << j)
+    val masks: Seq[Long] = 0L +: ((if (maxFlips >= 1) single else Nil) ++
+      (if (maxFlips >= 2) double else Nil))
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("vnorm").as("qnorm"), col("bucket"))
+      .withColumn("probe_bucket",
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      .drop("bucket")
+    val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("bucket") === col("probe_bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosinePre(col("qemb"), col("emb"), col("qnorm"), col("vnorm")))
+      .withColumn("knn_rank", row_number().over(wK))
+      .filter(col("knn_rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("knn_rank"))
+  }
+
   /** Symmetric int8 scalar quantization: per-vector scale = max|v| / 127,
     * q_i = trunc(v_i / scale) ∈ [-127, 127]. Truncation (not rounding) is
     * chosen deliberately: it is bit-identical across engines, while

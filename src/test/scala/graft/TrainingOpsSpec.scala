@@ -153,6 +153,26 @@ class TrainingOpsSpec extends AnyFunSuite {
       "antipodal vector must land in a different sign bucket")
   }
 
+  test("multi-probe lsh: candidate set strictly contains the single-probe set, recall can only rise") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qf = col("vec_id") < 5
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singleAll = pairs(Embeddings.lshSearch(e, qf, k = 1000000))
+      .map { case (q, n) => (q, n) }
+    val multiAll = pairs(Embeddings.lshSearchMultiProbe(e, qf, k = 1000000, maxFlips = 1))
+    assert(singleAll.subsetOf(multiAll),
+      "distance-0 probe is part of the multi-probe set, so candidates must be a superset")
+    assert(multiAll.size > singleAll.size,
+      "at 4 planes / 64 dims some neighbor must differ in exactly one sign bit")
+    // recall vs brute force at k=5 can only improve with more probes
+    val brute = pairs(Embeddings.knnBruteForce(e, qf, k = 5))
+    val rSingle = (pairs(Embeddings.lshSearch(e, qf, k = 5)) & brute).size
+    val rMulti = (pairs(Embeddings.lshSearchMultiProbe(e, qf, k = 5, maxFlips = 1)) & brute).size
+    assert(rMulti >= rSingle)
+  }
+
   test("int8 quantization: values in range, dequantization error under one step") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qz = e.select(col("vec_id"),
