@@ -30,6 +30,19 @@ final case class Session(user_id: Long, session_start: java.sql.Timestamp,
   */
 object EventStreams {
 
+  /** State store provider for production-scale stateful streaming. The
+    * default (HDFSBackedStateStoreProvider) keeps every key of every
+    * operator's state in executor HEAP — fine for tests, an OOM generator
+    * once session/dedup state reaches tens of millions of keys per
+    * partition. RocksDB keeps state off-heap on local disk with
+    * incremental checkpointing; set
+    * `spark.sql.streaming.stateStore.providerClass` to this before
+    * starting queries whose state is unbounded-ish (sessionization over
+    * all users, dedup horizons over high-cardinality keys). Exercised by
+    * EventStreamsSpec end-to-end. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Tumbling event-time window aggregation with a watermark. Works on a
     * streaming DataFrame (append-mode emission once the watermark passes
     * window end) and identically on a batch DataFrame (watermark is a

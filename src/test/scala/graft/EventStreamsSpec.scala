@@ -39,6 +39,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed counts on the RocksDB state store: same results, rocksdb metrics live") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, EventStreams.RocksDbProvider)
+    try {
+      val input = MemoryStream[Event](spark)
+      val q = EventStreams.windowedCounts(input.toDF(), "1 hour", "0 seconds")
+        .writeStream.format("memory").queryName("wc_rocks").outputMode("append").start()
+      try {
+        input.addData(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 2, "click", 2.0))
+        q.processAllAvailable()
+        input.addData(Event(3, ts(65), 1, "view", 4.0))
+        q.processAllAvailable()
+        val out = spark.table("wc_rocks").orderBy("window_start").collect()
+        assert(out.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq ==
+          Seq((ts(0), "click", 2L)))
+        val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet.asScala
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected RocksDB state store metrics, got: $metrics")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionize: session closes when watermark passes the gap") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
