@@ -48,6 +48,16 @@ object TrainingOps extends OpsModule {
     "td_minhash_sig" -> ((s, d) =>
       TextOps.minhashSignatures(docs(s, d)).orderBy("doc_id")),
 
+    // benchmark decontamination: docs sharing any 3-shingle with the
+    // simulated eval slice (doc_id % 97 == 0), with the shared count
+    "td_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.contaminationHits(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0), k = 3)
+        .orderBy("doc_id")
+    }),
+
     "td_near_dup_pairs" -> ((s, d) =>
       TextOps.nearDupPairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
 
@@ -299,6 +309,14 @@ object TrainingOps extends OpsModule {
                  CAST(lang = $langCase AS INT) AS lang_match
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           ORDER BY doc_id""",
+
+    "td_decontaminate" ->
+      s"""WITH $duckShingles,
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+          corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 != 0)
+          SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM corpus c JOIN bench b USING (shingle)
+          GROUP BY c.doc_id ORDER BY c.doc_id""",
 
     "td_fingerprint" ->
       s"""WITH $duckShingles,

@@ -187,6 +187,30 @@ object TextOps {
     aggregate(toks, lit(0L),
       (acc, t) => (acc * lit(31L) + md5Long(t) % lit(65536L)) % lit(1099511627776L))
 
+  /** Benchmark decontamination, step 1: per-corpus-doc count of distinct
+    * k-shingles shared with an eval/benchmark set. The 100 TB shape:
+    * benchmark shingles are eval-set-sized (millions, not corpus-sized) →
+    * broadcast; the corpus side is a row-local explode of its (already
+    * per-doc-distinct) shingle sets into a broadcast hash join, so the
+    * corpus is never shuffled — only matched (doc_id, shingle) rows reach
+    * the per-doc aggregation, and matches are rare by construction.
+    * Production decontamination uses k≈8-13; k is a knob here. */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame, k: Int = 8): DataFrame = {
+    val bg = tokenized(benchmark)
+      .select(explode(shingles(col("toks"), k)).as("shingle")).distinct()
+    tokenized(corpus)
+      .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
+      .join(broadcast(bg), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Benchmark decontamination, step 2: the clean corpus. Contaminated
+    * doc_ids are few → broadcast anti join, corpus still unshuffled. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 8): DataFrame =
+    corpus.join(
+      broadcast(contaminationHits(corpus, benchmark, k).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Document fingerprints: the minimum shingle digest (winnowing-style,
     * stable under reordering outside the minimal window), an
     * order-sensitive rolling hash, and a whole-document hash. */

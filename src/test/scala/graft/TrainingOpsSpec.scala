@@ -153,6 +153,22 @@ class TrainingOpsSpec extends AnyFunSuite {
       "antipodal vector must land in a different sign bucket")
   }
 
+  test("decontamination: planted benchmark overlap is flagged and removed") {
+    import graft.text.TextOps
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark engines here"),
+      (3L, "shares the quick brown fox phrase in the middle")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox questions")).toDF("doc_id", "text")
+    val hits = TextOps.contaminationHits(corpus, bench, k = 3).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L), (3L, 1L)),
+      "exactly the docs containing 'quick brown fox', with one shared shingle each")
+    val clean = TextOps.decontaminate(corpus, bench, k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
   test("multi-probe lsh: candidate set strictly contains the single-probe set, recall can only rise") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qf = col("vec_id") < 5
