@@ -48,6 +48,9 @@ object TrainingOps extends OpsModule {
     "td_minhash_sig" -> ((s, d) =>
       TextOps.minhashSignatures(docs(s, d)).orderBy("doc_id")),
 
+    "td_repetition" -> ((s, d) =>
+      TextOps.repetitionSignals(docs(s, d)).orderBy("doc_id")),
+
     // benchmark decontamination: docs sharing any 3-shingle with the
     // simulated eval slice (doc_id % 97 == 0), with the shared count
     "td_decontaminate" -> ((s, d) => {
@@ -309,6 +312,26 @@ object TrainingOps extends OpsModule {
                  CAST(lang = $langCase AS INT) AS lang_match
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           ORDER BY doc_id""",
+
+    "td_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         tf AS (SELECT doc_id, max(c) AS max_tok FROM (
+                  SELECT doc_id, t, count(*) AS c
+                  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t)
+                GROUP BY doc_id),
+         bf AS (SELECT doc_id, max(c) AS max_bg FROM (
+                  SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(generate_series(0, len(toks) - 2),
+                                  i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS g
+                    FROM tok WHERE len(toks) >= 2) GROUP BY doc_id, g)
+                GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                round(CAST(len(list_distinct(t.toks)) AS DOUBLE) / greatest(len(t.toks), 1), 6) AS distinct_ratio,
+                round(CAST(f.max_tok AS DOUBLE) / greatest(len(t.toks), 1), 6) AS top_token_fraction,
+                round(CAST(coalesce(b.max_bg, 0) AS DOUBLE) / greatest(len(t.toks) - 1, 1), 6) AS top_bigram_fraction
+         FROM tok t JOIN tf f USING (doc_id) LEFT JOIN bf b USING (doc_id)
+         ORDER BY t.doc_id""",
 
     "td_decontaminate" ->
       s"""WITH $duckShingles,

@@ -536,6 +536,46 @@ object TextOps {
     }
   }
 
+  /** All k-grams WITH multiplicity (unlike [[shingles]], which dedups) —
+    * repetition measurement needs the duplicates. */
+  private def rawGrams(toks: Column, k: Int): Column = {
+    val g = transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j + 1))): _*))
+    when(size(toks) >= k, g).otherwise(array().cast("array<string>"))
+  }
+
+  /** Highest multiplicity of any element: sort, then the longest equal-run
+    * via one aggregate() pass — max frequency without exploding the array
+    * into a shuffle. Row-local, so repetition scoring stays a narrow map
+    * over the corpus at any scale. */
+  private def maxRunCount(arr: Column): Column =
+    aggregate(sort_array(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(acc.getField("prev") <=> t, acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals: fraction of distinct tokens, the
+    * most-frequent token's share, the most-frequent bigram's share. High
+    * top-fractions / low distinct-ratio mark boilerplate and degenerate
+    * repetition that length and stopword filters miss. Pure per-row
+    * column arithmetic — composes with [[qualityScores]] in one scan. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("nt", greatest(col("n_tokens"), lit(1)).cast("double"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(size(array_distinct(col("toks"))) / col("nt"), 6).as("distinct_ratio"),
+        round(maxRunCount(col("toks")) / col("nt"), 6).as("top_token_fraction"),
+        round(maxRunCount(rawGrams(col("toks"), 2)) /
+          greatest(col("n_tokens") - 1, lit(1)).cast("double"), 6).as("top_bigram_fraction"))
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in")
 
   /** Quality scoring: token stats, stopword/punctuation ratios, and a

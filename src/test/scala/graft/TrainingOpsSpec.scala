@@ -153,6 +153,19 @@ class TrainingOpsSpec extends AnyFunSuite {
       "antipodal vector must land in a different sign bucket")
   }
 
+  test("repetition signals: degenerate repetition maxes the top fractions") {
+    import graft.text.TextOps
+    val docsDf = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all tokens here are fully distinct")
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(docsDf).orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 4 && r(0).getDouble(2) == 0.25 &&
+      r(0).getDouble(3) == 1.0 && r(0).getDouble(4) == 1.0)
+    assert(r(1).getDouble(2) == 1.0 && r(1).getDouble(3) == 0.166667 &&
+      r(1).getDouble(4) == 0.2)
+  }
+
   test("decontamination: planted benchmark overlap is flagged and removed") {
     import graft.text.TextOps
     val corpus = Seq(
