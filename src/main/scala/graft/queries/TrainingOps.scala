@@ -51,6 +51,9 @@ object TrainingOps extends OpsModule {
     "td_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(docs(s, d)).orderBy("doc_id")),
 
+    "td_pii_scrub" -> ((s, d) =>
+      TextOps.scrubPii(docs(s, d)).orderBy("doc_id")),
+
     // benchmark decontamination: docs sharing any 3-shingle with the
     // simulated eval slice (doc_id % 97 == 0), with the shared count
     "td_decontaminate" -> ((s, d) => {
@@ -312,6 +315,18 @@ object TrainingOps extends OpsModule {
                  CAST(lang = $langCase AS INT) AS lang_match
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           ORDER BY doc_id""",
+
+    "td_pii_scrub" ->
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(text, '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+                     '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
+                   '${TextOps.PhonePattern}', '<PHONE>', 'g') AS scrubbed
+          FROM documents ORDER BY doc_id""",
 
     "td_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -187,6 +187,32 @@ object TextOps {
     aggregate(toks, lit(0L),
       (acc, t) => (acc * lit(31L) + md5Long(t) % lit(65536L)) % lit(1099511627776L))
 
+  /** PII patterns, deliberately in the syntax subset Java regex and RE2
+    * share (no lookaround, no backrefs) so the same pattern runs in Spark,
+    * DuckDB, and most scan engines byte-identically. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  /** PII scrub: count and redact emails / IPv4s / phone-shaped numbers,
+    * replacing each with a typed sentinel token. Pure per-row regex work —
+    * narrow map, codegen'd, no shuffle — which is why this belongs in the
+    * same scan as quality scoring in a production pipeline. Order of
+    * redaction matters and is fixed: emails first (an email can contain
+    * digits), then IPs (dotted digits would half-match the phone rule),
+    * then phones. */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).as("n_ips"),
+      regexp_count(col("text"), lit(PhonePattern)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>").as("scrubbed"))
+
   /** Benchmark decontamination, step 1: per-corpus-doc count of distinct
     * k-shingles shared with an eval/benchmark set. The 100 TB shape:
     * benchmark shingles are eval-set-sized (millions, not corpus-sized) →

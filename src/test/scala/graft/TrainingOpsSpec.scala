@@ -153,6 +153,18 @@ class TrainingOpsSpec extends AnyFunSuite {
       "antipodal vector must land in a different sign bucket")
   }
 
+  test("pii scrub: planted email, ip, and phone are counted and redacted") {
+    import graft.text.TextOps
+    val docsDf = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.0.1 or 555-123-4567 now"),
+      (2L, "no pii here just text")
+    ).toDF("doc_id", "text")
+    val r = TextOps.scrubPii(docsDf).orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getInt(2) == 1 && r(0).getInt(3) == 1)
+    assert(r(0).getString(4) == "contact <EMAIL> or <IP> or <PHONE> now")
+    assert(r(1).getInt(1) == 0 && r(1).getString(4) == "no pii here just text")
+  }
+
   test("repetition signals: degenerate repetition maxes the top fractions") {
     import graft.text.TextOps
     val docsDf = Seq(
