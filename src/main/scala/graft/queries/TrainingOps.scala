@@ -54,6 +54,12 @@ object TrainingOps extends OpsModule {
     "td_pii_scrub" -> ((s, d) =>
       TextOps.scrubPii(docs(s, d)).orderBy("doc_id")),
 
+    // sequence packing over a 64-token context budget; 8 buckets so the
+    // block-sums path is exercised even at sf0.01
+    "td_pack" -> ((s, d) =>
+      TextOps.packSequences(docs(s, d), budget = 64, buckets = 8)
+        .orderBy("doc_id")),
+
     // benchmark decontamination: docs sharing any 3-shingle with the
     // simulated eval slice (doc_id % 97 == 0), with the shared count
     "td_decontaminate" -> ((s, d) => {
@@ -315,6 +321,18 @@ object TrainingOps extends OpsModule {
                  CAST(lang = $langCase AS INT) AS lang_match
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           ORDER BY doc_id""",
+
+    "td_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+               FROM t)
+         SELECT doc_id, n_tokens, cum_before,
+                CAST(floor(cum_before / 64) AS BIGINT) AS pack_id,
+                cum_before % 64 AS offset_in_pack
+         FROM c ORDER BY doc_id""",
 
     "td_pii_scrub" ->
       s"""SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators for large-scale training-data pipelines.
@@ -462,6 +463,44 @@ object TextOps {
           .as("chunk_text"),
         least(size(col("toks")) - col("chunk_idx") * stride, lit(chunkSize))
           .as("chunk_tokens"))
+  }
+
+  /** Sequence packing (GPT-style concat-and-slice): treat the corpus as
+    * one token stream in doc_id order, slice it into `budget`-token
+    * context windows, and report where each document lands — pack_id and
+    * offset. The core primitive is a GLOBAL prefix sum, which a naive
+    * `Window.orderBy(doc_id)` computes on a single partition (the
+    * classic scale bug). This does it distributed and deterministic:
+    *   1. fixed-width doc_id buckets (order-preserving),
+    *   2. per-bucket token totals — `buckets` rows, one tiny two-stage agg,
+    *   3. running offsets over those totals on the driver, broadcast back,
+    *   4. per-bucket windowed cumsum, shifted by the bucket's offset.
+    * Each window sorts one bucket, not the corpus; the only global object
+    * is the `buckets`-row offset table. Same shape as a parallel scan's
+    * block-sums pass. */
+  def packSequences(docs: DataFrame, budget: Int = 2048,
+                    buckets: Int = 256): DataFrame = {
+    require(budget > 0 && buckets > 0)
+    val t = tokenized(docs)
+      .select(col("doc_id").cast("long").as("doc_id"), size(col("toks")).as("n_tokens"))
+    val maxId = t.agg(max("doc_id")).first().getLong(0)
+    val width = math.max(1L, maxId / buckets + 1)
+    val b = t.withColumn("bucket", (col("doc_id") / width).cast("long"))
+    val totals = b.groupBy("bucket").agg(sum("n_tokens").as("tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (bk, tok) => val o = (bk, acc); acc += tok; o }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("bucket", "bucket_offset")
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    b.join(broadcast(offsetDf), "bucket")
+      .withColumn("cum_before",
+        col("bucket_offset") + sum("n_tokens").over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("cum_before"),
+        (col("cum_before") / budget).cast("long").as("pack_id"),
+        (col("cum_before") % budget).as("offset_in_pack"))
   }
 
   /** Per-language marker token lists for the n-gram/stopword lang-id

@@ -153,6 +153,18 @@ class TrainingOpsSpec extends AnyFunSuite {
       "antipodal vector must land in a different sign bucket")
   }
 
+  test("sequence packing: distributed block-sums prefix equals a sequential scan") {
+    import graft.text.TextOps
+    val docsDf = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextOps.packSequences(docsDf, budget = 50, buckets = 7)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val toks = docsDf.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    var acc = 0L
+    val exp = toks.map { case (id, n) => val e = (id, acc); acc += n; e }
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("pii scrub: planted email, ip, and phone are counted and redacted") {
     import graft.text.TextOps
     val docsDf = Seq(
