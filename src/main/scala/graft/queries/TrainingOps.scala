@@ -54,6 +54,9 @@ object TrainingOps extends OpsModule {
     "td_pii_scrub" -> ((s, d) =>
       TextOps.scrubPii(docs(s, d)).orderBy("doc_id")),
 
+    "td_token_budget" -> ((s, d) =>
+      TextOps.tokenBudget(docs(s, d)).orderBy("doc_id")),
+
     // sequence packing over a 64-token context budget; 8 buckets so the
     // block-sums path is exercised even at sf0.01
     "td_pack" -> ((s, d) =>
@@ -321,6 +324,14 @@ object TrainingOps extends OpsModule {
                  CAST(lang = $langCase AS INT) AS lang_match
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           ORDER BY doc_id""",
+
+    "td_token_budget" ->
+      s"""SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                 CAST(len(regexp_extract_all(text, '${TextOps.BpePiecePattern}')) AS BIGINT) AS bpe_pieces,
+                 round(CAST(len(regexp_extract_all(text, '${TextOps.BpePiecePattern}')) AS DOUBLE)
+                       / greatest(len(string_split(text, ' ')), 1), 6) AS pieces_per_word
+          FROM documents ORDER BY doc_id""",
 
     "td_pack" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

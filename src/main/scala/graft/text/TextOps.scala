@@ -214,6 +214,23 @@ object TextOps {
           Ipv4Pattern, "<IP>"),
         PhonePattern, "<PHONE>").as("scrubbed"))
 
+  /** BPE-ish pre-tokenizer pattern: runs of letters, runs of digits, runs
+    * of other symbols — the shape GPT-style pre-tokenizers split on,
+    * reduced to the Java-regex/RE2 common subset. */
+  val BpePiecePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  /** Token counting both ways a pipeline needs it: whitespace words (the
+    * dedup/statistics unit) and BPE-ish pieces (the budget unit a trainer
+    * actually pays). pieces_per_word > 1 flags digit- and symbol-heavy
+    * text that blows the token budget. Per-row regex only. */
+  def tokenBudget(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit(BpePiecePattern)).as("bpe_pieces"))
+      .withColumn("pieces_per_word",
+        round(col("bpe_pieces") / greatest(col("ws_tokens"), lit(1)).cast("double"), 6))
+
   /** Benchmark decontamination, step 1: per-corpus-doc count of distinct
     * k-shingles shared with an eval/benchmark set. The 100 TB shape:
     * benchmark shingles are eval-set-sized (millions, not corpus-sized) →
