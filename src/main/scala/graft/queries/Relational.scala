@@ -321,6 +321,23 @@ object Relational extends OpsModule {
         .orderBy("event_id", "window_user")
     }),
 
+    // Approximate percentile (GK/QuantileSummaries sketch — the 100 TB
+    // quantile path) checked the same way as the HLL query: the sketch
+    // guarantees rank error <= 1/accuracy (1% here), so the approx p50
+    // must land between the exact 45th and 55th percentiles — a 5x
+    // margin that holds across merge orders. The oracle asserts the
+    // exact quantile and the bound flag literally true.
+    "q29_approx_percentile" -> ((s, d) =>
+      ev(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+        count(lit(1)).as("n_events"),
+        expr("approx_percentile(value, 0.5, 100)").as("ap"),
+        expr("percentile(value, 0.45)").as("lo45"),
+        expr("percentile(value, 0.55)").as("hi55"))
+        .select(col("event_type"), col("exact_p50"), col("n_events"),
+          (col("ap") >= col("lo45") && col("ap") <= col("hi55")).as("approx_within_bound"))
+        .orderBy("event_type")),
+
     // native (custom SparkPlan) range join, keyed: each user's error
     // events inside that user's own first-hour window. Same semantics as
     // an equi-join + BETWEEN filter — which is exactly what the oracle
@@ -504,6 +521,12 @@ object Relational extends OpsModule {
          SELECT e.event_id, e.err_sec, i.window_user, i.lo, i.hi
          FROM errors e JOIN intervals i ON e.err_sec BETWEEN i.lo AND i.hi
          ORDER BY e.event_id, i.window_user""",
+    "q29_approx_percentile" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                count(*) AS n_events,
+                true AS approx_within_bound
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q28_range_join_native" ->
       """WITH intervals AS (
            SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
