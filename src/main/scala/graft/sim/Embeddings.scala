@@ -136,11 +136,17 @@ object Embeddings {
     val e = embeddings.select(col("vec_id"), col("label").as("cell"),
       asDouble(col("embedding")).as("emb"))
       .withColumn("vnorm", norm(col("emb")))
-    val cents = centroids(embeddings)
-    val q = e.filter(queryFilter)
+    ivfCore(e, centroids(embeddings), e.filter(queryFilter), k, nprobe)
+  }
+
+  /** Probe routing + in-cell exact top-k over a postings frame of
+    * (vec_id, cell, emb, vnorm). Shared by the inline [[ivfSearch]] and
+    * the persisted-index [[searchIvfIndex]] path. */
+  private def ivfCore(e: DataFrame, cents: DataFrame, queries: DataFrame,
+                      k: Int, nprobe: Int): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
         col("vnorm").as("qnorm"))
-
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("cell").asc)
     val probes = q.crossJoin(broadcast(cents))
@@ -158,6 +164,31 @@ object Embeddings {
       .filter(col("knn_rank") <= k)
       .select(col("query_id"), col("probe_cell"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cosine"), col("knn_rank"))
+  }
+
+  /** Persist the IVF index: the build/search split of a real ANN serving
+    * path. Postings are written `partitionBy(cell)` so a search that
+    * probes few cells READS few cells — the probe join is on the
+    * partition column with a small broadcastable side, exactly the shape
+    * Spark's dynamic partition pruning skips files for. Centroids are a
+    * |cells|-row table. The norm is precomputed at build time; searches
+    * never touch raw embeddings outside the probed cells. */
+  def buildIvfIndex(embeddings: DataFrame, indexDir: String): Unit = {
+    embeddings.select(col("vec_id"), col("label").as("cell"),
+        asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/postings")
+    centroids(embeddings).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Search a [[buildIvfIndex]]-persisted index. Results are identical to
+    * the inline [[ivfSearch]] over the same vectors (spec-asserted). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                     queryFilter: Column, k: Int = 5, nprobe: Int = 1): DataFrame = {
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("emb"), col("vnorm"))
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    ivfCore(post, cents, post.filter(queryFilter), k, nprobe)
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by the coarse cell

@@ -139,6 +139,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(res.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L))
   }
 
+  test("persisted ivf index: search results identical to the inline path") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      Embeddings.buildIvfIndex(e, dir)
+      // partitioned layout on disk: one directory per cell
+      val cells = new java.io.File(s"$dir/postings").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(_.getName)
+      assert(cells.nonEmpty, "postings must be partitioned by cell")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4))).toSet
+      val inline = key(Embeddings.ivfSearch(e, col("vec_id") < 5, k = 5, nprobe = 2))
+      val persisted = key(Embeddings.searchIvfIndex(spark, dir, col("vec_id") < 5,
+        k = 5, nprobe = 2))
+      assert(persisted == inline)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("lsh search: identical vectors share a bucket and find each other first") {
     val e = Seq(
       (0L, Array.fill(8)(0.5f), 0),
