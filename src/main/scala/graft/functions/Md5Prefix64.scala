@@ -76,6 +76,11 @@ object GraftFunctions {
       registry.registerFunction(ident, md5Prefix64Info,
         (children: Seq[Expression]) => Md5Prefix64(children.head))
     }
+    val dotIdent = FunctionIdentifier("vec_dot")
+    if (!registry.functionExists(dotIdent)) {
+      registry.registerFunction(dotIdent, VecDot.info,
+        (children: Seq[Expression]) => VecDot(children(0), children(1)))
+    }
   }
 }
 
@@ -84,6 +89,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("md5_prefix64"),
       GraftFunctions.md5Prefix64Info,
       (children: Seq[Expression]) => Md5Prefix64(children.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"), VecDot.info,
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

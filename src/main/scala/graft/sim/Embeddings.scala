@@ -29,7 +29,15 @@ object Embeddings {
     * accumulation is engine-dependent, double is exact parity). */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen'd [[graft.functions.VecDot]]
+    * expression (register with GraftFunctions.register / GraftExtensions).
+    * Accumulates left-to-right like [[dotPortable]], so values are
+    * bit-identical — swapping implementations never moves an oracle. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Built-ins-only composition of the same fold (interpreted HOFs);
+    * kept as the portability reference and for spec cross-checking. */
+  def dotPortable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
