@@ -347,7 +347,11 @@ object TextOps {
       while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    val it = p.toLocalIterator()
+    // collect, not toLocalIterator: the pair count is already known to be
+    // ≤ driverMaxPairs (~16 MB), and toLocalIterator schedules one Spark
+    // job PER PARTITION (32 scheduling round-trips for a frame this size)
+    // where collect is a single job.
+    val it = p.collect().iterator
     while (it.hasNext) {
       val row = it.next()
       val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
@@ -563,8 +567,11 @@ object TextOps {
     val toks = tokenized(docs).select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val n = docs.count()
-    val df = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df derives FROM tf (one row per (doc, term) is exactly "docs
+    // containing term") — not from a second explode+distinct over the
+    // corpus. Both consumers share tf's shuffle via exchange reuse, so
+    // the corpus is exploded and aggregated once.
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(df, "term")
