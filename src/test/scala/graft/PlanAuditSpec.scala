@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codifies the scale discipline for the WHOLE query surface: every
+  * registered query's executed plan is audited — no CartesianProduct
+  * anywhere, and BroadcastNestedLoopJoin only in the operators that
+  * choose it deliberately (kNN-style: tiny broadcast query set against a
+  * non-equi condition). A new query that accidentally plans a nested
+  * loop fails here, not at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * a bounded broadcast side (the filtered query vectors / the centroid
+    * table) against a non-equi join condition. The broadcast bound is the
+    * query-set size, not the corpus. */
+  private val bnljAllowed = Set(
+    "emb_knn_brute", "emb_knn_topk", "emb_ivf_knn", "emb_ivf_nprobe2",
+    "emb_quant_knn")
+
+  test("no registered query plans a CartesianProduct; BNLJ only where intended") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect() // finalize AQE so the audited plan is the executed one
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
