@@ -321,6 +321,12 @@ object Relational extends OpsModule {
         .orderBy("event_id", "window_user")
     }),
 
+    // single-pass column profiling over orders (multi-distinct via Expand)
+    "q30_profile" -> ((s, d) =>
+      graft.ops.Profile.profile(ord(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"))
+        .orderBy("column")),
+
     // Approximate percentile (GK/QuantileSummaries sketch — the 100 TB
     // quantile path) checked the same way as the HLL query: the sketch
     // guarantees rank error <= 1/accuracy (1% here), so the approx p50
@@ -521,6 +527,24 @@ object Relational extends OpsModule {
          SELECT e.event_id, e.err_sec, i.window_user, i.lo, i.hi
          FROM errors e JOIN intervals i ON e.err_sec BETWEEN i.lo AND i.hi
          ORDER BY e.event_id, i.window_user""",
+    "q30_profile" ->
+      """SELECT * FROM (
+           SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  count(DISTINCT o_orderkey) AS n_distinct FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*),
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_custkey) FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*),
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderpriority) FROM orders
+           UNION ALL
+           SELECT 'o_orderdate', count(*),
+                  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderdate) FROM orders)
+         ORDER BY "column"""",
     "q29_approx_percentile" ->
       """SELECT event_type,
                 round(quantile_cont(value, 0.5), 6) AS exact_p50,
