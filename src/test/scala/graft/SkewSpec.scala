@@ -21,6 +21,36 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("AQE skew join splits the hot partition at runtime (the no-salt path)") {
+    import spark.implicits._
+    // Salting (above) is the deterministic mitigation; AQE's skew join is
+    // the runtime one. Low thresholds make the tiny fixture 'skewed'.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = ((1 to 20000).map(i => (1, s"v$i")) ++
+        (1 to 200).map(i => (i % 7 + 2, s"w$i"))).toDF("k", "payload")
+      val small = (1 to 8).map(i => (i, s"label$i")).toDF("k", "label")
+      val joined = big.join(small, Seq("k"))
+      // collect() (not count()) so the INSPECTED query is the one AQE
+      // finalizes — count() spawns a separate plan
+      assert(joined.collect().length == 20200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("as-of join picks the nearest earlier right row; earlier-than-all gets null") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100), (2L, 10L, 250), (3L, 20L, 50))
