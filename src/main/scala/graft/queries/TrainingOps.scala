@@ -57,6 +57,28 @@ object TrainingOps extends OpsModule {
     "td_token_budget" -> ((s, d) =>
       TextOps.tokenBudget(docs(s, d)).orderBy("doc_id")),
 
+    // Count-min-sketch heavy hitters, verified like the other sketches
+    // (HLL q20, GK q29): CMS guarantees estimate >= true count and, with
+    // probability 1-delta, estimate <= true + eps*N. eps=0.001 on a
+    // ~27k-token corpus gives slack ~27 — generous against the top
+    // terms' thousands — and the fixed seed makes the sketch
+    // deterministic, so the bound flag is stable and the oracle asserts
+    // it literally true alongside the exact counts.
+    "td_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val terms = TextOps.tokenized(docs(s, d))
+        .select(explode(col("toks")).as("term"))
+      val total = terms.count()
+      val cms = terms.stat.countMinSketch("term", 0.001, 0.99, 42)
+      val top = terms.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc).limit(10).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq.map { case (t, n) =>
+        val est = cms.estimateCount(t)
+        (t, n, est >= n && est <= n + (0.001 * total).toLong + 1)
+      }.toDF("term", "n", "cms_within_bound").orderBy(col("n").desc, col("term").asc)
+    }),
+
     // sequence packing over a 64-token context budget; 8 buckets so the
     // block-sums path is exercised even at sf0.01
     "td_pack" -> ((s, d) =>
@@ -324,6 +346,11 @@ object TrainingOps extends OpsModule {
                  CAST(lang = $langCase AS INT) AS lang_match
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           ORDER BY doc_id""",
+
+    "td_heavy_hitters" ->
+      """SELECT t AS term, count(*) AS n, true AS cms_within_bound
+         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         GROUP BY t ORDER BY n DESC, term ASC LIMIT 10""",
 
     "td_token_budget" ->
       s"""SELECT doc_id,
