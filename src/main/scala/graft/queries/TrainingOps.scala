@@ -13,6 +13,25 @@ import graft.mm.Multimodal
   */
 object TrainingOps extends OpsModule {
 
+  /** Per-doc curation flags shared by td_filter_pipeline and td_funnel. */
+  private def filterFlags(s: SparkSession, d: String) = {
+    val dd = docs(s, d)
+    val quality = TextOps.qualityScores(dd).select("doc_id", "quality_bucket")
+    val lang = TextOps.langId(dd).select("doc_id", "lang_match")
+    val canon = dd.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("canonical_doc_id"))
+    val hashed = dd.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(canon, "h").select("doc_id", "canonical_doc_id")
+    quality.join(lang, "doc_id").join(hashed, "doc_id")
+      .withColumn("is_canonical",
+        (col("doc_id") === col("canonical_doc_id")).cast("int"))
+      .withColumn("keep",
+        (col("quality_bucket") =!= "low" && col("lang_match") === 1 &&
+          col("is_canonical") === 1).cast("int"))
+      .select("doc_id", "quality_bucket", "lang_match", "canonical_doc_id",
+        "is_canonical", "keep")
+  }
+
   private def docs(s: SparkSession, d: String) = {
     graft.functions.GraftFunctions.register(s) // md5_prefix64 for TextOps
     Tables.documents(s, d)
@@ -199,23 +218,30 @@ object TrainingOps extends OpsModule {
 
     // the end-to-end training-data filter: quality tier + language match +
     // exact-dedup canonicality composed into one keep decision
-    "td_filter_pipeline" -> ((s, d) => {
-      val dd = docs(s, d)
-      val quality = TextOps.qualityScores(dd).select("doc_id", "quality_bucket")
-      val lang = TextOps.langId(dd).select("doc_id", "lang_match")
-      val canon = dd.groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("canonical_doc_id"))
-      val hashed = dd.select(col("doc_id"), md5(col("text")).as("h"))
-        .join(canon, "h").select("doc_id", "canonical_doc_id")
-      quality.join(lang, "doc_id").join(hashed, "doc_id")
-        .withColumn("is_canonical",
-          (col("doc_id") === col("canonical_doc_id")).cast("int"))
-        .withColumn("keep",
-          (col("quality_bucket") =!= "low" && col("lang_match") === 1 &&
-            col("is_canonical") === 1).cast("int"))
-        .select("doc_id", "quality_bucket", "lang_match", "canonical_doc_id",
-          "is_canonical", "keep")
-        .orderBy("doc_id")
+    "td_filter_pipeline" -> ((s, d) => filterFlags(s, d).orderBy("doc_id")),
+
+    // curation funnel: how many docs survive each cumulative stage —
+    // the observability view of the same flags (one aggregation pass,
+    // stages unpivoted from a single result row)
+    "td_funnel" -> ((s, d) => {
+      val f = filterFlags(s, d)
+      f.agg(
+        count(lit(1)).as("n_input"),
+        sum(col("lang_match").cast("long")).as("n_lang"),
+        sum(when(col("lang_match") === 1 && col("quality_bucket") =!= "low", 1L)
+          .otherwise(0L)).as("n_quality"),
+        sum(col("keep").cast("long")).as("n_keep"))
+        .select(explode(array(
+          struct(lit(0).as("stage_idx"), lit("input").as("stage"),
+            col("n_input").as("n_docs")),
+          struct(lit(1).as("stage_idx"), lit("lang").as("stage"),
+            col("n_lang").as("n_docs")),
+          struct(lit(2).as("stage_idx"), lit("quality").as("stage"),
+            col("n_quality").as("n_docs")),
+          struct(lit(3).as("stage_idx"), lit("dedup").as("stage"),
+            col("n_keep").as("n_docs")))).as("s"))
+        .select("s.stage_idx", "s.stage", "s.n_docs")
+        .orderBy("stage_idx")
     }),
 
     "emb_cluster_stats" -> ((s, d) =>
@@ -728,6 +754,37 @@ object TrainingOps extends OpsModule {
                       AND d.doc_id = c.canonical_doc_id AS INT) AS keep
           FROM d JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN c USING (h)
           ORDER BY d.doc_id""",
+
+    "td_funnel" ->
+      s"""WITH q AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 60 AND
+                             round(CAST(len(list_filter(toks,
+                               t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                               / len(toks), 6) < 0.2 THEN 'high'
+                        WHEN len(toks) >= 30 THEN 'medium' ELSE 'low'
+                   END AS quality_bucket
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+          l AS (
+            SELECT doc_id, CAST(lang = $langCase AS INT) AS lang_match
+            FROM (SELECT doc_id, lang, $langScoreCols FROM documents)),
+          c AS (SELECT md5(text) AS h, min(doc_id) AS canonical_doc_id
+                FROM documents GROUP BY 1),
+          d AS (SELECT doc_id, md5(text) AS h FROM documents),
+          f AS (SELECT d.doc_id, q.quality_bucket, l.lang_match,
+                       CAST(d.doc_id = c.canonical_doc_id AS INT) AS is_canonical
+                FROM d JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN c USING (h))
+          SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs FROM f
+          UNION ALL
+          SELECT 1, 'lang', CAST(sum(lang_match) AS BIGINT) FROM f
+          UNION ALL
+          SELECT 2, 'quality', CAST(sum(CASE WHEN lang_match = 1
+            AND quality_bucket != 'low' THEN 1 ELSE 0 END) AS BIGINT) FROM f
+          UNION ALL
+          SELECT 3, 'dedup', CAST(sum(CASE WHEN lang_match = 1
+            AND quality_bucket != 'low' AND is_canonical = 1
+            THEN 1 ELSE 0 END) AS BIGINT) FROM f
+          ORDER BY stage_idx""",
 
     "emb_ivf_knn" ->
       s"""WITH $duckCosPrelude, $duckCentroids,
