@@ -76,6 +76,10 @@ object TrainingOps extends OpsModule {
     "td_token_budget" -> ((s, d) =>
       TextOps.tokenBudget(docs(s, d)).orderBy("doc_id")),
 
+    "td_split" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextOps.assignSplit().as("split"))
+        .orderBy("doc_id")),
+
     // Count-min-sketch heavy hitters, verified like the other sketches
     // (HLL q20, GK q29): CMS guarantees estimate >= true count and, with
     // probability 1-delta, estimate <= true + eps*N. eps=0.001 on a
@@ -372,6 +376,14 @@ object TrainingOps extends OpsModule {
                  CAST(lang = $langCase AS INT) AS lang_match
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           ORDER BY doc_id""",
+
+    "td_split" ->
+      s"""SELECT doc_id,
+                 CASE WHEN ${dHash("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90
+                      THEN 'train'
+                      WHEN ${dHash("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 95
+                      THEN 'val' ELSE 'test' END AS split
+          FROM documents ORDER BY doc_id""",
 
     "td_heavy_hitters" ->
       """SELECT t AS term, count(*) AS n, true AS cms_within_bound

@@ -625,6 +625,21 @@ object TextOps {
     }
   }
 
+  /** Deterministic train/validation/test assignment by hash range: the
+    * split every dataset release needs, with the same auditability
+    * properties as [[hashSample]] — reproducible across engines, runs,
+    * retries, and partitionings, zero shuffle, and docs never migrate
+    * between splits when the corpus grows (assignment depends only on the
+    * doc's own id). Salt the hash domain ("split:") so sampling and
+    * splitting decisions stay independent. */
+  def assignSplit(trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct + valPct < 100, "need room for a test split")
+    val bucket = md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** All k-grams WITH multiplicity (unlike [[shingles]], which dedups) —
     * repetition measurement needs the duplicates. */
   private def rawGrams(toks: Column, k: Int): Column = {
