@@ -251,6 +251,9 @@ object TrainingOps extends OpsModule {
     "emb_cluster_stats" -> ((s, d) =>
       Embeddings.clusterStats(embs(s, d)).orderBy("cell")),
 
+    "emb_kmeans_step" -> ((s, d) =>
+      Embeddings.kmeansAssign(embs(s, d)).orderBy("vec_id")),
+
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy("doc_id")),
@@ -814,6 +817,20 @@ object TrainingOps extends OpsModule {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id) AS knn_rank
           FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
+
+    "emb_kmeans_step" ->
+      s"""WITH $duckCosPrelude, $duckCentroids,
+          scored AS (
+            SELECT e.vec_id, e.cell AS old_cell, c.cell AS new_cell,
+                   ${dCos("e.emb", "c.cemb")} AS acos
+            FROM e, cent c)
+          SELECT vec_id, old_cell, new_cell,
+                 CAST(old_cell != new_cell AS INT) AS moved
+          FROM (SELECT vec_id, old_cell, new_cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY acos DESC, new_cell ASC) AS rk
+                FROM scored)
+          WHERE rk = 1 ORDER BY vec_id""",
 
     "emb_cluster_stats" ->
       s"""WITH $duckCosPrelude, $duckCentroids,

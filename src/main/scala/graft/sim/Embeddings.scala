@@ -174,6 +174,30 @@ object Embeddings {
         round(col("cos"), 6).as("cosine"), col("knn_rank"))
   }
 
+  /** One k-means refinement step: re-assign every vector to its
+    * nearest (cosine) centroid. The iterative-ML primitive under IVF
+    * index maintenance — run it when drift accumulates, then rebuild
+    * centroids from the new assignment.
+    *
+    * Argmax WITHOUT a window: a window by vec_id would shuffle the
+    * scored (corpus × cells) rows; `max(struct(score, -cell))` instead
+    * gets map-side partial aggregation — after the broadcast cross join
+    * the candidates for a vector are co-located, so the shuffle carries
+    * one pre-reduced row per vector. Ties break to the lowest cell id
+    * (the -cell component), deterministically in any engine. */
+  def kmeansAssign(embeddings: DataFrame): DataFrame = {
+    val cents = centroids(embeddings)
+    val e = embeddings.select(col("vec_id"), col("label").as("old_cell"),
+      asDouble(col("embedding")).as("emb"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("acos", cosine(col("emb"), col("cemb")))
+      .groupBy("vec_id", "old_cell")
+      .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("old_cell"),
+        (-col("m.nc")).as("new_cell"),
+        (col("old_cell") =!= -col("m.nc")).cast("int").as("moved"))
+  }
+
   /** Persist the IVF index: the build/search split of a real ANN serving
     * path. Postings are written `partitionBy(cell)` so a search that
     * probes few cells READS few cells — the probe join is on the
