@@ -19,7 +19,10 @@ class PlanAuditSpec extends AnyFunSuite {
     * query-set size, not the corpus. */
   private val bnljAllowed = Set(
     "emb_knn_brute", "emb_knn_topk", "emb_ivf_knn", "emb_ivf_nprobe2",
-    "emb_quant_knn")
+    "emb_quant_knn",
+    // every vector scores against every centroid by design; the broadcast
+    // side is the centroid table, bounded by cell count
+    "emb_kmeans_step")
 
   test("no registered query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
