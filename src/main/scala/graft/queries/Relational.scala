@@ -321,6 +321,16 @@ object Relational extends OpsModule {
         .orderBy("event_id", "window_user")
     }),
 
+    // Morton / Z-order key over two order dimensions — the derived
+    // layout key is pure integer arithmetic, verified value-for-value
+    "q31_zorder_key" -> ((s, d) =>
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.ops.ZOrder.zorderKey(
+            col("o_orderkey").cast("int").bitwiseAND(lit(0xffff)),
+            col("o_custkey").cast("int").bitwiseAND(lit(0xffff))).as("z_key"))
+        .orderBy("o_orderkey")),
+
     // single-pass column profiling over orders (multi-distinct via Expand)
     "q30_profile" -> ((s, d) =>
       graft.ops.Profile.profile(ord(s, d),
@@ -527,6 +537,11 @@ object Relational extends OpsModule {
          SELECT e.event_id, e.err_sec, i.window_user, i.lo, i.hi
          FROM errors e JOIN intervals i ON e.err_sec BETWEEN i.lo AND i.hi
          ORDER BY e.event_id, i.window_user""",
+    "q31_zorder_key" ->
+      s"""SELECT o_orderkey, o_custkey,
+                 ${graft.ops.ZOrder.zorderKeySql(
+                   "(o_orderkey & 65535)", "(o_custkey & 65535)")} AS z_key
+          FROM orders ORDER BY o_orderkey""",
     "q30_profile" ->
       """SELECT * FROM (
            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
