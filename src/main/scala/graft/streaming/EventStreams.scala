@@ -78,6 +78,27 @@ object EventStreams {
                        keys: Seq[String]): DataFrame =
     stream.join(dim, keys, "left")
 
+  /** Stream-STREAM inner join: correlate two live streams (e.g. each
+    * click with the same user's errors in the preceding window). Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance — the two constraints Spark needs to know when a row can
+    * never match again, which is what makes the join state FINITE: each
+    * side buffers only rows younger than (watermark + maxDelay). Without
+    * the time bound, stream-stream state grows forever — the classic
+    * unbounded-state bug; this operator makes the bound mandatory. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       maxDelay: String = "30 minutes",
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right.selectExpr(s"$key as r_key", "ts as r_ts",
+        "event_id as r_event_id", "event_type as r_event_type")
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $maxDelay") &&
+        col("r_ts") <= col("ts"))
+  }
+
   /** Gap-based session windows via the built-in session_window: merges
     * events whose gap is under `gap`; window end = last event + gap. Works
     * identically on batch and streaming input (streaming needs the

@@ -92,6 +92,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: click pairs with same-user error in the window, state stays bounded") {
+    import spark.implicits._
+    val clicks = MemoryStream[Event](spark)
+    val errors = MemoryStream[Event](spark)
+    val joined = EventStreams.streamStreamJoin(
+      clicks.toDF().filter(col("event_type") === "click"),
+      errors.toDF().filter(col("event_type") === "error"),
+      key = "user_id", maxDelay = "30 minutes", watermarkDelay = "0 seconds")
+    val q = joined
+      .select(col("event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      // user 1: error at t=10 then click at t=20 (within 30m) → match.
+      // user 2: error at t=10, click at t=50 (older than 30m) → no match.
+      errors.addData(Event(100, ts(10), 1, "error", 0.0),
+        Event(101, ts(10), 2, "error", 0.0))
+      clicks.addData(Event(1, ts(20), 1, "click", 1.0),
+        Event(2, ts(50), 2, "click", 1.0))
+      q.processAllAvailable()
+      // advance both watermarks so pending matches flush
+      errors.addData(Event(102, ts(120), 3, "error", 0.0))
+      clicks.addData(Event(3, ts(120), 3, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out.contains((1L, 100L)), s"in-window pair must join, got $out")
+      assert(!out.contains((2L, 101L)), s"out-of-window pair must not, got $out")
+      // bounded state: the progress reports a watermark-driven state store
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty && state.head.numRowsTotal < 100,
+        "join state must stay bounded by the time condition")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon repeats, keeps distinct keys") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
