@@ -89,17 +89,23 @@ object TrainingOps extends OpsModule {
     // it literally true alongside the exact counts.
     "td_heavy_hitters" -> ((s, d) => {
       import s.implicits._
+      // three passes over the exploded terms (count, sketch build, exact
+      // top-k) — materialize the explode once; everything downstream is
+      // driver-side literals, so the cache is dropped before returning
       val terms = TextOps.tokenized(docs(s, d))
         .select(explode(col("toks")).as("term"))
-      val total = terms.count()
-      val cms = terms.stat.countMinSketch("term", 0.001, 0.99, 42)
-      val top = terms.groupBy("term").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("term").asc).limit(10).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      top.toSeq.map { case (t, n) =>
-        val est = cms.estimateCount(t)
-        (t, n, est >= n && est <= n + (0.001 * total).toLong + 1)
-      }.toDF("term", "n", "cms_within_bound").orderBy(col("n").desc, col("term").asc)
+        .persist()
+      try {
+        val total = terms.count()
+        val cms = terms.stat.countMinSketch("term", 0.001, 0.99, 42)
+        val top = terms.groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term").asc).limit(10).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        top.toSeq.map { case (t, n) =>
+          val est = cms.estimateCount(t)
+          (t, n, est >= n && est <= n + (0.001 * total).toLong + 1)
+        }.toDF("term", "n", "cms_within_bound").orderBy(col("n").desc, col("term").asc)
+      } finally { terms.unpersist(); () }
     }),
 
     // sequence packing over a 64-token context budget; 8 buckets so the

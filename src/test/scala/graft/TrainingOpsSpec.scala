@@ -187,6 +187,15 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("sequence packing is invariant to the bucket count (block-sums correctness)") {
+    import graft.text.TextOps
+    val docsDf = Tables.documents(spark, "/root/testdata/sf0.001")
+    def runWith(buckets: Int) =
+      TextOps.packSequences(docsDf, budget = 64, buckets = buckets)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(runWith(3) == runWith(64), "bucketing is an implementation detail")
+  }
+
   test("pii scrub: planted email, ip, and phone are counted and redacted") {
     import graft.text.TextOps
     val docsDf = Seq(
