@@ -11,8 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned datasets; the call sites stay identical.
   */
 object Tables {
+  // Memoized per (session, path): `spark.read.parquet` eagerly lists the
+  // path and reads footers for schema on EVERY call — measurable fixed
+  // cost when dozens of queries each re-open the same tables. The cached
+  // value is a lazy plan over a cached FileIndex, not data: downstream
+  // pushdown/pruning per query is unaffected, and new sessions get fresh
+  // entries. (A long-lived service would invalidate on data arrival; the
+  // engine's write paths create NEW directories, never mutate these.)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def cached(spark: SparkSession, path: String)
+                    (load: => DataFrame): DataFrame =
+    cache.computeIfAbsent((spark, path), _ => load)
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cached(spark, s"$sfDir/$name.parquet") {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
@@ -44,8 +60,15 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  def documents(spark: SparkSession, sfDir: String): DataFrame =
-    rebalanced(spark, table(spark, sfDir, "documents"))
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    rebalanced(spark, table(spark, sfDir, "embeddings"))
+  def documents(spark: SparkSession, sfDir: String): DataFrame = {
+    // resolve the base entry BEFORE the outer memoization: nesting
+    // computeIfAbsent calls on one ConcurrentHashMap throws
+    // IllegalStateException("Recursive update")
+    val base = table(spark, sfDir, "documents")
+    cached(spark, s"$sfDir/documents.parquet#rebalanced")(rebalanced(spark, base))
+  }
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = table(spark, sfDir, "embeddings")
+    cached(spark, s"$sfDir/embeddings.parquet#rebalanced")(rebalanced(spark, base))
+  }
 }
