@@ -80,6 +80,9 @@ object TrainingOps extends OpsModule {
       docs(s, d).select(col("doc_id"), TextOps.assignSplit().as("split"))
         .orderBy("doc_id")),
 
+    "td_unigram_logprob" -> ((s, d) =>
+      TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")),
+
     // Count-min-sketch heavy hitters, verified like the other sketches
     // (HLL q20, GK q29): CMS guarantees estimate >= true count and, with
     // probability 1-delta, estimate <= true + eps*N. eps=0.001 on a
@@ -385,6 +388,16 @@ object TrainingOps extends OpsModule {
                  CAST(lang = $langCase AS INT) AS lang_match
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           ORDER BY doc_id""",
+
+    "td_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+         tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS corpus_tokens FROM tf)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(log2(cnt / corpus_tokens)), 6) AS avg_log2p
+         FROM toks JOIN tf USING (term), tot
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "td_split" ->
       s"""SELECT doc_id,

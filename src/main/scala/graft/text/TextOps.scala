@@ -582,6 +582,27 @@ object TextOps {
         col("tfidf"))
   }
 
+  /** Unigram log-probability scoring — the cheap perplexity proxy: score
+    * each document by the average log2 probability of its tokens under
+    * the corpus's own unigram distribution. Gibberish and vocabulary
+    * outliers score far below fluent text; it's the poor man's LM quality
+    * filter and the standard first pass before a real LM scores the
+    * survivors. Shape: vocabulary-sized frequency table (broadcast) joined
+    * to the exploded corpus; a document's tokens stay in one partition
+    * (explode preserves partitioning), so the per-doc average accumulates
+    * in a fixed order — deterministic to the last bit. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = tokenized(docs).select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum("cnt").cast("double").as("corpus_tokens"))
+    toks.join(broadcast(tf), "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(2.0, col("cnt") / col("corpus_tokens"))), 6).as("avg_log2p"))
+  }
+
   /** Top term-pair association by PMI over document co-occurrence:
     * pmi(a,b) = ln(df_ab · N / (df_a · df_b)) with all df counts at
     * document grain. Restricting to a mid-frequency band keeps the
