@@ -594,13 +594,15 @@ object TextOps {
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val toks = tokenized(docs).select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = tf.agg(sum("cnt").cast("double").as("corpus_tokens"))
+    // the corpus total is ONE number — collect it and inline a literal
+    // rather than cross-joining a 1-row frame (which plans as a
+    // BroadcastNestedLoopJoin and trips the plan audit for no benefit)
+    val corpusTokens = tf.agg(sum("cnt")).first().getLong(0).toDouble
     toks.join(broadcast(tf), "term")
-      .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(log(2.0, col("cnt") / col("corpus_tokens"))), 6).as("avg_log2p"))
+        round(avg(log(2.0, col("cnt") / lit(corpusTokens))), 6).as("avg_log2p"))
   }
 
   /** Top term-pair association by PMI over document co-occurrence:
