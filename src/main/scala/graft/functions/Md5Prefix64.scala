@@ -81,6 +81,9 @@ object GraftFunctions {
       registry.registerFunction(dotIdent, VecDot.info,
         (children: Seq[Expression]) => VecDot(children(0), children(1)))
     }
+    // one call wires the whole custom surface: expressions above, the
+    // range-join planner strategy here (idempotent)
+    graft.plans.NativeRangeJoin.ensureRegistered(spark)
   }
 }
 
