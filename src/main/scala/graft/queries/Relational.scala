@@ -321,6 +321,41 @@ object Relational extends OpsModule {
         .orderBy("event_id", "window_user")
     }),
 
+    // left-semi join: customers WITH at least one urgent order — J-family
+    // completeness (q4 covers anti; this is the EXISTS-shaped positive)
+    "q32_semi_join" -> ((s, d) =>
+      cust(s, d).join(
+          ord(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // scalar subquery + correlated EXISTS through the SQL surface: the
+    // planner features (subquery rewrite to joins) exercised via
+    // spark.sql over registered views — the dbt-user path end to end
+    "q33_scalar_subquery" -> ((s, d) => {
+      graft.SqlSurface.registerTables(s, d)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_big
+          |FROM orders
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    "q34_exists_correlated" -> ((s, d) => {
+      graft.SqlSurface.registerTables(s, d)
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_customers
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderstatus = 'F')
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderpriority = '1-URGENT')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // Morton / Z-order key over two order dimensions — the derived
     // layout key is pure integer arithmetic, verified value-for-value
     "q31_zorder_key" -> ((s, d) =>
@@ -537,6 +572,27 @@ object Relational extends OpsModule {
          SELECT e.event_id, e.err_sec, i.window_user, i.lo, i.hi
          FROM errors e JOIN intervals i ON e.err_sec BETWEEN i.lo AND i.hi
          ORDER BY e.event_id, i.window_user""",
+    "q32_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q33_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_big
+         FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q34_exists_correlated" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q31_zorder_key" ->
       s"""SELECT o_orderkey, o_custkey,
                  ${graft.ops.ZOrder.zorderKeySql(
