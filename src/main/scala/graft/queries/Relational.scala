@@ -321,6 +321,31 @@ object Relational extends OpsModule {
         .orderBy("event_id", "window_user")
     }),
 
+    // dynamic pivot: order counts per status x priority; values pinned so
+    // the column set (and the oracle's) is stable
+    "q35_pivot" -> ((s, d) =>
+      ord(s, d).groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count().na.fill(0L)
+        .orderBy("o_orderstatus")),
+
+    // set-operation completeness beyond q13's UNION: INTERSECT and EXCEPT
+    // with their SQL bag/distinct semantics
+    "q36_setops" -> ((s, d) => {
+      val urgent = ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val filled = ord(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_custkey")
+      val both = urgent.intersect(filled)
+        .withColumn("relation", lit("urgent_and_filled"))
+      val urgentOnly = urgent.except(filled)
+        .withColumn("relation", lit("urgent_never_filled"))
+      both.unionByName(urgentOnly)
+        .groupBy("relation").agg(count(lit(1)).as("n_customers"))
+        .orderBy("relation")
+    }),
+
     // left-semi join: customers WITH at least one urgent order — J-family
     // completeness (q4 covers anti; this is the EXISTS-shaped positive)
     "q32_semi_join" -> ((s, d) =>
@@ -572,6 +597,24 @@ object Relational extends OpsModule {
          SELECT e.event_id, e.err_sec, i.window_user, i.lo, i.hi
          FROM errors e JOIN intervals i ON e.err_sec BETWEEN i.lo AND i.hi
          ORDER BY e.event_id, i.window_user""",
+    "q35_pivot" ->
+      """SELECT o_orderstatus,
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+                CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+                CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+                CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+                CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q36_setops" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+            filled AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+            both_rel AS (SELECT o_custkey, 'urgent_and_filled' AS relation
+                         FROM (SELECT * FROM urgent INTERSECT SELECT * FROM filled)),
+            only_rel AS (SELECT o_custkey, 'urgent_never_filled' AS relation
+                         FROM (SELECT * FROM urgent EXCEPT SELECT * FROM filled))
+         SELECT relation, count(*) AS n_customers
+         FROM (SELECT * FROM both_rel UNION ALL SELECT * FROM only_rel)
+         GROUP BY relation ORDER BY relation""",
     "q32_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment
          FROM customer c
