@@ -88,15 +88,19 @@ object EventStreams {
     * unbounded-state bug; this operator makes the bound mandatory. */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
                        maxDelay: String = "30 minutes",
-                       watermarkDelay: String = "10 minutes"): DataFrame = {
+                       watermarkDelay: String = "10 minutes",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermarkDelay)
     val r = right.selectExpr(s"$key as r_key", "ts as r_ts",
         "event_id as r_event_id", "event_type as r_event_type")
       .withWatermark("r_ts", watermarkDelay)
+    // outer variants emit the null-padded row only once the watermark
+    // proves no match can still arrive — same state bound as inner
     l.join(r,
       col(key) === col("r_key") &&
         col("r_ts") >= col("ts") - expr(s"INTERVAL $maxDelay") &&
-        col("r_ts") <= col("ts"))
+        col("r_ts") <= col("ts"),
+      joinType)
   }
 
   /** Gap-based session windows via the built-in session_window: merges

@@ -126,6 +126,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: unmatched click emits null-padded after watermark") {
+    import spark.implicits._
+    val clicks = MemoryStream[Event](spark)
+    val errors = MemoryStream[Event](spark)
+    val q = EventStreams.streamStreamJoin(
+        clicks.toDF().filter(col("event_type") === "click"),
+        errors.toDF().filter(col("event_type") === "error"),
+        key = "user_id", maxDelay = "30 minutes", watermarkDelay = "0 seconds",
+        joinType = "left_outer")
+      .select(col("event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ssj_outer").outputMode("append").start()
+    try {
+      errors.addData(Event(100, ts(10), 1, "error", 0.0))
+      clicks.addData(Event(1, ts(20), 1, "click", 1.0),  // matches error 100
+        Event(2, ts(20), 2, "click", 1.0))               // no error for user 2
+      q.processAllAvailable()
+      // push both watermarks far past t=20 so the unmatched row finalizes
+      errors.addData(Event(101, ts(300), 9, "error", 0.0))
+      clicks.addData(Event(3, ts(300), 9, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("ssj_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(out.contains((1L, 100L)), s"matched pair must join: $out")
+      assert(out.contains((2L, -1L)), s"unmatched click must emit null-padded: $out")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon repeats, keeps distinct keys") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
