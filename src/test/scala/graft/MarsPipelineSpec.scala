@@ -209,6 +209,21 @@ class MarsPipelineSpec extends AnyFunSuite {
     assert(df.schema == Schemas.photoBatch)
   }
 
+  test("bronze: corrupt JSONL lines become null rows, never a failed load") {
+    // the reference's COPY INTO ... ON_ERROR='CONTINUE' contract
+    val dir = java.nio.file.Files.createTempDirectory("bronze_corrupt")
+    val f = dir.resolve("batch.jsonl")
+    java.nio.file.Files.write(f,
+      ("""{"filename":"ok.json","sol_start":1,"sol_end":2,"photo_count":0,"photos":[],"ingestion_date":"2024-01-01"}""" +
+        "\n{not json at all\n" +
+        """{"filename":"ok2.json","sol_start":3,"sol_end":4,"photo_count":0,"photos":[],"ingestion_date":"2024-01-02"}""" +
+        "\n").getBytes)
+    val df = Bronze.rawPhotoResponse(spark, f.toString)
+    assert(df.count() == 3, "corrupt line must survive as a row, not abort the load")
+    assert(df.filter(col("filename").isNull).count() == 1, "corrupt line → null row")
+    assert(df.filter(col("filename").isNotNull).count() == 2)
+  }
+
   test("filename prefix routing (sink + bronze loader)") {
     assert(RoverKeys.route("mars_rover_photos_batch_sol_1.json") == "photos")
     assert(RoverKeys.route("mars_rover_coordinates_x.json") == "coordinates")
