@@ -321,6 +321,22 @@ object Relational extends OpsModule {
         .orderBy("event_id", "window_user")
     }),
 
+    // explicit window frames: 7-row moving average and running total of
+    // daily order value — the ROWS BETWEEN frame spec, distinct from the
+    // rank/lag family already covered
+    "q37_moving_window" -> ((s, d) => {
+      val daily = ord(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("order_day"))
+        .agg(round(sum("o_totalprice"), 2).as("day_value"))
+      val w = Window.orderBy("order_day")
+      daily
+        .withColumn("running_total",
+          round(sum("day_value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("ma7",
+          round(avg("day_value").over(w.rowsBetween(-6, 0)), 2))
+        .orderBy("order_day")
+    }),
+
     // dynamic pivot: order counts per status x priority; values pinned so
     // the column set (and the oracle's) is stable
     "q35_pivot" -> ((s, d) =>
@@ -597,6 +613,17 @@ object Relational extends OpsModule {
          SELECT e.event_id, e.err_sec, i.window_user, i.lo, i.hi
          FROM errors e JOIN intervals i ON e.err_sec BETWEEN i.lo AND i.hi
          ORDER BY e.event_id, i.window_user""",
+    "q37_moving_window" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS order_day,
+                  round(sum(o_totalprice), 2) AS day_value
+           FROM orders GROUP BY 1)
+         SELECT order_day, day_value,
+                round(sum(day_value) OVER (ORDER BY order_day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+                round(avg(day_value) OVER (ORDER BY order_day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+         FROM daily ORDER BY order_day""",
     "q35_pivot" ->
       """SELECT o_orderstatus,
                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
