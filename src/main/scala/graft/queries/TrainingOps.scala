@@ -263,6 +263,24 @@ object TrainingOps extends OpsModule {
     "emb_kmeans_step" -> ((s, d) =>
       Embeddings.kmeansAssign(embs(s, d)).orderBy("vec_id")),
 
+    // the evaluation loop of the ANN story: recall@5 of the IVF probe
+    // against exact brute force, per query — an approximate index you
+    // can't measure is an index you can't trust
+    "emb_ann_recall" -> ((s, d) => {
+      val qf = col("vec_id") < 5
+      val brute = Embeddings.knnBruteForce(embs(s, d), qf, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Embeddings.ivfSearch(embs(s, d), qf, k = 5, nprobe = 2)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      brute.join(ivf,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+          "left")
+        .groupBy("query_id")
+        .agg(round(sum(when(col("n2").isNotNull, 1).otherwise(0)) /
+          count(lit(1)).cast("double"), 6).as("recall_at_5"))
+        .orderBy("query_id")
+    }),
+
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy("doc_id")),
@@ -836,6 +854,35 @@ object TrainingOps extends OpsModule {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id) AS knn_rank
           FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
+
+    "emb_ann_recall" ->
+      s"""WITH $duckCosPrelude, $duckCentroids,
+          brute AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC) AS rk
+              FROM q, e WHERE e.vec_id != q.query_id) WHERE rk <= 5),
+          probe AS (
+            SELECT query_id, qemb, cell AS probe_cell FROM (
+              SELECT q.query_id, q.qemb, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${dCos("q.qemb", "c.cemb")} DESC, c.cell ASC) AS pr
+              FROM q, cent c) WHERE pr <= 2),
+          ivf AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT p.query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY ${dCos("p.qemb", "e.emb")} DESC, e.vec_id ASC) AS rk
+              FROM probe p JOIN e ON e.cell = p.probe_cell
+                                 AND e.vec_id != p.query_id) WHERE rk <= 5)
+          SELECT b.query_id,
+                 round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 6) AS recall_at_5
+          FROM brute b LEFT JOIN ivf i
+            ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+          GROUP BY b.query_id ORDER BY b.query_id""",
 
     "emb_kmeans_step" ->
       s"""WITH $duckCosPrelude, $duckCentroids,

@@ -334,4 +334,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.getAs[String]("predicted_lang") == "en")
     assert(r.getAs[Int]("lang_match") == 1)
   }
+
+  test("ann recall: bounded in [0,1], and exhaustive probing recovers brute force exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val rec = graft.queries.TrainingOps.queries("emb_ann_recall")(spark, dir).collect()
+    assert(rec.nonEmpty)
+    assert(rec.forall { r =>
+      val v = r.getAs[Double]("recall_at_5"); v >= 0.0 && v <= 1.0
+    })
+    // probing every cell degenerates to an exact scan: recall must be 1
+    val e = Tables.embeddings(spark, dir)
+    val nCells = e.select("label").distinct().count().toInt
+    val qf = col("vec_id") < 5
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Embeddings.ivfSearch(e, qf, k = 5, nprobe = nCells)) ==
+      pairs(Embeddings.knnBruteForce(e, qf, k = 5)))
+  }
 }
