@@ -337,6 +337,41 @@ object Relational extends OpsModule {
         .orderBy("order_day")
     }),
 
+    // distribution-rank window family: ntile / percent_rank / cume_dist
+    // (the rank/lag/frame families are covered by q5/q21/q37; this closes
+    // the remaining ANSI window-function group). Ties broken by orderkey
+    // so ntile's bucket assignment is deterministic on both engines.
+    "q38_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("top_order", first_value(col("o_orderkey")).over(w))
+        .drop("o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // arbitrary GROUPING SETS (beyond q22's ROLLUP / q26's CUBE): a
+    // hand-picked lattice subset, with grouping() flags disambiguating
+    // "NULL because aggregated away" from a genuine NULL group value.
+    // One Expand + one aggregate — no per-set re-scan.
+    "q39_grouping_sets" -> ((s, d) =>
+      li(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty[Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          count(lit(1)).as("n_items"),
+          r2(sum("l_quantity")).as("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // dynamic pivot: order counts per status x priority; values pinned so
     // the column set (and the oracle's) is stable
     "q35_pivot" -> ((s, d) =>
@@ -577,6 +612,26 @@ object Relational extends OpsModule {
                 n_events - coalesce(
                   lag(n_events) OVER (PARTITION BY event_type ORDER BY hour), 0) AS delta
          FROM hourly ORDER BY event_type, hour""",
+    "q38_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+                ntile(4) OVER w AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume,
+                first_value(o_orderkey) OVER w AS top_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_orderkey""",
+    "q39_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+                CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+                count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_linestatus), ())
+         ORDER BY g_flag, g_status,
+                  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q22_rollup" ->
       """SELECT l_returnflag, l_linestatus,
                 count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
