@@ -372,6 +372,36 @@ object Relational extends OpsModule {
           col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // cohort retention over the event stream: cohort = a user's first
+    // active day; cell (cohort_date, day_offset) counts users from that
+    // cohort active that many days later — the canonical product-analytics
+    // rollup. Scale shape: both aggregations key on user_id, so the
+    // cohort frame and the activity frame co-partition and the join
+    // reuses the exchange; every measure is an integer count.
+    "q40_retention" -> ((s, d) => {
+      val e = ev(s, d)
+      val first = e.groupBy("user_id").agg(to_date(min("ts")).as("cohort_date"))
+      val act = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      first.join(act, "user_id")
+        .groupBy(col("cohort_date"),
+          datediff(col("d"), col("cohort_date")).cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    }),
+
+    // wide→long reshaping with the native unpivot (melt) operator — the
+    // inverse of q35's pivot, run over a dense day × event_type count
+    // grid so absent combinations surface as explicit zero rows. unpivot
+    // is a row-local Expand (no shuffle, no UDTF).
+    "q41_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = ev(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", types).count().na.fill(0L)
+      wide.unpivot(Array(col("d")), types.map(col).toArray, "event_type", "n_events")
+        .orderBy("d", "event_type")
+    }),
+
     // dynamic pivot: order counts per status x priority; values pinned so
     // the column set (and the oracle's) is stable
     "q35_pivot" -> ((s, d) =>
@@ -632,6 +662,25 @@ object Relational extends OpsModule {
                                  (l_linestatus), ())
          ORDER BY g_flag, g_status,
                   l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q40_retention" ->
+      """WITH first AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+                        FROM events GROUP BY user_id),
+         act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+         SELECT f.cohort_date,
+                datediff('day', f.cohort_date, a.d) AS day_offset,
+                count(DISTINCT a.user_id) AS n_users
+         FROM first f JOIN act a USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_date, day_offset""",
+    "q41_unpivot" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+         types AS (SELECT unnest(['click','error','purchase','signup','view'])
+                     AS event_type),
+         c AS (SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+         SELECT days.d, types.event_type, coalesce(c.n, 0) AS n_events
+         FROM days CROSS JOIN types
+         LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
+         ORDER BY days.d, types.event_type""",
     "q22_rollup" ->
       """SELECT l_returnflag, l_linestatus,
                 count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty

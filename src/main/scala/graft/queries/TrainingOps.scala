@@ -83,6 +83,15 @@ object TrainingOps extends OpsModule {
     "td_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")),
 
+    "td_bigram_logprob" -> ((s, d) =>
+      TextOps.bigramLogProb(docs(s, d)).orderBy("doc_id")),
+
+    "td_fuzzy_match" -> ((s, d) =>
+      TextOps.fuzzyMatches(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
+
+    "td_entropy" -> ((s, d) =>
+      TextOps.tokenEntropy(docs(s, d)).orderBy("doc_id")),
+
     // Count-min-sketch heavy hitters, verified like the other sketches
     // (HLL q20, GK q29): CMS guarantees estimate >= true count and, with
     // probability 1-delta, estimate <= true + eps*N. eps=0.001 on a
@@ -208,6 +217,13 @@ object TrainingOps extends OpsModule {
 
     "emb_quant_knn" -> ((s, d) =>
       Embeddings.quantizedKnn(embs(s, d), col("vec_id") < 5)
+        .orderBy("query_id", "knn_rank")),
+
+    "emb_pq_codes" -> ((s, d) =>
+      Embeddings.pqCodes(embs(s, d)).orderBy("vec_id")),
+
+    "emb_pq_knn" -> ((s, d) =>
+      Embeddings.pqSearch(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
 
     "emb_quantize" -> ((s, d) => {
@@ -371,6 +387,40 @@ object TrainingOps extends OpsModule {
          GROUP BY cell, idx)
        GROUP BY cell)"""
 
+  /** Squared L2 with the same association as Embeddings.dist2. */
+  private def dDist2(a: String, b: String) =
+    s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b)) + list_dot_product($b, $b)"
+
+  private val PqM = 4
+  private val PqDsub = 16 // 64-dim embeddings / m=4
+
+  /** Per-subspace codebook slices of the per-cell centroids. */
+  private val duckPqSub = {
+    val subs = (0 until PqM)
+      .map(j => s"cemb[${j * PqDsub + 1}:${(j + 1) * PqDsub}] AS s_$j").mkString(", ")
+    s"sub AS (SELECT cell, $subs FROM cent)"
+  }
+
+  /** PQ code assignment: per (vector, subspace) argmin over codebook cells
+    * (ties to the lowest cell, matching Spark's max(struct(-d, -cell))). */
+  private val duckPqCodes = {
+    val dists = (0 until PqM).map { j =>
+      s"${dDist2(s"e.emb[${j * PqDsub + 1}:${(j + 1) * PqDsub}]", s"s.s_$j")} AS d_$j"
+    }.mkString(", ")
+    val codeCtes = (0 until PqM).map { j =>
+      s"""code_$j AS (
+            SELECT vec_id, cell AS code_$j FROM (
+              SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d_$j ASC, cell ASC) AS rk
+              FROM pqscored) WHERE rk = 1)"""
+    }.mkString(",\n")
+    val joins = (1 until PqM).map(j => s"JOIN code_$j c$j USING (vec_id)").mkString(" ")
+    val cols = (0 until PqM).map(j => s"c$j.code_$j").mkString(", ")
+    s"""pqscored AS (SELECT e.vec_id, s.cell, $dists FROM e, sub s),
+       $codeCtes,
+       codes AS (SELECT c0.vec_id, $cols FROM code_0 c0 $joins)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "td_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
@@ -416,6 +466,50 @@ object TrainingOps extends OpsModule {
                 round(avg(log2(cnt / corpus_tokens)), 6) AS avg_log2p
          FROM toks JOIN tf USING (term), tot
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         uni AS (SELECT term, count(*) AS cnt FROM (
+                   SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+                 GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS corpus_tokens FROM uni),
+         bg AS (SELECT doc_id, toks[i+1] AS prev, toks[i+2] AS cur
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(0, len(toks) - 2)) AS i
+                      FROM t WHERE len(toks) >= 2)),
+         bc AS (SELECT prev, cur, count(*) AS cnt_b FROM bg GROUP BY 1, 2)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(log2(0.75 * bc.cnt_b / up.cnt
+                               + 0.25 * uc.cnt / corpus_tokens)), 6) AS avg_log2p
+         FROM bg JOIN bc USING (prev, cur)
+         JOIN uni up ON up.term = bg.prev
+         JOIN uni uc ON uc.term = bg.cur
+         CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_fuzzy_match" ->
+      """WITH d AS (SELECT doc_id, source,
+                           substr(array_to_string(list_sort(list_distinct(
+                             string_split(text, ' '))), ' '), 1, 160) AS sig
+                    FROM documents)
+         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                CAST(levenshtein(a.sig, b.sig) AS INT) AS edit_distance,
+                round(1.0 - CAST(levenshtein(a.sig, b.sig) AS DOUBLE)
+                      / greatest(len(a.sig), len(b.sig), 1), 6) AS similarity
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE round(1.0 - CAST(levenshtein(a.sig, b.sig) AS DOUBLE)
+                     / greatest(len(a.sig), len(b.sig), 1), 6) >= 0.95
+         ORDER BY doc_id_a, doc_id_b""",
+
+    "td_entropy" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS c FROM (
+                       SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents) GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+                round(log2(CAST(sum(c) AS DOUBLE))
+                      - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                        / CAST(sum(c) AS DOUBLE), 6) AS entropy_bits
+         FROM tf GROUP BY doc_id ORDER BY doc_id""",
 
     "td_split" ->
       s"""SELECT doc_id,
@@ -588,6 +682,33 @@ object TrainingOps extends OpsModule {
          SELECT vec_id, scale, qv[1] AS q_0, qv[2] AS q_1, qv[3] AS q_2, qv[4] AS q_3,
                 CAST(list_sum(qv) AS BIGINT) AS q_sum
          FROM q ORDER BY vec_id""",
+
+    "emb_pq_codes" ->
+      s"""WITH $duckCosPrelude, $duckCentroids, $duckPqSub, $duckPqCodes
+          SELECT vec_id, code_0, code_1, code_2, code_3 FROM codes
+          ORDER BY vec_id""",
+
+    "emb_pq_knn" ->
+      s"""WITH $duckCosPrelude, $duckCentroids, $duckPqSub, $duckPqCodes,
+          lut AS (
+            SELECT q.query_id, s.cell,
+                   ${(0 until PqM).map(j => dDist2(
+                     s"q.qemb[${j * PqDsub + 1}:${(j + 1) * PqDsub}]",
+                     s"s.s_$j") + s" AS d_$j").mkString(", ")}
+            FROM q, sub s),
+          scored AS (
+            SELECT l0.query_id, c.vec_id AS neighbor_id,
+                   ((l0.d_0 + l1.d_1) + l2.d_2) + l3.d_3 AS est
+            FROM codes c
+            JOIN lut l0 ON l0.cell = c.code_0
+            JOIN lut l1 ON l1.query_id = l0.query_id AND l1.cell = c.code_1
+            JOIN lut l2 ON l2.query_id = l0.query_id AND l2.cell = c.code_2
+            JOIN lut l3 ON l3.query_id = l0.query_id AND l3.cell = c.code_3
+            WHERE c.vec_id != l0.query_id)
+          SELECT query_id, neighbor_id, round(est, 6) AS est_dist,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY est ASC, neighbor_id ASC) AS knn_rank
+          FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
 
     "td_term_topk" ->
       """SELECT term, count(*) AS freq

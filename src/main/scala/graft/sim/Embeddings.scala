@@ -370,6 +370,87 @@ object Embeddings {
         col("knn_rank"))
   }
 
+  /** Squared L2 distance with explicit association — (a·a − 2(a·b)) + b·b —
+    * so every engine computes the identical float sequence from the same
+    * three dot folds. */
+  private def dist2(a: Column, b: Column): Column =
+    (dot(a, a) - lit(2.0) * dot(a, b)) + dot(b, b)
+
+  /** Per-(cell, subspace) PQ codebook entries, derived by slicing the full
+    * per-cell centroids: the mean of a subvector IS the subvector of the
+    * mean (each dimension averages independently), so one centroid pass
+    * feeds both IVF and PQ. */
+  private def pqSub(cemb: Column, j: Int, dsub: Int): Column =
+    slice(cemb, j * dsub + 1, dsub)
+
+  /** Product-quantization codes: split each vector into `m` subvectors and
+    * store, per subspace, the id of the nearest (L2) codebook centroid —
+    * here the per-cell centroids of [[centroids]] serve as each subspace's
+    * codebook. A 64-dim float vector compresses to m=4 small ints (~4
+    * bytes vs 256), the compression that lets a 100 TB embedding store
+    * keep its candidate-scoring representation memory-resident.
+    *
+    * Shape: corpus × broadcast(codebook) with the per-subspace argmin as
+    * `max(struct(-dist, -cell))` — map-side combinable, no window, ties
+    * break to the lowest cell id in any engine. */
+  def pqCodes(embeddings: DataFrame, m: Int = 4): DataFrame = {
+    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val scored = e.crossJoin(broadcast(centroids(embeddings)))
+    val aggs = (0 until m).map { j =>
+      max(struct(
+        (-dist2(pqSub(col("emb"), j, dsub), pqSub(col("cemb"), j, dsub))).as("s"),
+        (-col("cell")).as("nc"))).as(s"m_$j")
+    }
+    scored.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +:
+        (0 until m).map(j => (-col(s"m_$j.nc")).as(s"code_$j")): _*)
+  }
+
+  /** Asymmetric-distance (ADC) kNN over the PQ codes: the query stays
+    * exact; each corpus vector is approximated by its per-subspace
+    * codebook entries, so est_dist = Σ_j ‖q_j − codebook[code_j]‖².
+    * The scan touches ONLY the code table and a per-query (cells × m)
+    * lookup table — raw vectors are needed just for re-ranking the
+    * survivors. The LUT join is m broadcast equi-joins (query fan-out ×
+    * code match); summation order is fixed (d_0+d_1+…), bit-deterministic.
+    */
+  def pqSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
+               m: Int = 4): DataFrame = {
+    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val codes = pqCodes(embeddings, m)
+    val q = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qemb"))
+    // per-query LUT: distance from each query subvector to every codebook
+    // entry — |queries| × |cells| rows, all m distances in one pass
+    val lut = q.crossJoin(broadcast(centroids(embeddings)))
+      .select(col("query_id") +: col("cell") +:
+        (0 until m).map(j =>
+          dist2(pqSub(col("qemb"), j, dsub), pqSub(col("cemb"), j, dsub))
+            .as(s"d_$j")): _*)
+    val joined = (0 until m).foldLeft(codes) { (cur, j) =>
+      val lutJ = lut.select(
+        col("query_id").as(s"q_$j"), col("cell").as(s"c_$j"), col(s"d_$j"))
+      val cond = if (j == 0) col("code_0") === col("c_0")
+      else col(s"q_${j - 1}") === col(s"q_$j") && col(s"code_$j") === col(s"c_$j")
+      cur.join(broadcast(lutJ), cond)
+    }
+    val est = (0 until m).map(j => col(s"d_$j")).reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("est_dist").asc, col("vec_id").asc)
+    joined
+      .withColumn("query_id", col(s"q_${m - 1}"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("est_dist", est)
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("est_dist"), 6).as("est_dist"), col("knn_rank"))
+  }
+
   /** Per-cell stats: size, centroid norm, mean vector norm. */
   def clusterStats(embeddings: DataFrame): DataFrame = {
     val perRow = embeddings.select(col("label").as("cell"),

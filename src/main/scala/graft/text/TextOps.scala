@@ -635,6 +635,88 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Interpolated bigram language-model scoring — one rung above
+    * [[unigramLogProb]] on the LM-quality ladder: each transition scores
+    * λ·P(cur|prev) + (1−λ)·P(cur), so unseen-in-context words fall back
+    * to their corpus frequency instead of zero (Jelinek-Mercer smoothing,
+    * and every observed bigram has cnt ≥ 1 so the log never sees 0).
+    * Repetitive boilerplate scores suspiciously HIGH, gibberish scores
+    * low — the two-sided quality signal. Shape: the bigram table is
+    * (prev,cur)-keyed and shuffles like any aggregation; the corpus total
+    * is one inlined literal; probabilities are ratios of exact integer
+    * counts, so only the final log2/avg is floating point. */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val t = tokenized(docs)
+    val bg = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("prev"),
+            element_at(col("toks"), i + 2).as("cur")))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val uni = t.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val corpusTokens = uni.agg(sum("cnt")).first().getLong(0).toDouble
+    val bgCnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_b"))
+    bg.join(bgCnt, Seq("prev", "cur"))
+      .join(uni.select(col("term").as("prev"), col("cnt").as("cnt_prev")), "prev")
+      .join(uni.select(col("term").as("cur"), col("cnt").as("cnt_cur")), "cur")
+      .withColumn("p",
+        lit(lambda) * col("cnt_b") / col("cnt_prev") +
+          lit(1.0 - lambda) * col("cnt_cur") / lit(corpusTokens))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(2.0, col("p"))), 6).as("avg_log2p"))
+  }
+
+  /** Canonical signature for edit-distance matching: the document's
+    * DISTINCT tokens, sorted, joined, truncated. Word-order edits and
+    * repetition vanish, so near-duplicates that token-shuffle (the common
+    * template/paraphrase case) sit a few character edits apart even when
+    * their raw prefixes diverge completely. Truncation caps the O(len²)
+    * Levenshtein DP cell count per pair. */
+  def fuzzySignature(text: Column, maxLen: Int = 160): Column =
+    substring(array_join(array_sort(array_distinct(tokens(text))), " "), 1, maxLen)
+
+  /** Blocked fuzzy matching by edit distance — the third dedup geometry
+    * after set-overlap (Jaccard/[[nearDupPairs]]) and bit-distance
+    * (SimHash): Levenshtein over [[fuzzySignature]], blocked by source so
+    * the quadratic comparison runs within blocks only (Σ|block|², never
+    * N²; at 100 TB the block key would be source × a signature prefix).
+    * similarity = 1 − lev/max(len) — 1.0 is an exact signature match. */
+  def fuzzyMatches(docs: DataFrame, simThreshold: Double = 0.95): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      fuzzySignature(col("text")).as("sig"))
+    val a = d.select(col("source"), col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
+    val b = d.select(col("source"), col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("edit_distance", levenshtein(col("sig_a"), col("sig_b")))
+      .withColumn("similarity", round(
+        lit(1.0) - col("edit_distance").cast("double") /
+          greatest(length(col("sig_a")), length(col("sig_b")), lit(1)), 6))
+      .filter(col("similarity") >= simThreshold)
+      .select("doc_id_a", "doc_id_b", "edit_distance", "similarity")
+  }
+
+  /** Shannon entropy of each document's token distribution, in bits:
+    * H = log2(n) − (Σ c·log2 c)/n over per-term counts c. Low entropy =
+    * repetitive/boilerplate (near 0 for a one-token loop), high = diverse
+    * vocabulary; with [[repetitionSignals]] it completes the repetition
+    * detectors. Two hash aggregations, both map-side combinable; the
+    * algebraic form avoids materializing per-term probabilities. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = tokenized(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      round(
+        log(2.0, sum("c").cast("double")) -
+          sum(col("c").cast("double") * log(2.0, col("c"))) /
+            sum("c").cast("double"), 6).as("entropy_bits"))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a row iff
     * md5(doc_id) mod 100 falls under its stratum's percentage. Unlike
     * rand()-based sampling this is reproducible across engines, runs, task
