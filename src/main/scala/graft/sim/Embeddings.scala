@@ -372,9 +372,12 @@ object Embeddings {
 
   /** Squared L2 distance with explicit association — (a·a − 2(a·b)) + b·b —
     * so every engine computes the identical float sequence from the same
-    * three dot folds. */
-  private def dist2(a: Column, b: Column): Column =
-    (dot(a, a) - lit(2.0) * dot(a, b)) + dot(b, b)
+    * three dot folds. The self-products arrive precomputed (`a2`, `b2`):
+    * inside a (vectors × cells) pair join they are per-SIDE quantities,
+    * and hoisting them into the projected sides divides the fold work per
+    * pair by three without moving a single bit (same ops, same order). */
+  private def dist2Pre(a2: Column, a: Column, b: Column, b2: Column): Column =
+    (a2 - lit(2.0) * dot(a, b)) + b2
 
   /** Per-(cell, subspace) PQ codebook entries, derived by slicing the full
     * per-cell centroids: the mean of a subvector IS the subvector of the
@@ -382,6 +385,16 @@ object Embeddings {
     * feeds both IVF and PQ. */
   private def pqSub(cemb: Column, j: Int, dsub: Int): Column =
     slice(cemb, j * dsub + 1, dsub)
+
+  /** Project a vector frame to its PQ working set: one subvector column +
+    * its squared norm per subspace (slices materialize once here, not per
+    * pair). */
+  private def pqProject(df: DataFrame, vecCol: String, keep: Seq[Column],
+                        m: Int, dsub: Int, p: String): DataFrame =
+    df.select(keep ++ (0 until m).map(j =>
+        pqSub(col(vecCol), j, dsub).as(s"${p}sub_$j")): _*)
+      .select(keep ++ (0 until m).flatMap(j => Seq(col(s"${p}sub_$j"),
+        dot(col(s"${p}sub_$j"), col(s"${p}sub_$j")).as(s"${p}n2_$j"))): _*)
 
   /** Product-quantization codes: split each vector into `m` subvectors and
     * store, per subspace, the id of the nearest (L2) codebook centroid —
@@ -397,11 +410,15 @@ object Embeddings {
     val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val dsub = dims / m
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val scored = e.crossJoin(broadcast(centroids(embeddings)))
+    val e = pqProject(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "emb", Seq(col("vec_id")), m, dsub, "e")
+    val c = pqProject(centroids(embeddings), "cemb", Seq(col("cell")), m, dsub, "c")
+    val scored = e.crossJoin(broadcast(c))
     val aggs = (0 until m).map { j =>
       max(struct(
-        (-dist2(pqSub(col("emb"), j, dsub), pqSub(col("cemb"), j, dsub))).as("s"),
+        (-dist2Pre(col(s"en2_$j"), col(s"esub_$j"),
+          col(s"csub_$j"), col(s"cn2_$j"))).as("s"),
         (-col("cell")).as("nc"))).as(s"m_$j")
     }
     scored.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
@@ -423,26 +440,37 @@ object Embeddings {
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val dsub = dims / m
     val codes = pqCodes(embeddings, m)
-    val q = embeddings.filter(queryFilter)
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qemb"))
-    // per-query LUT: distance from each query subvector to every codebook
-    // entry — |queries| × |cells| rows, all m distances in one pass
-    val lut = q.crossJoin(broadcast(centroids(embeddings)))
-      .select(col("query_id") +: col("cell") +:
-        (0 until m).map(j =>
-          dist2(pqSub(col("qemb"), j, dsub), pqSub(col("cemb"), j, dsub))
-            .as(s"d_$j")): _*)
-    val joined = (0 until m).foldLeft(codes) { (cur, j) =>
-      val lutJ = lut.select(
-        col("query_id").as(s"q_$j"), col("cell").as(s"c_$j"), col(s"d_$j"))
-      val cond = if (j == 0) col("code_0") === col("c_0")
-      else col(s"q_${j - 1}") === col(s"q_$j") && col(s"code_$j") === col(s"c_$j")
-      cur.join(broadcast(lutJ), cond)
-    }
+    val q = pqProject(
+      embeddings.filter(queryFilter)
+        .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qemb")),
+      "qemb", Seq(col("query_id")), m, dsub, "q")
+    val c = pqProject(centroids(embeddings), "cemb", Seq(col("cell")), m, dsub, "c")
+    // per-query LUT in LONG form — (query_id, sub, cell, d) — so code
+    // lookup is ONE broadcast equi-join on (sub, code) instead of m
+    // separate join subtrees (which would each re-derive the centroid
+    // table: no exchange reuse across differently-projected broadcasts)
+    val lut = q.crossJoin(broadcast(c))
+      .select(col("query_id"), col("cell"),
+        explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+          dist2Pre(col(s"qn2_$j"), col(s"qsub_$j"), col(s"csub_$j"), col(s"cn2_$j"))
+            .as("d"))): _*)).as("sd"))
+      .select(col("query_id"), col("sd.sub").as("sub"), col("cell"), col("sd.d").as("d"))
+    val codesLong = codes
+      .select(col("vec_id"),
+        explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+          col(s"code_$j").as("code"))): _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("csub"), col("sc.code").as("code"))
+    // per (query, vector): one row per subspace → m conditional aggregates
+    // re-widen it, so the ADC sum runs in a FIXED order (d_0+d_1+…),
+    // map-side combinable and bit-deterministic
+    val perSub = codesLong
+      .join(broadcast(lut), col("csub") === col("sub") && col("code") === col("cell"))
+      .groupBy("query_id", "vec_id")
+      .agg((0 until m).map(j => max(when(col("sub") === j, col("d"))).as(s"d_$j")).head,
+        (0 until m).map(j => max(when(col("sub") === j, col("d"))).as(s"d_$j")).tail: _*)
     val est = (0 until m).map(j => col(s"d_$j")).reduce(_ + _)
     val w = Window.partitionBy("query_id").orderBy(col("est_dist").asc, col("vec_id").asc)
-    joined
-      .withColumn("query_id", col(s"q_${m - 1}"))
+    perSub
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("est_dist", est)
       .withColumn("knn_rank", row_number().over(w))

@@ -683,14 +683,21 @@ object TextOps {
     * the quadratic comparison runs within blocks only (Σ|block|², never
     * N²; at 100 TB the block key would be source × a signature prefix).
     * similarity = 1 − lev/max(len) — 1.0 is an exact signature match. */
-  def fuzzyMatches(docs: DataFrame, simThreshold: Double = 0.95): DataFrame = {
+  def fuzzyMatches(docs: DataFrame, simThreshold: Double = 0.95,
+                   sigLen: Int = 160): DataFrame = {
     val d = docs.select(col("doc_id"), col("source"),
-      fuzzySignature(col("text")).as("sig"))
+      fuzzySignature(col("text"), sigLen).as("sig"))
     val a = d.select(col("source"), col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
     val b = d.select(col("source"), col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
+    // sim ≥ t ⟹ lev ≤ (1−t)·max(len) ≤ (1−t)·sigLen, so the banded
+    // (thresholded) Levenshtein is exact for every surviving pair and
+    // O(band·len) instead of O(len²) for the overwhelming reject majority
+    // (it returns −1 beyond the band, which the filter drops).
+    val band = math.max(1, math.floor((1.0 - simThreshold) * sigLen).toInt)
     a.join(b, Seq("source"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("edit_distance", levenshtein(col("sig_a"), col("sig_b")))
+      .withColumn("edit_distance", levenshtein(col("sig_a"), col("sig_b"), band))
+      .filter(col("edit_distance") >= 0)
       .withColumn("similarity", round(
         lit(1.0) - col("edit_distance").cast("double") /
           greatest(length(col("sig_a")), length(col("sig_b")), lit(1)), 6))
