@@ -402,6 +402,23 @@ object Relational extends OpsModule {
         .orderBy("d", "event_type")
     }),
 
+    // RANGE window frame — the value-based sibling of q37's ROWS frames:
+    // the trailing window covers a 4-DAY interval, not 4 rows, so gaps in
+    // the day grid (forced by the selective filter) shrink the sum. All
+    // measures are integer counts.
+    "q42_range_frame" -> ((s, d) => {
+      val daily = ev(s, d)
+        .filter(col("value") >= 250)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day_num"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy(col("day_num"))
+        .rangeBetween(-3, Window.currentRow)
+      daily.withColumn("n_4day", sum("n_events").over(w))
+        .orderBy("event_type", "day_num")
+    }),
+
     // dynamic pivot: order counts per status x priority; values pinned so
     // the column set (and the oracle's) is stable
     "q35_pivot" -> ((s, d) =>
@@ -681,6 +698,16 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q42_range_frame" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num,
+                  count(*) AS n_events
+           FROM events WHERE value >= 250 GROUP BY 1, 2)
+         SELECT event_type, day_num, n_events,
+                CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day_num
+                  RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_4day
+         FROM daily ORDER BY event_type, day_num""",
     "q22_rollup" ->
       """SELECT l_returnflag, l_linestatus,
                 count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty

@@ -92,6 +92,9 @@ object TrainingOps extends OpsModule {
     "td_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(docs(s, d)).orderBy("doc_id")),
 
+    "td_substring_spans" -> ((s, d) =>
+      TextOps.substringDupSpans(docs(s, d)).orderBy("doc_id")),
+
     // Count-min-sketch heavy hitters, verified like the other sketches
     // (HLL q20, GK q29): CMS guarantees estimate >= true count and, with
     // probability 1-delta, estimate <= true + eps*N. eps=0.001 on a
@@ -510,6 +513,26 @@ object TrainingOps extends OpsModule {
                       - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
                         / CAST(sum(c) AS DOUBLE), 6) AS entropy_bits
          FROM tf GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_substring_spans" -> {
+      val spanCat = (0 until 8).map(j => s"toks[i+${j + 1}]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                     WHERE len(string_split(text, ' ')) >= 8),
+          sp AS (SELECT doc_id,
+                        ${dHash(s"concat_ws(' ', $spanCat)")} AS h
+                 FROM (SELECT doc_id, toks,
+                              unnest(generate_series(0, len(toks) - 8)) AS i
+                       FROM t)),
+          sh AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM sp
+                 GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(CASE WHEN n_docs IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_shared_spans,
+                 round(CAST(sum(CASE WHEN n_docs IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS share_ratio
+          FROM sp LEFT JOIN sh USING (h)
+          GROUP BY doc_id ORDER BY doc_id"""
+    },
 
     "td_split" ->
       s"""SELECT doc_id,

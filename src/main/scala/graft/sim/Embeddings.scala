@@ -437,14 +437,38 @@ object Embeddings {
   def pqSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
                m: Int = 4): DataFrame = {
     val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val queries = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qemb"))
+    pqSearchCore(pqCodes(embeddings, m), centroids(embeddings), queries,
+      k, m, dims)
+  }
+
+  /** Persist the PQ index — codes + codebook, the PQ sibling of
+    * [[buildIvfIndex]]: searches read the m-int code table and the
+    * |cells|-row codebook; raw embeddings never load again (queries bring
+    * their own vectors). At 100 TB this is the difference between
+    * scanning 4-byte codes and scanning 256-byte floats. */
+  def buildPqIndex(embeddings: DataFrame, indexDir: String, m: Int = 4): Unit = {
+    pqCodes(embeddings, m).write.mode("overwrite").parquet(s"$indexDir/codes")
+    centroids(embeddings).write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** ADC search over a [[buildPqIndex]]-persisted index; results are
+    * identical to the inline [[pqSearch]] (spec-asserted). `queries` is
+    * (query_id, qemb double[]). */
+  def searchPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    queries: DataFrame, k: Int = 5, m: Int = 4): DataFrame = {
+    val dims = queries.select(size(col("qemb"))).first().getInt(0)
+    pqSearchCore(spark.read.parquet(s"$indexDir/codes"),
+      spark.read.parquet(s"$indexDir/codebook"), queries, k, m, dims)
+  }
+
+  private def pqSearchCore(codes: DataFrame, cents: DataFrame, queries: DataFrame,
+                           k: Int, m: Int, dims: Int): DataFrame = {
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val dsub = dims / m
-    val codes = pqCodes(embeddings, m)
-    val q = pqProject(
-      embeddings.filter(queryFilter)
-        .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qemb")),
-      "qemb", Seq(col("query_id")), m, dsub, "q")
-    val c = pqProject(centroids(embeddings), "cemb", Seq(col("cell")), m, dsub, "c")
+    val q = pqProject(queries, "qemb", Seq(col("query_id")), m, dsub, "q")
+    val c = pqProject(cents, "cemb", Seq(col("cell")), m, dsub, "c")
     // per-query LUT in LONG form — (query_id, sub, cell, d) — so code
     // lookup is ONE broadcast equi-join on (sub, code) instead of m
     // separate join subtrees (which would each re-derive the centroid

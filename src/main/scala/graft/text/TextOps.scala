@@ -705,6 +705,36 @@ object TextOps {
       .select("doc_id_a", "doc_id_b", "edit_distance", "similarity")
   }
 
+  /** Exact substring-duplication signal: for every k-token span (ALL
+    * positions, not the distinct shingle set), does the identical span
+    * occur in any OTHER document? Long verbatim overlap is what
+    * paragraph-level boilerplate and cross-document copying look like —
+    * and it survives the document-level dedups, which only compare whole
+    * documents. Per doc: total spans, spans shared with ≥1 other doc, and
+    * the shared fraction (the "fraction of text duplicated elsewhere"
+    * curation metric). Shape: spans hash to 60-bit longs BEFORE the
+    * shuffle (the exchange carries 8 bytes per span, never span text);
+    * one count-distinct aggregation finds the shared hashes; a second
+    * aggregation folds the left join back to per-doc counts. */
+  def substringDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val t = tokenized(docs).filter(size(col("toks")) >= k)
+    val spans = t.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("toks")) - k),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(col("toks"), i + lit(j + 1))): _*)))
+        .as("span"))
+      .select(col("doc_id"), md5Long(col("span")).as("h"))
+    val shared = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    spans.join(shared, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs").isNotNull, 1).otherwise(0)).as("n_shared_spans"))
+      .withColumn("share_ratio",
+        round(col("n_shared_spans") / col("n_spans").cast("double"), 6))
+  }
+
   /** Shannon entropy of each document's token distribution, in bits:
     * H = log2(n) − (Σ c·log2 c)/n over per-term counts c. Low entropy =
     * repetitive/boilerplate (near 0 for a one-token loop), high = diverse

@@ -161,6 +161,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted pq index: search results identical to the inline path") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    try {
+      Embeddings.buildPqIndex(e, dir)
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      val inline = key(Embeddings.pqSearch(e, col("vec_id") < 5, k = 5))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          Embeddings.asDouble(col("embedding")).as("qemb"))
+      val persisted = key(Embeddings.searchPqIndex(spark, dir, queries, k = 5))
+      assert(persisted == inline)
+      assert(inline.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("lsh search: identical vectors share a bucket and find each other first") {
     val e = Seq(
       (0L, Array.fill(8)(0.5f), 0),
