@@ -419,6 +419,62 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // correlated LATERAL subquery with ORDER BY + LIMIT — top-k-per-key
+    // expressed as the SQL-standard lateral join (Catalyst rewrites the
+    // correlation to a DomainJoin) instead of q5's window + filter
+    "q43_lateral_topk" -> ((s, d) => {
+      graft.SqlSurface.registerTables(s, d)
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+    }),
+
+    // linear interpolation over day-grid gaps: densify with
+    // sequence+explode, carry the nearest real observation from each side
+    // with IGNORE NULLS window folds, interpolate proportionally. The
+    // gap-fill half of the as-of family (q23 carries last-known-value;
+    // this reconstructs between observations). Grid days are integers and
+    // the interpolation is a single per-row expression — deterministic.
+    "q45_interpolate" -> ((s, d) => {
+      val daily = ev(s, d)
+        .filter(col("value") >= 250)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day_num"))
+        .agg(count(lit(1)).as("n_events"))
+      val grid = daily.groupBy("event_type")
+        .agg(min("day_num").as("lo"), max("day_num").as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day_num"))
+      val joined = grid.join(daily, Seq("event_type", "day_num"), "left")
+      val wPrev = Window.partitionBy("event_type").orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy("day_num")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      joined
+        .withColumn("prev_v", last("n_events", ignoreNulls = true).over(wPrev))
+        .withColumn("prev_d",
+          last(when(col("n_events").isNotNull, col("day_num")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("next_v", first("n_events", ignoreNulls = true).over(wNext))
+        .withColumn("next_d",
+          first(when(col("n_events").isNotNull, col("day_num")), ignoreNulls = true)
+            .over(wNext))
+        .withColumn("n_interp", round(
+          when(col("n_events").isNotNull, col("n_events").cast("double"))
+            .when(col("next_d") === col("prev_d"), col("prev_v").cast("double"))
+            .otherwise(col("prev_v") +
+              ((col("next_v") - col("prev_v")) * (col("day_num") - col("prev_d"))) /
+                (col("next_d") - col("prev_d"))), 6))
+        .withColumn("is_observed", col("n_events").isNotNull.cast("int"))
+        .select("event_type", "day_num", "n_interp", "is_observed")
+        .orderBy("event_type", "day_num")
+    }),
+
     // dynamic pivot: order counts per status x priority; values pinned so
     // the column set (and the oracle's) is stable
     "q35_pivot" -> ((s, d) =>
@@ -698,6 +754,50 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q43_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c.c_custkey, t.o_orderkey""",
+    "q45_interpolate" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num,
+                  count(*) AS n_events
+           FROM events WHERE value >= 250 GROUP BY 1, 2),
+         grid AS (
+           SELECT event_type,
+                  unnest(generate_series(min(day_num), max(day_num))) AS day_num
+           FROM daily GROUP BY event_type),
+         j AS (SELECT g.event_type, g.day_num, d.n_events
+               FROM grid g LEFT JOIN daily d USING (event_type, day_num)),
+         w AS (
+           SELECT event_type, day_num, n_events,
+             last_value(n_events IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY day_num
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             last_value(CASE WHEN n_events IS NOT NULL THEN day_num END
+                        IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY day_num
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+             first_value(n_events IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY day_num
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN n_events IS NOT NULL THEN day_num END
+                         IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY day_num
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+           FROM j)
+         SELECT event_type, day_num,
+                round(CASE WHEN n_events IS NOT NULL THEN CAST(n_events AS DOUBLE)
+                           WHEN next_d = prev_d THEN CAST(prev_v AS DOUBLE)
+                           ELSE prev_v + ((next_v - prev_v) * (day_num - prev_d))
+                                / (next_d - prev_d)
+                      END, 6) AS n_interp,
+                CAST(n_events IS NOT NULL AS INT) AS is_observed
+         FROM w ORDER BY event_type, day_num""",
     "q42_range_frame" ->
       """WITH daily AS (
            SELECT event_type,

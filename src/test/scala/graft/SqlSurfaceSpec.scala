@@ -23,4 +23,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     SqlSurface.registerAll(spark, "/root/testdata/sf0.001")
     assert(spark.sql("SELECT count(*) FROM documents").first().getLong(0) > 0)
   }
+
+  test("NOT IN follows three-valued logic when the subquery yields a null") {
+    SqlSurface.registerTables(spark, "/root/testdata/sf0.001")
+    // one NULL in the IN-list makes every NOT IN comparison UNKNOWN → the
+    // ANSI trap engines must preserve (Spark plans the single-column case
+    // as a null-aware anti join rather than a naive LeftAnti)
+    val withNull = spark.sql(
+      """SELECT count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, o_custkey) FROM orders)""".stripMargin)
+      .first().getLong(0)
+    assert(withNull == 0L, "NOT IN over a null-bearing list must match no rows")
+    // the guarded form is the plain anti join
+    val guarded = spark.sql(
+      """SELECT count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)""".stripMargin)
+      .first().getLong(0)
+    val expected = Tables.customer(spark, "/root/testdata/sf0.001")
+      .join(Tables.orders(spark, "/root/testdata/sf0.001"),
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("o_custkey"), "left_anti")
+      .count()
+    assert(guarded == expected)
+  }
 }
