@@ -475,6 +475,27 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // robust statistics: per-group winsorization — clip to the group's
+    // [p5, p95] band, then average. The exact grouped percentiles come
+    // from one pass (q25's operator); the clip itself is a broadcast join
+    // of a |groups|-row bounds table back onto the fact, so the second
+    // pass never shuffles the fact either.
+    "q46_winsorize" -> ((s, d) => {
+      val l = li(s, d)
+      val bounds = l.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      l.join(broadcast(bounds), "l_returnflag")
+        .withColumn("clipped",
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          r2(avg("l_extendedprice")).as("raw_avg"),
+          r2(avg("clipped")).as("winsorized_avg"),
+          r2(min("lo")).as("p05"), r2(max("hi")).as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
     // dynamic pivot: order counts per status x priority; values pinned so
     // the column set (and the oracle's) is stable
     "q35_pivot" -> ((s, d) =>
@@ -754,6 +775,18 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q46_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+                           quantile_cont(l_extendedprice, 0.05) AS lo,
+                           quantile_cont(l_extendedprice, 0.95) AS hi
+                    FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, count(*) AS n_items,
+                round(avg(l_extendedprice), 2) AS raw_avg,
+                round(avg(least(greatest(l_extendedprice, lo), hi)), 2)
+                  AS winsorized_avg,
+                round(min(lo), 2) AS p05, round(max(hi), 2) AS p95
+         FROM lineitem l JOIN b USING (l_returnflag)
+         GROUP BY 1 ORDER BY 1""",
     "q43_lateral_topk" ->
       """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
          FROM customer c,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.TextOps
@@ -180,6 +181,25 @@ object TrainingOps extends OpsModule {
 
     "td_chunk" -> ((s, d) =>
       TextOps.chunked(docs(s, d)).orderBy("doc_id", "chunk_idx")),
+
+    // deterministic fixed-SIZE per-stratum sample: rank docs inside each
+    // source by a salted hash and keep the n smallest — the reservoir-free
+    // distributed "take exactly n per stratum" (td_hash_sample's rate-based
+    // sibling). Hash ranking is retry/partitioning-stable; the window
+    // shuffles one stratum per partition, and beyond memory the same
+    // semantics drop into the k-bounded TopK Aggregator (emb_knn_topk's
+    // shape).
+    "td_stratified_topn" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("rk_hash").asc, col("doc_id").asc)
+      docs(s, d)
+        .withColumn("rk_hash",
+          TextOps.md5Long(concat(lit("strat:"), col("doc_id").cast("string"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")
+    }),
 
     "td_hash_sample" -> ((s, d) => {
       val rates = (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 50 else 20)).toMap
@@ -790,6 +810,15 @@ object TrainingOps extends OpsModule {
                   AS chunk_text,
                 CAST(least(len(toks) - chunk_idx * 24, 32) AS INT) AS chunk_tokens
          FROM c ORDER BY doc_id, chunk_idx""",
+
+    "td_stratified_topn" ->
+      s"""SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY ${dHash("concat('strat:', CAST(doc_id AS VARCHAR))")} ASC,
+                              doc_id ASC) AS rk
+            FROM documents)
+          WHERE rk <= 5 ORDER BY doc_id""",
 
     "td_hash_sample" ->
       s"""SELECT doc_id, source,
