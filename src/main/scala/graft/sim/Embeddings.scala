@@ -213,6 +213,28 @@ object Embeddings {
     centroids(embeddings).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** Incremental index maintenance: route NEW vectors to their nearest
+    * existing centroid and append those postings partitions — no rebuild,
+    * no touch of existing postings. This is standard IVF lifecycle:
+    * centroids go stale as data drifts (new vectors join the cells that
+    * exist, not the cells that ideally would), and the refresh pass is
+    * [[kmeansAssign]] + [[buildIvfIndex]] when drift accumulates.
+    * Routing is the same argmax-without-a-window as kmeansAssign. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                       embeddings: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+    val routed = e.crossJoin(broadcast(cents))
+      .withColumn("acos", cosine(col("emb"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+    e.join(routed, "vec_id")
+      .select(col("vec_id"), col("emb"), col("vnorm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/postings")
+  }
+
   /** Search a [[buildIvfIndex]]-persisted index. Results are identical to
     * the inline [[ivfSearch]] over the same vectors (spec-asserted). */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,

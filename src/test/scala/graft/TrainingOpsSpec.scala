@@ -161,6 +161,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf index append: new vectors are routed to a cell and found by search") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    try {
+      Embeddings.buildIvfIndex(e, dir)
+      // two near-identical new vectors, far outside the existing id space
+      val base = e.filter(col("vec_id") === 7).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val bumped = base.clone(); bumped(0) = bumped(0) + 0.01f
+      val fresh = Seq((100000L, base), (100001L, bumped))
+        .toDF("vec_id", "embedding")
+      Embeddings.appendToIvfIndex(spark, dir, fresh)
+      val res = Embeddings.searchIvfIndex(spark, dir,
+        col("vec_id") === 100000L, k = 3, nprobe = 1).collect()
+      val neighbors = res.map(_.getAs[Long]("neighbor_id")).toSet
+      // its twin lands in the same cell and ranks first
+      assert(res.head.getAs[Long]("neighbor_id") == 100001L)
+      assert(neighbors.size == 3, "existing postings still searched")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("persisted pq index: search results identical to the inline path") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
