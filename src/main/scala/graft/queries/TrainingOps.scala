@@ -182,6 +182,50 @@ object TrainingOps extends OpsModule {
     "td_chunk" -> ((s, d) =>
       TextOps.chunked(docs(s, d)).orderBy("doc_id", "chunk_idx")),
 
+    // corpus mixture rebalancing: down-sample every source toward the
+    // smallest one. Rates are integer percentages from integer division
+    // ((100·minN) div nᵢ — exact in any engine), applied with the same
+    // md5-bucket filter as td_hash_sample, so the mixture is reproducible
+    // across runs/retries/engines. Output is the per-source audit
+    // (planned rate vs achieved kept count), integers only.
+    "td_mixture_sample" -> ((s, d) => {
+      val dd = docs(s, d)
+      val counts = dd.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val minN = counts.agg(min("n_docs")).first().getLong(0)
+      val rates = counts.withColumn("rate_pct",
+        expr(s"(100 * ${minN}L) div n_docs"))
+      dd.join(broadcast(rates), "source")
+        .withColumn("bucket",
+          TextOps.md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 100)
+        .groupBy("source", "n_docs", "rate_pct")
+        .agg(sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L))
+          .as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // distribution shift per source: KL(P_source ‖ P_corpus) over unigram
+    // distributions — the standard "which slice diverges from the mixture"
+    // diagnostic before reweighting. All probabilities are integer-count
+    // ratios; one vocabulary-keyed join tree, corpus total inlined.
+    "td_source_kl" -> ((s, d) => {
+      val terms = TextOps.tokenized(docs(s, d))
+        .select(col("source"), explode(col("toks")).as("term"))
+      val corpus = terms.groupBy("term").agg(count(lit(1)).as("c_t"))
+      val total = corpus.agg(sum("c_t")).first().getLong(0).toDouble
+      val perSource = terms.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+      val sourceTotals = perSource.groupBy("source").agg(sum("c_st").as("t_s"))
+      perSource
+        .join(broadcast(sourceTotals), "source")
+        .join(corpus, "term")
+        .withColumn("p_s", col("c_st") / col("t_s"))
+        .withColumn("p_c", col("c_t") / lit(total))
+        .groupBy("source")
+        .agg(sum("c_st").as("n_tokens"), count(lit(1)).as("vocab"),
+          round(sum(col("p_s") * log(2.0, col("p_s") / col("p_c"))), 6)
+            .as("kl_bits"))
+        .orderBy("source")
+    }),
+
     // deterministic fixed-SIZE per-stratum sample: rank docs inside each
     // source by a salted hash and keep the n smallest — the reservoir-free
     // distributed "take exactly n per stratum" (td_hash_sample's rate-based
@@ -810,6 +854,34 @@ object TrainingOps extends OpsModule {
                   AS chunk_text,
                 CAST(least(len(toks) - chunk_idx * 24, 32) AS INT) AS chunk_tokens
          FROM c ORDER BY doc_id, chunk_idx""",
+
+    "td_mixture_sample" ->
+      s"""WITH counts AS (SELECT source, count(*) AS n_docs FROM documents
+                          GROUP BY source),
+          m AS (SELECT min(n_docs) AS minn FROM counts),
+          rates AS (SELECT source, n_docs, (100 * minn) // n_docs AS rate_pct
+                    FROM counts, m)
+          SELECT r.source, r.n_docs, r.rate_pct,
+                 CAST(sum(CASE WHEN ${dHash(
+                   "concat('mix:', CAST(d.doc_id AS VARCHAR))")} % 100 < r.rate_pct
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM documents d JOIN rates r USING (source)
+          GROUP BY r.source, r.n_docs, r.rate_pct ORDER BY r.source""",
+
+    "td_source_kl" ->
+      """WITH terms AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                        FROM documents),
+         corpus AS (SELECT term, count(*) AS c_t FROM terms GROUP BY term),
+         tot AS (SELECT CAST(sum(c_t) AS DOUBLE) AS total FROM corpus),
+         st AS (SELECT source, term, count(*) AS c_st FROM terms GROUP BY 1, 2),
+         ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1)
+         SELECT st.source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+                count(*) AS vocab,
+                round(sum((c_st / CAST(t_s AS DOUBLE)) *
+                          log2((c_st / CAST(t_s AS DOUBLE)) / (c_t / total))), 6)
+                  AS kl_bits
+         FROM st JOIN ts USING (source) JOIN corpus USING (term) CROSS JOIN tot
+         GROUP BY st.source ORDER BY st.source""",
 
     "td_stratified_topn" ->
       s"""SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
