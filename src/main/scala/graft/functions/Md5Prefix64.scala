@@ -81,6 +81,12 @@ object GraftFunctions {
       registry.registerFunction(dotIdent, VecDot.info,
         (children: Seq[Expression]) => VecDot(children(0), children(1)))
     }
+    val bdIdent = FunctionIdentifier("bounded_distinct")
+    if (!registry.functionExists(bdIdent)) {
+      registry.registerFunction(bdIdent, BoundedDistinct.info,
+        (children: Seq[Expression]) =>
+          BoundedDistinct(children(0), children(1)).toAggregateExpression())
+    }
     // one call wires the whole custom surface: expressions above, the
     // range-join planner strategy here (idempotent)
     graft.plans.NativeRangeJoin.ensureRegistered(spark)
@@ -94,6 +100,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => Md5Prefix64(children.head)))
     ext.injectFunction((FunctionIdentifier("vec_dot"), VecDot.info,
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("bounded_distinct"), BoundedDistinct.info,
+      (children: Seq[Expression]) =>
+        BoundedDistinct(children(0), children(1)).toAggregateExpression()))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

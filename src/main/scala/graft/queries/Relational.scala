@@ -475,6 +475,18 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // custom TypedImperativeAggregate: deterministic bounded value sample
+    // per group (k smallest distinct) — collect_set's shuffle-safe,
+    // size-bounded replacement; the buffer ships ≤k strings per partition
+    "q47_bounded_distinct" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      ord(s, d).groupBy("o_orderstatus")
+        .agg(expr("array_join(bounded_distinct(o_orderpriority, 3), ',')")
+          .as("sample_priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
     // robust statistics: per-group winsorization — clip to the group's
     // [p5, p95] band, then average. The exact grouped percentiles come
     // from one pass (q25's operator); the clip itself is a broadcast join
@@ -775,6 +787,13 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q47_bounded_distinct" ->
+      """SELECT o_orderstatus,
+                array_to_string(
+                  list_sort(list_distinct(list(o_orderpriority)))[1:3], ',')
+                  AS sample_priorities,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q46_winsorize" ->
       """WITH b AS (SELECT l_returnflag,
                            quantile_cont(l_extendedprice, 0.05) AS lo,
