@@ -36,6 +36,31 @@ class LakehouseReadSpec extends AnyFunSuite {
     }
   }
 
+  test("CSV, JSON and ORC round-trip with explicit schemas") {
+    // the reference ships JSON only (§2.1); the engine covers every
+    // columnar/text format Spark serves natively. Explicit schemas on
+    // read: schema inference is a full extra pass at 100 TB.
+    import spark.implicits._
+    val df = Seq((1L, "a,b\"c", 1.5), (2L, null.asInstanceOf[String], -0.25))
+      .toDF("id", "s", "v")
+    val expect = df.collect().map(_.toSeq).toSet
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString
+      try {
+        val w = df.write.mode("overwrite")
+        (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(dir)
+        val r = spark.read.schema(df.schema)
+        val back = (if (fmt == "csv") r.option("header", "true") else r)
+          .format(fmt).load(dir)
+        assert(back.collect().map(_.toSeq).toSet == expect,
+          s"$fmt round-trip drifted")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      }
+    }
+  }
+
   test("_metadata columns attribute every row to its source file") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey"), col("_metadata.file_name").as("f"),
