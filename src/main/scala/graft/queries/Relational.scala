@@ -475,6 +475,23 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // FULL OUTER join — the one join flavor the rest of the surface
+    // doesn't exercise: per-nation customer vs supplier presence, keeping
+    // nations that have either side only (coalesced keys + zero-filled
+    // counts). Both inputs pre-aggregate to nation grain, so the outer
+    // join is dimension-sized.
+    "q48_full_outer" -> ((s, d) => {
+      val c = cust(s, d).groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_customers"))
+      val p = supp(s, d).groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(p, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .orderBy("nationkey")
+    }),
+
     // custom TypedImperativeAggregate: deterministic bounded value sample
     // per group (k smallest distinct) — collect_set's shuffle-safe,
     // size-bounded replacement; the buffer ships ≤k strings per partition
@@ -787,6 +804,16 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q48_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_customers
+                    FROM customer GROUP BY 1),
+         p AS (SELECT s_nationkey AS sk, count(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+         SELECT coalesce(ck, sk) AS nationkey,
+                coalesce(n_customers, 0) AS n_customers,
+                coalesce(n_suppliers, 0) AS n_suppliers
+         FROM c FULL OUTER JOIN p ON ck = sk
+         ORDER BY nationkey""",
     "q47_bounded_distinct" ->
       """SELECT o_orderstatus,
                 array_to_string(

@@ -210,9 +210,12 @@ object TrainingOps extends OpsModule {
     "td_source_kl" -> ((s, d) => {
       val terms = TextOps.tokenized(docs(s, d))
         .select(col("source"), explode(col("toks")).as("term"))
-      val corpus = terms.groupBy("term").agg(count(lit(1)).as("c_t"))
-      val total = corpus.agg(sum("c_t")).first().getLong(0).toDouble
       val perSource = terms.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+      // corpus counts derive FROM the per-source aggregation (sum of the
+      // partials), so the exploded corpus is aggregated once and both
+      // consumers share the shuffle via exchange reuse — td_tfidf's trick
+      val corpus = perSource.groupBy("term").agg(sum("c_st").as("c_t"))
+      val total = corpus.agg(sum("c_t")).first().getLong(0).toDouble
       val sourceTotals = perSource.groupBy("source").agg(sum("c_st").as("t_s"))
       perSource
         .join(broadcast(sourceTotals), "source")
