@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Typed view of one row of the events table (TESTDATA.md). */
 final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -159,5 +161,68 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** [[sessionize]] re-expressed on Spark 4's transformWithState — the
+    * successor API for arbitrary stateful processing: typed state handles
+    * (ValueState/ListState/MapState, optional TTL) instead of one blob,
+    * and explicit event-time TIMERS instead of a single per-key timeout.
+    * The session state is the same fixed-size SessionBuf; each batch
+    * re-arms a timer at `last event + gap`, and a firing timer emits only
+    * if the watermark really passed the CURRENT session's deadline (an
+    * earlier, stale timer for a since-extended session just re-arms).
+    * Requires the RocksDB state store provider — which is the configuration
+    * this engine runs stateful streaming on anyway (see RocksDbProvider).
+    */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var state: ValueState[SessionBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionBuf]("session",
+        Encoders.product[SessionBuf], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val evs = rows.toVector
+      val lo = evs.iterator.map(_.ts.getTime).min
+      val hi = evs.iterator.map(_.ts.getTime).max
+      val sum = evs.iterator.map(_.value).sum
+      val merged =
+        if (state.exists()) {
+          val s = state.get()
+          SessionBuf(math.min(s.startMs, lo), math.max(s.endMs, hi),
+            s.n + evs.size, s.total + sum)
+        } else SessionBuf(lo, hi, evs.size, sum)
+      state.update(merged)
+      getHandle.registerTimer(merged.endMs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Session] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val s = state.get()
+        // a stale timer (session was extended after it was armed) fires
+        // before the real deadline — ignore it, the later timer is armed
+        if (tv.getCurrentWatermarkInMs() < s.endMs + gapMs) Iterator.empty
+        else {
+          state.clear()
+          Iterator(Session(userId, new java.sql.Timestamp(s.startMs),
+            new java.sql.Timestamp(s.endMs), s.n, s.total))
+        }
+      }
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Int = 30,
+                    watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -39,6 +39,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization: timers close sessions like the fMGWS path") {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, EventStreams.RocksDbProvider)
+    try {
+      val input = MemoryStream[Event](spark)
+      val q = EventStreams.sessionizeTws(input.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Event(1, ts(0), 7, "click", 1.5),
+          Event(2, ts(10), 7, "view", 2.5))
+        q.processAllAvailable()
+        assert(spark.table("sess_tws").count() == 0) // session still open
+        input.addData(Event(3, ts(100), 8, "click", 9.0))
+        q.processAllAvailable()
+        input.addData(Event(4, ts(200), 9, "click", 0.0))
+        q.processAllAvailable()
+        val sessions = spark.table("sess_tws").orderBy("user_id").collect()
+        val s7 = sessions.find(_.getLong(0) == 7L).get
+        assert(s7.getTimestamp(1) == ts(0) && s7.getTimestamp(2) == ts(10))
+        assert(s7.getInt(3) == 2 && s7.getDouble(4) == 4.0)
+        assert(sessions.exists(_.getLong(0) == 8L),
+          "user 8's single-event session should close too")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("windowed counts on the RocksDB state store: same results, rocksdb metrics live") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
