@@ -475,6 +475,24 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // data-quality expectations: N row rules in ONE scan (conditional
+    // sums), uniqueness via distinct count, referential integrity via one
+    // left join — the publish gate a batch passes before it lands
+    "q49_expectations" -> ((s, d) => {
+      import graft.ops.Expectations._
+      val l = li(s, d)
+      val rowReport = checkRows(l, Seq(
+        Rule("qty_positive", col("l_quantity") <= 0),
+        Rule("discount_in_unit_range",
+          col("l_discount") < 0 || col("l_discount") > 1),
+        Rule("shipdate_present", col("l_shipdate").isNull),
+        Rule("tax_nonnegative", col("l_tax") < 0)))
+      val pkReport = checkUnique(ord(s, d), "orders_pk_unique", Seq("o_orderkey"))
+      val fkReport = checkReferential(l, ord(s, d), "lineitem_fk_orders",
+        "l_orderkey", "o_orderkey")
+      rowReport.unionByName(pkReport).unionByName(fkReport).orderBy("rule")
+    }),
+
     // FULL OUTER join — the one join flavor the rest of the surface
     // doesn't exercise: per-nation customer vs supplier presence, keeping
     // nations that have either side only (coalesced keys + zero-filled
@@ -804,6 +822,40 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q49_expectations" ->
+      """WITH rowr AS (
+           SELECT count(*) AS n_checked,
+                  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS qty_positive,
+                  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_unit_range,
+                  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_present,
+                  CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tax_nonnegative
+           FROM lineitem),
+         pk AS (SELECT count(*) AS n_checked,
+                       count(*) - count(DISTINCT o_orderkey) AS n_violations
+                FROM orders),
+         fk AS (SELECT count(*) AS n_checked,
+                       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+                FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                  ON l.l_orderkey = o.o_orderkey)
+         SELECT * FROM (
+           SELECT 'qty_positive' AS rule, qty_positive AS n_violations,
+                  n_checked, qty_positive = 0 AS passed FROM rowr
+           UNION ALL
+           SELECT 'discount_in_unit_range', discount_in_unit_range, n_checked,
+                  discount_in_unit_range = 0 FROM rowr
+           UNION ALL
+           SELECT 'shipdate_present', shipdate_present, n_checked,
+                  shipdate_present = 0 FROM rowr
+           UNION ALL
+           SELECT 'tax_nonnegative', tax_nonnegative, n_checked,
+                  tax_nonnegative = 0 FROM rowr
+           UNION ALL
+           SELECT 'orders_pk_unique', n_violations, n_checked,
+                  n_violations = 0 FROM pk
+           UNION ALL
+           SELECT 'lineitem_fk_orders', n_violations, n_checked,
+                  n_violations = 0 FROM fk)
+         ORDER BY rule""",
     "q48_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_customers
                     FROM customer GROUP BY 1),
