@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The operators composed into the actual corpus-curation workflow — the
+  * end-to-end shape a 100 TB training-data build runs, stage by stage:
+  *
+  *   normalize → signals (quality × language × repetition) → exact dedup →
+  *   near-dedup (MinHash-LSH candidates → verified clusters) →
+  *   decontaminate vs an eval set → split assignment → audit counts
+  *
+  * Each stage is one of the verified operators ([[TextOps]]); this module
+  * only WIRES them, adding nothing semantic — so the composite inherits
+  * every per-operator guarantee (determinism, blocked pair generation,
+  * hash-only shuffles). Output: the curated corpus plus a per-stage audit
+  * (the observability td_funnel provides for its own flag set).
+  *
+  * Scale notes: every stage is a narrow addition or an already-blocked
+  * operator; the corpus is never collected, and the only whole-corpus
+  * shuffles are the dedup groupings on 16-byte hashes. Stage order
+  * matters and is the standard one — cheap row-local filters first so the
+  * quadratic-ish dedup stages see the smallest corpus that still needs
+  * them, decontamination last so it cannot resurrect near-dup survivors.
+  */
+object CurationPipeline {
+
+  final case class Result(curated: DataFrame, audit: DataFrame)
+
+  def run(docs: DataFrame, benchmark: DataFrame): Result = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // stage 1: normalize + row-local signals; keep docs that pass the
+    // cheap gates before any pair work happens
+    val signals = TextOps.qualityScores(docs).select("doc_id", "quality_bucket")
+      .join(TextOps.langId(docs).select("doc_id", "lang_match"), "doc_id")
+      .join(TextOps.repetitionSignals(docs)
+        .select(col("doc_id"), col("top_token_fraction")), "doc_id")
+    val gated = docs.join(signals, "doc_id")
+      .filter(col("quality_bucket") =!= "low" && col("lang_match") === 1 &&
+        col("top_token_fraction") < 0.5)
+      .select(docs.columns.map(col): _*)
+
+    // stage 2: exact dedup — canonical doc per content hash
+    val exact = gated
+      .withColumn("h", md5(TextOps.normalized(col("text"))))
+      .withColumn("canonical",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("doc_id") === col("canonical"))
+      .drop("h", "canonical")
+
+    // stage 3: near-dedup — LSH candidates verified by Jaccard, resolved
+    // to clusters, keep each cluster's canonical member
+    val clusters = TextOps.dedupClusters(TextOps.nearDupPairs(exact))
+    val nearDeduped = exact.join(
+      clusters.filter(col("doc_id") =!= col("canonical_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+    // stage 4: decontaminate against the benchmark slice
+    val curated = TextOps.decontaminate(nearDeduped, benchmark)
+
+    // stage 5: deterministic split assignment rides along
+    val withSplit = curated.select(
+      col("*") +: Seq(TextOps.assignSplit().as("split")): _*)
+
+    val audit = Seq(
+      ("0_input", docs.count()),
+      ("1_gated", gated.count()),
+      ("2_exact_dedup", exact.count()),
+      ("3_near_dedup", nearDeduped.count()),
+      ("4_decontaminated", curated.count()))
+      .toDF("stage", "n_docs")
+    Result(withSplit, audit)
+  }
+}
