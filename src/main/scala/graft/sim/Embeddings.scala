@@ -428,14 +428,20 @@ object Embeddings {
     * Shape: corpus × broadcast(codebook) with the per-subspace argmin as
     * `max(struct(-dist, -cell))` — map-side combinable, no window, ties
     * break to the lowest cell id in any engine. */
-  def pqCodes(embeddings: DataFrame, m: Int = 4): DataFrame = {
+  def pqCodes(embeddings: DataFrame, m: Int = 4): DataFrame =
+    pqCodesWith(embeddings, centroids(embeddings), m)
+
+  /** [[pqCodes]] against an already-derived codebook — callers that also
+    * need the centroids elsewhere (pqSearch's LUT, a persisted index
+    * build) pass them in so the centroid aggregation runs once. */
+  def pqCodesWith(embeddings: DataFrame, cents: DataFrame, m: Int): DataFrame = {
     val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val dsub = dims / m
     val e = pqProject(
       embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
       "emb", Seq(col("vec_id")), m, dsub, "e")
-    val c = pqProject(centroids(embeddings), "cemb", Seq(col("cell")), m, dsub, "c")
+    val c = pqProject(cents, "cemb", Seq(col("cell")), m, dsub, "c")
     val scored = e.crossJoin(broadcast(c))
     val aggs = (0 until m).map { j =>
       max(struct(
@@ -461,8 +467,9 @@ object Embeddings {
     val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
     val queries = embeddings.filter(queryFilter)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qemb"))
-    pqSearchCore(pqCodes(embeddings, m), centroids(embeddings), queries,
-      k, m, dims)
+    // one centroid derivation feeds both the code assignment and the LUT
+    val cents = centroids(embeddings)
+    pqSearchCore(pqCodesWith(embeddings, cents, m), cents, queries, k, m, dims)
   }
 
   /** Persist the PQ index — codes + codebook, the PQ sibling of
