@@ -475,6 +475,21 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // transcendental/math function family parity: sin/cos/sqrt/exp/pow/
+    // atan2/log10 through rounded aggregates — the numeric-library
+    // surface every analytics engine must agree on (JVM Math vs C libm
+    // differ at most in the last ulp, far inside the rounding)
+    "q50_math_funcs" -> ((s, d) =>
+      ev(s, d).groupBy("event_type").agg(
+        round(sum(sin(radians(col("value")))), 6).as("sum_sin"),
+        round(sum(cos(radians(col("value")))), 6).as("sum_cos"),
+        round(avg(sqrt(abs(col("value")))), 6).as("avg_sqrt"),
+        round(avg(exp(col("value") / 100)), 6).as("avg_exp"),
+        round(max(pow(col("value"), lit(1.5))), 6).as("max_pow"),
+        round(avg(atan2(col("value"), lit(100.0))), 6).as("avg_atan2"),
+        round(avg(log10(col("value") + 1)), 6).as("avg_log10"))
+        .orderBy("event_type")),
+
     // data-quality expectations: N row rules in ONE scan (conditional
     // sums), uniqueness via distinct count, referential integrity via one
     // left join — the publish gate a batch passes before it lands
@@ -822,6 +837,16 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q50_math_funcs" ->
+      """SELECT event_type,
+                round(sum(sin(radians(value))), 6) AS sum_sin,
+                round(sum(cos(radians(value))), 6) AS sum_cos,
+                round(avg(sqrt(abs(value))), 6) AS avg_sqrt,
+                round(avg(exp(value / 100)), 6) AS avg_exp,
+                round(max(pow(value, 1.5)), 6) AS max_pow,
+                round(avg(atan2(value, 100.0)), 6) AS avg_atan2,
+                round(avg(log10(value + 1)), 6) AS avg_log10
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q49_expectations" ->
       """WITH rowr AS (
            SELECT count(*) AS n_checked,
