@@ -475,6 +475,20 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // date/time function family — a surface the reference has NONE of
+    // (SURVEY §2.2: "no date arithmetic anywhere"): truncation, parts,
+    // month-end, interval arithmetic, day spans, all on the month grain
+    "q51_date_funcs" -> ((s, d) =>
+      ord(s, d).groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(count(lit(1)).as("n"),
+          year(min("o_orderdate")).as("yr"),
+          quarter(min("o_orderdate")).as("qtr"),
+          last_day(to_date(min("o_orderdate"))).as("month_end"))
+        .withColumn("next_month", add_months(col("month"), 1))
+        .withColumn("days_in_month",
+          datediff(col("month_end"), col("month")) + 1)
+        .orderBy("month")),
+
     // transcendental/math function family parity: sin/cos/sqrt/exp/pow/
     // atan2/log10 through rounded aggregates — the numeric-library
     // surface every analytics engine must agree on (JVM Math vs C libm
@@ -837,6 +851,18 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q51_date_funcs" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                count(*) AS n,
+                CAST(year(min(o_orderdate)) AS INT) AS yr,
+                CAST(quarter(min(o_orderdate)) AS INT) AS qtr,
+                last_day(CAST(min(o_orderdate) AS DATE)) AS month_end,
+                CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                     + INTERVAL 1 MONTH AS DATE) AS next_month,
+                CAST(datediff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
+                     last_day(CAST(min(o_orderdate) AS DATE))) AS INT) + 1
+                  AS days_in_month
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q50_math_funcs" ->
       """SELECT event_type,
                 round(sum(sin(radians(value))), 6) AS sum_sin,
