@@ -475,6 +475,18 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // ANSI FILTER clause on aggregates — the standard syntax behind the
+    // SUM(CASE...) pivots (A2); one SQL text serves both engines
+    "q52_filter_clause" -> ((s, d) => {
+      graft.SqlSurface.registerTables(s, d)
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+          |       round(avg(o_totalprice)
+          |             FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS avg_urgent
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // date/time function family — a surface the reference has NONE of
     // (SURVEY §2.2: "no date arithmetic anywhere"): truncation, parts,
     // month-end, interval arithmetic, day spans, all on the month grain
@@ -851,6 +863,12 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q52_filter_clause" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+                round(avg(o_totalprice)
+                      FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS avg_urgent
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q51_date_funcs" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                 count(*) AS n,
