@@ -19,7 +19,7 @@ class DeterminismSpec extends AnyFunSuite {
   // TF-IDF ranking
   private val sensitive = Seq("td_unigram_logprob", "td_bigram_logprob",
     "td_entropy", "q45_interpolate", "q46_winsorize", "emb_pq_knn",
-    "td_tfidf_top_term", "q1_agg")
+    "td_tfidf_top_term", "q1_agg", "q50_math_funcs", "td_source_kl")
 
   test("float-bearing queries are bit-identical across shuffle widths") {
     val key = "spark.sql.shuffle.partitions"
