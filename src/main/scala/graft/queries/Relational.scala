@@ -475,6 +475,29 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // conversion funnel over the event stream: per first-view cohort day,
+    // how many viewers purchased within the hour. The retention query's
+    // (q40) sibling — two user-grain aggregations co-partitioned on
+    // user_id, integer counts, one interval comparison.
+    "q53_conversion" -> ((s, d) => {
+      val e = ev(s, d)
+      val firstView = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("fv"))
+      val firstPurchase = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+        .join(firstView, "user_id")
+        .filter(col("pts") > col("fv"))
+        .groupBy("user_id").agg(min("pts").as("fp"))
+      firstView.join(firstPurchase, Seq("user_id"), "left")
+        .groupBy(to_date(col("fv")).as("cohort_date"))
+        .agg(count(lit(1)).as("n_viewers"),
+          sum(when(col("fp") <= col("fv") + expr("INTERVAL 1 HOUR"), 1L)
+            .otherwise(0L)).as("n_converted"))
+        .withColumn("conv_rate", round(
+          col("n_converted").cast("double") / col("n_viewers"), 6))
+        .orderBy("cohort_date")
+    }),
+
     // ANSI FILTER clause on aggregates — the standard syntax behind the
     // SUM(CASE...) pivots (A2); one SQL text serves both engines
     "q52_filter_clause" -> ((s, d) => {
@@ -863,6 +886,22 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q53_conversion" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS fv FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         fp AS (SELECT e.user_id, min(e.ts) AS fp
+                FROM events e JOIN fv USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > fv.fv
+                GROUP BY e.user_id)
+         SELECT CAST(fv.fv AS DATE) AS cohort_date,
+                count(*) AS n_viewers,
+                CAST(sum(CASE WHEN fp.fp <= fv.fv + INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                round(CAST(sum(CASE WHEN fp.fp <= fv.fv + INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                  AS conv_rate
+         FROM fv LEFT JOIN fp USING (user_id)
+         GROUP BY 1 ORDER BY cohort_date""",
     "q52_filter_clause" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
                 count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,

@@ -349,6 +349,14 @@ object TrainingOps extends OpsModule {
     "emb_kmeans_step" -> ((s, d) =>
       Embeddings.kmeansAssign(embs(s, d)).orderBy("vec_id")),
 
+    "emb_silhouette" -> ((s, d) =>
+      Embeddings.silhouette(embs(s, d)).orderBy("cell")),
+
+    "td_lang_confusion" -> ((s, d) =>
+      TextOps.langId(docs(s, d))
+        .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted_lang")),
+
     // the evaluation loop of the ANN story: recall@5 of the IVF probe
     // against exact brute force, per query — an approximate index you
     // can't measure is an index you can't trust
@@ -1131,6 +1139,26 @@ object TrainingOps extends OpsModule {
           FROM brute b LEFT JOIN ivf i
             ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
           GROUP BY b.query_id ORDER BY b.query_id""",
+
+    "emb_silhouette" ->
+      s"""WITH $duckCosPrelude, $duckCentroids,
+          scored AS (
+            SELECT e.vec_id, e.cell AS own, c.cell,
+                   ${dCos("e.emb", "c.cemb")} AS acos
+            FROM e, cent c),
+          ab AS (
+            SELECT vec_id, own,
+                   max(CASE WHEN cell = own THEN acos END) AS a,
+                   max(CASE WHEN cell != own THEN acos END) AS b
+            FROM scored GROUP BY vec_id, own)
+          SELECT own AS cell, count(*) AS n_vectors,
+                 round(avg(a - b), 6) AS avg_silhouette
+          FROM ab GROUP BY own ORDER BY cell""",
+
+    "td_lang_confusion" ->
+      s"""SELECT lang, $langCase AS predicted_lang, count(*) AS n_docs
+          FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
+          GROUP BY 1, 2 ORDER BY lang, predicted_lang""",
 
     "emb_kmeans_step" ->
       s"""WITH $duckCosPrelude, $duckCentroids,

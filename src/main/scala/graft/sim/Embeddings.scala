@@ -532,6 +532,29 @@ object Embeddings {
         round(col("est_dist"), 6).as("est_dist"), col("knn_rank"))
   }
 
+  /** Cluster-quality metric (centroid silhouette): per vector,
+    * a = cosine to its OWN cell's centroid, b = best cosine to any OTHER
+    * centroid; s = a − b. Positive s = the vector sits closer to its own
+    * centroid than to any rival — averaged per cell this is the cheap,
+    * one-pass health check that tells you when the IVF/PQ cell structure
+    * has drifted enough to warrant a [[kmeansAssign]] refresh (full
+    * silhouette is O(N²); the centroid form is O(N·cells)). Same
+    * argmax-free shape as kmeansAssign: conditional maxes under one
+    * groupBy, no window. */
+  def silhouette(embeddings: DataFrame): DataFrame = {
+    val cents = centroids(embeddings)
+    val e = embeddings.select(col("vec_id"), col("label").as("own"),
+      asDouble(col("embedding")).as("emb"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("acos", cosine(col("emb"), col("cemb")))
+      .groupBy("vec_id", "own")
+      .agg(max(when(col("cell") === col("own"), col("acos"))).as("a"),
+        max(when(col("cell") =!= col("own"), col("acos"))).as("b"))
+      .groupBy(col("own").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("a") - col("b")), 6).as("avg_silhouette"))
+  }
+
   /** Per-cell stats: size, centroid norm, mean vector norm. */
   def clusterStats(embeddings: DataFrame): DataFrame = {
     val perRow = embeddings.select(col("label").as("cell"),

@@ -22,7 +22,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_quant_knn",
     // every vector scores against every centroid by design; the broadcast
     // side is the centroid table, bounded by cell count
-    "emb_kmeans_step", "emb_pq_codes", "emb_pq_knn",
+    "emb_kmeans_step", "emb_pq_codes", "emb_pq_knn", "emb_silhouette",
     // composes knnBruteForce + ivfSearch, so it inherits their intentional
     // broadcast-query-set scoring joins
     "emb_ann_recall")
