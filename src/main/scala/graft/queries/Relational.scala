@@ -475,6 +475,35 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // market-basket co-occurrence: part pairs appearing in the same order,
+    // ranked by support — text PMI's (td_pmi_pairs) retail sibling. The
+    // pair join is blocked by order (fan-out bounded by lines-per-order²),
+    // and parts dedupe within an order first so support counts orders.
+    "q54_basket_pairs" -> ((s, d) => {
+      val items = li(s, d).select("l_orderkey", "l_partkey").distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
+    // sequence analytics: per-customer order-priority transition counts
+    // (the Markov-transition rollup). lag over the per-customer order
+    // sequence — one shuffle on the entity key, ties broken by orderkey.
+    "q55_order_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      ord(s, d)
+        .withColumn("prev_priority", lag("o_orderpriority", 1).over(w))
+        .filter(col("prev_priority").isNotNull)
+        .groupBy(col("prev_priority"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy("prev_priority", "priority")
+    }),
+
     // conversion funnel over the event stream: per first-view cohort day,
     // how many viewers purchased within the hour. The retention query's
     // (q40) sibling — two user-grain aggregations co-partitioned on
@@ -886,6 +915,24 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q54_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                count(*) AS support
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         ORDER BY support DESC, part_a, part_b LIMIT 20""",
+    "q55_order_transitions" ->
+      """WITH seq AS (
+           SELECT o_custkey, o_orderpriority,
+                  lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_priority
+           FROM orders)
+         SELECT prev_priority, o_orderpriority AS priority,
+                count(*) AS n_transitions
+         FROM seq WHERE prev_priority IS NOT NULL
+         GROUP BY 1, 2 ORDER BY prev_priority, priority""",
     "q53_conversion" ->
       """WITH fv AS (SELECT user_id, min(ts) AS fv FROM events
                      WHERE event_type = 'view' GROUP BY user_id),

@@ -357,6 +357,27 @@ object TrainingOps extends OpsModule {
         .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "predicted_lang")),
 
+    // vocabulary coverage of the held-out splits by the train split — the
+    // OOV-rate eval that catches a train/eval distribution break before a
+    // tokenizer or LM does. Train vocabulary is a distinct-term set
+    // (broadcastable at vocab scale, never corpus scale).
+    "td_split_coverage" -> ((s, d) => {
+      val terms = TextOps.tokenized(docs(s, d))
+        .select(col("doc_id"), TextOps.assignSplit().as("split"),
+          explode(array_distinct(col("toks"))).as("term"))
+      val trainVocab = terms.filter(col("split") === "train")
+        .select("term").distinct()
+      terms.filter(col("split") =!= "train")
+        .join(trainVocab.withColumn("in_train", lit(1)), Seq("term"), "left")
+        .groupBy("split")
+        .agg(countDistinct("term").as("n_terms"),
+          countDistinct(when(col("in_train") === 1, col("term")))
+            .as("n_covered"))
+        .withColumn("coverage", round(
+          col("n_covered").cast("double") / col("n_terms"), 6))
+        .orderBy("split")
+    }),
+
     // the evaluation loop of the ANN story: recall@5 of the IVF probe
     // against exact brute force, per query — an approximate index you
     // can't measure is an index you can't trust
@@ -1159,6 +1180,28 @@ object TrainingOps extends OpsModule {
       s"""SELECT lang, $langCase AS predicted_lang, count(*) AS n_docs
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           GROUP BY 1, 2 ORDER BY lang, predicted_lang""",
+
+    "td_split_coverage" -> {
+      val split =
+        s"""CASE WHEN ${dHash("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90
+                 THEN 'train'
+                 WHEN ${dHash("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 95
+                 THEN 'val' ELSE 'test' END"""
+      s"""WITH terms AS (
+            SELECT doc_id, $split AS split,
+                   unnest(list_distinct(string_split(text, ' '))) AS term
+            FROM documents),
+          tv AS (SELECT DISTINCT term FROM terms WHERE split = 'train')
+          SELECT t.split, count(DISTINCT t.term) AS n_terms,
+                 count(DISTINCT CASE WHEN tv.term IS NOT NULL THEN t.term END)
+                   AS n_covered,
+                 round(CAST(count(DISTINCT CASE WHEN tv.term IS NOT NULL
+                            THEN t.term END) AS DOUBLE)
+                       / count(DISTINCT t.term), 6) AS coverage
+          FROM terms t LEFT JOIN tv USING (term)
+          WHERE t.split != 'train'
+          GROUP BY t.split ORDER BY t.split"""
+    },
 
     "emb_kmeans_step" ->
       s"""WITH $duckCosPrelude, $duckCentroids,
