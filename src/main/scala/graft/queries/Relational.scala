@@ -475,6 +475,21 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): the join
+    // flavor where NULL keys MATCH each other — required when a nullable
+    // derived key partitions both sides and the null bucket must
+    // reconcile, not silently drop (a plain = join loses it)
+    "q56_null_safe_join" -> ((s, d) => {
+      def side(parity: Int, n: String) = ord(s, d)
+        .filter(col("o_orderkey") % 2 === parity)
+        .groupBy(nullif(col("o_orderpriority"), lit("5-LOW")).as(s"k_$parity"))
+        .agg(count(lit(1)).as(n))
+      side(0, "n_even").join(side(1, "n_odd"),
+          col("k_0") <=> col("k_1"), "inner")
+        .select(col("k_0").as("priority_key"), col("n_even"), col("n_odd"))
+        .orderBy(col("priority_key").asc_nulls_first)
+    }),
+
     // market-basket co-occurrence: part pairs appearing in the same order,
     // ranked by support — text PMI's (td_pmi_pairs) retail sibling. The
     // pair join is blocked by order (fan-out bounded by lines-per-order²),
@@ -915,6 +930,16 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q56_null_safe_join" ->
+      """WITH a AS (SELECT nullif(o_orderpriority, '5-LOW') AS k,
+                           count(*) AS n_even
+                    FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+         b AS (SELECT nullif(o_orderpriority, '5-LOW') AS k,
+                      count(*) AS n_odd
+               FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+         SELECT a.k AS priority_key, a.n_even, b.n_odd
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY priority_key ASC NULLS FIRST""",
     "q54_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
