@@ -475,6 +475,23 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // higher-order array functions as first-class query surface (the
+    // same transform/filter/aggregate family the vector ops build on):
+    // per order, the sorted quantity list and three HOF folds over it.
+    // collect_list alone is partitioning-ordered — sort_array makes it
+    // deterministic; the left-fold sum then runs in sorted order on both
+    // engines.
+    "q57_array_hof" -> ((s, d) =>
+      li(s, d).groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).as("n_items"),
+          size(filter(col("qs"), q => q > 25)).as("n_big"),
+          round(aggregate(col("qs"), lit(0.0), (acc, q) => acc + q), 2)
+            .as("total_qty"),
+          exists(col("qs"), q => q > 45).cast("int").as("has_jumbo"))
+        .orderBy("l_orderkey")),
+
     // null-safe equality join (<=> / IS NOT DISTINCT FROM): the join
     // flavor where NULL keys MATCH each other — required when a nullable
     // derived key partitions both sides and the null bucket must
@@ -930,6 +947,16 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q57_array_hof" ->
+      """SELECT l_orderkey,
+                CAST(len(qs) AS INT) AS n_items,
+                CAST(len(list_filter(qs, q -> q > 25)) AS INT) AS n_big,
+                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), qs),
+                      (acc, q) -> acc + q), 2) AS total_qty,
+                CAST(len(list_filter(qs, q -> q > 45)) > 0 AS INT) AS has_jumbo
+         FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+               FROM lineitem GROUP BY 1)
+         ORDER BY l_orderkey""",
     "q56_null_safe_join" ->
       """WITH a AS (SELECT nullif(o_orderpriority, '5-LOW') AS k,
                            count(*) AS n_even
