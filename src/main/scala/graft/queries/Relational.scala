@@ -508,16 +508,23 @@ object Relational extends OpsModule {
     }),
 
     // market-basket co-occurrence: part pairs appearing in the same order,
-    // ranked by support — text PMI's (td_pmi_pairs) retail sibling. The
-    // pair join is blocked by order (fan-out bounded by lines-per-order²),
-    // and parts dedupe within an order first so support counts orders.
+    // ranked by support — text PMI's (td_pmi_pairs) retail sibling. Pair
+    // generation is ROW-LOCAL: baskets collect into a sorted array and
+    // the i<j pairs expand via nested transforms — no self-join, one
+    // basket shuffle, and the quadratic fan-out is bounded per basket
+    // (sorted array ⟹ part_a < part_b by construction).
     "q54_basket_pairs" -> ((s, d) => {
-      val items = li(s, d).select("l_orderkey", "l_partkey").distinct()
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, Seq("l_orderkey"))
-        .filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+      // collect_set dedups inside the one basket aggregation — a separate
+      // distinct would add a second full shuffle of the fact
+      val baskets = li(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      baskets
+        .select(explode(flatten(transform(col("parts"), (x, i) =>
+          transform(slice(col("parts"), i + 2, size(col("parts"))),
+            y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+        .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        .agg(count(lit(1)).as("support"))
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
         .limit(20)
     }),
