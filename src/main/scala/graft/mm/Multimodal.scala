@@ -124,4 +124,22 @@ object Multimodal {
                                     idx: org.apache.spark.sql.Column,
                                     stride: Int): org.apache.spark.sql.Column =
     expr(s"substring(content, frame_idx * $stride + 1, $stride)")
+
+  /** Audio-style windowed energy: treat the content bytes as PCM-ish
+    * samples, window them, and fold each window to Σ sample-values — the
+    * waveform feature extraction (RMS/VAD precursor) of an audio lake.
+    * The window explode + per-window fold are pure column expressions
+    * over the binary column; a real build swaps the byte fold for a
+    * decoded-sample fold with identical shape. */
+  def audioEnergy(media: DataFrame, window: Int = 32): DataFrame =
+    media
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0),
+          greatest(ceil(length(col("content")).cast("double") / window)
+            .cast("int") - 1, lit(0)))).as("win_idx"))
+      .select(col("doc_id"), col("win_idx"),
+        aggregate(
+          transform(
+            split(expr(s"cast(substring(content, win_idx * $window + 1, $window) as string)"), ""),
+          ch => ascii(ch)), lit(0L), (acc, v) => acc + v).as("energy"))
 }

@@ -404,6 +404,10 @@ object TrainingOps extends OpsModule {
       Multimodal.frameSample(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy("doc_id", "frame_idx")),
 
+    "mm_audio_energy" -> ((s, d) =>
+      Multimodal.audioEnergy(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy("doc_id", "win_idx")),
+
     "mm_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizeBatched(
@@ -1239,6 +1243,18 @@ object TrainingOps extends OpsModule {
                       ((n_chars % 48) * 10 + 48), 6) AS aspect_ratio
          FROM documents ORDER BY doc_id""",
 
+    "mm_audio_energy" ->
+      """SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+                CAST(list_sum(list_transform(
+                  generate_series(1, len(substr(text, win_idx * 32 + 1, 32))),
+                  i -> ascii(substr(substr(text, win_idx * 32 + 1, 32), i, 1))))
+                  AS BIGINT) AS energy
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(0,
+                        greatest(CAST(ceil(len(text) / 32.0) AS INT) - 1, 0)))
+                        AS win_idx
+               FROM documents)
+         ORDER BY doc_id, win_idx""",
     "mm_resize" ->
       """SELECT doc_id,
                 CAST(((n_chars % 64) * 10 + 64) // 2 AS INT) AS new_width,
