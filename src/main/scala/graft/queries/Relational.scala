@@ -475,6 +475,17 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // GROUP BY ALL — the modern SQL shorthand (grouped by every
+    // non-aggregate select item); one text on both engines
+    "q58_group_by_all" -> ((s, d) => {
+      graft.SqlSurface.registerTables(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       round(sum(l_quantity), 2) AS qty
+          |FROM lineitem GROUP BY ALL
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // higher-order array functions as first-class query surface (the
     // same transform/filter/aggregate family the vector ops build on):
     // per order, the sorted quantity list and three HOF folds over it.
@@ -954,6 +965,11 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q58_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ALL
+         ORDER BY l_returnflag, l_linestatus""",
     "q57_array_hof" ->
       """SELECT l_orderkey,
                 CAST(len(qs) AS INT) AS n_items,
