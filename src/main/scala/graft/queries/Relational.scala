@@ -475,6 +475,26 @@ object Relational extends OpsModule {
         .orderBy("event_type", "day_num")
     }),
 
+    // bag-semantics set operations — q36's distinct INTERSECT/EXCEPT kept
+    // one copy per value; the ALL variants preserve multiplicity
+    // (difference/minimum of per-value counts), which is what reconciling
+    // two fact extracts actually needs
+    "q59_setops_all" -> ((s, d) => {
+      val urgent = ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val filled = ord(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_custkey")
+      val exAll = urgent.exceptAll(filled)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      val inAll = urgent.intersectAll(filled)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      exAll.unionByName(inAll)
+        .groupBy("op").agg(count(lit(1)).as("n_custkeys"), sum("n").as("n_rows"))
+        .orderBy("op")
+    }),
+
     // GROUP BY ALL — the modern SQL shorthand (grouped by every
     // non-aggregate select item); one text on both engines
     "q58_group_by_all" -> ((s, d) => {
@@ -965,6 +985,22 @@ object Relational extends OpsModule {
          FROM days CROSS JOIN types
          LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
          ORDER BY days.d, types.event_type""",
+    "q59_setops_all" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT'),
+         filled AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         ex AS (SELECT o_custkey, count(*) AS n FROM
+                  (SELECT o_custkey FROM urgent EXCEPT ALL
+                   SELECT o_custkey FROM filled) GROUP BY 1),
+         ia AS (SELECT o_custkey, count(*) AS n FROM
+                  (SELECT o_custkey FROM urgent INTERSECT ALL
+                   SELECT o_custkey FROM filled) GROUP BY 1)
+         SELECT op, n_custkeys, n_rows FROM (
+           SELECT 'except_all' AS op, count(*) AS n_custkeys,
+                  CAST(sum(n) AS BIGINT) AS n_rows FROM ex
+           UNION ALL
+           SELECT 'intersect_all', count(*), CAST(sum(n) AS BIGINT) FROM ia)
+         ORDER BY op""",
     "q58_group_by_all" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 round(sum(l_quantity), 2) AS qty
