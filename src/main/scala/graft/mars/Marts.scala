@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale stance: the Perseverance constant filter (`rover_id = 8`) is
   * applied to the fact FIRST so Catalyst pushes it into the scan before
-  * any join; the three dimension sides are `broadcast()` (rover dim ≤4
-  * rows, camera dim ≤~40 rows, path dim is sol-grain) so the photo fact —
-  * the 100 TB side — never shuffles for them.
+  * any join; the rover/camera dimension sides are `broadcast()` (rover dim
+  * ≤4 rows, camera dim ≤~40 rows — bounded by hardware, not data) so the
+  * photo fact — the 100 TB side — never shuffles for them. The sol-grain
+  * path side grows with mission time, so it is size-gated
+  * ([[graft.ops.AutoBroadcast]]) instead of pinned.
   */
 object Marts {
 
@@ -34,7 +36,14 @@ object Marts {
     val fph = factPhotos.filter(col("rover_id") === 8).as("fph")
     val dro = broadcast(dimRovers.select("rover_id", "rover_name")).as("dro")
     val dca = broadcast(dimCameras.select("rover_id", "camera_name", "camera_category")).as("dca")
-    val fpa = broadcast(factPath.select("rover_id", "sol", "day_type", "length")).as("fpa")
+    // Path is sol-grain — dim-like today, but it GROWS with mission time,
+    // so unlike the true dims above it is size-gated rather than pinned:
+    // small → broadcast (the photo fact never shuffles), big → shuffle
+    // join. The estimate flows from the path fact's scan, a conservative
+    // overestimate for the post-aggregation sol grain — errs toward
+    // shuffling, never toward an OOM broadcast.
+    val fpa = graft.ops.AutoBroadcast
+      .sizeGate(factPath.select("rover_id", "sol", "day_type", "length")).as("fpa")
 
     fph
       .join(dro, col("fph.rover_id") === col("dro.rover_id"), "left_outer")

@@ -58,10 +58,13 @@ object Relational extends OpsModule {
         .orderBy("o_orderkey")),
 
     // J3: 3-way join, dims broadcast, fact-fact sort-merge/shuffle-hash.
+    // customer is LINEAR in SF (unlike region/nation), so its broadcast is
+    // size-gated: pinned while it fits, shuffle join once it doesn't.
     "q3_join_agg" -> ((s, d) =>
       li(s, d)
         .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(graft.ops.AutoBroadcast.sizeGate(cust(s, d)),
+          col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
           r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
@@ -138,7 +141,8 @@ object Relational extends OpsModule {
     // A3: GROUP BY as DISTINCT (reference: dim_cameras.sql:38-41).
     "q10_distinct" -> ((s, d) =>
       ord(s, d)
-        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(graft.ops.AutoBroadcast.sizeGate(cust(s, d)),
+          col("o_custkey") === col("c_custkey"))
         .select("c_mktsegment", "o_orderpriority")
         .distinct()
         .orderBy("c_mktsegment", "o_orderpriority")),

@@ -108,16 +108,21 @@ object TextOps {
     * block); at 100 TB the block key would be an LSH band from
     * minhashSignatures instead of a metadata column — same shape. */
   /** `broadcastPairs`: the build side of the pair join is the corpus
-    * itself. Locally (and on any corpus that fits an executor) explicitly
-    * broadcasting it is the fast, DETERMINISTIC plan — the probe side keeps
-    * full scan parallelism, and pinning the strategy stops AQE from
-    * flipping between broadcast and sort-merge run-to-run when the side's
-    * runtime size straddles the threshold (measured as a 2s-vs-8s bimodal
-    * timing at sf0.1; block-key cardinality is low, so sort-merge also
-    * collapses parallelism to |blocks|). At cluster scale, pass false to
-    * shuffle both sides instead of shipping the corpus to every executor. */
+    * itself. On a corpus that fits an executor, explicitly broadcasting it
+    * is the fast, DETERMINISTIC plan — the probe side keeps full scan
+    * parallelism, and pinning the strategy stops AQE from flipping between
+    * broadcast and sort-merge run-to-run when the side's runtime size
+    * straddles the threshold (measured as a 2s-vs-8s bimodal timing at
+    * sf0.1; block-key cardinality is low, so sort-merge also collapses
+    * parallelism to |blocks|). But a corpus-sized broadcast is exactly what
+    * OOMs at 100×, so the DEFAULT (None) decides from the measured corpus
+    * scan size via [[graft.ops.AutoBroadcast.sizeGate]]: small corpus →
+    * pinned broadcast (deterministic local plan), big corpus → unhinted
+    * shuffle join. Some(true)/Some(false) force either plan. The 4×
+    * inflation covers the token-array + simhash projection being wider
+    * in memory than the scanned text bytes. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
-                   broadcastPairs: Boolean = true): DataFrame = {
+                   broadcastPairs: Option[Boolean] = None): DataFrame = {
     val sh = simhash16(docs)
     val side = docs
       .select(col("doc_id"), col("source"),
@@ -129,7 +134,12 @@ object TextOps {
       col("dtoks").as("toks_b"), col("simhash").as("sim_b"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    a.join(if (broadcastPairs) broadcast(b) else b, Seq("source"))
+    val built = broadcastPairs match {
+      case Some(true)  => broadcast(b)
+      case Some(false) => b
+      case None        => graft.ops.AutoBroadcast.sizeGate(b, inflation = 4.0)
+    }
+    a.join(built, Seq("source"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
       .filter(col("jaccard") >= threshold)
@@ -566,16 +576,22 @@ object TextOps {
   def topTfidfTerm(docs: DataFrame): DataFrame = {
     val toks = tokenized(docs).select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val n = docs.count()
     // df derives FROM tf (one row per (doc, term) is exactly "docs
     // containing term") — not from a second explode+distinct over the
     // corpus. Both consumers share tf's shuffle via exchange reuse, so
     // the corpus is exploded and aggregated once.
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N rides INSIDE the plan as a 1-row aggregate attached by broadcast —
+    // not a driver-side docs.count(), which was a second full corpus job.
+    // count(1) needs zero columns, so this subplan's scan is parquet
+    // row-group metadata only — not a data pass even at 100 TB. The 1-row
+    // broadcast nested loop is whitelisted in PlanAuditSpec.
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(df, "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"),
@@ -598,7 +614,9 @@ object TextOps {
     // rather than cross-joining a 1-row frame (which plans as a
     // BroadcastNestedLoopJoin and trips the plan audit for no benefit)
     val corpusTokens = tf.agg(sum("cnt")).first().getLong(0).toDouble
-    toks.join(broadcast(tf), "term")
+    // vocabulary grows sublinearly with corpus but is unbounded — size-gate
+    // the frequency-table broadcast instead of pinning it
+    toks.join(graft.ops.AutoBroadcast.sizeGate(tf), "term")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -615,7 +633,9 @@ object TextOps {
     * floating point — engine-portable. */
   def pmiPairs(docs: DataFrame, minDf: Int = 10, maxDf: Int = 400,
                minPairDf: Int = 5, topK: Int = 20): DataFrame = {
-    val n = docs.count()
+    // N folded into the plan as a metadata-only 1-row aggregate (see
+    // topTfidfTerm) — no separate driver count() job over the corpus.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val docTerms = tokenized(docs)
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
     val dfCounts = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
@@ -628,9 +648,11 @@ object TextOps {
       .groupBy("term_a", "term_b", "df_a", "df_b")
       .agg(count(lit(1)).as("df_ab"))
       .filter(col("df_ab") >= minPairDf)
+      .crossJoin(broadcast(nDocs))
       .withColumn("pmi", round(
-        log(col("df_ab").cast("double") * n /
+        log(col("df_ab").cast("double") * col("n_docs") /
           (col("df_a").cast("double") * col("df_b"))), 6))
+      .drop("n_docs")
       .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
       .limit(topK)
   }

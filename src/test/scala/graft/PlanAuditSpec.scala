@@ -25,7 +25,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_kmeans_step", "emb_pq_codes", "emb_pq_knn", "emb_silhouette",
     // composes knnBruteForce + ivfSearch, so it inherits their intentional
     // broadcast-query-set scoring joins
-    "emb_ann_recall")
+    "emb_ann_recall",
+    // corpus-size N rides the plan as a ONE-ROW broadcast aggregate (the
+    // alternative was a separate driver-side docs.count() job); a 1-row
+    // build side makes the nested loop a map-side literal attach
+    "td_tfidf_top_term", "td_pmi_pairs")
 
   test("no registered query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
