@@ -87,6 +87,11 @@ object GraftFunctions {
         (children: Seq[Expression]) =>
           BoundedDistinct(children(0), children(1)).toAggregateExpression())
     }
+    val bsIdent = FunctionIdentifier("bytes_sum")
+    if (!registry.functionExists(bsIdent)) {
+      registry.registerFunction(bsIdent, BytesSum.info,
+        (children: Seq[Expression]) => BytesSum(children.head))
+    }
     // one call wires the whole custom surface: expressions above, the
     // range-join planner strategy here (idempotent)
     graft.plans.NativeRangeJoin.ensureRegistered(spark)
@@ -103,6 +108,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("bounded_distinct"), BoundedDistinct.info,
       (children: Seq[Expression]) =>
         BoundedDistinct(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("bytes_sum"), BytesSum.info,
+      (children: Seq[Expression]) => BytesSum(children.head)))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

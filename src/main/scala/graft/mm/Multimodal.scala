@@ -128,9 +128,14 @@ object Multimodal {
   /** Audio-style windowed energy: treat the content bytes as PCM-ish
     * samples, window them, and fold each window to Σ sample-values — the
     * waveform feature extraction (RMS/VAD precursor) of an audio lake.
-    * The window explode + per-window fold are pure column expressions
-    * over the binary column; a real build swaps the byte fold for a
-    * decoded-sample fold with identical shape. */
+    * The window explode is a narrow row-generator; the per-window fold is
+    * the codegen'd [[graft.functions.BytesSum]] over the raw binary slice,
+    * so bytes ≥ 0x80 contribute their true unsigned value (an earlier
+    * cast-to-string + ascii() formulation corrupted any non-ASCII byte
+    * through UTF-8 reinterpretation — fine for the ASCII test corpus,
+    * wrong for real PCM). A real build swaps the byte fold for a
+    * decoded-sample fold with identical shape. Requires
+    * `GraftFunctions.register(spark)` (as md5Long does). */
   def audioEnergy(media: DataFrame, window: Int = 32): DataFrame =
     media
       .select(col("doc_id"), col("content"),
@@ -138,8 +143,6 @@ object Multimodal {
           greatest(ceil(length(col("content")).cast("double") / window)
             .cast("int") - 1, lit(0)))).as("win_idx"))
       .select(col("doc_id"), col("win_idx"),
-        aggregate(
-          transform(
-            split(expr(s"cast(substring(content, win_idx * $window + 1, $window) as string)"), ""),
-          ch => ascii(ch)), lit(0L), (acc, v) => acc + v).as("energy"))
+        call_function("bytes_sum",
+          expr(s"substring(content, win_idx * $window + 1, $window)")).as("energy"))
 }

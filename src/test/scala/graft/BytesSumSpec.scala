@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The binary energy fold (graft.functions.BytesSum): true unsigned-byte
+  * semantics on arbitrary bytes — the case the replaced cast-to-string +
+  * ascii() formulation corrupted (VERDICT r2 item 2).
+  */
+class BytesSumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("matches the ascii-per-char sum on ASCII content") {
+    val df = Seq("hello world", "", "Graft123").toDF("s")
+      .withColumn("b", col("s").cast("binary"))
+    val rows = df.select(
+      call_function("bytes_sum", col("b")).as("fold"),
+      aggregate(transform(split(col("s"), ""), ch => ascii(ch)),
+        lit(0L), (acc, v) => acc + v).as("ascii_sum")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), r))
+  }
+
+  test("non-UTF-8 bytes fold to their true unsigned values (old form corrupts)") {
+    // 0x80/0xFF are invalid UTF-8 lead bytes — a string round-trip turns
+    // them into U+FFFD replacement chars; raw PCM is full of them.
+    val pcm = Array[Byte](0x80.toByte, 0xff.toByte, 0x01, 0x7f)
+    val df = Seq(Tuple1(pcm)).toDF("b")
+    val expected = 0x80L + 0xffL + 0x01L + 0x7fL
+    assert(df.select(call_function("bytes_sum", col("b")))
+      .head.getLong(0) === expected)
+    // the pre-fix formulation, shown corrupting the same bytes
+    val old = df.select(
+      aggregate(transform(split(col("b").cast("string"), ""), ch => ascii(ch)),
+        lit(0L), (acc, v) => acc + v)).head.getLong(0)
+    assert(old !== expected, "string round-trip unexpectedly preserved raw bytes")
+  }
+
+  test("null binary folds to null; empty binary to 0") {
+    val df = Seq(Option.empty[Array[Byte]], Some(Array.empty[Byte]))
+      .toDF("b")
+      .select(call_function("bytes_sum", col("b")).as("e"))
+      .collect()
+    assert(df(0).isNullAt(0))
+    assert(df(1).getLong(0) === 0L)
+  }
+
+  test("audioEnergy windows raw PCM-ish bytes correctly") {
+    // 40 bytes: window 32 → two windows; high bytes throughout
+    val bytes = Array.tabulate[Byte](40)(i => (0x80 + (i % 0x70)).toByte)
+    val media = Seq((1L, bytes)).toDF("doc_id", "content")
+    val rows = graft.mm.Multimodal.audioEnergy(media)
+      .orderBy("win_idx").collect()
+    assert(rows.map(_.getInt(1) max 0).toSeq === Seq(0, 1))
+    val w0 = (0 until 32).map(i => 0x80L + (i % 0x70)).sum
+    val w1 = (32 until 40).map(i => 0x80L + (i % 0x70)).sum
+    assert(rows(0).getLong(2) === w0)
+    assert(rows(1).getLong(2) === w1)
+  }
+}
