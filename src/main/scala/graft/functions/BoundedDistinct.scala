@@ -23,13 +23,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * The buffer never exceeds k+1 entries, so partial aggregation ships at
   * most k strings per group per partition — collect_set's unbounded
   * buffer is exactly what this replaces at 100 TB.
+  *
+  * Two contracts pinned by ADVICE r2 (and BoundedDistinctSpec):
+  *  - keys are `UTF8String`, whose compareTo is byte-wise binary UTF-8 —
+  *    the SAME collation Spark's own StringType ordering and DuckDB use.
+  *    A `TreeSet[String]` would order by UTF-16 code units, which
+  *    disagrees for supplementary-plane characters (U+10000+ sort below
+  *    U+E000.. in UTF-16, above in UTF-8) and would silently break the
+  *    bit-exact oracle contract on non-ASCII data;
+  *  - serialization length-prefixes raw UTF-8 bytes — `writeUTF` throws
+  *    on any value over 65535 encoded bytes, which "profile arbitrary
+  *    columns" cannot assume away.
   */
 case class BoundedDistinct(
     child: Expression,
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[String]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]] {
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
 
@@ -48,21 +59,23 @@ case class BoundedDistinct(
       TypeCheckResult.TypeCheckFailure("k must be positive")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def createAggregationBuffer(): java.util.TreeSet[String] =
-    new java.util.TreeSet[String]()
+  override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
+    new java.util.TreeSet[UTF8String]()
 
-  override def update(buf: java.util.TreeSet[String],
-                      input: InternalRow): java.util.TreeSet[String] = {
+  override def update(buf: java.util.TreeSet[UTF8String],
+                      input: InternalRow): java.util.TreeSet[UTF8String] = {
     val v = child.eval(input)
     if (v != null) {
-      buf.add(v.toString)
+      // clone: eval may hand back a buffer-backed UTF8String that the
+      // scanner overwrites on the next row
+      buf.add(v.asInstanceOf[UTF8String].clone())
       if (buf.size > k) buf.pollLast()
     }
     buf
   }
 
-  override def merge(b1: java.util.TreeSet[String],
-                     b2: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+  override def merge(b1: java.util.TreeSet[UTF8String],
+                     b2: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] = {
     val it = b2.iterator()
     while (it.hasNext) {
       b1.add(it.next())
@@ -71,30 +84,40 @@ case class BoundedDistinct(
     b1
   }
 
-  override def eval(buf: java.util.TreeSet[String]): Any = {
+  override def eval(buf: java.util.TreeSet[UTF8String]): Any = {
     val arr = new Array[Any](buf.size)
     val it = buf.iterator()
     var i = 0
-    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
   }
 
-  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
+  override def serialize(buf: java.util.TreeSet[UTF8String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     val it = buf.iterator()
-    while (it.hasNext) out.writeUTF(it.next())
+    while (it.hasNext) {
+      val b = it.next().getBytes
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[UTF8String] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new java.util.TreeSet[String]()
+    val buf = new java.util.TreeSet[UTF8String]()
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.add(in.readUTF()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.add(UTF8String.fromBytes(b))
+      i += 1
+    }
     buf
   }
 

@@ -31,4 +31,39 @@ class BoundedDistinctSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](1).toList
     assert(out == List("x", "z"))
   }
+
+  test("values over 65535 UTF-8 bytes survive the partial-agg shuffle") {
+    // writeUTF-based serialization threw UTFDataFormatException here
+    // (ADVICE r2) — the repartition forces serialize/deserialize between
+    // partial and final aggregation.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val big = "x" * 70000
+    val out = Seq(("g", big), ("g", "a" * 70000), ("g", big))
+      .toDF("g", "s").repartition(5)
+      .groupBy("g").agg(expr("bounded_distinct(s, 2)").as("sample"))
+      .collect()(0).getSeq[String](1).toList
+    assert(out == List("a" * 70000, big))
+  }
+
+  test("collation is binary UTF-8, matching the engine's own string ordering") {
+    // U+E000 (3-byte UTF-8, high UTF-16 code unit) vs U+1F600 (4-byte
+    // UTF-8, surrogate pair): UTF-16 code-unit order puts the emoji FIRST,
+    // binary UTF-8 puts it LAST. The aggregate must agree with Spark's
+    // min() — i.e. binary — or the k-smallest contract silently diverges
+    // from both engines on non-BMP data.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val privateUse = ""
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(privateUse.compareTo(emoji) > 0, "sanity: UTF-16 disagrees")
+    val row = Seq(("g", privateUse), ("g", emoji))
+      .toDF("g", "s").repartition(3)
+      .groupBy("g")
+      .agg(expr("bounded_distinct(s, 1)").as("sample"), min("s").as("engine_min"))
+      .collect()(0)
+    assert(row.getSeq[String](1).toList == List(row.getString(2)),
+      "bounded_distinct's smallest must equal the engine's min()")
+    assert(row.getString(2) == privateUse)
+  }
 }
