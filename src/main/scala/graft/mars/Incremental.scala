@@ -1,6 +1,8 @@
 package graft.mars
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,9 +15,14 @@ import org.apache.spark.sql.functions._
   *    declared by the reference but append does NOT dedup — preserved.
   *  - merge + unique_key: upsert — replace matching keys, insert new
   *    (reference: flat_manifest_response et al). No Delta in this
-  *    environment, so: old ANTI-JOIN new ∪ new, written to a temp path
-  *    then atomically swapped (never overwrite a path being read —
-  *    SURVEY §7.4.1).
+  *    environment, so: old ANTI-JOIN new ∪ new, written as an immutable
+  *    VERSIONED SNAPSHOT (`vNNNNNNNN/`) under the table root, published
+  *    by atomically flipping a `_current` pointer file (SURVEY §7.4.1).
+  *    The r2 temp-dir-swap had a window where a concurrent reader saw a
+  *    half-swapped table; with snapshots a reader resolves the pointer
+  *    once at DataFrame creation and then reads an immutable directory —
+  *    a racing merge can never tear it. Old snapshots are retained until
+  *    an explicit [[vacuum]] (the reader-grace contract, as in Delta).
   *  - view: just a lazy DataFrame; nothing to do here.
   *
   * Scale: at 100 TB the merge rewrite is the expensive path; the anti-join
@@ -28,12 +35,52 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
+  /** Pointer file naming the live snapshot dir; its presence marks a
+    * versioned (merge-managed) table root. */
+  private val CurrentPointer = "_current"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A table exists when it has a published snapshot pointer (versioned
+    * layout) or direct data files (flat/append layout). A root holding
+    * only an unpublished snapshot dir — a writer crashed before the
+    * pointer flip — is NOT a table yet: the crashed write is invisible,
+    * which is exactly the atomicity contract. */
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val f = fs(spark, path)
+    f.exists(p) && {
+      f.exists(new Path(p, CurrentPointer)) ||
+        f.listStatus(p).exists(st =>
+          st.isFile && !st.getPath.getName.startsWith("_"))
+    }
   }
 
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  /** The live snapshot dir name, when `path` is a versioned root. */
+  def currentSnapshot(spark: SparkSession, path: String): Option[String] = {
+    val ptr = new Path(path, CurrentPointer)
+    val f = fs(spark, path)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Resolves the pointer ONCE, eagerly: the returned DataFrame is bound
+    * to an immutable snapshot directory, so lazy evaluation later — even
+    * mid-merge — reads a consistent table. Flat (append-layout) paths
+    * read directly. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    currentSnapshot(spark, path) match {
+      case Some(snap) => spark.read.parquet(s"$path/$snap")
+      case None       => spark.read.parquet(path)
+    }
 
   /** ISO-8601-string high-watermark filter (P3/A4): rows strictly newer
     * than the target's MAX(watermarkCol). String `>` is correct for ISO
@@ -55,26 +102,65 @@ object Incremental {
   }
 
   /** incremental_strategy='merge' with unique_key: upsert via anti-join +
-    * union + temp-path swap. Also applies the watermark filter to the
-    * incoming side first, like dbt's is_incremental() guard. */
+    * union, published as a fresh immutable snapshot (see writeSnapshot).
+    * Also applies the watermark filter to the incoming side first, like
+    * dbt's is_incremental() guard. */
   def mergeIncremental(spark: SparkSession, target: String, source: DataFrame,
                        keys: Seq[String], watermarkCol: String = "ingestion_date",
                        clusterBy: Seq[String] = Nil): Unit = {
     if (!exists(spark, target)) {
-      write(source, target, SaveMode.Overwrite, clusterBy)
+      writeSnapshot(spark, target, source, clusterBy)
       return
     }
     val fresh = newerThanWatermark(spark, target, source, watermarkCol)
     val old = read(spark, target)
     val kept = old.join(fresh.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val merged = kept.unionByName(fresh.select(old.columns.map(col).toIndexedSeq: _*))
+    writeSnapshot(spark, target, merged, clusterBy)
+  }
 
-    // temp-path swap: never overwrite a path we are still lazily reading
-    val tmp = target + ".tmp_swap"
-    write(merged, tmp, SaveMode.Overwrite, clusterBy)
-    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(target), true)
-    fs.rename(new Path(tmp), new Path(target))
+  /** Write `df` as the next `vNNNNNNNN/` snapshot under `root`, then
+    * publish it by atomically replacing the `_current` pointer
+    * (write-to-temp + FileContext rename with OVERWRITE — atomic on posix
+    * and HDFS). Readers either resolve the old pointer or the new one;
+    * there is no in-between state, and the directory a reader resolved is
+    * never mutated afterwards. A crash before the flip leaves an orphan
+    * snapshot dir that [[exists]] ignores and [[vacuum]] removes. */
+  private def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
+                            clusterBy: Seq[String]): Unit = {
+    val next = currentSnapshot(spark, root) match {
+      case Some(snap) => snap.stripPrefix("v").toInt + 1
+      case None       => 1
+    }
+    val snap = f"v$next%08d"
+    write(df, s"$root/$snap", SaveMode.Overwrite, clusterBy)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new Path(root)
+    val fc = FileContext.getFileContext(
+      fs(spark, root).makeQualified(rootPath).toUri, conf)
+    val tmp = new Path(rootPath, s"$CurrentPointer.tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+    try out.write(snap.getBytes(UTF_8)) finally out.close()
+    fc.rename(tmp, new Path(rootPath, CurrentPointer), Options.Rename.OVERWRITE)
+  }
+
+  /** Drop all snapshots except the `keep` newest (and any orphaned
+    * pointer temp). Retention is the reader-grace contract: a reader that
+    * resolved a snapshot keeps reading it safely until vacuum removes
+    * dirs older than its grace window — identical to Delta's VACUUM
+    * semantics. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return
+    val current = currentSnapshot(spark, root)
+    val snaps = f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
+      .map(_.getPath.getName).sorted
+    val doomed = snaps.dropRight(keep).filterNot(current.contains)
+    doomed.foreach(s => f.delete(new Path(rootPath, s), true))
   }
 
   /** dbt cluster_by → repartition on the first key + sort within
