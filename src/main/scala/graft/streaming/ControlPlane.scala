@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,12 +7,13 @@ import org.apache.spark.sql.types._
 /** The reference's three-topic Kafka control plane (SURVEY §2.10),
   * re-expressed for Structured Streaming.
   *
-  * Topics carry small JSON coordination messages — never bulk data — so a
-  * topic here is a durable append-only log of JSONL files consumed with
-  * `readStream.schema(...).json(dir)`. That is the same source/sink shape
-  * as `format("kafka")`; on a cluster with the Kafka connector only
-  * `readTopic`/`produce` change (subscribe option + value column), which is
-  * why the per-topic parse/build functions below take/return plain columns.
+  * Topics carry small JSON coordination messages — never bulk data. The
+  * wire itself lives behind [[TopicTransport]] — every transport delivers
+  * a `value: STRING` column per message (the Kafka message shape), and
+  * this layer owns everything topic-SEMANTIC: payload schemas, per-topic
+  * parse, URL-decode of object keys, value construction. The sandbox
+  * binding is the file log; `spark.graft.transport=kafka` selects the
+  * compiled-in `format("kafka")` binding with identical semantics.
   */
 object ControlPlane {
 
@@ -60,23 +59,33 @@ object ControlPlane {
     }
   }
 
-  /** Streaming source for one topic. */
-  def readTopic(spark: SparkSession, root: String, topic: String): DataFrame = {
-    Files.createDirectories(Paths.get(root, topic)) // source dir must pre-exist
-    spark.readStream.schema(schemaFor(topic)).json(s"$root/$topic")
-  }
+  /** Producer-side value construction — the inverse of [[parseValue]]:
+    * the topic payload struct serialized to the JSON string a Kafka
+    * `value` column carries. ControlPlaneTransportSpec pins the
+    * round-trip `parseValue(topic, buildValue(payload))`. */
+  def buildValue(payload: Column): Column = to_json(payload)
+
+  /** Expand a raw `value: STRING` message stream into the topic's typed
+    * top-level columns (unparseable messages become all-null rows — the
+    * reference's warn-and-continue consumer contract, kafka.py:20-24). */
+  private def parsed(topic: String, raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), schemaFor(topic)).as("m")).select("m.*")
+
+  /** Streaming source for one topic (typed columns, any transport). */
+  def readTopic(spark: SparkSession, root: String, topic: String): DataFrame =
+    parsed(topic, TopicTransport.forSession(spark, root).readTopic(spark, topic))
 
   /** Batch view of a topic log (tests / catch-up reads). */
   def readTopicBatch(spark: SparkSession, root: String, topic: String): DataFrame =
-    spark.read.schema(schemaFor(topic)).json(s"$root/$topic")
+    parsed(topic,
+      TopicTransport.forSession(spark, root).readTopicBatch(spark, topic))
 
-  /** Produce one message (one JSONL file = one log record; unique name =
-    * append). flush-per-message like the reference producer (kafka.py:42-57). */
+  /** Produce one message via the session-selected transport. Kept
+    * sparkless in signature for the file binding's callers; the active
+    * session is resolved for transport selection. */
   def produce(root: String, topic: String, json: String): Unit = {
-    val dir = Paths.get(root, topic)
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve(s"${System.nanoTime()}_${UUID.randomUUID()}.json"),
-      json + "\n")
+    val spark = SparkSession.active
+    TopicTransport.forSession(spark, root).produce(spark, topic, json)
   }
 
   def minioEventJson(key: String): String =
