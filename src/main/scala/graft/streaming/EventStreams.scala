@@ -167,20 +167,27 @@ object EventStreams {
     * successor API for arbitrary stateful processing: typed state handles
     * (ValueState/ListState/MapState, optional TTL) instead of one blob,
     * and explicit event-time TIMERS instead of a single per-key timeout.
-    * The session state is the same fixed-size SessionBuf; each batch
-    * re-arms a timer at `last event + gap`, and a firing timer emits only
-    * if the watermark really passed the CURRENT session's deadline (an
-    * earlier, stale timer for a since-extended session just re-arms).
+    * The session state is the fixed-size SessionBuf plus the armed
+    * timer's deadline: when a new batch extends the session it DELETES
+    * the previously armed timer before registering the new one, so the
+    * RocksDB timer state holds exactly one live timer per key instead of
+    * accumulating one per (key, batch) until each fires (ADVICE r2). The
+    * watermark guard in handleExpiredTimer stays as defense in depth.
     * Requires the RocksDB state store provider — which is the configuration
     * this engine runs stateful streaming on anyway (see RocksDbProvider).
     */
+  /** SessionBuf + the deadline of the currently armed timer (-1 = none):
+    * what lets handleInputRows delete the stale timer on re-arm. */
+  final case class TimedSessionBuf(startMs: Long, endMs: Long, n: Int,
+                                   total: Double, armedMs: Long)
+
   final class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Event, Session] {
-    @transient private var state: ValueState[SessionBuf] = _
+    @transient private var state: ValueState[TimedSessionBuf] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[SessionBuf]("session",
-        Encoders.product[SessionBuf], TTLConfig.NONE)
+      state = getHandle.getValueState[TimedSessionBuf]("session",
+        Encoders.product[TimedSessionBuf], TTLConfig.NONE)
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[Session] = {
@@ -191,11 +198,15 @@ object EventStreams {
       val merged =
         if (state.exists()) {
           val s = state.get()
-          SessionBuf(math.min(s.startMs, lo), math.max(s.endMs, hi),
-            s.n + evs.size, s.total + sum)
-        } else SessionBuf(lo, hi, evs.size, sum)
-      state.update(merged)
-      getHandle.registerTimer(merged.endMs + gapMs)
+          TimedSessionBuf(math.min(s.startMs, lo), math.max(s.endMs, hi),
+            s.n + evs.size, s.total + sum, s.armedMs)
+        } else TimedSessionBuf(lo, hi, evs.size, sum, -1L)
+      val deadline = merged.endMs + gapMs
+      if (merged.armedMs != deadline) {
+        if (merged.armedMs >= 0L) getHandle.deleteTimer(merged.armedMs)
+        getHandle.registerTimer(deadline)
+      }
+      state.update(merged.copy(armedMs = deadline))
       Iterator.empty
     }
 

@@ -25,14 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  final case class Result(curated: DataFrame, audit: DataFrame)
+  final case class Result(curated: DataFrame, audit: DataFrame,
+                          cached: Seq[DataFrame] = Nil) {
+    /** Release the stage caches once `curated` has been written/consumed. */
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
   def run(docs: DataFrame, benchmark: DataFrame): Result = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     // stage 1: normalize + row-local signals; keep docs that pass the
-    // cheap gates before any pair work happens
+    // cheap gates before any pair work happens.
+    // Every stage frame is persisted for the duration of run(): each is
+    // consumed at least twice (the next stage + its audit count, and
+    // `exact` three times), so without the caches the audit counts
+    // re-ran the full upstream DAG — the near-dup candidate generation
+    // ~3× (ADVICE r2). With them, each stage computes ONCE; the audit
+    // counts and the returned frame are cache scans. Result.unpersist()
+    // releases them when the caller is done.
     val signals = TextOps.qualityScores(docs).select("doc_id", "quality_bucket")
       .join(TextOps.langId(docs).select("doc_id", "lang_match"), "doc_id")
       .join(TextOps.repetitionSignals(docs)
@@ -41,6 +52,7 @@ object CurationPipeline {
       .filter(col("quality_bucket") =!= "low" && col("lang_match") === 1 &&
         col("top_token_fraction") < 0.5)
       .select(docs.columns.map(col): _*)
+      .persist()
 
     // stage 2: exact dedup — canonical doc per content hash
     val exact = gated
@@ -49,6 +61,7 @@ object CurationPipeline {
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("doc_id") === col("canonical"))
       .drop("h", "canonical")
+      .persist()
 
     // stage 3: near-dedup — LSH candidates verified by Jaccard, resolved
     // to clusters, keep each cluster's canonical member
@@ -56,14 +69,18 @@ object CurationPipeline {
     val nearDeduped = exact.join(
       clusters.filter(col("doc_id") =!= col("canonical_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
+      .persist()
 
     // stage 4: decontaminate against the benchmark slice
-    val curated = TextOps.decontaminate(nearDeduped, benchmark)
+    val curated = TextOps.decontaminate(nearDeduped, benchmark).persist()
 
     // stage 5: deterministic split assignment rides along
     val withSplit = curated.select(
       col("*") +: Seq(TextOps.assignSplit().as("split")): _*)
 
+    // audit counts in stage order: each materializes its stage's cache
+    // exactly once and reuses every earlier one. docs.count() is a
+    // zero-column parquet metadata scan — no caching needed.
     val audit = Seq(
       ("0_input", docs.count()),
       ("1_gated", gated.count()),
@@ -71,6 +88,6 @@ object CurationPipeline {
       ("3_near_dedup", nearDeduped.count()),
       ("4_decontaminated", curated.count()))
       .toDF("stage", "n_docs")
-    Result(withSplit, audit)
+    Result(withSplit, audit, cached = Seq(gated, exact, nearDeduped, curated))
   }
 }
