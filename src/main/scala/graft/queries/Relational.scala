@@ -499,6 +499,41 @@ object Relational extends OpsModule {
         .orderBy("op")
     }),
 
+    // Spark 4 VARIANT for truly-dynamic JSON — the reference stores
+    // `manifest.value:photos::variant` (flat_manifest_response.sql:17) and
+    // parse_json payloads (flat_photo_response.sql:26); q17's fixed-schema
+    // from_json covers the stable case, this covers HETEROGENEOUS payloads
+    // whose keys differ per row: parse_json once into a variant column,
+    // then typed variant_get path extraction where absent paths are null
+    // (try_variant_get), including a nested object and an array index.
+    // The inner variant_get on the real props column exercises variant on
+    // table data; the per-kind payload makes the key-set row-dependent.
+    "q60_variant" -> ((s, d) => {
+      val k = variant_get(parse_json(col("props")), "$.k", "int")
+      val payload = when(col("event_type") === "purchase",
+          concat(lit("{\"kind\":\"purchase\",\"item\":{\"id\":"), k,
+            lit("},\"qty\":"), col("event_id") % 5, lit("}")))
+        .when(col("event_type") === "error",
+          concat(lit("{\"kind\":\"error\",\"code\":"), k, lit("}")))
+        .otherwise(lit("{\"kind\":\"other\",\"tags\":[\"alpha\",\"beta\"]}"))
+      ev(s, d)
+        .withColumn("v", parse_json(payload))
+        .select(
+          variant_get(col("v"), "$.kind", "string").as("kind"),
+          try_variant_get(col("v"), "$.qty", "int").as("qty"),
+          try_variant_get(col("v"), "$.code", "int").as("code"),
+          try_variant_get(col("v"), "$.item.id", "int").as("item_id"),
+          try_variant_get(col("v"), "$.tags[1]", "string").as("tag2"))
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("qty").as("qty_sum"),
+          max("code").as("max_code"),
+          max("item_id").as("max_item"),
+          max("tag2").as("tag2"))
+        .orderBy("kind")
+    }),
+
     // GROUP BY ALL — the modern SQL shorthand (grouped by every
     // non-aggregate select item); one text on both engines
     "q58_group_by_all" -> ((s, d) => {
@@ -1005,6 +1040,23 @@ object Relational extends OpsModule {
            UNION ALL
            SELECT 'intersect_all', count(*), CAST(sum(n) AS BIGINT) FROM ia)
          ORDER BY op""",
+    "q60_variant" ->
+      """WITH built AS (
+           SELECT CASE
+             WHEN event_type = 'purchase' THEN
+               '{"kind":"purchase","item":{"id":' || CAST(props->>'$.k' AS INT)
+                 || '},"qty":' || (event_id % 5) || '}'
+             WHEN event_type = 'error' THEN
+               '{"kind":"error","code":' || CAST(props->>'$.k' AS INT) || '}'
+             ELSE '{"kind":"other","tags":["alpha","beta"]}' END AS payload
+           FROM events)
+         SELECT json_extract_string(payload, '$.kind') AS kind,
+                count(*) AS n,
+                CAST(sum(CAST(payload->>'$.qty' AS INT)) AS BIGINT) AS qty_sum,
+                max(CAST(payload->>'$.code' AS INT)) AS max_code,
+                max(CAST(payload->>'$.item.id' AS INT)) AS max_item,
+                max(json_extract_string(payload, '$.tags[1]')) AS tag2
+         FROM built GROUP BY 1 ORDER BY 1""",
     "q58_group_by_all" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 round(sum(l_quantity), 2) AS qty
