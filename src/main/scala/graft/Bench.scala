@@ -57,8 +57,11 @@ object Bench {
     try {
       val full = detail.map { case (k, v) => s"  \"$k\": ${f2(v)}" }
         .mkString("{\n", ",\n", "\n}\n")
+      // SPARK_GRAFT_DETAIL: alternate detail path, so subset runs (e.g.
+      // the sf1 scale spot-bench) don't clobber the full-run detail.
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+          "/root/repo/BENCH_DETAIL.json")),
         s"""{"sf":"$sfName","total_sec":${f2(total)},"queries":$full}""".getBytes)
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")

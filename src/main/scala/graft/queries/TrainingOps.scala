@@ -90,6 +90,13 @@ object TrainingOps extends OpsModule {
     "td_fuzzy_match" -> ((s, d) =>
       TextOps.fuzzyMatches(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
 
+    // the (source, sig-prefix)-blocked scale path: block count grows with
+    // the data, so pair work stays ~linear where source-only blocking is
+    // quadratic (measured 47x at sf1 — see BENCH_SF1.json)
+    "td_fuzzy_blocked" -> ((s, d) =>
+      TextOps.fuzzyMatchesPrefixBlocked(docs(s, d))
+        .orderBy("doc_id_a", "doc_id_b")),
+
     "td_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(docs(s, d)).orderBy("doc_id")),
 
@@ -600,6 +607,22 @@ object TrainingOps extends OpsModule {
                 round(1.0 - CAST(levenshtein(a.sig, b.sig) AS DOUBLE)
                       / greatest(len(a.sig), len(b.sig), 1), 6) AS similarity
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE round(1.0 - CAST(levenshtein(a.sig, b.sig) AS DOUBLE)
+                     / greatest(len(a.sig), len(b.sig), 1), 6) >= 0.95
+         ORDER BY doc_id_a, doc_id_b""",
+
+    "td_fuzzy_blocked" ->
+      """WITH d AS (SELECT doc_id, source,
+                           substr(array_to_string(list_sort(list_distinct(
+                             string_split(text, ' '))), ' '), 1, 160) AS sig
+                    FROM documents)
+         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                CAST(levenshtein(a.sig, b.sig) AS INT) AS edit_distance,
+                round(1.0 - CAST(levenshtein(a.sig, b.sig) AS DOUBLE)
+                      / greatest(len(a.sig), len(b.sig), 1), 6) AS similarity
+         FROM d a JOIN d b ON a.source = b.source
+           AND substr(a.sig, 1, 8) = substr(b.sig, 1, 8)
+           AND a.doc_id < b.doc_id
          WHERE round(1.0 - CAST(levenshtein(a.sig, b.sig) AS DOUBLE)
                      / greatest(len(a.sig), len(b.sig), 1), 6) >= 0.95
          ORDER BY doc_id_a, doc_id_b""",

@@ -727,6 +727,38 @@ object TextOps {
       .select("doc_id_a", "doc_id_b", "edit_distance", "similarity")
   }
 
+  /** The scale path for fuzzy matching, promoted from fuzzyMatches' doc
+    * note by the sf1 spot-bench (which measured source-only blocking at
+    * ~47× cost for 10× data — Σ|block|² with fixed block cardinality):
+    * block by (source, signature PREFIX), so block count scales with the
+    * data and per-block pair work stays bounded. Prefix blocking is the
+    * standard recall trade: a true near-dup pair whose signatures diverge
+    * inside the first `prefixLen` chars is missed (sorted-token
+    * signatures put template/paraphrase duplicates in the same prefix
+    * block in practice); pairs found are identical in scoring to
+    * [[fuzzyMatches]]. Exact-recall alternatives (PassJoin-style
+    * chunk signatures) trade this one join for band+1 of them. */
+  def fuzzyMatchesPrefixBlocked(docs: DataFrame, simThreshold: Double = 0.95,
+                                sigLen: Int = 160, prefixLen: Int = 8): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      fuzzySignature(col("text"), sigLen).as("sig"))
+      .withColumn("blk", substring(col("sig"), 1, prefixLen))
+    val a = d.select(col("source"), col("blk"),
+      col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
+    val b = d.select(col("source"), col("blk"),
+      col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
+    val band = math.max(1, math.floor((1.0 - simThreshold) * sigLen).toInt)
+    a.join(b, Seq("source", "blk"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("edit_distance", levenshtein(col("sig_a"), col("sig_b"), band))
+      .filter(col("edit_distance") >= 0)
+      .withColumn("similarity", round(
+        lit(1.0) - col("edit_distance").cast("double") /
+          greatest(length(col("sig_a")), length(col("sig_b")), lit(1)), 6))
+      .filter(col("similarity") >= simThreshold)
+      .select("doc_id_a", "doc_id_b", "edit_distance", "similarity")
+  }
+
   /** Exact substring-duplication signal: for every k-token span (ALL
     * positions, not the distinct shingle set), does the identical span
     * occur in any OTHER document? Long verbatim overlap is what
