@@ -159,6 +159,15 @@ object TrainingOps extends OpsModule {
     "td_dedup_clusters" -> ((s, d) =>
       TextOps.dedupClusters(TextOps.nearDupPairs(docs(s, d))).orderBy("doc_id")),
 
+    // the end-to-end SCALE-SAFE dedup: banded LSH candidates (bounded
+    // fan-in, ~1.9x for 10x data in BENCH_SF1) verified at jaccard >= 0.5,
+    // resolved to clusters — no fixed-cardinality block key anywhere,
+    // unlike td_dedup_clusters' source-blocked pair generation
+    "td_lsh_clusters" -> ((s, d) =>
+      TextOps.dedupClusters(
+        TextOps.lshCandidatePairs(docs(s, d)).filter(col("jaccard") >= 0.5))
+        .orderBy("doc_id")),
+
     "td_tfidf_top_term" -> ((s, d) =>
       TextOps.topTfidfTerm(docs(s, d)).orderBy("doc_id")),
 
@@ -466,6 +475,36 @@ object TrainingOps extends OpsModule {
                 len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks)) AS un,
                 bit_count(xor(a.simhash, b.simhash)) AS hamming_distance
          FROM side a JOIN side b ON a.source = b.source AND a.doc_id < b.doc_id)"""
+
+  /** banded-LSH candidate pairs with verified shingle-Jaccard — shared by
+    * the td_lsh_candidates oracle and the td_lsh_clusters oracle. */
+  private val duckLshCandCtes = {
+    val mins = (0 until 4).map(i =>
+      s"min(${dHash(s"concat('$i:', shingle)")}) AS mh_$i").mkString(", ")
+    s"""$duckShingles,
+        mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx, md5(concat_ws('_', 0, mh_0, mh_1)) AS band_key
+          FROM mh WHERE mh_0 IS NOT NULL
+          UNION ALL
+          SELECT doc_id, 1 AS band_idx, md5(concat_ws('_', 1, mh_2, mh_3)) AS band_key
+          FROM mh WHERE mh_0 IS NOT NULL),
+        cand AS (
+          SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS n_shared_bands
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+           AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        ss AS (SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id),
+        lshcand AS (
+          SELECT c.doc_id_a, c.doc_id_b, c.n_shared_bands,
+                 round(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) /
+                       (len(sa.shset) + len(sb.shset)
+                        - len(list_intersect(sa.shset, sb.shset))), 6) AS jaccard
+          FROM cand c
+          JOIN ss sa ON sa.doc_id = c.doc_id_a
+          JOIN ss sb ON sb.doc_id = c.doc_id_b)"""
+  }
 
   private val langScoreCols = TextOps.langMarkers.map { case (l, ms) =>
     val list = ms.map(m => s"'$m'").mkString(", ")
@@ -959,33 +998,22 @@ object TrainingOps extends OpsModule {
                 CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 50 ELSE 20 END
           ORDER BY doc_id""",
 
-    "td_lsh_candidates" -> {
-      val mins = (0 until 4).map(i =>
-        s"min(${dHash(s"concat('$i:', shingle)")}) AS mh_$i").mkString(", ")
-      s"""WITH $duckShingles,
-          mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-          bands AS (
-            SELECT doc_id, 0 AS band_idx, md5(concat_ws('_', 0, mh_0, mh_1)) AS band_key
-            FROM mh WHERE mh_0 IS NOT NULL
-            UNION ALL
-            SELECT doc_id, 1 AS band_idx, md5(concat_ws('_', 1, mh_2, mh_3)) AS band_key
-            FROM mh WHERE mh_0 IS NOT NULL),
-          cand AS (
-            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS n_shared_bands
-            FROM bands x JOIN bands y
-              ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-             AND x.doc_id < y.doc_id
-            GROUP BY 1, 2),
-          ss AS (SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id)
-          SELECT c.doc_id_a, c.doc_id_b, c.n_shared_bands,
-                 round(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) /
-                       (len(sa.shset) + len(sb.shset)
-                        - len(list_intersect(sa.shset, sb.shset))), 6) AS jaccard
-          FROM cand c
-          JOIN ss sa ON sa.doc_id = c.doc_id_a
-          JOIN ss sb ON sb.doc_id = c.doc_id_b
-          ORDER BY doc_id_a, doc_id_b"""
-    },
+    "td_lsh_candidates" ->
+      s"""WITH $duckLshCandCtes
+          SELECT doc_id_a, doc_id_b, n_shared_bands, jaccard FROM lshcand
+          ORDER BY doc_id_a, doc_id_b""",
+
+    "td_lsh_clusters" ->
+      s"""WITH RECURSIVE $duckLshCandCtes,
+          nd AS (SELECT doc_id_a, doc_id_b FROM lshcand WHERE jaccard >= 0.5),
+          edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM nd
+                    UNION SELECT doc_id_b, doc_id_a FROM nd),
+          cc AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node)
+          SELECT node AS doc_id, min(label) AS canonical_id
+          FROM cc GROUP BY node ORDER BY doc_id""",
 
     "emb_near_dup" ->
       s"""WITH e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
