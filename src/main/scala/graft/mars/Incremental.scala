@@ -146,6 +146,31 @@ object Incremental {
     fc.rename(tmp, new Path(rootPath, CurrentPointer), Options.Rename.OVERWRITE)
   }
 
+  /** All snapshot dir names under a versioned root, oldest first —
+    * including any orphaned (never-published) write. */
+  def snapshots(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Nil
+    else f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Time-travel read: a specific retained snapshot version (1-based, as
+    * in the dir name). Only PUBLISHED versions are readable — an orphaned
+    * dir from a crashed write, or one newer than `_current`, is not a
+    * committed version and is refused. */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val snap = f"v$version%08d"
+    val current = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a versioned table"))
+    require(snap <= current, s"version $version was never published (current $current)")
+    require(snapshots(spark, root).contains(snap),
+      s"version $version not retained (vacuumed?)")
+    spark.read.parquet(s"$root/$snap")
+  }
+
   /** Drop all snapshots except the `keep` newest (and any orphaned
     * pointer temp). Retention is the reader-grace contract: a reader that
     * resolved a snapshot keeps reading it safely until vacuum removes

@@ -90,6 +90,27 @@ class SnapshotRaceSpec extends AnyFunSuite {
     assert(Incremental.read(spark, t).collect()(0).getString(1) === "004")
   }
 
+  test("time travel: every retained published version reads back exactly") {
+    import spark.implicits._
+    val t = tmpDir()
+    (0 to 3).foreach(i =>
+      Incremental.mergeIncremental(spark, t,
+        Seq((1L, f"$i%03d")).toDF("k", "ver"), Seq("k"), watermarkCol = "ver"))
+    assert(Incremental.snapshots(spark, t) ===
+      Seq("v00000001", "v00000002", "v00000003", "v00000004"))
+    (1 to 4).foreach { v =>
+      assert(Incremental.readVersion(spark, t, v)
+        .collect()(0).getString(1) === f"${v - 1}%03d")
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.readVersion(spark, t, 9) // never published
+    }
+    Incremental.vacuum(spark, t, keep = 1)
+    intercept[IllegalArgumentException] {
+      Incremental.readVersion(spark, t, 1) // vacuumed away
+    }
+  }
+
   test("a crashed write (snapshot dir without pointer flip) is invisible") {
     import spark.implicits._
     val t = tmpDir()
