@@ -31,7 +31,14 @@ object CurationPipeline {
     def unpersist(): Unit = cached.foreach(_.unpersist())
   }
 
-  def run(docs: DataFrame, benchmark: DataFrame): Result = {
+  /** `exhaustivePairs = true` swaps the near-dedup candidate source from
+    * banded LSH (the default: block count scales with data — 1.8× for
+    * 10× rows in BENCH_SF1) to the exhaustive source-blocked pair search
+    * (complete within blocks, but Σ|block|² with the corpus's fixed
+    * source cardinality — a small-corpus/audit tool, not the 100 TB
+    * default). */
+  def run(docs: DataFrame, benchmark: DataFrame,
+          exhaustivePairs: Boolean = false): Result = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -65,7 +72,10 @@ object CurationPipeline {
 
     // stage 3: near-dedup — LSH candidates verified by Jaccard, resolved
     // to clusters, keep each cluster's canonical member
-    val clusters = TextOps.dedupClusters(TextOps.nearDupPairs(exact))
+    val pairs =
+      if (exhaustivePairs) TextOps.nearDupPairs(exact)
+      else TextOps.lshCandidatePairs(exact).filter(col("jaccard") >= 0.5)
+    val clusters = TextOps.dedupClusters(pairs)
     val nearDeduped = exact.join(
       clusters.filter(col("doc_id") =!= col("canonical_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
