@@ -610,17 +610,19 @@ object TextOps {
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val toks = tokenized(docs).select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-    // the corpus total is ONE number — collect it and inline a literal
-    // rather than cross-joining a 1-row frame (which plans as a
-    // BroadcastNestedLoopJoin and trips the plan audit for no benefit)
-    val corpusTokens = tf.agg(sum("cnt")).first().getLong(0).toDouble
+    // the corpus total rides the plan as a 1-row broadcast aggregate
+    // (whitelisted 1-row BNLJ, see topTfidfTerm) instead of a driver
+    // first() — which cost a whole extra explode+aggregate job over the
+    // corpus; tf's exchange is shared between the total and the join
+    val total = tf.agg(sum("cnt").cast("double").as("corpus_total"))
     // vocabulary grows sublinearly with corpus but is unbounded — size-gate
     // the frequency-table broadcast instead of pinning it
     toks.join(graft.ops.AutoBroadcast.sizeGate(tf), "term")
+      .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(log(2.0, col("cnt") / lit(corpusTokens))), 6).as("avg_log2p"))
+        round(avg(log(2.0, col("cnt") / col("corpus_total"))), 6).as("avg_log2p"))
   }
 
   /** Top term-pair association by PMI over document co-occurrence:
@@ -665,8 +667,9 @@ object TextOps {
     * Repetitive boilerplate scores suspiciously HIGH, gibberish scores
     * low — the two-sided quality signal. Shape: the bigram table is
     * (prev,cur)-keyed and shuffles like any aggregation; the corpus total
-    * is one inlined literal; probabilities are ratios of exact integer
-    * counts, so only the final log2/avg is floating point. */
+    * rides the plan as a 1-row broadcast aggregate; probabilities are
+    * ratios of exact integer counts, so only the final log2/avg is
+    * floating point. */
   def bigramLogProb(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
     val t = tokenized(docs)
     val bg = t.filter(size(col("toks")) >= 2)
@@ -677,14 +680,17 @@ object TextOps {
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
     val uni = t.select(explode(col("toks")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val corpusTokens = uni.agg(sum("cnt")).first().getLong(0).toDouble
+    // corpus total folded into the plan (1-row broadcast agg; uni's
+    // exchange reused) — no separate driver job, see unigramLogProb
+    val total = uni.agg(sum("cnt").cast("double").as("corpus_total"))
     val bgCnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_b"))
     bg.join(bgCnt, Seq("prev", "cur"))
       .join(uni.select(col("term").as("prev"), col("cnt").as("cnt_prev")), "prev")
       .join(uni.select(col("term").as("cur"), col("cnt").as("cnt_cur")), "cur")
+      .crossJoin(broadcast(total))
       .withColumn("p",
         lit(lambda) * col("cnt_b") / col("cnt_prev") +
-          lit(1.0 - lambda) * col("cnt_cur") / lit(corpusTokens))
+          lit(1.0 - lambda) * col("cnt_cur") / col("corpus_total"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(2.0, col("p"))), 6).as("avg_log2p"))

@@ -27,9 +27,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcast-query-set scoring joins
     "emb_ann_recall",
     // corpus-size N rides the plan as a ONE-ROW broadcast aggregate (the
-    // alternative was a separate driver-side docs.count() job); a 1-row
-    // build side makes the nested loop a map-side literal attach
-    "td_tfidf_top_term", "td_pmi_pairs")
+    // alternative was a separate driver-side count()/first() job over the
+    // corpus); a 1-row build side makes the nested loop a map-side
+    // literal attach
+    "td_tfidf_top_term", "td_pmi_pairs", "td_unigram_logprob",
+    "td_bigram_logprob")
 
   test("no registered query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
