@@ -277,6 +277,16 @@ object TrainingOps extends OpsModule {
     "emb_near_dup" -> ((s, d) =>
       Embeddings.cosineNearDup(embs(s, d)).orderBy("vec_id_a", "vec_id_b")),
 
+    // embedding-cosine near-dup resolved to clusters — the vector-space
+    // counterpart of td_lsh_clusters (same distributed connected-
+    // components resolution; cell blocking bounds the pair join)
+    "emb_dedup_clusters" -> ((s, d) =>
+      TextOps.dedupClusters(
+        Embeddings.cosineNearDup(embs(s, d))
+          .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b")))
+        .select(col("doc_id").as("vec_id"), col("canonical_id"))
+        .orderBy("vec_id")),
+
     "emb_knn_brute" -> ((s, d) =>
       Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -1023,6 +1033,22 @@ object TrainingOps extends OpsModule {
           FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
           WHERE round(${dCos("a.emb", "b.emb")}, 6) >= 0.4
           ORDER BY vec_id_a, vec_id_b""",
+
+    "emb_dedup_clusters" ->
+      s"""WITH RECURSIVE
+          e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+          nd AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                 FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                 WHERE round(${dCos("a.emb", "b.emb")}, 6) >= 0.4),
+          edges AS (SELECT va AS src, vb AS dst FROM nd
+                    UNION SELECT vb, va FROM nd),
+          cc AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e2.dst AS node, c.label FROM cc c JOIN edges e2 ON e2.src = c.node)
+          SELECT node AS vec_id, min(label) AS canonical_id
+          FROM cc GROUP BY node ORDER BY vec_id""",
 
     "emb_knn_brute" ->
       s"""WITH $duckCosPrelude
