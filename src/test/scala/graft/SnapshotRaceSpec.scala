@@ -111,6 +111,27 @@ class SnapshotRaceSpec extends AnyFunSuite {
     }
   }
 
+  test("random merge sequences match an in-memory upsert model (5 seeded trials)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val t = tmpDir()
+      val model = scala.collection.mutable.Map[Long, String]()
+      for (batch <- 0 until 6) {
+        val tag = f"$batch%03d"
+        val keys = (0 until (1 + rnd.nextInt(12))).map(_ => rnd.nextInt(30).toLong).distinct
+        // batch tag strictly increases, so the whole batch passes the
+        // watermark filter and upserts by key — mirror exactly
+        keys.foreach(k => model(k) = tag)
+        Incremental.mergeIncremental(spark, t,
+          keys.map(k => (k, tag)).toDF("k", "ver"), Seq("k"), watermarkCol = "ver")
+      }
+      val got = Incremental.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === model.toMap, s"seed $seed diverged")
+    }
+  }
+
   test("a crashed write (snapshot dir without pointer flip) is invisible") {
     import spark.implicits._
     val t = tmpDir()
