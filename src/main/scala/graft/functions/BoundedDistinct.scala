@@ -66,10 +66,17 @@ case class BoundedDistinct(
                       input: InternalRow): java.util.TreeSet[UTF8String] = {
     val v = child.eval(input)
     if (v != null) {
-      // clone: eval may hand back a buffer-backed UTF8String that the
-      // scanner overwrites on the next row
-      buf.add(v.asInstanceOf[UTF8String].clone())
-      if (buf.size > k) buf.pollLast()
+      val u = v.asInstanceOf[UTF8String]
+      // reject-path fast exit BEFORE any allocation: values already in
+      // the set, or not smaller than the current k-th smallest of a full
+      // buffer, never enter — the overwhelming majority on a big scan.
+      // Only an actual insert clones (eval may hand back a buffer-backed
+      // UTF8String the scanner overwrites on the next row).
+      val tooBig = buf.size >= k && u.compareTo(buf.last()) >= 0
+      if (!tooBig && !buf.contains(u)) {
+        buf.add(u.clone())
+        if (buf.size > k) buf.pollLast()
+      }
     }
     buf
   }

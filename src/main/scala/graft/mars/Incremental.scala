@@ -1,8 +1,8 @@
 package graft.mars
 
-import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
 
-import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,14 +16,25 @@ import org.apache.spark.sql.functions._
   *  - merge + unique_key: upsert — replace matching keys, insert new
   *    (reference: flat_manifest_response et al). No Delta in this
   *    environment, so: old ANTI-JOIN new ∪ new, written as an immutable
-  *    VERSIONED SNAPSHOT (`vNNNNNNNN/`) under the table root, published
-  *    by atomically flipping a `_current` pointer file (SURVEY §7.4.1).
-  *    The r2 temp-dir-swap had a window where a concurrent reader saw a
-  *    half-swapped table; with snapshots a reader resolves the pointer
-  *    once at DataFrame creation and then reads an immutable directory —
-  *    a racing merge can never tear it. Old snapshots are retained until
-  *    an explicit [[vacuum]] (the reader-grace contract, as in Delta).
+  *    VERSIONED SNAPSHOT (`vNNNNNNNN/`) under the table root and
+  *    published by atomically CREATING a commit-marker file
+  *    (`_commit_vNNNNNNNN`). Atomic file creation is the only primitive
+  *    the design leans on — it is atomic on posix and HDFS alike,
+  *    whereas an overwriting rename of a pointer file is delete+rename
+  *    on the local filesystem (a real read-miss window; Hadoop's
+  *    RawLocalFs does not override the atomic 3-arg renameInternal).
+  *    Readers resolve the HIGHEST committed marker once at DataFrame
+  *    creation, then read an immutable directory — a racing merge can
+  *    never tear it. Old snapshots are retained until [[vacuum]] (the
+  *    reader-grace contract, as in Delta).
   *  - view: just a lazy DataFrame; nothing to do here.
+  *
+  * Concurrent writers: a snapshot is staged under a unique `_stage_*`
+  * dir, the version number is CLAIMED by exclusive marker creation
+  * (`_claim_vN`), and only the claim winner renames its stage to `vN` —
+  * two racing merges therefore publish two distinct versions instead of
+  * overwriting each other's files (last committed marker wins the
+  * current pointer, exactly like two sequential merges).
   *
   * Scale: at 100 TB the merge rewrite is the expensive path; the anti-join
   * shuffles on the key unless the table is bucketed by it. The reference's
@@ -35,47 +46,46 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Pointer file naming the live snapshot dir; its presence marks a
-    * versioned (merge-managed) table root. */
-  private val CurrentPointer = "_current"
+  private val CommitPrefix = "_commit_"
+  private val ClaimPrefix = "_claim_"
+  private val StagePrefix = "_stage_"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** A table exists when it has a published snapshot pointer (versioned
-    * layout) or direct data files (flat/append layout). A root holding
-    * only an unpublished snapshot dir — a writer crashed before the
-    * pointer flip — is NOT a table yet: the crashed write is invisible,
-    * which is exactly the atomicity contract. */
+  private def names(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val f = fs(spark, root)
+    if (!f.exists(p)) Nil else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** A table exists when it has a committed snapshot (versioned layout)
+    * or direct data files (flat/append layout). A root holding only an
+    * uncommitted snapshot dir — a writer crashed before the marker — is
+    * NOT a table yet: the crashed write is invisible, which is exactly
+    * the atomicity contract. */
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val f = fs(spark, path)
     f.exists(p) && {
-      f.exists(new Path(p, CurrentPointer)) ||
-        f.listStatus(p).exists(st =>
-          st.isFile && !st.getPath.getName.startsWith("_"))
+      val entries = f.listStatus(p).toSeq
+      entries.exists(_.getPath.getName.startsWith(CommitPrefix)) ||
+        entries.exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
     }
   }
 
-  /** The live snapshot dir name, when `path` is a versioned root. */
-  def currentSnapshot(spark: SparkSession, path: String): Option[String] = {
-    val ptr = new Path(path, CurrentPointer)
-    val f = fs(spark, path)
-    if (!f.exists(ptr)) None
-    else {
-      val in = f.open(ptr)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, UTF_8).trim)
-      } finally in.close()
-    }
-  }
+  /** The live snapshot dir name — the highest committed version — when
+    * `path` is a versioned root. Marker files are created atomically, so
+    * a reader sees either the pre-merge or post-merge set, never an
+    * intermediate state. */
+  def currentSnapshot(spark: SparkSession, path: String): Option[String] =
+    names(spark, path).filter(_.startsWith(CommitPrefix))
+      .map(_.stripPrefix(CommitPrefix)).sorted.lastOption
 
-  /** Resolves the pointer ONCE, eagerly: the returned DataFrame is bound
-    * to an immutable snapshot directory, so lazy evaluation later — even
-    * mid-merge — reads a consistent table. Flat (append-layout) paths
-    * read directly. */
+  /** Resolves the current version ONCE, eagerly: the returned DataFrame
+    * is bound to an immutable snapshot directory, so lazy evaluation
+    * later — even mid-merge — reads a consistent table. Flat
+    * (append-layout) paths read directly. */
   def read(spark: SparkSession, path: String): DataFrame =
     currentSnapshot(spark, path) match {
       case Some(snap) => spark.read.parquet(s"$path/$snap")
@@ -119,73 +129,87 @@ object Incremental {
     writeSnapshot(spark, target, merged, clusterBy)
   }
 
-  /** Write `df` as the next `vNNNNNNNN/` snapshot under `root`, then
-    * publish it by atomically replacing the `_current` pointer
-    * (write-to-temp + FileContext rename with OVERWRITE — atomic on posix
-    * and HDFS). Readers either resolve the old pointer or the new one;
-    * there is no in-between state, and the directory a reader resolved is
-    * never mutated afterwards. A crash before the flip leaves an orphan
-    * snapshot dir that [[exists]] ignores and [[vacuum]] removes. */
+  /** Stage `df` under a unique `_stage_*` dir, claim the next free
+    * version by EXCLUSIVE marker creation, rename the stage to `vN`
+    * (target guaranteed free by the claim), then publish with an atomic
+    * `_commit_vN` create. Every step is crash-safe: a crash leaves at
+    * worst a stage dir or a claimed-but-uncommitted version, both
+    * invisible to readers and reclaimed by [[vacuum]]. */
   private def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
                             clusterBy: Seq[String]): Unit = {
-    val next = currentSnapshot(spark, root) match {
-      case Some(snap) => snap.stripPrefix("v").toInt + 1
-      case None       => 1
-    }
-    val snap = f"v$next%08d"
-    write(df, s"$root/$snap", SaveMode.Overwrite, clusterBy)
-
-    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, root)
     val rootPath = new Path(root)
-    val fc = FileContext.getFileContext(
-      fs(spark, root).makeQualified(rootPath).toUri, conf)
-    val tmp = new Path(rootPath, s"$CurrentPointer.tmp")
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
-    try out.write(snap.getBytes(UTF_8)) finally out.close()
-    fc.rename(tmp, new Path(rootPath, CurrentPointer), Options.Rename.OVERWRITE)
+    val stage = new Path(rootPath, s"$StagePrefix${UUID.randomUUID()}")
+    write(df, stage.toString, SaveMode.Overwrite, clusterBy)
+
+    var attempts = 0
+    var published = false
+    while (!published) {
+      attempts += 1
+      require(attempts <= 1000, s"could not claim a snapshot version under $root")
+      // next free version: above every committed, claimed, or orphaned dir
+      val taken = names(spark, root).collect {
+        case n if n.startsWith(CommitPrefix) => n.stripPrefix(CommitPrefix)
+        case n if n.startsWith(ClaimPrefix)  => n.stripPrefix(ClaimPrefix)
+        case n if n.matches("v\\d{8}")       => n
+      }
+      val next = taken.map(_.stripPrefix("v").toInt).maxOption.getOrElse(0) + 1
+      val snap = f"v$next%08d"
+      if (f.createNewFile(new Path(rootPath, s"$ClaimPrefix$snap"))) {
+        val dest = new Path(rootPath, snap)
+        require(f.rename(stage, dest), s"rename $stage -> $dest failed")
+        f.createNewFile(new Path(rootPath, s"$CommitPrefix$snap"))
+        published = true
+      }
+      // claim lost: another writer took this version — recompute and retry
+    }
   }
 
   /** All snapshot dir names under a versioned root, oldest first —
-    * including any orphaned (never-published) write. */
-  def snapshots(spark: SparkSession, root: String): Seq[String] = {
-    val f = fs(spark, root)
-    val rootPath = new Path(root)
-    if (!f.exists(rootPath)) Nil
-    else f.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
-      .map(_.getPath.getName).sorted
-  }
+    * including any orphaned (never-committed) write. */
+  def snapshots(spark: SparkSession, root: String): Seq[String] =
+    names(spark, root).filter(_.matches("v\\d{8}")).sorted
 
-  /** Time-travel read: a specific retained snapshot version (1-based, as
-    * in the dir name). Only PUBLISHED versions are readable — an orphaned
-    * dir from a crashed write, or one newer than `_current`, is not a
-    * committed version and is refused. */
+  /** Time-travel read: a specific COMMITTED, retained snapshot version
+    * (1-based, as in the dir name). An orphaned dir from a crashed
+    * write, a never-claimed version, or a vacuumed one is refused. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val snap = f"v$version%08d"
-    val current = currentSnapshot(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"$root is not a versioned table"))
-    require(snap <= current, s"version $version was never published (current $current)")
-    require(snapshots(spark, root).contains(snap),
-      s"version $version not retained (vacuumed?)")
+    require(currentSnapshot(spark, root).nonEmpty,
+      s"$root is not a versioned table")
+    require(names(spark, root).contains(s"$CommitPrefix$snap"),
+      s"version $version was never published or has been vacuumed")
     spark.read.parquet(s"$root/$snap")
   }
 
-  /** Drop all snapshots except the `keep` newest (and any orphaned
-    * pointer temp). Retention is the reader-grace contract: a reader that
-    * resolved a snapshot keeps reading it safely until vacuum removes
-    * dirs older than its grace window — identical to Delta's VACUUM
-    * semantics. */
+  /** Drop all committed snapshots except the `keep` newest, plus every
+    * uncommitted leftover (stage dirs, claims without commits, orphaned
+    * snapshot dirs below the current version). Retention is the
+    * reader-grace contract: run vacuum only when no writer is in flight
+    * and older than the grace window — identical to Delta's VACUUM. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return
-    val current = currentSnapshot(spark, root)
-    val snaps = f.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
-      .map(_.getPath.getName).sorted
-    val doomed = snaps.dropRight(keep).filterNot(current.contains)
-    doomed.foreach(s => f.delete(new Path(rootPath, s), true))
+    val all = names(spark, root)
+    val committed = all.filter(_.startsWith(CommitPrefix))
+      .map(_.stripPrefix(CommitPrefix)).sorted
+    // expired committed versions: delete the marker FIRST so readVersion
+    // refuses before the data disappears
+    committed.dropRight(keep).foreach { snap =>
+      f.delete(new Path(rootPath, s"$CommitPrefix$snap"), false)
+      f.delete(new Path(rootPath, snap), true)
+    }
+    // crashed-writer leftovers (safe only with no writer in flight):
+    // stages, claims without a commit, dirs without a commit
+    val commitSet = committed.toSet
+    all.filter(_.startsWith(StagePrefix))
+      .foreach(n => f.delete(new Path(rootPath, n), true))
+    all.filter(_.startsWith(ClaimPrefix))
+      .filterNot(n => commitSet.contains(n.stripPrefix(ClaimPrefix)))
+      .foreach(n => f.delete(new Path(rootPath, n), false))
+    all.filter(_.matches("v\\d{8}")).filterNot(commitSet.contains)
+      .foreach(n => f.delete(new Path(rootPath, n), true))
   }
 
   /** dbt cluster_by → repartition on the first key + sort within

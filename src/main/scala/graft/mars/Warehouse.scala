@@ -81,6 +81,11 @@ final case class Warehouse(spark: SparkSession, root: String) {
       Incremental.mergeIncremental(spark, silverFlatCoordinates,
         Silver.flatCoordinateResponse(Incremental.read(spark, bronzeCoordinates)),
         keys = Seq("rover_name", "sol"), clusterBy = Seq("rover_name", "sol"))
+    // retention: the orchestrator loop re-merges these every batch — keep
+    // current + one grace version so disk stays bounded at ~2× table size
+    // instead of growing one full snapshot per micro-batch
+    Seq(silverFlatManifest, silverFlatManifestPhotos, silverFlatCoordinates)
+      .foreach(t => Incremental.vacuum(spark, t, keep = 2))
   }
 
   // lazy views over the materialized silver

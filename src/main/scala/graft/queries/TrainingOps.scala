@@ -1322,15 +1322,18 @@ object TrainingOps extends OpsModule {
 
     "mm_audio_energy" ->
       """SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
-                CAST(list_sum(list_transform(
-                  generate_series(1, len(substr(text, win_idx * 32 + 1, 32))),
-                  i -> ascii(substr(substr(text, win_idx * 32 + 1, 32), i, 1))))
+                CAST(coalesce(list_sum(list_transform(
+                  generate_series(1, len(h) // 2),
+                  i -> CAST(concat('0x', substr(h, i * 2 - 1, 2)) AS BIGINT))), 0)
                   AS BIGINT) AS energy
-         FROM (SELECT doc_id, text,
-                      unnest(generate_series(0,
-                        greatest(CAST(ceil(len(text) / 32.0) AS INT) - 1, 0)))
-                        AS win_idx
-               FROM documents)
+         FROM (SELECT doc_id, win_idx,
+                      substr(hex(encode(text)), win_idx * 64 + 1, 64) AS h
+               FROM (SELECT doc_id, text,
+                            unnest(generate_series(0,
+                              greatest(CAST(ceil(octet_length(encode(text)) / 32.0)
+                                            AS INT) - 1, 0)))
+                              AS win_idx
+                     FROM documents))
          ORDER BY doc_id, win_idx""",
     "mm_resize" ->
       """SELECT doc_id,

@@ -80,13 +80,16 @@ object ControlPlane {
     parsed(topic,
       TopicTransport.forSession(spark, root).readTopicBatch(spark, topic))
 
-  /** Produce one message via the session-selected transport. Kept
-    * sparkless in signature for the file binding's callers; the active
-    * session is resolved for transport selection. */
-  def produce(root: String, topic: String, json: String): Unit = {
-    val spark = SparkSession.active
-    TopicTransport.forSession(spark, root).produce(spark, topic, json)
-  }
+  /** Produce one message via the session-selected transport. Genuinely
+    * sparkless when no session exists: the file binding is plain file IO
+    * (a lightweight producer process needs no SparkSession), and only a
+    * live session can opt into the Kafka binding anyway. */
+  def produce(root: String, topic: String, json: String): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(spark) =>
+        TopicTransport.forSession(spark, root).produce(spark, topic, json)
+      case None => FileTopicTransport(root).produce(null, topic, json)
+    }
 
   def minioEventJson(key: String): String =
     s"""{"Key":"$key","EventName":"s3:ObjectCreated:Put"}"""

@@ -37,6 +37,6 @@ class CurationPipelineSpec extends AnyFunSuite {
       // no contaminated doc survives: re-checking hits on the curated set
       // against the benchmark finds nothing
       assert(TextOps.contaminationHits(curated, bench, k = 8).count() == 0)
-    } finally { curated.unpersist(); () }
+    } finally { curated.unpersist(); r.unpersist() }
   }
 }

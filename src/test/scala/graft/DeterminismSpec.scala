@@ -29,7 +29,10 @@ class DeterminismSpec extends AnyFunSuite {
     case _                          => false
   }
 
-  // schema resolution only — no job runs here
+  // builds every registered query once to read its schema. A few
+  // builders legitimately run driver-side jobs at construction time
+  // (td_heavy_hitters' sketch, the dedupClusters family's resolution) —
+  // at sf0.001 that is seconds, paid once per suite via lazy val.
   private lazy val sensitive: Seq[String] =
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (_, fn) => fn(spark, sf).schema.exists(f => hasFloat(f.dataType)) }
