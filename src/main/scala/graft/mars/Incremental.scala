@@ -32,9 +32,14 @@ import org.apache.spark.sql.functions._
   * Concurrent writers: a snapshot is staged under a unique `_stage_*`
   * dir, the version number is CLAIMED by exclusive marker creation
   * (`_claim_vN`), and only the claim winner renames its stage to `vN` —
-  * two racing merges therefore publish two distinct versions instead of
-  * overwriting each other's files (last committed marker wins the
-  * current pointer, exactly like two sequential merges).
+  * two racing merges therefore publish two distinct, internally
+  * consistent versions instead of overwriting each other's files. Note
+  * the isolation level this buys: readers never see torn files, but two
+  * merges that BOTH computed against the same base do not compose — the
+  * higher claim wins the current pointer wholesale (snapshot-isolation
+  * write-skew). Composing racing upserts needs an optimistic
+  * check-and-retry on the base version (the Delta commit protocol),
+  * which single-writer-per-table pipelines — this one — don't need.
   *
   * Scale: at 100 TB the merge rewrite is the expensive path; the anti-join
   * shuffles on the key unless the table is bucketed by it. The reference's

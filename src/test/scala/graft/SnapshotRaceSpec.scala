@@ -132,6 +132,34 @@ class SnapshotRaceSpec extends AnyFunSuite {
     }
   }
 
+  test("two racing merges publish two distinct committed versions, no torn files") {
+    import spark.implicits._
+    val t = tmpDir()
+    Incremental.mergeIncremental(spark, t,
+      (0L to 9L).map(k => (k, "000")).toDF("k", "ver"), Seq("k"),
+      watermarkCol = "ver")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def merger(tag: String) = new Thread(() => {
+      try Incremental.mergeIncremental(spark, t,
+        (0L to 9L).map(k => (k, tag)).toDF("k", "ver"), Seq("k"),
+        watermarkCol = "ver")
+      catch { case e: Throwable => errs.add(e) }
+    })
+    val (a, b) = (merger("001"), merger("002"))
+    a.start(); b.start(); a.join(120000); b.join(120000)
+    assert(errs.isEmpty, errs.toArray.mkString("\n"))
+    // both writers committed distinct versions on top of v1
+    assert(Incremental.snapshots(spark, t) ===
+      Seq("v00000001", "v00000002", "v00000003"))
+    (1 to 3).foreach(v =>
+      assert(Incremental.readVersion(spark, t, v).count() === 10))
+    // the current table is exactly ONE writer's internally-consistent
+    // result (snapshot isolation: racing upserts don't compose)
+    val tags = Incremental.read(spark, t).select("ver")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(tags === Set("001") || tags === Set("002"), tags)
+  }
+
   test("a crashed write (snapshot dir without pointer flip) is invisible") {
     import spark.implicits._
     val t = tmpDir()
