@@ -2,7 +2,7 @@ package graft.mars
 
 import java.util.UUID
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,22 @@ object Incremental {
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Exclusive marker creation — THE atomic primitive claims and commits
+    * lean on. Hadoop's `FileSystem.createNewFile` is exists-then-create
+    * on RawLocalFileSystem (no O_EXCL — a real double-claim window), so
+    * local paths go through `java.io.File.createNewFile`, which the JDK
+    * documents as atomic. Remote filesystems use `create(overwrite =
+    * false)`; HDFS signals a lost race with FileAlreadyExistsException,
+    * which is a lost claim, not an error. */
+  private def createExclusive(f: FileSystem, p: Path): Boolean = {
+    val q = f.makeQualified(p)
+    if (q.toUri.getScheme == "file")
+      new java.io.File(q.toUri.getPath).createNewFile()
+    else
+      try { f.create(q, false).close(); true }
+      catch { case _: FileAlreadyExistsException => false }
+  }
 
   private def names(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
@@ -160,10 +176,13 @@ object Incremental {
       }
       val next = taken.map(_.stripPrefix("v").toInt).maxOption.getOrElse(0) + 1
       val snap = f"v$next%08d"
-      if (f.createNewFile(new Path(rootPath, s"$ClaimPrefix$snap"))) {
+      if (createExclusive(f, new Path(rootPath, s"$ClaimPrefix$snap"))) {
         val dest = new Path(rootPath, snap)
         require(f.rename(stage, dest), s"rename $stage -> $dest failed")
-        f.createNewFile(new Path(rootPath, s"$CommitPrefix$snap"))
+        // unchecked, the merge would "succeed" while readers never see vN
+        // and the next vacuum reclaims its data as an orphan
+        require(createExclusive(f, new Path(rootPath, s"$CommitPrefix$snap")),
+          s"commit marker for $snap already exists or could not be created")
         published = true
       }
       // claim lost: another writer took this version — recompute and retry
@@ -187,33 +206,49 @@ object Incremental {
     spark.read.parquet(s"$root/$snap")
   }
 
-  /** Drop all committed snapshots except the `keep` newest, plus every
+  /** Drop committed snapshots beyond the `keep` newest, plus every
     * uncommitted leftover (stage dirs, claims without commits, orphaned
-    * snapshot dirs below the current version). Retention is the
-    * reader-grace contract: run vacuum only when no writer is in flight
-    * and older than the grace window — identical to Delta's VACUUM. */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    * snapshot dirs). Two safety contracts:
+    *
+    *  - the LIVE snapshot is never deleted — `keep` is clamped to ≥ 1, so
+    *    even `keep = 0` cannot destroy the table;
+    *  - `minAgeMs` is the reader/writer grace (Delta's retention hours):
+    *    nothing newer than it is touched, so a reader pinned to a
+    *    recently-expired version finishes its scan, and a writer's
+    *    in-flight stage dir or fresh claim is not swept from under it.
+    *    The default 0 is for single-writer batch pipelines that vacuum
+    *    between jobs; concurrent callers (e.g. per-micro-batch vacuum)
+    *    must pass a real grace window. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             minAgeMs: Long = 0L): Unit = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return
-    val all = names(spark, root)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val statuses = f.listStatus(rootPath).toSeq
+    val age = statuses.map(st => st.getPath.getName -> st.getModificationTime).toMap
+    def expired(name: String): Boolean = age.get(name).forall(_ < cutoff)
+    val all = statuses.map(_.getPath.getName)
     val committed = all.filter(_.startsWith(CommitPrefix))
       .map(_.stripPrefix(CommitPrefix)).sorted
     // expired committed versions: delete the marker FIRST so readVersion
     // refuses before the data disappears
-    committed.dropRight(keep).foreach { snap =>
-      f.delete(new Path(rootPath, s"$CommitPrefix$snap"), false)
-      f.delete(new Path(rootPath, snap), true)
-    }
-    // crashed-writer leftovers (safe only with no writer in flight):
-    // stages, claims without a commit, dirs without a commit
-    val commitSet = committed.toSet
-    all.filter(_.startsWith(StagePrefix))
+    val retained = committed.takeRight(math.max(keep, 1)).toSet
+    committed.filterNot(retained).filter(s => expired(s"$CommitPrefix$s"))
+      .foreach { snap =>
+        f.delete(new Path(rootPath, s"$CommitPrefix$snap"), false)
+        f.delete(new Path(rootPath, snap), true)
+      }
+    // crashed-writer leftovers: stages, claims without a RETAINED commit
+    // (a claim whose version just expired above goes with it), dirs
+    // without a retained commit — each only once older than the grace
+    all.filter(_.startsWith(StagePrefix)).filter(expired)
       .foreach(n => f.delete(new Path(rootPath, n), true))
     all.filter(_.startsWith(ClaimPrefix))
-      .filterNot(n => commitSet.contains(n.stripPrefix(ClaimPrefix)))
+      .filterNot(n => retained.contains(n.stripPrefix(ClaimPrefix)))
+      .filter(expired)
       .foreach(n => f.delete(new Path(rootPath, n), false))
-    all.filter(_.matches("v\\d{8}")).filterNot(commitSet.contains)
+    all.filter(_.matches("v\\d{8}")).filterNot(retained).filter(expired)
       .foreach(n => f.delete(new Path(rootPath, n), true))
   }
 

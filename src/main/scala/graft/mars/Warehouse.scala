@@ -82,10 +82,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
         Silver.flatCoordinateResponse(Incremental.read(spark, bronzeCoordinates)),
         keys = Seq("rover_name", "sol"), clusterBy = Seq("rover_name", "sol"))
     // retention: the orchestrator loop re-merges these every batch — keep
-    // current + one grace version so disk stays bounded at ~2× table size
-    // instead of growing one full snapshot per micro-batch
+    // current + one grace version so disk stays bounded instead of growing
+    // one full snapshot per micro-batch. "Two versions" alone is NOT a
+    // reader grace under a fast trigger (sub-second batches would sweep a
+    // snapshot mid-scan), so the wall-clock grace below is what actually
+    // protects a concurrent reader of the public warehouse views — a
+    // pinned version is deletable only after it is BOTH superseded twice
+    // and 10 minutes cold, the Delta VACUUM retention shape.
     Seq(silverFlatManifest, silverFlatManifestPhotos, silverFlatCoordinates)
-      .foreach(t => Incremental.vacuum(spark, t, keep = 2))
+      .foreach(t => Incremental.vacuum(spark, t, keep = 2,
+        minAgeMs = 10L * 60 * 1000))
   }
 
   // lazy views over the materialized silver

@@ -82,13 +82,18 @@ object ControlPlane {
 
   /** Produce one message via the session-selected transport. Genuinely
     * sparkless when no session exists: the file binding is plain file IO
-    * (a lightweight producer process needs no SparkSession), and only a
-    * live session can opt into the Kafka binding anyway. */
+    * (a lightweight producer process needs no SparkSession). A sparkless
+    * producer in a Kafka-configured deployment (`spark.graft.transport`
+    * system property — the JVM-level mirror of the session conf) FAILS
+    * rather than silently appending to a file log no consumer reads. */
   def produce(root: String, topic: String, json: String): Unit =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case Some(spark) =>
         TopicTransport.forSession(spark, root).produce(spark, topic, json)
-      case None => FileTopicTransport(root).produce(null, topic, json)
+      case None =>
+        require(!sys.props.get(TopicTransport.TransportKey).contains("kafka"),
+          s"${TopicTransport.TransportKey}=kafka needs a SparkSession to produce")
+        FileTopicTransport(root).produceSparkless(topic, json)
     }
 
   def minioEventJson(key: String): String =

@@ -52,7 +52,13 @@ final case class FileTopicTransport(root: String) extends TopicTransport {
   override def readTopicBatch(spark: SparkSession, topic: String): DataFrame =
     spark.read.text(dir(topic)).select(col("value"))
 
-  override def produce(spark: SparkSession, topic: String, json: String): Unit = {
+  override def produce(spark: SparkSession, topic: String, json: String): Unit =
+    produceSparkless(topic, json)
+
+  /** The file binding needs no session at all — plain file IO, usable
+    * from a lightweight producer process (ControlPlane.produce's
+    * sessionless path calls this directly, never with a null session). */
+  def produceSparkless(topic: String, json: String): Unit = {
     val d = Paths.get(root, topic)
     Files.createDirectories(d)
     // flush-per-message like the reference producer (kafka.py:42-57)

@@ -90,6 +90,44 @@ class SnapshotRaceSpec extends AnyFunSuite {
     assert(Incremental.read(spark, t).collect()(0).getString(1) === "004")
   }
 
+  test("vacuum can never delete the live snapshot, even at keep = 0") {
+    import spark.implicits._
+    val t = tmpDir()
+    (0 to 2).foreach(i =>
+      Incremental.mergeIncremental(spark, t,
+        Seq((1L, f"$i%03d")).toDF("k", "ver"), Seq("k"), watermarkCol = "ver"))
+    Incremental.vacuum(spark, t, keep = 0)
+    assert(Incremental.exists(spark, t))
+    assert(Incremental.snapshots(spark, t) === Seq("v00000003"))
+    assert(Incremental.read(spark, t).collect()(0).getString(1) === "002")
+  }
+
+  test("vacuum's age grace protects recent snapshots and fresh writer leftovers") {
+    import spark.implicits._
+    val t = tmpDir()
+    (0 to 3).foreach(i =>
+      Incremental.mergeIncremental(spark, t,
+        Seq((1L, f"$i%03d")).toDF("k", "ver"), Seq("k"), watermarkCol = "ver"))
+    // simulate an in-flight writer: a fresh stage dir + claim
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(t, "_stage_inflight"))
+    fs.create(new org.apache.hadoop.fs.Path(t, "_claim_v00000009"), false).close()
+    // everything on disk is younger than the grace → vacuum must not
+    // touch ANY of it (expired versions, stages, claims alike)
+    Incremental.vacuum(spark, t, keep = 1, minAgeMs = 60 * 60 * 1000L)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(t))
+      .map(_.getPath.getName).toSet
+    assert(Incremental.snapshots(spark, t).size === 4)
+    assert(names.contains("_stage_inflight") && names.contains("_claim_v00000009"))
+    // grace elapsed (age 0): the same call now sweeps all of them
+    Incremental.vacuum(spark, t, keep = 1, minAgeMs = 0L)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(t))
+      .map(_.getPath.getName).toSet
+    assert(after === Set("v00000004", "_commit_v00000004", "_claim_v00000004"))
+    assert(Incremental.read(spark, t).collect()(0).getString(1) === "003")
+  }
+
   test("time travel: every retained published version reads back exactly") {
     import spark.implicits._
     val t = tmpDir()
@@ -147,6 +185,9 @@ class SnapshotRaceSpec extends AnyFunSuite {
     })
     val (a, b) = (merger("001"), merger("002"))
     a.start(); b.start(); a.join(120000); b.join(120000)
+    // join(timeout) returns even if the thread is hung — make a timeout a
+    // clear failure, not a race against still-running writers below
+    assert(!a.isAlive && !b.isAlive, "a merge writer exceeded the join timeout")
     assert(errs.isEmpty, errs.toArray.mkString("\n"))
     // both writers committed distinct versions on top of v1
     assert(Incremental.snapshots(spark, t) ===
