@@ -150,6 +150,64 @@ object Incremental {
     writeSnapshot(spark, target, merged, clusterBy)
   }
 
+  /** dbt `snapshot` materialization — SCD type-2 history over a mutable
+    * entity (the fourth dbt materialization; the reference scaffolds
+    * `dbt/martian_moments/snapshots/` for it but ships none, so this is
+    * the one dbt surface a reference user could invoke that `append` /
+    * `merge` / `view` don't cover). Check-strategy semantics: a source
+    * row opens a new version only when its tracked state differs from
+    * the entity's current version; the superseded version is closed with
+    * the newcomer's `updatedAt`.
+    *
+    * Target schema: `keys ++ checkCols ++ (valid_from, valid_to)`;
+    * `valid_to IS NULL` marks the current version. The table is published
+    * through the same versioned-snapshot store as [[mergeIncremental]],
+    * so racing readers see a committed history or none.
+    *
+    * Batches must arrive forward in time: a source row at or before the
+    * entity's open `valid_from` is late data and is dropped (dbt compares
+    * against the current record only — identical contract). One row per
+    * (key, updatedAt) is required; ties have no defined version order.
+    *
+    * Scale: one shuffle on the entity key; closed history is carried via
+    * union, never re-windowed — the window runs only over (open ∪ fresh),
+    * which is O(entities + batch), not O(history). Equivalence with the
+    * one-shot reconstruction (`q61_scd2`) is pinned by Scd2Spec. */
+  def scd2Merge(spark: SparkSession, target: String, source: DataFrame,
+                keys: Seq[String], updatedAt: String,
+                checkCols: Seq[String], clusterBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val batch = source.select(
+      (keys ++ checkCols).map(col) :+ col(updatedAt).as("valid_from"): _*)
+    val (closed, openAndFresh) =
+      if (!exists(spark, target)) {
+        (None, batch)
+      } else {
+        val cur = read(spark, target)
+        val open = cur.filter(col("valid_to").isNull).drop("valid_to")
+        val openFrom = open.select(
+          keys.map(col) :+ col("valid_from").as("_open_from"): _*)
+        val fresh = batch.join(openFrom, keys, "left")
+          .filter(col("_open_from").isNull ||
+            col("valid_from") > col("_open_from"))
+          .drop("_open_from")
+        (Some(cur.filter(col("valid_to").isNotNull)), open.unionByName(fresh))
+      }
+    // gaps-and-islands over the combined current + incoming versions:
+    // drop rows whose tracked state equals the previous version's, then
+    // close each surviving version with the next one's start. Both
+    // windows share one shuffle+sort on the entity key.
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("valid_from"))
+    val state = struct(checkCols.map(col): _*)
+    val rebuilt = openAndFresh
+      .withColumn("_prev", lag(state, 1).over(w))
+      .filter(col("_prev").isNull || !(col("_prev") <=> state))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .drop("_prev")
+    val full = closed.fold(rebuilt)(_.unionByName(rebuilt))
+    writeSnapshot(spark, target, full, clusterBy)
+  }
+
   /** Stage `df` under a unique `_stage_*` dir, claim the next free
     * version by EXCLUSIVE marker creation, rename the stage to `vN`
     * (target guaranteed free by the claim), then publish with an atomic

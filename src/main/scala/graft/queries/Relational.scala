@@ -865,6 +865,25 @@ object Relational extends OpsModule {
           col("event_id").as("last_error_id"))
       graft.ops.AsOf.joinAsOf(clicks, errors, Seq("user_id"), "ts", "err_ts")
         .orderBy("event_id")
+    }),
+
+    // SCD type-2 reconstruction from a change log (the dbt `snapshot`
+    // materialization's check strategy, one-shot form): collapse runs of
+    // equal consecutive states per entity (gaps-and-islands), then close
+    // each island with the next island's start. Two windows over ONE
+    // shuffle on the entity key — the same partitioning serves both.
+    // Incremental.scd2Merge maintains the same table batch-by-batch;
+    // Scd2Spec pins iterative == this one-shot form.
+    "q61_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      ev(s, d)
+        .select(col("user_id"), col("event_type").as("state"), col("ts"))
+        .withColumn("prev_state", lag("state", 1).over(w))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
     })
   )
 
@@ -1416,6 +1435,21 @@ object Relational extends OpsModule {
                 count(*) AS n_events,
                 round(sum(value), 6) AS total_value
          FROM numbered GROUP BY user_id, sess_id
-         ORDER BY user_id, session_start"""
+         ORDER BY user_id, session_start""",
+    "q61_scd2" ->
+      """WITH marked AS (
+           SELECT user_id, event_type AS state, ts,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                    AS prev_state
+           FROM events),
+         islands AS (
+           SELECT user_id, state, ts FROM marked
+           WHERE prev_state IS NULL OR prev_state <> state)
+         SELECT user_id, state, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+                (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+                  AS is_current
+         FROM islands
+         ORDER BY user_id, valid_from"""
   )
 }
