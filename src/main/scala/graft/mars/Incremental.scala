@@ -214,8 +214,9 @@ object Incremental {
     * `_commit_vN` create. Every step is crash-safe: a crash leaves at
     * worst a stage dir or a claimed-but-uncommitted version, both
     * invisible to readers and reclaimed by [[vacuum]]. */
-  private def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
-                            clusterBy: Seq[String]): Unit = {
+  private[graft] def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
+                            clusterBy: Seq[String],
+                            onlyIfCurrent: Option[String] = None): Boolean = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     val stage = new Path(rootPath, s"$StagePrefix${UUID.randomUUID()}")
@@ -235,6 +236,15 @@ object Incremental {
       val next = taken.map(_.stripPrefix("v").toInt).maxOption.getOrElse(0) + 1
       val snap = f"v$next%08d"
       if (createExclusive(f, new Path(rootPath, s"$ClaimPrefix$snap"))) {
+        // rewrite-in-place publishes (compact) abandon when another writer
+        // committed since the rewrite read its base: committing a copy of
+        // OLD data on top of the newcomer would shadow its changes
+        if (onlyIfCurrent.exists(base =>
+              !currentSnapshot(spark, root).contains(base))) {
+          f.delete(new Path(rootPath, s"$ClaimPrefix$snap"), false)
+          f.delete(stage, true)
+          return false
+        }
         val dest = new Path(rootPath, snap)
         require(f.rename(stage, dest), s"rename $stage -> $dest failed")
         // unchecked, the merge would "succeed" while readers never see vN
@@ -245,6 +255,42 @@ object Incremental {
       }
       // claim lost: another writer took this version — recompute and retry
     }
+    true
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the CURRENT snapshot as
+    * `ceil(on-disk bytes / targetFileBytes)` files, published as a new
+    * committed version holding identical rows. The streaming merge loop
+    * writes one snapshot per micro-batch with one file per shuffle
+    * partition — at scale that is the small-file problem (listing cost,
+    * per-file task scheduling, row groups too small for their stats to
+    * prune anything). Compaction bin-packs via `coalesce` (merges input
+    * splits, NO shuffle); passing `sortBy` instead range-partitions and
+    * sorts (one shuffle) so file- and row-group-level min/max stats
+    * become disjoint on those keys — the cluster_by pruning contract
+    * re-established after many unsorted merges.
+    *
+    * Returns false without publishing when another writer committed
+    * between the read and the publish — compacting stale data on top of
+    * a fresh merge would shadow it (Delta OPTIMIZE's conflict-abort).
+    * Readers are unaffected either way: both versions hold the same
+    * rows, and old versions stay readable until [[vacuum]]. */
+  def compact(spark: SparkSession, root: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              sortBy: Seq[String] = Nil): Boolean = {
+    val snap = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a versioned table"))
+    val f = fs(spark, root)
+    val dir = new Path(new Path(root), snap)
+    val bytes = f.getContentSummary(dir).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(dir.toString)
+    val arranged =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(nFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else df.coalesce(nFiles)
+    writeSnapshot(spark, root, arranged, Nil, onlyIfCurrent = Some(snap))
   }
 
   /** All snapshot dir names under a versioned root, oldest first —
