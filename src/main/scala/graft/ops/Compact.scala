@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions.col
   * POSIX dir / HDFS, last-wins on object stores (where production would
   * commit via a table format's metadata transaction instead — documented
   * trade, same operator shape).
+  *
+  * This is the FLAT-directory form, for plain datasets nothing reads
+  * mid-rewrite. A versioned snapshot table compacts through
+  * [[graft.mars.Incremental.compact]] instead — atomic marker publish,
+  * racing readers unharmed, conflict-abort against racing merges — and
+  * this operator refuses such roots rather than swap a directory whose
+  * layout carries commit markers.
   */
 object Compact {
 
@@ -32,6 +39,10 @@ object Compact {
               targetBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil): CompactStats = {
     val d = new File(dir)
+    require(Option(d.list()).getOrElse(Array.empty[String])
+        .forall(n => !n.startsWith("_commit_")),
+      s"$dir is a versioned snapshot table — use Incremental.compact " +
+        "(atomic publish; a directory swap here would tear its commit markers)")
     val before = parquetFiles(d)
     val totalBytes = before.map(_.length()).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
