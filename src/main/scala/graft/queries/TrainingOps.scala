@@ -207,9 +207,15 @@ object TrainingOps extends OpsModule {
     "td_mixture_sample" -> ((s, d) => {
       val dd = docs(s, d)
       val counts = dd.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val minN = counts.agg(min("n_docs")).first().getLong(0)
-      val rates = counts.withColumn("rate_pct",
-        expr(s"(100 * ${minN}L) div n_docs"))
+      // the smallest source's size rides along as a broadcast 1-row agg
+      // (NOT a separate .first() job — that would scan the corpus twice);
+      // both branches hang off `counts`, so the aggregation's exchange is
+      // computed once and reused. Integer math is unchanged: 100·minN is
+      // exact in long, div is integer division in both engines.
+      val minAgg = counts.agg(min("n_docs").as("_min_n"))
+      val rates = counts.crossJoin(broadcast(minAgg))
+        .withColumn("rate_pct", expr("(100 * _min_n) div n_docs"))
+        .drop("_min_n")
       dd.join(broadcast(rates), "source")
         .withColumn("bucket",
           TextOps.md5Long(concat(lit("mix:"), col("doc_id").cast("string"))) % 100)
@@ -231,13 +237,18 @@ object TrainingOps extends OpsModule {
       // partials), so the exploded corpus is aggregated once and both
       // consumers share the shuffle via exchange reuse — td_tfidf's trick
       val corpus = perSource.groupBy("term").agg(sum("c_st").as("c_t"))
-      val total = corpus.agg(sum("c_t")).first().getLong(0).toDouble
+      // corpus token total attached as a broadcast 1-row agg instead of a
+      // separate .first() job that would re-tokenize the whole corpus; it
+      // derives from `corpus`, so the term aggregation is shared via
+      // exchange reuse. Double division is bit-identical either way.
+      val totalAgg = corpus.agg(sum("c_t").cast("double").as("_total"))
       val sourceTotals = perSource.groupBy("source").agg(sum("c_st").as("t_s"))
       perSource
         .join(broadcast(sourceTotals), "source")
         .join(corpus, "term")
+        .crossJoin(broadcast(totalAgg))
         .withColumn("p_s", col("c_st") / col("t_s"))
-        .withColumn("p_c", col("c_t") / lit(total))
+        .withColumn("p_c", col("c_t") / col("_total"))
         .groupBy("source")
         .agg(sum("c_st").as("n_tokens"), count(lit(1)).as("vocab"),
           round(sum(col("p_s") * log(2.0, col("p_s") / col("p_c"))), 6)
