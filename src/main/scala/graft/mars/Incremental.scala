@@ -54,6 +54,7 @@ object Incremental {
   private val CommitPrefix = "_commit_"
   private val ClaimPrefix = "_claim_"
   private val StagePrefix = "_stage_"
+  private val MetaFile = "_snapshot_meta"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -161,16 +162,17 @@ object Incremental {
     * dbt's is_incremental() guard. */
   def mergeIncremental(spark: SparkSession, target: String, source: DataFrame,
                        keys: Seq[String], watermarkCol: String = "ingestion_date",
-                       clusterBy: Seq[String] = Nil): Unit = {
+                       clusterBy: Seq[String] = Nil,
+                       meta: Map[String, String] = Map.empty): Unit = {
     if (!exists(spark, target)) {
-      writeSnapshot(spark, target, source, clusterBy)
+      writeSnapshot(spark, target, source, clusterBy, meta = meta)
       return
     }
     val fresh = newerThanWatermark(spark, target, source, watermarkCol)
     val old = read(spark, target)
     val kept = old.join(fresh.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val merged = kept.unionByName(fresh.select(old.columns.map(col).toIndexedSeq: _*))
-    writeSnapshot(spark, target, merged, clusterBy)
+    writeSnapshot(spark, target, merged, clusterBy, meta = meta)
   }
 
   /** dbt `snapshot` materialization — SCD type-2 history over a mutable
@@ -198,7 +200,8 @@ object Incremental {
     * one-shot reconstruction (`q61_scd2`) is pinned by Scd2Spec. */
   def scd2Merge(spark: SparkSession, target: String, source: DataFrame,
                 keys: Seq[String], updatedAt: String,
-                checkCols: Seq[String], clusterBy: Seq[String] = Nil): Unit = {
+                checkCols: Seq[String], clusterBy: Seq[String] = Nil,
+                meta: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.expressions.Window
     val batch = source.select(
       (keys ++ checkCols).map(col) :+ col(updatedAt).as("valid_from"): _*)
@@ -228,7 +231,7 @@ object Incremental {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       .drop("_prev")
     val full = closed.fold(rebuilt)(_.unionByName(rebuilt))
-    writeSnapshot(spark, target, full, clusterBy)
+    writeSnapshot(spark, target, full, clusterBy, meta = meta)
   }
 
   /** Stage `df` under a unique `_stage_*` dir, claim the next free
@@ -239,11 +242,23 @@ object Incremental {
     * invisible to readers and reclaimed by [[vacuum]]. */
   private[graft] def writeSnapshot(spark: SparkSession, root: String, df: DataFrame,
                             clusterBy: Seq[String],
-                            onlyIfCurrent: Option[String] = None): Boolean = {
+                            onlyIfCurrent: Option[String] = None,
+                            meta: Map[String, String] = Map.empty): Boolean = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     val stage = new Path(rootPath, s"$StagePrefix${UUID.randomUUID()}")
     write(df, stage.toString, SaveMode.Overwrite, clusterBy)
+    // metadata (e.g. a streaming sink's batch id) is staged INSIDE the
+    // snapshot dir, so it becomes visible in the same atomic publish as
+    // the data — the exactly-once hook SnapshotSink leans on. Underscore
+    // prefix keeps parquet readers blind to it.
+    if (meta.nonEmpty) {
+      val out = f.create(new Path(stage, MetaFile), true)
+      try meta.foreach { case (k, v) =>
+        require(!k.contains('\n') && !v.contains('\n'), "meta must be line-free")
+        out.write(s"$k=$v\n".getBytes("UTF-8"))
+      } finally out.close()
+    }
 
     var attempts = 0
     var published = false
@@ -313,13 +328,37 @@ object Incremental {
         df.repartitionByRange(nFiles, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else df.coalesce(nFiles)
-    writeSnapshot(spark, root, arranged, Nil, onlyIfCurrent = Some(snap))
+    // carry the base version's metadata forward: a compacted copy of the
+    // data must not erase e.g. a streaming sink's applied-batch watermark
+    writeSnapshot(spark, root, arranged, Nil, onlyIfCurrent = Some(snap),
+      meta = snapshotMeta(spark, root, Some(snap.stripPrefix("v").toInt)))
   }
 
   /** All snapshot dir names under a versioned root, oldest first —
     * including any orphaned (never-committed) write. */
   def snapshots(spark: SparkSession, root: String): Seq[String] =
     names(spark, root).filter(_.matches("v\\d{8}")).sorted
+
+  /** Metadata recorded with a snapshot's publish (empty when none was
+    * attached). Reads the CURRENT version when `version` is None. */
+  def snapshotMeta(spark: SparkSession, root: String,
+                   version: Option[Int] = None): Map[String, String] = {
+    val snapOpt = version.map(v => f"v$v%08d")
+      .orElse(currentSnapshot(spark, root))
+    snapOpt.map { snap =>
+      val f = fs(spark, root)
+      val p = new Path(new Path(root), s"$snap/$MetaFile")
+      if (!f.exists(p)) Map.empty[String, String]
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.contains('=')).map { l =>
+            val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+          }.toMap
+        finally in.close()
+      }
+    }.getOrElse(Map.empty)
+  }
 
   /** Time-travel read: a specific COMMITTED, retained snapshot version
     * (1-based, as in the dir name). An orphaned dir from a crashed

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mars.Incremental
+import graft.streaming.SnapshotSink
+
+/** [[SnapshotSink]] — exactly-once streaming upsert/SCD2 into the
+  * versioned snapshot store: the batch-id watermark is published in the
+  * same atomic commit as the data, so replays are no-ops and crashes
+  * before the commit are invisible.
+  */
+class SnapshotSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp() = Files.createTempDirectory("snap_sink").toString
+
+  test("streaming upsert: each micro-batch is one committed version, keys upserted") {
+    import spark.implicits._
+    val target = tmp() + "/table"; val ckpt = tmp()
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = SnapshotSink.upsertStream(
+      input.toDF().toDF("k", "payload", "wm"), target,
+      keys = Seq("k"), watermarkCol = "wm", checkpointDir = ckpt)
+    try {
+      input.addData((1L, "a0", "t0"), (2L, "b0", "t0"))
+      q.processAllAvailable()
+      input.addData((2L, "b1", "t1"), (3L, "c1", "t1"))
+      q.processAllAvailable()
+      val got = Incremental.read(spark, target)
+        .select("k", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "a0"), (2L, "b1"), (3L, "c1")))
+      assert(Incremental.snapshots(spark, target).size === 2)
+      assert(SnapshotSink.lastBatchId(spark, target) === 1L)
+    } finally q.stop()
+  }
+
+  test("a replayed batch id is a no-op: no new version, no changed rows") {
+    import spark.implicits._
+    val target = tmp() + "/table"
+    val b0 = Seq((1L, "a", "t0")).toDF("k", "payload", "wm")
+    val b1 = Seq((1L, "a2", "t1"), (2L, "b", "t1")).toDF("k", "payload", "wm")
+    assert(SnapshotSink.applyUpsert(b0, 0, target, Seq("k"), "wm"))
+    assert(SnapshotSink.applyUpsert(b1, 1, target, Seq("k"), "wm"))
+    // foreachBatch re-delivery after a crash-after-commit
+    assert(!SnapshotSink.applyUpsert(b1, 1, target, Seq("k"), "wm"))
+    assert(!SnapshotSink.applyUpsert(b0, 0, target, Seq("k"), "wm"))
+    assert(Incremental.snapshots(spark, target).size === 2)
+    assert(Incremental.read(spark, target).count() === 2)
+  }
+
+  test("a crash BEFORE the commit marker leaves no trace, so the replay applies") {
+    import spark.implicits._
+    val target = tmp() + "/table"
+    assert(SnapshotSink.applyUpsert(
+      Seq((1L, "a", "t0")).toDF("k", "payload", "wm"), 0, target, Seq("k"), "wm"))
+    // simulate the torn write: batch 1's data staged but never committed
+    Seq((9L, "ghost", "t1")).toDF("k", "payload", "wm")
+      .write.parquet(s"$target/_stage_crashed")
+    assert(SnapshotSink.lastBatchId(spark, target) === 0L)
+    // the re-delivered batch 1 applies exactly once
+    assert(SnapshotSink.applyUpsert(
+      Seq((2L, "b", "t1")).toDF("k", "payload", "wm"), 1, target, Seq("k"), "wm"))
+    assert(Incremental.read(spark, target).count() === 2)
+  }
+
+  test("compaction preserves the batch-id watermark (meta carried forward)") {
+    import spark.implicits._
+    val target = tmp() + "/table"
+    assert(SnapshotSink.applyUpsert(
+      Seq((1L, "a", "t0")).toDF("k", "payload", "wm"), 0, target, Seq("k"), "wm"))
+    assert(SnapshotSink.applyUpsert(
+      Seq((2L, "b", "t1")).toDF("k", "payload", "wm"), 1, target, Seq("k"), "wm"))
+    assert(Incremental.compact(spark, target))
+    Incremental.vacuum(spark, target, keep = 1)
+    assert(SnapshotSink.lastBatchId(spark, target) === 1L)
+    assert(!SnapshotSink.applyUpsert(
+      Seq((2L, "b", "t1")).toDF("k", "payload", "wm"), 1, target, Seq("k"), "wm"))
+  }
+
+  test("streaming SCD2 equals the batch one-shot reconstruction") {
+    import spark.implicits._
+    val target = tmp() + "/table"; val ckpt = tmp()
+    val sf = "/root/testdata/sf0.001"
+    val changes = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val half = "2024-01-15"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = SnapshotSink.scd2Stream(
+      input.toDF().toDF("user_id", "event_type", "ts"), target,
+      keys = Seq("user_id"), updatedAt = "ts", checkCols = Seq("event_type"),
+      checkpointDir = ckpt)
+    def feed(df: org.apache.spark.sql.DataFrame): Unit = {
+      input.addData(df.collect().toIndexedSeq.map(r =>
+        (r.getLong(0), r.getString(1), r.getTimestamp(2))))
+      q.processAllAvailable()
+    }
+    try {
+      feed(changes.filter(to_date(col("ts")) < lit(half)))
+      feed(changes.filter(to_date(col("ts")) >= lit(half)))
+      val got = Incremental.read(spark, target)
+        .select("user_id", "event_type", "valid_from", "valid_to")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.get(2), r.get(3)))
+        .toSet
+      val oneShot = SparkEntry.queries("q61_scd2")(spark, sf)
+        .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.get(2), r.get(3)))
+        .toSet
+      assert(got === oneShot)
+    } finally q.stop()
+  }
+}
