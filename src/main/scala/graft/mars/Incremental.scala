@@ -308,6 +308,12 @@ object Incremental {
     * become disjoint on those keys — the cluster_by pruning contract
     * re-established after many unsorted merges.
     *
+    * `zorderBy` (exactly two non-negative int columns, exclusive with
+    * `sortBy`) lays files along the Morton curve instead — OPTIMIZE
+    * ZORDER: each file covers a tight rectangle in BOTH dimensions, so
+    * min/max stats prune point/range predicates on either column, where
+    * a plain sort only serves its leading column.
+    *
     * Returns false without publishing when another writer committed
     * between the read and the publish — compacting stale data on top of
     * a fresh merge would shadow it (Delta OPTIMIZE's conflict-abort).
@@ -315,7 +321,12 @@ object Incremental {
     * rows, and old versions stay readable until [[vacuum]]. */
   def compact(spark: SparkSession, root: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              sortBy: Seq[String] = Nil): Boolean = {
+              sortBy: Seq[String] = Nil,
+              zorderBy: Seq[String] = Nil): Boolean = {
+    require(zorderBy.isEmpty || zorderBy.length == 2,
+      "zorderBy takes exactly two columns")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are exclusive layouts")
     val snap = currentSnapshot(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a versioned table"))
     val f = fs(spark, root)
@@ -324,7 +335,9 @@ object Incremental {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(dir.toString)
     val arranged =
-      if (sortBy.nonEmpty)
+      if (zorderBy.nonEmpty)
+        graft.ops.ZOrder.layoutBy(df, zorderBy.head, zorderBy(1), files = nFiles)
+      else if (sortBy.nonEmpty)
         df.repartitionByRange(nFiles, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else df.coalesce(nFiles)

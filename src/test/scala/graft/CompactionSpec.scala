@@ -97,6 +97,33 @@ class CompactionSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("zorder compaction: every file bounds a tight rectangle in BOTH dims") {
+    import spark.implicits._
+    val t = tmp()
+    // full 32x32 grid, hash-scattered across input files
+    val grid = for { a <- 0 until 32; b <- 0 until 32 } yield (a, b)
+    Incremental.mergeIncremental(spark, t,
+      grid.map { case (a, b) => (a, b, "w") }.toDF("a", "b", "ver")
+        .repartition(16),
+      Seq("a", "b"), watermarkCol = "ver")
+    val bytes = fs.getContentSummary(new Path(s"$t/v00000001")).getLength
+    assert(Incremental.compact(spark, t, targetFileBytes = (bytes + 3) / 4,
+      zorderBy = Seq("a", "b")))
+    val files = parquetFiles(s"$t/v00000002")
+    assert(files.size >= 3, s"expected a multi-file layout, got ${files.size}")
+    // a Z-curve segment's bounding box is a small rectangle: no file may
+    // span anywhere near the full grid in both dimensions at once
+    // (a plain sort by `a` would leave every file with the full b-span)
+    files.foreach { fp =>
+      val r = spark.read.parquet(fp.toString)
+        .agg(min("a"), max("a"), min("b"), max("b")).head()
+      val area = (r.getInt(1) - r.getInt(0) + 1).toLong *
+        (r.getInt(3) - r.getInt(2) + 1)
+      assert(area <= 512, s"file $fp bounds $area of 1024 cells: $r")
+    }
+    assert(Incremental.read(spark, t).count() === 1024)
+  }
+
   test("the flat-dir compactor refuses a versioned root (would tear markers)") {
     import spark.implicits._
     val t = tmp()
