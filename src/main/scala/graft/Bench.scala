@@ -33,15 +33,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a query that THROWS must be loud, not a fast-looking near-zero
+      // timing — surface it on stderr and in the metric line
+      val failed =
+        try { fn(spark, sfDir).count(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          true
+        }
+      val dt = if (failed) -1.0 else (System.nanoTime() - t0) / 1e9
       // Isolate queries: drop caches again and give the cleaner a chance
       // to free accumulated broadcasts before the next query's timing.
       spark.catalog.clearCache()
       System.gc()
       name -> dt
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failures = results.collect { case (n, d) if d < 0 => n }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
     // The harness that collects this line keeps only the last ~2000 chars
     // of output, and sbt appends a "[success]" line after us — a full
     // 70-query map at double precision (~2.9 KB in round 1) pushes the
@@ -64,7 +72,10 @@ object Bench {
           "/root/repo/BENCH_DETAIL.json")),
         s"""{"sf":"$sfName","total_sec":${f2(total)},"queries":$full}""".getBytes)
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    val failedPart =
+      if (failures.isEmpty) ""
+      else s""","failed":${failures.mkString("[\"", "\",\"", "\"]")}"""
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfName"}""")
     spark.stop()
   }
 }

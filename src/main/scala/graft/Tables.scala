@@ -37,15 +37,21 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as raw longs (legacy conf), then
-    * rebuild a proper TimestampType column at microsecond precision —
-    * sub-microsecond detail is below every query's granularity.
-    */
+  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver's testdata,
+    * which Spark's vectorized reader rejects outright. Read nanos as raw
+    * longs (legacy conf), then rebuild a proper TimestampType column at
+    * microsecond precision — sub-microsecond detail is below every
+    * query's granularity. Datasets whose `ts` is already micros (e.g. a
+    * re-written copy: parquet TIMESTAMP(MICROS) reads as TimestampType
+    * even under the legacy conf) pass through untouched — the rebuild is
+    * keyed on the OBSERVED type, not the path. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val t = table(spark, sfDir, "events")
+    if (t.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      t.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else t
   }
   /** The corpus tables feed CPU-bound per-row operators (shingling, token
     * hashing, vector arithmetic), so scan parallelism — not IO — decides
