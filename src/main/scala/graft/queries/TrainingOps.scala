@@ -81,6 +81,29 @@ object TrainingOps extends OpsModule {
       docs(s, d).select(col("doc_id"), TextOps.assignSplit().as("split"))
         .orderBy("doc_id")),
 
+    // one BPE training iteration: adjacent-symbol pair counts, the inner
+    // loop of tokenizer training. The BPE trick is ORDER of operations:
+    // aggregate the corpus to its word-frequency table FIRST (one shuffle,
+    // output bounded by vocabulary), then explode each distinct word into
+    // char pairs weighted by its frequency — pair work is O(vocab · word
+    // length), independent of corpus size. At 100 TB the vocab table is
+    // millions of rows while the corpus is billions; exploding the corpus
+    // directly would shuffle three orders of magnitude more.
+    "td_bpe_pairs" -> ((s, d) => {
+      val words = TextOps.tokenized(docs(s, d))
+        .select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .filter(length(col("word")) >= 2)
+      words
+        .select(col("word"), col("n"),
+          explode(expr("sequence(1, length(word) - 1)")).as("i"))
+        .select(expr("substring(word, i, 1)").as("sym_a"),
+          expr("substring(word, i + 1, 1)").as("sym_b"), col("n"))
+        .groupBy("sym_a", "sym_b").agg(sum("n").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+        .limit(30)
+    }),
+
     "td_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")),
 
@@ -626,6 +649,21 @@ object TrainingOps extends OpsModule {
                  CAST(lang = $langCase AS INT) AS lang_match
           FROM (SELECT doc_id, lang, $langScoreCols FROM documents)
           ORDER BY doc_id""",
+
+    "td_bpe_pairs" ->
+      """WITH words AS (
+           SELECT word, count(*) AS n FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           GROUP BY word HAVING length(word) >= 2),
+         pairs AS (
+           SELECT substring(word, i, 1) AS sym_a,
+                  substring(word, i + 1, 1) AS sym_b, n
+           FROM (SELECT word, n,
+                        unnest(generate_series(1, length(word) - 1)) AS i
+                 FROM words))
+         SELECT sym_a, sym_b, CAST(sum(n) AS BIGINT) AS pair_count
+         FROM pairs GROUP BY 1, 2
+         ORDER BY pair_count DESC, sym_a, sym_b LIMIT 30""",
 
     "td_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
