@@ -39,6 +39,41 @@ object Bronze {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** A PERMISSIVE load that CAPTURES its rejects instead of nulling them
+    * away: malformed lines land in Spark's corrupt-record column, and the
+    * result is split into a clean typed frame plus an auditable rejects
+    * frame holding the raw offending text — the badRecordsPath /
+    * ON_ERROR='CONTINUE'-with-reject-table pattern. At 100 TB silent null
+    * rows from a upstream format drift are how corpora rot; a quarantine
+    * makes the drift measurable (count) and replayable (raw lines kept).
+    *
+    * The parsed frame is cached once: Spark refuses plans that filter on
+    * ONLY the internal corrupt column over a streaming re-parse, and the
+    * cache also guarantees good/bad split from the SAME parse. Call
+    * [[Quarantined.release]] when both sides are consumed. */
+  final case class Quarantined(good: DataFrame, bad: DataFrame,
+                               private val parsed: DataFrame) {
+    def release(): Unit = { parsed.unpersist(); () }
+  }
+
+  def readQuarantined(spark: SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType): Quarantined = {
+    import org.apache.spark.sql.functions.col
+    val corrupt = "_corrupt_record"
+    val withCol = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val parsed = orEmpty(spark, withCol) {
+      spark.read.schema(withCol)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+    }.cache()
+    Quarantined(
+      good = parsed.filter(col(corrupt).isNull).drop(corrupt),
+      bad = parsed.filter(col(corrupt).isNotNull)
+        .select(col(corrupt).as("raw_record")),
+      parsed = parsed)
+  }
+
   /** RAW_PHOTO_RESPONSE (reference: models/staging/sources.yml bronze). */
   def rawPhotoResponse(spark: SparkSession, path: String): DataFrame =
     read(spark, path, Schemas.photoBatch)
