@@ -329,6 +329,12 @@ object TrainingOps extends OpsModule {
       Embeddings.knnTopKAgg(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
 
+    // Matryoshka two-stage: prefix-dim scan -> candidate cap -> full-dim
+    // rerank (4x fewer FLOPs on the scan at 64->16 dims)
+    "emb_mrl_rerank" -> ((s, d) =>
+      Embeddings.mrlSearch(embs(s, d), col("vec_id") < 5)
+        .orderBy("query_id", "mrl_rank")),
+
     "emb_ivf_knn" -> ((s, d) =>
       Embeddings.ivfSearch(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -1108,6 +1114,24 @@ object TrainingOps extends OpsModule {
                      ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC) AS knn_rank
             FROM q, e WHERE e.vec_id != q.query_id)
           WHERE knn_rank <= 10 ORDER BY query_id, knn_rank""",
+
+    "emb_mrl_rerank" ->
+      s"""WITH $duckCosPrelude,
+          ep AS (SELECT vec_id, emb, list_slice(emb, 1, 16) AS pemb FROM e),
+          qp AS (SELECT query_id, qemb, list_slice(qemb, 1, 16) AS qpemb FROM q),
+          cand AS (
+            SELECT qp.query_id, ep.vec_id, ep.emb, qp.qemb,
+                   row_number() OVER (PARTITION BY qp.query_id
+                     ORDER BY ${dCos("qp.qpemb", "ep.pemb")} DESC,
+                              ep.vec_id ASC) AS crank
+            FROM ep, qp WHERE ep.vec_id != qp.query_id)
+          SELECT query_id, neighbor_id, round(cos, 6) AS cosine, mrl_rank FROM (
+            SELECT query_id, vec_id AS neighbor_id,
+                   ${dCos("qemb", "emb")} AS cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY ${dCos("qemb", "emb")} DESC, vec_id ASC) AS mrl_rank
+            FROM cand WHERE crank <= 50)
+          WHERE mrl_rank <= 10 ORDER BY query_id, mrl_rank""",
 
     // identical semantics to emb_knn_brute — the Spark side differs only in
     // physical strategy (k-bounded typed Aggregator vs windowed row_number)

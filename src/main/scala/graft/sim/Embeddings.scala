@@ -73,6 +73,47 @@ object Embeddings {
   /** One scored candidate inside the top-k aggregation. */
   final case class Neighbor(neighbor_id: Long, cosine: Double)
 
+  /** Matryoshka (MRL) two-stage search: score every candidate on the
+    * PREFIX of the embedding first (matryoshka-trained models concentrate
+    * meaning in the leading dims), keep `candidates` per query, rerank
+    * only those with the full vector. FLOPs per scanned pair drop by
+    * dims/prefixDims (64→16 here = 4×) while the full-precision math
+    * touches only `candidates` rows per query. In a production layout the
+    * prefix slice is a separate narrow column/index so the stage-1 scan
+    * reads prefixDims·4 bytes per vector, not the full vector — expressed
+    * here as a slice of the same column to keep one table contract. Same
+    * deliberate broadcast-query-set join as [[knnBruteForce]]
+    * (PlanAuditSpec-whitelisted); the rerank is a row_number window over
+    * candidates·queries rows, which the candidate cap bounds. */
+  def mrlSearch(embeddings: DataFrame, queryFilter: Column,
+                prefixDims: Int = 16, candidates: Int = 50,
+                k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("pemb", slice(col("emb"), 1, prefixDims))
+      .withColumn("vnorm", norm(col("emb")))
+      .withColumn("pnorm", norm(col("pemb")))
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("pemb").as("qpemb"), col("vnorm").as("qnorm"),
+        col("pnorm").as("qpnorm"))
+    val stage1 = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("pcos",
+        cosinePre(col("qpemb"), col("pemb"), col("qpnorm"), col("pnorm")))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("vec_id").asc)
+    val cand = stage1.withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= candidates)
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .withColumn("cos",
+        cosinePre(col("qemb"), col("emb"), col("qnorm"), col("vnorm")))
+      .withColumn("mrl_rank", row_number().over(w2))
+      .filter(col("mrl_rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("mrl_rank"))
+  }
+
   /** k-bounded top-k as a typed Aggregator: the buffer holds at most k
     * neighbors, so partial (map-side) aggregation ships k rows per query
     * per partition instead of the full candidate set — the scale path that
