@@ -53,6 +53,30 @@ class Scd2Spec extends AnyFunSuite {
     assert(badOpen === 0L)
   }
 
+  test("random batch boundaries all land on the one-shot history (3 seeded trials)") {
+    val days = changes.select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0))
+    val oneShot = SparkEntry.queries("q61_scd2")(spark, sf)
+      .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2), r.get(3)))
+      .toSet
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val t = tmp()
+      // random forward-in-time partition of the day range into 1..n runs
+      val cuts = days.indices.tail.filter(_ => rnd.nextDouble() < 0.25)
+      val slices = (0 +: cuts :+ days.length).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => days.slice(a, b) }.toSeq
+      slices.filter(_.nonEmpty).foreach { slice =>
+        Incremental.scd2Merge(spark, t,
+          changes.filter(to_date(col("ts")).cast("string")
+            .isin(slice.toIndexedSeq: _*)),
+          keys = Seq("user_id"), updatedAt = "ts", checkCols = Seq("event_type"))
+      }
+      assert(history(t) === oneShot, s"seed $seed diverged (${slices.length} batches)")
+    }
+  }
+
   test("re-applying a processed batch is a no-op; late data is dropped") {
     val t = tmp()
     val cut = "2024-01-15"
