@@ -150,11 +150,18 @@ object Incremental {
     * read-back types are inferred (string-typed unless parseable), so
     * callers keep partition columns string-or-int typed, as dbt does. */
   def replacePartitions(spark: SparkSession, target: String, source: DataFrame,
-                        partitionCols: Seq[String]): Unit =
+                        partitionCols: Seq[String]): Unit = {
+    // a versioned snapshot root resolves reads through commit markers —
+    // hive partition dirs written beside them would be invisible to every
+    // reader while the write "succeeds" (same guard as ops.Compact)
+    require(!names(spark, target).exists(_.startsWith(CommitPrefix)),
+      s"$target is a versioned snapshot table - partition overwrite would be " +
+        "invisible behind its commit markers; use mergeIncremental/upsertSnapshot")
     source.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(target)
+  }
 
   /** incremental_strategy='merge' with unique_key: upsert via anti-join +
     * union, published as a fresh immutable snapshot (see writeSnapshot).
@@ -164,14 +171,30 @@ object Incremental {
                        keys: Seq[String], watermarkCol: String = "ingestion_date",
                        clusterBy: Seq[String] = Nil,
                        meta: Map[String, String] = Map.empty): Unit = {
+    val fresh =
+      if (exists(spark, target))
+        newerThanWatermark(spark, target, source, watermarkCol)
+      else source
+    upsertSnapshot(spark, target, fresh, keys, clusterBy, meta)
+  }
+
+  /** Upsert WITHOUT the high-watermark guard: the caller asserts the
+    * source is ALREADY incremental. dbt's is_incremental() filter exists
+    * to guard a re-read of a full source table; applied to an
+    * already-incremental feed (a foreachBatch micro-batch, a CDC slice)
+    * it silently DROPS rows whose watermark equals a previous batch's max
+    * — e.g. two batches landing within one date-grain watermark value.
+    * [[graft.streaming.SnapshotSink]] uses this entry point. */
+  def upsertSnapshot(spark: SparkSession, target: String, source: DataFrame,
+                     keys: Seq[String], clusterBy: Seq[String] = Nil,
+                     meta: Map[String, String] = Map.empty): Unit = {
     if (!exists(spark, target)) {
       writeSnapshot(spark, target, source, clusterBy, meta = meta)
       return
     }
-    val fresh = newerThanWatermark(spark, target, source, watermarkCol)
     val old = read(spark, target)
-    val kept = old.join(fresh.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val merged = kept.unionByName(fresh.select(old.columns.map(col).toIndexedSeq: _*))
+    val kept = old.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val merged = kept.unionByName(source.select(old.columns.map(col).toIndexedSeq: _*))
     writeSnapshot(spark, target, merged, clusterBy, meta = meta)
   }
 
@@ -248,13 +271,17 @@ object Incremental {
     val rootPath = new Path(root)
     val stage = new Path(rootPath, s"$StagePrefix${UUID.randomUUID()}")
     write(df, stage.toString, SaveMode.Overwrite, clusterBy)
-    // metadata (e.g. a streaming sink's batch id) is staged INSIDE the
-    // snapshot dir, so it becomes visible in the same atomic publish as
-    // the data — the exactly-once hook SnapshotSink leans on. Underscore
-    // prefix keeps parquet readers blind to it.
-    if (meta.nonEmpty) {
+    // Metadata behaves like TABLE PROPERTIES: each publish inherits the
+    // current committed version's meta and overlays its own keys, so a
+    // property (e.g. SnapshotSink's applied-batch watermark) survives
+    // interleaved merges that don't set it, and vacuum of old versions.
+    // It is staged INSIDE the snapshot dir, so it becomes visible in the
+    // same atomic publish as the data — the exactly-once hook SnapshotSink
+    // leans on. Underscore prefix keeps parquet readers blind to it.
+    val effectiveMeta = snapshotMeta(spark, root) ++ meta
+    if (effectiveMeta.nonEmpty) {
       val out = f.create(new Path(stage, MetaFile), true)
-      try meta.foreach { case (k, v) =>
+      try effectiveMeta.foreach { case (k, v) =>
         require(!k.contains('\n') && !v.contains('\n'), "meta must be line-free")
         out.write(s"$k=$v\n".getBytes("UTF-8"))
       } finally out.close()
@@ -275,10 +302,24 @@ object Incremental {
       val snap = f"v$next%08d"
       if (createExclusive(f, new Path(rootPath, s"$ClaimPrefix$snap"))) {
         // rewrite-in-place publishes (compact) abandon when another writer
-        // committed since the rewrite read its base: committing a copy of
-        // OLD data on top of the newcomer would shadow its changes
-        if (onlyIfCurrent.exists(base =>
-              !currentSnapshot(spark, root).contains(base))) {
+        // committed since the rewrite read its base — committing a copy of
+        // OLD data on top of the newcomer would shadow its changes — or
+        // when a lower-numbered claim is still UNCOMMITTED: that writer
+        // carries newer data and would commit beneath our higher version,
+        // shadowed the moment our copy publishes. (A claim that lands in
+        // the instant between this listing and our commit marker is the
+        // residual window; the vacuum-cleaned single-maintenance-writer
+        // contract covers it, as documented on vacuum.)
+        if (onlyIfCurrent.exists { base =>
+              val listing = names(spark, root)
+              val committed = listing.filter(_.startsWith(CommitPrefix))
+                .map(_.stripPrefix(CommitPrefix))
+              val pendingClaims = listing.filter(_.startsWith(ClaimPrefix))
+                .map(_.stripPrefix(ClaimPrefix))
+                .filterNot(committed.toSet)
+                .filterNot(_ == snap)
+              committed.sorted.lastOption != Some(base) || pendingClaims.nonEmpty
+            }) {
           f.delete(new Path(rootPath, s"$ClaimPrefix$snap"), false)
           f.delete(stage, true)
           return false

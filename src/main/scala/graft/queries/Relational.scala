@@ -878,8 +878,16 @@ object Relational extends OpsModule {
       val w = Window.partitionBy("user_id").orderBy("ts")
       ev(s, d)
         .select(col("user_id"), col("event_type").as("state"), col("ts"))
-        .withColumn("prev_state", lag("state", 1).over(w))
-        .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+        // the STRUCT wrapper keeps "no previous row" (null struct from
+        // lag) distinguishable from "previous state was NULL" (non-null
+        // struct holding a null field), and <=> makes a NULL state a
+        // tracked value — exactly scd2Merge's comparison, so the pinned
+        // iterative==one-shot equivalence holds on corpora with NULL
+        // tracked columns, not just this one
+        .withColumn("prev_state", lag(struct(col("state")), 1).over(w))
+        .filter(col("prev_state").isNull ||
+          !(col("prev_state") <=> struct(col("state"))))
+        .drop("prev_state")
         .withColumn("valid_to", lead("ts", 1).over(w))
         .select(col("user_id"), col("state"), col("ts").as("valid_from"),
           col("valid_to"), col("valid_to").isNull.as("is_current"))
@@ -1439,12 +1447,13 @@ object Relational extends OpsModule {
     "q61_scd2" ->
       """WITH marked AS (
            SELECT user_id, event_type AS state, ts,
-                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                  lag(ROW(event_type)) OVER (PARTITION BY user_id ORDER BY ts)
                     AS prev_state
            FROM events),
          islands AS (
            SELECT user_id, state, ts FROM marked
-           WHERE prev_state IS NULL OR prev_state <> state)
+           WHERE prev_state IS NULL
+              OR prev_state IS DISTINCT FROM ROW(state))
          SELECT user_id, state, ts AS valid_from,
                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
                 (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)

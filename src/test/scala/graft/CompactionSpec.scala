@@ -124,6 +124,23 @@ class CompactionSpec extends AnyFunSuite {
     assert(Incremental.read(spark, t).count() === 1024)
   }
 
+  test("compact aborts while a lower-numbered claim is still uncommitted") {
+    import spark.implicits._
+    val t = tmp()
+    Incremental.mergeIncremental(spark, t, Seq((1L, "a")).toDF("k", "ver"),
+      Seq("k"), watermarkCol = "ver")
+    // an in-flight merge holds the next version's claim but hasn't
+    // committed: compacting now would publish a HIGHER stale copy that
+    // shadows that merge the moment it lands
+    fs.create(new Path(t, "_claim_v00000002"), false).close()
+    assert(!Incremental.compact(spark, t))
+    assert(Incremental.snapshots(spark, t) === Seq("v00000001"))
+    // claim released (vacuum with age 0, no writer) -> compact proceeds
+    Incremental.vacuum(spark, t, keep = 2)
+    assert(Incremental.compact(spark, t))
+    assert(Incremental.read(spark, t).count() === 1)
+  }
+
   test("the flat-dir compactor refuses a versioned root (would tear markers)") {
     import spark.implicits._
     val t = tmp()

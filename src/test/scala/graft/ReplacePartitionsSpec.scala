@@ -56,6 +56,18 @@ class ReplacePartitionsSpec extends AnyFunSuite {
     assert(spark.read.parquet(t).count() === 2)
   }
 
+  test("a versioned snapshot root is refused (write would be invisible)") {
+    import spark.implicits._
+    val t = tmp()
+    Incremental.mergeIncremental(spark, t,
+      Seq((1, "d1", "p")).toDF("id", "day", "payload"),
+      Seq("id"), watermarkCol = "day")
+    intercept[IllegalArgumentException] {
+      Incremental.replacePartitions(spark, t,
+        Seq((2, "d2", "q")).toDF("id", "day", "payload"), Seq("day"))
+    }
+  }
+
   test("partition filters prune directories at planning time") {
     import spark.implicits._
     val t = tmp()

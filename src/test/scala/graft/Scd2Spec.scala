@@ -95,6 +95,26 @@ class Scd2Spec extends AnyFunSuite {
     assert(history(t) === settled)
   }
 
+  test("NULL tracked states are real versions (null-safe check strategy)") {
+    import spark.implicits._
+    val t = tmp()
+    def merge(rows: Seq[(Long, Option[String], String)]): Unit =
+      Incremental.scd2Merge(spark, t, rows.toDF("k", "state", "ts"),
+        keys = Seq("k"), updatedAt = "ts", checkCols = Seq("state"))
+    merge(Seq((1L, None, "t1"), (2L, Some("x"), "t1")))  // NULL opens k=1
+    merge(Seq((1L, None, "t2"), (2L, None, "t2")))       // NULL==NULL suppressed; x->NULL changes
+    merge(Seq((1L, Some("y"), "t3")))                    // NULL->y changes
+    val got = Incremental.read(spark, t)
+      .select("k", "state", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(2), Option(r.getString(3)))).toSet
+    assert(got === Set(
+      (1L, None, "t1", Some("t3")),      // first-NULL version, t2 dup suppressed
+      (1L, Some("y"), "t3", None),
+      (2L, Some("x"), "t1", Some("t2")),
+      (2L, None, "t2", None)))
+  }
+
   test("each merge publishes a committed version; history is time-travelable") {
     val t = tmp()
     val batches = Seq(

@@ -21,14 +21,14 @@ class SnapshotSinkSpec extends AnyFunSuite {
   test("streaming upsert: each micro-batch is one committed version, keys upserted") {
     import spark.implicits._
     val target = tmp() + "/table"; val ckpt = tmp()
-    val input = MemoryStream[(Long, String, String)](spark)
+    val input = MemoryStream[(Long, String)](spark)
     val q = SnapshotSink.upsertStream(
-      input.toDF().toDF("k", "payload", "wm"), target,
-      keys = Seq("k"), watermarkCol = "wm", checkpointDir = ckpt)
+      input.toDF().toDF("k", "payload"), target,
+      keys = Seq("k"), checkpointDir = ckpt)
     try {
-      input.addData((1L, "a0", "t0"), (2L, "b0", "t0"))
+      input.addData((1L, "a0"), (2L, "b0"))
       q.processAllAvailable()
-      input.addData((2L, "b1", "t1"), (3L, "c1", "t1"))
+      input.addData((2L, "b1"), (3L, "c1"))
       q.processAllAvailable()
       val got = Incremental.read(spark, target)
         .select("k", "payload").collect()
@@ -39,16 +39,30 @@ class SnapshotSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rows tying a previous batch's watermark value are NOT dropped") {
+    import spark.implicits._
+    val target = tmp() + "/table"
+    // both batches share one date-grain watermark value — the dbt
+    // is_incremental() guard would silently drop batch 1's new key
+    assert(SnapshotSink.applyUpsert(
+      Seq((1L, "a", "2024-01-01")).toDF("k", "payload", "ingestion_date"),
+      0, target, Seq("k")))
+    assert(SnapshotSink.applyUpsert(
+      Seq((2L, "b", "2024-01-01")).toDF("k", "payload", "ingestion_date"),
+      1, target, Seq("k")))
+    assert(Incremental.read(spark, target).count() === 2)
+  }
+
   test("a replayed batch id is a no-op: no new version, no changed rows") {
     import spark.implicits._
     val target = tmp() + "/table"
-    val b0 = Seq((1L, "a", "t0")).toDF("k", "payload", "wm")
-    val b1 = Seq((1L, "a2", "t1"), (2L, "b", "t1")).toDF("k", "payload", "wm")
-    assert(SnapshotSink.applyUpsert(b0, 0, target, Seq("k"), "wm"))
-    assert(SnapshotSink.applyUpsert(b1, 1, target, Seq("k"), "wm"))
+    val b0 = Seq((1L, "a")).toDF("k", "payload")
+    val b1 = Seq((1L, "a2"), (2L, "b")).toDF("k", "payload")
+    assert(SnapshotSink.applyUpsert(b0, 0, target, Seq("k")))
+    assert(SnapshotSink.applyUpsert(b1, 1, target, Seq("k")))
     // foreachBatch re-delivery after a crash-after-commit
-    assert(!SnapshotSink.applyUpsert(b1, 1, target, Seq("k"), "wm"))
-    assert(!SnapshotSink.applyUpsert(b0, 0, target, Seq("k"), "wm"))
+    assert(!SnapshotSink.applyUpsert(b1, 1, target, Seq("k")))
+    assert(!SnapshotSink.applyUpsert(b0, 0, target, Seq("k")))
     assert(Incremental.snapshots(spark, target).size === 2)
     assert(Incremental.read(spark, target).count() === 2)
   }
@@ -57,29 +71,69 @@ class SnapshotSinkSpec extends AnyFunSuite {
     import spark.implicits._
     val target = tmp() + "/table"
     assert(SnapshotSink.applyUpsert(
-      Seq((1L, "a", "t0")).toDF("k", "payload", "wm"), 0, target, Seq("k"), "wm"))
-    // simulate the torn write: batch 1's data staged but never committed
-    Seq((9L, "ghost", "t1")).toDF("k", "payload", "wm")
+      Seq((1L, "a")).toDF("k", "payload"), 0, target, Seq("k")))
+    // crash at the stage step: data staged, never renamed
+    Seq((9L, "ghost")).toDF("k", "payload")
       .write.parquet(s"$target/_stage_crashed")
     assert(SnapshotSink.lastBatchId(spark, target) === 0L)
-    // the re-delivered batch 1 applies exactly once
     assert(SnapshotSink.applyUpsert(
-      Seq((2L, "b", "t1")).toDF("k", "payload", "wm"), 1, target, Seq("k"), "wm"))
+      Seq((2L, "b")).toDF("k", "payload"), 1, target, Seq("k")))
     assert(Incremental.read(spark, target).count() === 2)
+  }
+
+  test("a crash AFTER the rename but BEFORE the commit marker also replays") {
+    import spark.implicits._
+    val target = tmp() + "/table"
+    assert(SnapshotSink.applyUpsert(
+      Seq((1L, "a")).toDF("k", "payload"), 0, target, Seq("k")))
+    // the torn middle: an orphaned version dir ALREADY CARRYING batch 1's
+    // meta, claimed but never committed. Its watermark must not count —
+    // otherwise the replayed batch is skipped and its rows lost forever.
+    Seq((1L, "a"), (2L, "lost")).toDF("k", "payload")
+      .write.parquet(s"$target/v00000002")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$target/v00000002/_snapshot_meta"),
+      s"${SnapshotSink.BatchIdKey}=1\n")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$target/_claim_v00000002"))
+    assert(SnapshotSink.lastBatchId(spark, target) === 0L)
+    assert(SnapshotSink.applyUpsert(
+      Seq((1L, "a"), (2L, "recovered")).toDF("k", "payload"), 1, target, Seq("k")))
+    assert(Incremental.read(spark, target)
+      .filter(col("k") === 2L).select("payload").first().getString(0)
+      === "recovered")
+  }
+
+  test("the watermark survives vacuum across an interleaved meta-less merge") {
+    import spark.implicits._
+    val target = tmp() + "/table"
+    assert(SnapshotSink.applyUpsert(
+      Seq((1L, "a")).toDF("k", "payload"), 0, target, Seq("k")))
+    assert(SnapshotSink.applyUpsert(
+      Seq((2L, "b")).toDF("k", "payload"), 1, target, Seq("k")))
+    // a non-streaming merge that sets no meta (meta inherits), then a
+    // vacuum that drops every version the sink itself published
+    Incremental.upsertSnapshot(spark, target,
+      Seq((3L, "c")).toDF("k", "payload"), Seq("k"))
+    Incremental.vacuum(spark, target, keep = 1)
+    assert(Incremental.snapshots(spark, target).size === 1)
+    assert(SnapshotSink.lastBatchId(spark, target) === 1L)
+    assert(!SnapshotSink.applyUpsert(
+      Seq((2L, "dup")).toDF("k", "payload"), 1, target, Seq("k")))
   }
 
   test("compaction preserves the batch-id watermark (meta carried forward)") {
     import spark.implicits._
     val target = tmp() + "/table"
     assert(SnapshotSink.applyUpsert(
-      Seq((1L, "a", "t0")).toDF("k", "payload", "wm"), 0, target, Seq("k"), "wm"))
+      Seq((1L, "a")).toDF("k", "payload"), 0, target, Seq("k")))
     assert(SnapshotSink.applyUpsert(
-      Seq((2L, "b", "t1")).toDF("k", "payload", "wm"), 1, target, Seq("k"), "wm"))
+      Seq((2L, "b")).toDF("k", "payload"), 1, target, Seq("k")))
     assert(Incremental.compact(spark, target))
     Incremental.vacuum(spark, target, keep = 1)
     assert(SnapshotSink.lastBatchId(spark, target) === 1L)
     assert(!SnapshotSink.applyUpsert(
-      Seq((2L, "b", "t1")).toDF("k", "payload", "wm"), 1, target, Seq("k"), "wm"))
+      Seq((2L, "b")).toDF("k", "payload"), 1, target, Seq("k")))
   }
 
   test("streaming SCD2 equals the batch one-shot reconstruction") {
