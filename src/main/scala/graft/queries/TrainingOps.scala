@@ -447,6 +447,25 @@ object TrainingOps extends OpsModule {
     // the evaluation loop of the ANN story: recall@5 of the IVF probe
     // against exact brute force, per query — an approximate index you
     // can't measure is an index you can't trust
+    // recall@5 of the Matryoshka prefix-scan path vs the exact answer —
+    // the quality dial for the prefix/candidate trade: a 16-dim scan with
+    // only 20 candidates reranked
+    "emb_mrl_recall" -> ((s, d) => {
+      val qf = col("vec_id") < 5
+      val brute = Embeddings.knnBruteForce(embs(s, d), qf, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val mrl = Embeddings.mrlSearch(embs(s, d), qf,
+          prefixDims = 16, candidates = 20, k = 5)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      brute.join(mrl,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+          "left")
+        .groupBy("query_id")
+        .agg(round(sum(when(col("n2").isNotNull, 1).otherwise(0)) /
+          count(lit(1)).cast("double"), 6).as("recall_at_5"))
+        .orderBy("query_id")
+    }),
+
     "emb_ann_recall" -> ((s, d) => {
       val qf = col("vec_id") < 5
       val brute = Embeddings.knnBruteForce(embs(s, d), qf, k = 5)
@@ -1285,6 +1304,36 @@ object TrainingOps extends OpsModule {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id) AS knn_rank
           FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
+
+    "emb_mrl_recall" ->
+      s"""WITH $duckCosPrelude,
+          ep AS (SELECT vec_id, emb, list_slice(emb, 1, 16) AS pemb FROM e),
+          qp AS (SELECT query_id, qemb, list_slice(qemb, 1, 16) AS qpemb FROM q),
+          cand AS (
+            SELECT qp.query_id, ep.vec_id, ep.emb, qp.qemb,
+                   row_number() OVER (PARTITION BY qp.query_id
+                     ORDER BY ${dCos("qp.qpemb", "ep.pemb")} DESC,
+                              ep.vec_id ASC) AS crank
+            FROM ep, qp WHERE ep.vec_id != qp.query_id),
+          mrl AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY ${dCos("qemb", "emb")} DESC, vec_id ASC) AS rk
+              FROM cand WHERE crank <= 20) WHERE rk <= 5),
+          brute AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC) AS rk
+              FROM q, e WHERE e.vec_id != q.query_id) WHERE rk <= 5)
+          SELECT b.query_id,
+                 round(CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 6) AS recall_at_5
+          FROM brute b LEFT JOIN mrl m
+            ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+          GROUP BY b.query_id ORDER BY b.query_id""",
 
     "emb_ann_recall" ->
       s"""WITH $duckCosPrelude, $duckCentroids,
