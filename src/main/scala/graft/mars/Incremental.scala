@@ -187,14 +187,21 @@ object Incremental {
     * [[graft.streaming.SnapshotSink]] uses this entry point. */
   def upsertSnapshot(spark: SparkSession, target: String, source: DataFrame,
                      keys: Seq[String], clusterBy: Seq[String] = Nil,
-                     meta: Map[String, String] = Map.empty): Unit = {
+                     meta: Map[String, String] = Map.empty,
+                     mergeSchema: Boolean = false): Unit = {
     if (!exists(spark, target)) {
       writeSnapshot(spark, target, source, clusterBy, meta = meta)
       return
     }
     val old = read(spark, target)
     val kept = old.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val merged = kept.unionByName(source.select(old.columns.map(col).toIndexedSeq: _*))
+    // schema evolution (opt-in, Delta mergeSchema): columns new to either
+    // side null-fill on the other, so an upstream that grew a column
+    // upserts without a table rewrite; default stays strict — the source
+    // must project to the table's schema or the union fails loudly
+    val merged =
+      if (mergeSchema) kept.unionByName(source, allowMissingColumns = true)
+      else kept.unionByName(source.select(old.columns.map(col).toIndexedSeq: _*))
     writeSnapshot(spark, target, merged, clusterBy, meta = meta)
   }
 
@@ -255,6 +262,26 @@ object Incremental {
       .drop("_prev")
     val full = closed.fold(rebuilt)(_.unionByName(rebuilt))
     writeSnapshot(spark, target, full, clusterBy, meta = meta)
+  }
+
+  /** Takedown / right-to-be-forgotten: publish a new version WITHOUT the
+    * rows matching `condition`. Returns the number of rows removed. The
+    * rewrite is one anti-filter scan — IO proportional to the table, like
+    * any snapshot rewrite; at scale, partition/row-group pruning on the
+    * condition columns (cluster_by / compact sortBy on them) bounds what
+    * is actually read. COMPLIANCE NOTE: prior versions still hold the
+    * deleted rows until [[vacuum]] drops them — a takedown is complete
+    * only after `vacuum` has expired every version that predates it
+    * (Delta's VACUUM-after-DELETE contract). */
+  def deleteWhere(spark: SparkSession, target: String,
+                  condition: org.apache.spark.sql.Column): Long = {
+    require(currentSnapshot(spark, target).nonEmpty,
+      s"$target is not a versioned table")
+    val cur = read(spark, target)
+    val kept = cur.filter(!coalesce(condition, lit(false)))
+    val removed = cur.count() - kept.count()
+    if (removed > 0) writeSnapshot(spark, target, kept, Nil)
+    removed
   }
 
   /** Stage `df` under a unique `_stage_*` dir, claim the next free

@@ -201,6 +201,49 @@ class SnapshotRaceSpec extends AnyFunSuite {
     assert(tags === Set("001") || tags === Set("002"), tags)
   }
 
+  test("deleteWhere publishes a cleaned version; old versions hold rows until vacuum") {
+    import spark.implicits._
+    val t = tmpDir()
+    Incremental.mergeIncremental(spark, t,
+      (1L to 10L).map(k => (k, if (k <= 3) "pii" else "ok")).toDF("k", "tag"),
+      Seq("k"), watermarkCol = "tag")
+    val removed = Incremental.deleteWhere(spark, t, col("tag") === "pii")
+    assert(removed === 3L)
+    assert(Incremental.read(spark, t).count() === 7)
+    // NULL-condition rows are KEPT (SQL DELETE semantics) and a no-match
+    // delete publishes nothing
+    assert(Incremental.deleteWhere(spark, t, col("tag") === "absent") === 0L)
+    assert(Incremental.snapshots(spark, t) === Seq("v00000001", "v00000002"))
+    // the compliance contract: v1 still holds the deleted rows until vacuum
+    assert(Incremental.readVersion(spark, t, 1).count() === 10)
+    Incremental.vacuum(spark, t, keep = 1)
+    assert(Incremental.snapshots(spark, t) === Seq("v00000002"))
+    intercept[IllegalArgumentException] {
+      Incremental.readVersion(spark, t, 1)
+    }
+  }
+
+  test("upsert with mergeSchema grows the table schema; strict mode refuses") {
+    import spark.implicits._
+    val t = tmpDir()
+    Incremental.mergeIncremental(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "ver"), Seq("k"), watermarkCol = "ver")
+    // upstream grew a column: evolve on upsert, old rows null-fill
+    Incremental.upsertSnapshot(spark, t,
+      Seq((2L, "b2", "en"), (3L, "c", "fr")).toDF("k", "ver", "lang"),
+      Seq("k"), mergeSchema = true)
+    val got = Incremental.read(spark, t)
+      .select("k", "ver", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got === Set((1L, "a", None), (2L, "b2", Some("en")),
+      (3L, "c", Some("fr"))))
+    // strict default: a source missing table columns fails loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Incremental.upsertSnapshot(spark, t,
+        Seq((4L, "d")).toDF("k", "ver"), Seq("k"))
+    }
+  }
+
   test("a crashed write (snapshot dir without pointer flip) is invisible") {
     import spark.implicits._
     val t = tmpDir()
