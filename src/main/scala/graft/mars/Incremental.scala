@@ -265,23 +265,39 @@ object Incremental {
   }
 
   /** Takedown / right-to-be-forgotten: publish a new version WITHOUT the
-    * rows matching `condition`. Returns the number of rows removed. The
-    * rewrite is one anti-filter scan — IO proportional to the table, like
-    * any snapshot rewrite; at scale, partition/row-group pruning on the
+    * rows matching `condition` (NULL-condition rows are KEPT — SQL DELETE
+    * semantics). Returns the number of rows removed. One counting scan
+    * plus the rewrite; at scale, partition/row-group pruning on the
     * condition columns (cluster_by / compact sortBy on them) bounds what
-    * is actually read. COMPLIANCE NOTE: prior versions still hold the
-    * deleted rows until [[vacuum]] drops them — a takedown is complete
-    * only after `vacuum` has expired every version that predates it
-    * (Delta's VACUUM-after-DELETE contract). */
+    * is actually read, and `clusterBy` preserves that layout across the
+    * rewrite. Publishes with the conflict-abort (`onlyIfCurrent`) and
+    * RETRIES from the fresh base when a concurrent merge lands first —
+    * a delete recomputed on the newer version neither resurrects taken-
+    * down rows nor shadows the merge (Delta's DELETE conflict-retry).
+    * COMPLIANCE NOTE: prior versions still hold the deleted rows until
+    * [[vacuum]] drops them — a takedown is complete only after `vacuum`
+    * has expired every version that predates it (VACUUM-after-DELETE). */
   def deleteWhere(spark: SparkSession, target: String,
-                  condition: org.apache.spark.sql.Column): Long = {
-    require(currentSnapshot(spark, target).nonEmpty,
-      s"$target is not a versioned table")
-    val cur = read(spark, target)
-    val kept = cur.filter(!coalesce(condition, lit(false)))
-    val removed = cur.count() - kept.count()
-    if (removed > 0) writeSnapshot(spark, target, kept, Nil)
-    removed
+                  condition: org.apache.spark.sql.Column,
+                  clusterBy: Seq[String] = Nil): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"deleteWhere could not publish under $target " +
+        "(persistent write contention, or a crashed writer's stale claim — " +
+        "run vacuum)")
+      val base = currentSnapshot(spark, target).getOrElse(
+        throw new IllegalArgumentException(s"$target is not a versioned table"))
+      val cur = spark.read.parquet(s"$target/$base")
+      val removed = cur.filter(coalesce(condition, lit(false))).count()
+      if (removed == 0) return 0L
+      val kept = cur.filter(!coalesce(condition, lit(false)))
+      if (writeSnapshot(spark, target, kept, clusterBy,
+            onlyIfCurrent = Some(base)))
+        return removed
+      // a writer committed since `base` was read — recompute on its version
+    }
+    0L // unreachable
   }
 
   /** Stage `df` under a unique `_stage_*` dir, claim the next free

@@ -204,14 +204,18 @@ class SnapshotRaceSpec extends AnyFunSuite {
   test("deleteWhere publishes a cleaned version; old versions hold rows until vacuum") {
     import spark.implicits._
     val t = tmpDir()
+    // k=10 carries a NULL tag: `tag === 'pii'` evaluates to NULL there —
+    // the row must be KEPT (SQL DELETE semantics), not swept by !condition
     Incremental.mergeIncremental(spark, t,
-      (1L to 10L).map(k => (k, if (k <= 3) "pii" else "ok")).toDF("k", "tag"),
+      (1L to 10L).map(k =>
+        (k, if (k <= 3) "pii" else if (k == 10L) null else "ok"))
+        .toDF("k", "tag"),
       Seq("k"), watermarkCol = "tag")
     val removed = Incremental.deleteWhere(spark, t, col("tag") === "pii")
     assert(removed === 3L)
     assert(Incremental.read(spark, t).count() === 7)
-    // NULL-condition rows are KEPT (SQL DELETE semantics) and a no-match
-    // delete publishes nothing
+    assert(Incremental.read(spark, t).filter(col("k") === 10L).count() === 1)
+    // a no-match delete publishes nothing
     assert(Incremental.deleteWhere(spark, t, col("tag") === "absent") === 0L)
     assert(Incremental.snapshots(spark, t) === Seq("v00000001", "v00000002"))
     // the compliance contract: v1 still holds the deleted rows until vacuum
