@@ -892,6 +892,26 @@ object Relational extends OpsModule {
         .select(col("user_id"), col("state"), col("ts").as("valid_from"),
           col("valid_to"), col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "valid_from")
+    }),
+
+    // the read side of SCD2: every entity's state AS OF an instant —
+    // half-open interval containment [valid_from, valid_to) over the
+    // q61 history. Same single entity-key shuffle; the containment
+    // filter is two comparisons per version row, and at scale prunes
+    // via min/max stats when the history is clustered by valid_from.
+    "q62_scd2_asof" -> ((s, d) => {
+      val asOf = lit("2024-01-15 00:00:00").cast("timestamp")
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      ev(s, d)
+        .select(col("user_id"), col("event_type").as("state"), col("ts"))
+        .withColumn("prev_state", lag(struct(col("state")), 1).over(w))
+        .filter(col("prev_state").isNull ||
+          !(col("prev_state") <=> struct(col("state"))))
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .filter(col("ts") <= asOf &&
+          (col("valid_to").isNull || col("valid_to") > asOf))
+        .select(col("user_id"), col("state"), col("ts").as("valid_from"))
+        .orderBy("user_id")
     })
   )
 
@@ -1459,6 +1479,25 @@ object Relational extends OpsModule {
                 (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
                   AS is_current
          FROM islands
-         ORDER BY user_id, valid_from"""
+         ORDER BY user_id, valid_from""",
+    "q62_scd2_asof" ->
+      """WITH marked AS (
+           SELECT user_id, event_type AS state, ts,
+                  lag(ROW(event_type)) OVER (PARTITION BY user_id ORDER BY ts)
+                    AS prev_state
+           FROM events),
+         islands AS (
+           SELECT user_id, state, ts FROM marked
+           WHERE prev_state IS NULL
+              OR prev_state IS DISTINCT FROM ROW(state)),
+         hist AS (
+           SELECT user_id, state, ts,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+           FROM islands)
+         SELECT user_id, state, ts AS valid_from
+         FROM hist
+         WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+           AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+         ORDER BY user_id"""
   )
 }
