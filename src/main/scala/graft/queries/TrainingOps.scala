@@ -325,6 +325,21 @@ object TrainingOps extends OpsModule {
       Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
 
+    // FILTERED vector search: the corpus is constrained by a document
+    // predicate BEFORE the similarity join (vector-DB "filtered search").
+    // The metadata join shrinks the scanned corpus up front — an equi
+    // join on the id, co-partitionable/bucketable at scale — instead of
+    // post-filtering top-k results (which under-fills k when the filter
+    // is selective). Queries come from the filtered corpus too.
+    "emb_filtered_knn" -> ((s, d) => {
+      val keep = docs(s, d).filter(length(col("text")) >= 200)
+        .select(col("doc_id"))
+      val filtered = embs(s, d)
+        .join(keep, col("vec_id") === col("doc_id")).drop("doc_id")
+      Embeddings.knnBruteForce(filtered, col("vec_id") < 5)
+        .orderBy("query_id", "knn_rank")
+    }),
+
     "emb_knn_topk" -> ((s, d) =>
       Embeddings.knnTopKAgg(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -1304,6 +1319,20 @@ object TrainingOps extends OpsModule {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id) AS knn_rank
           FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
+
+    "emb_filtered_knn" ->
+      s"""WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings JOIN documents ON vec_id = doc_id
+            WHERE length(text) >= 200),
+          q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5)
+          SELECT query_id, neighbor_id, round(cos, 6) AS cosine, knn_rank FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ${dCos("q.qemb", "e.emb")} AS cos,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC) AS knn_rank
+            FROM q, e WHERE e.vec_id != q.query_id)
+          WHERE knn_rank <= 10 ORDER BY query_id, knn_rank""",
 
     "emb_mrl_recall" ->
       s"""WITH $duckCosPrelude,

@@ -19,7 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * query-set size, not the corpus. */
   private val bnljAllowed = Set(
     "emb_knn_brute", "emb_knn_topk", "emb_ivf_knn", "emb_ivf_nprobe2",
-    "emb_quant_knn", "emb_mrl_rerank", "emb_mrl_recall",
+    "emb_quant_knn", "emb_mrl_rerank", "emb_mrl_recall", "emb_filtered_knn",
     // every vector scores against every centroid by design; the broadcast
     // side is the centroid table, bounded by cell count
     "emb_kmeans_step", "emb_pq_codes", "emb_pq_knn", "emb_silhouette",
