@@ -194,6 +194,11 @@ object TrainingOps extends OpsModule {
     "td_tfidf_top_term" -> ((s, d) =>
       TextOps.topTfidfTerm(docs(s, d)).orderBy("doc_id")),
 
+    // Okapi BM25 over a fixed query-term set (mixed rare/common df) — the
+    // keyword-retrieval half of hybrid search; see TextOps.bm25TopK
+    "td_bm25" -> ((s, d) =>
+      TextOps.bm25TopK(docs(s, d), Bm25Terms)),
+
     // one-row corpus health rollup: volume, vocabulary, dedup ratio
     "td_corpus_stats" -> ((s, d) => {
       val dd = docs(s, d)
@@ -604,6 +609,12 @@ object TrainingOps extends OpsModule {
     s"CASE $branches ELSE '${langs.last}' END"
   }
 
+  /** Hybrid-search query terms: one rare term (`dup`, df≈25/500 at
+    * sf0.01) plus three common ones, so the idf spread exercises both
+    * ends of the BM25 curve. */
+  private[queries] val Bm25Terms = Seq("dup", "vector", "key", "query")
+  private val bm25TermList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+
   private val duckCosPrelude =
     """e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
              FROM embeddings),
@@ -934,6 +945,26 @@ object TrainingOps extends OpsModule {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                  ORDER BY tfidf DESC, term) AS rk FROM scored)
          WHERE rk = 1 ORDER BY doc_id""",
+
+    // same float association as TextOps.bm25TopK: k1=1.2 b=0.75 appear as
+    // the identical literals (2.2 = k1+1, 0.25 = 1-b), parens mirrored
+    "td_bm25" ->
+      s"""WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                             string_split(text, ' ') AS toks FROM documents),
+          stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl
+                    FROM dl),
+          tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+                   SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+                 WHERE term IN ($bm25TermList) GROUP BY 1, 2, 3),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+          SELECT doc_id, round(sum(score), 6) AS bm25,
+                 count(*) AS n_terms FROM (
+            SELECT tf.doc_id,
+                   ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+                   ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+                     (dl / (sum_dl / n_docs))))) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+          GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""",
 
     "emb_quant_knn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -598,6 +598,52 @@ object TextOps {
         col("tfidf"))
   }
 
+  /** BM25 ranking of the corpus against a fixed query-term set — the
+    * keyword half of a hybrid retrieval stack (the vector half is
+    * [[graft.sim.Embeddings]]; the fusion is
+    * [[graft.sim.HybridSearch]]). Okapi BM25 with the standard
+    * k1/b parameterization:
+    *
+    *   idf(t)  = ln(1 + ((N - df_t) + 0.5) / (df_t + 0.5))
+    *   s(d, t) = idf(t) · (tf · (k1+1)) / (tf + k1·((1-b) + b·dl/avgdl))
+    *
+    * Shape at 100 TB: the corpus is tokenized and exploded ONCE and
+    * immediately filtered to the (tiny, literal) query-term set, so only
+    * query-matched (doc, term) rows ever reach a shuffle — this is the
+    * inverted-index probe expressed relationally. df-per-term derives
+    * from the tf aggregation (query-set-sized → broadcast back), and the
+    * corpus stats (N, Σdl) ride the plan as a 1-row broadcast aggregate
+    * (whitelisted BNLJ, see topTfidfTerm) — never separate driver jobs.
+    * Integer token counts keep everything exact until the one float
+    * expression, whose association mirrors the oracle SQL exactly. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val dl = tokenized(docs).select(col("doc_id"), size(col("toks")).as("dl"),
+      col("toks"))
+    // integer sums → avgdl is bit-identical regardless of partial-agg order
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("sum_dl"))
+    val tf = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) *
+            (col("dl") / (col("sum_dl") / col("n_docs")))))))
+      .groupBy("doc_id")
+      .agg(round(sum("score"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      // order on the ROUNDED score so the top-k boundary is pinned
+      // identically in both engines; doc_id breaks 6-decimal ties
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Unigram log-probability scoring — the cheap perplexity proxy: score
     * each document by the average log2 probability of its tokens under
     * the corpus's own unigram distribution. Gibberish and vocabulary
