@@ -199,6 +199,15 @@ object TrainingOps extends OpsModule {
     "td_bm25" -> ((s, d) =>
       TextOps.bm25TopK(docs(s, d), Bm25Terms)),
 
+    // hybrid retrieval: keyword top-20 (shared-distinct-token overlap) and
+    // vector top-20 (brute cosine) fused by Reciprocal Rank Fusion; docs
+    // and embeddings share the id space, so the legs join on it
+    "emb_hybrid_rrf" -> ((s, d) => {
+      val kw = graft.sim.HybridSearch.keywordTopK(docs(s, d), col("doc_id") < 5)
+      val vec = Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5, k = 20)
+      graft.sim.HybridSearch.rrfFuse(kw, vec).orderBy("query_id", "fused_rank")
+    }),
+
     // one-row corpus health rollup: volume, vocabulary, dedup ratio
     "td_corpus_stats" -> ((s, d) => {
       val dd = docs(s, d)
@@ -965,6 +974,39 @@ object TrainingOps extends OpsModule {
                      (dl / (sum_dl / n_docs))))) AS score
             FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
           GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""",
+
+    // RRF fusion: full-outer union of the two rank lists, each reciprocal
+    // term coalesced to 0 when a leg missed the doc (standard RRF)
+    "emb_hybrid_rrf" ->
+      s"""WITH $duckCosPrelude,
+          vec AS (SELECT query_id, neighbor_id AS doc_id,
+                         CAST(knn_rank AS INT) AS vec_rank FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC)
+                     AS knn_rank
+            FROM q, e WHERE e.vec_id != q.query_id) WHERE knn_rank <= 20),
+          dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+          qd AS (SELECT doc_id AS query_id, term FROM dt WHERE doc_id < 5),
+          ov AS (SELECT query_id, dt.doc_id, count(*) AS overlap
+                 FROM dt JOIN qd USING (term) WHERE dt.doc_id != query_id
+                 GROUP BY 1, 2),
+          kw AS (SELECT query_id, doc_id, CAST(rk AS INT) AS kw_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY overlap DESC, doc_id ASC) AS rk FROM ov)
+            WHERE rk <= 20),
+          fused AS (
+            SELECT query_id, doc_id, kw_rank, vec_rank,
+                   round(coalesce(CAST(1 AS DOUBLE) / (60 + kw_rank), 0.0) +
+                         coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6)
+                     AS rrf
+            FROM kw FULL JOIN vec USING (query_id, doc_id))
+          SELECT query_id, doc_id, rrf, kw_rank, vec_rank,
+                 CAST(frk AS INT) AS fused_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id ASC) AS frk FROM fused)
+          WHERE frk <= 10 ORDER BY query_id, fused_rank""",
 
     "emb_quant_knn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

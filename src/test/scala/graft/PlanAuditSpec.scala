@@ -26,6 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // composes knnBruteForce + ivfSearch, so it inherits their intentional
     // broadcast-query-set scoring joins
     "emb_ann_recall",
+    // the vector leg is knnBruteForce — same bounded broadcast query set
+    "emb_hybrid_rrf",
     // corpus-size N rides the plan as a ONE-ROW broadcast aggregate (the
     // alternative was a separate driver-side count()/first() job over the
     // corpus); a 1-row build side makes the nested loop a map-side
