@@ -92,6 +92,11 @@ object GraftFunctions {
       registry.registerFunction(bsIdent, BytesSum.info,
         (children: Seq[Expression]) => BytesSum(children.head))
     }
+    val bmIdent = FunctionIdentifier("bloom_might_contain")
+    if (!registry.functionExists(bmIdent)) {
+      registry.registerFunction(bmIdent, BloomMightContain.info,
+        (children: Seq[Expression]) => BloomMightContain(children(0), children(1)))
+    }
     // one call wires the whole custom surface: expressions above, the
     // range-join planner strategy here (idempotent)
     graft.plans.NativeRangeJoin.ensureRegistered(spark)
@@ -110,6 +115,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         BoundedDistinct(children(0), children(1)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("bytes_sum"), BytesSum.info,
       (children: Seq[Expression]) => BytesSum(children.head)))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"), BloomMightContain.info,
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

@@ -170,6 +170,17 @@ object TrainingOps extends OpsModule {
         .orderBy("doc_id")
     }),
 
+    // the Bloom-prefiltered decontamination path: identical answer to the
+    // broadcast-set path (exact confirm join), sketch-sized prefilter
+    "td_bloom_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.decontaminateBloom(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0), k = 3)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "td_near_dup_pairs" -> ((s, d) =>
       TextOps.nearDupPairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
 
@@ -887,6 +898,17 @@ object TrainingOps extends OpsModule {
           SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
           FROM corpus c JOIN bench b USING (shingle)
           GROUP BY c.doc_id ORDER BY c.doc_id""",
+
+    // the clean-corpus complement of td_decontaminate — Bloom prefilter
+    // plus exact confirm on the Spark side must reproduce the exact answer
+    "td_bloom_decontaminate" ->
+      s"""WITH $duckShingles,
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+          hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+                   WHERE s.doc_id % 97 != 0)
+          SELECT doc_id, source, n_chars FROM documents
+          WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+          ORDER BY doc_id""",
 
     "td_fingerprint" ->
       s"""WITH $duckShingles,

@@ -265,6 +265,43 @@ object TextOps {
       broadcast(contaminationHits(corpus, benchmark, k).select("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Decontamination with a Bloom prefilter — the shape that survives
+    * benchmark sets too large to broadcast as strings. The benchmark's
+    * distinct shingles are folded into a Bloom filter over their 60-bit
+    * md5 keys (one pass over the SMALL side; ~10 bits/entry at 1% fpp vs
+    * tens of bytes per shingle string), and the corpus side probes the
+    * sketch inside whole-stage codegen BEFORE anything reaches a join —
+    * dropping ~(1-fpp) of non-contaminated shingle rows at the scan. The
+    * surviving trickle (true hits + fpp of the rest) then goes through
+    * the exact string-equality confirm join, so the final answer is
+    * IDENTICAL to [[decontaminate]] regardless of fpp or hash collisions
+    * — Bloom false positives cost a few joined rows, never a wrong
+    * answer, and Bloom filters have no false negatives.
+    *
+    * `expectedShingles` sizes the filter (config-driven, as in any
+    * production bloom; overshooting only wastes bits). The builder runs
+    * one job over the benchmark side at construction time — same
+    * index-build pattern as the IVF/PQ builders. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, k: Int = 8,
+                         expectedShingles: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    val bg = tokenized(benchmark)
+      .select(explode(shingles(col("toks"), k)).as("shingle")).distinct()
+    val bf = bg.select(md5Long(col("shingle")).as("h"))
+      .stat.bloomFilter("h", expectedShingles, fpp)
+    val bfBytes = graft.functions.BloomMightContain.serialize(bf)
+    val pre = tokenized(corpus)
+      .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
+      .filter(call_function("bloom_might_contain",
+        md5Long(col("shingle")), lit(bfBytes)))
+    // exact confirm on the prefiltered trickle; broadcast is fine at any
+    // scale where the benchmark was broadcastable anyway — at true 100 TB
+    // this join can go shuffle-side without touching the prefilter
+    val hits = pre.join(broadcast(bg), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.join(broadcast(hits.select("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
   /** Document fingerprints: the minimum shingle digest (winnowing-style,
     * stable under reordering outside the minimal window), an
     * order-sensitive rolling hash, and a whole-document hash. */
