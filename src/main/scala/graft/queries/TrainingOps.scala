@@ -210,6 +210,35 @@ object TrainingOps extends OpsModule {
     "td_bm25" -> ((s, d) =>
       TextOps.bm25TopK(docs(s, d), Bm25Terms)),
 
+    // per-source token-budget sampler: admit in salted-hash order until
+    // the stratum's cumulative token count hits the budget
+    "td_budget_sample" -> ((s, d) =>
+      TextOps.budgetSample(docs(s, d), budgetTokens = 800)
+        .orderBy("doc_id")),
+
+    // contrastive hard negatives: nearest cross-label vectors per query
+    "emb_hard_negatives" -> ((s, d) =>
+      Embeddings.hardNegatives(embs(s, d), col("vec_id") < 5)
+        .orderBy("query_id", "neg_rank")),
+
+    // embedding-space outlier audit: the 3 members farthest (squared L2)
+    // from their own cell centroid — mislabel/noise candidates per cluster
+    "emb_outliers" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"), col("label").as("cell"),
+        Embeddings.asDouble(col("embedding")).as("emb"))
+      val w = Window.partitionBy("cell").orderBy(col("d2").desc, col("vec_id").asc)
+      e.join(broadcast(Embeddings.centroids(embs(s, d))), "cell")
+        .withColumn("d2",
+          (Embeddings.dot(col("emb"), col("emb")) -
+            lit(2.0) * Embeddings.dot(col("emb"), col("cemb"))) +
+            Embeddings.dot(col("cemb"), col("cemb")))
+        .withColumn("far_rank", row_number().over(w))
+        .filter(col("far_rank") <= 3)
+        .select(col("cell"), col("vec_id"), round(col("d2"), 6).as("dist2"),
+          col("far_rank"))
+        .orderBy("cell", "far_rank")
+    }),
+
     // hybrid retrieval: keyword top-20 (shared-distinct-token overlap) and
     // vector top-20 (brute cosine) fused by Reciprocal Rank Fusion; docs
     // and embeddings share the id space, so the legs join on it
@@ -996,6 +1025,49 @@ object TrainingOps extends OpsModule {
                      (dl / (sum_dl / n_docs))))) AS score
             FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
           GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""",
+
+    // window cumsum over integers → engine-exact; hash order via dHash
+    "td_budget_sample" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                            len(string_split(text, ' ')) AS n_tokens,
+                            ${dHash("concat('budget:', CAST(doc_id AS VARCHAR))")} AS h
+                     FROM documents)
+          SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+                 CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source
+                     ORDER BY h ASC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_tokens
+            FROM t)
+          WHERE cum_tokens <= 800 ORDER BY doc_id""",
+
+    "emb_hard_negatives" ->
+      s"""WITH e2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+          q2 AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qemb
+                 FROM e2 WHERE vec_id < 5)
+          SELECT query_id, qlabel, neighbor_id, label,
+                 round(cos, 6) AS cosine, CAST(rk AS INT) AS neg_rank FROM (
+            SELECT q2.query_id, q2.qlabel, e2.vec_id AS neighbor_id, e2.label,
+                   ${dCos("q2.qemb", "e2.emb")} AS cos,
+                   row_number() OVER (PARTITION BY q2.query_id
+                     ORDER BY ${dCos("q2.qemb", "e2.emb")} DESC, e2.vec_id ASC)
+                     AS rk
+            FROM q2, e2 WHERE e2.label != q2.qlabel)
+          WHERE rk <= 5 ORDER BY query_id, neg_rank""",
+
+    // same association as the Spark side: (a·a − 2(a·b)) + b·b
+    "emb_outliers" ->
+      s"""WITH $duckCosPrelude, $duckCentroids
+          SELECT cell, vec_id, round(d2, 6) AS dist2, CAST(rk AS INT) AS far_rank
+          FROM (
+            SELECT e.cell, e.vec_id, ${dDist2("e.emb", "cent.cemb")} AS d2,
+                   row_number() OVER (PARTITION BY e.cell
+                     ORDER BY ${dDist2("e.emb", "cent.cemb")} DESC, e.vec_id ASC)
+                     AS rk
+            FROM e JOIN cent USING (cell))
+          WHERE rk <= 3 ORDER BY cell, far_rank""",
 
     // RRF fusion: full-outer union of the two rank lists, each reciprocal
     // term coalesced to 0 when a leg missed the doc (standard RRF)

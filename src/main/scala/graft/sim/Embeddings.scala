@@ -70,6 +70,32 @@ object Embeddings {
         round(col("cos"), 6).as("cosine"), col("knn_rank"))
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * most similar vectors whose LABEL differs from the query's — the
+    * pairs a contrastive/embedding trainer wants as negatives precisely
+    * because they're near misses. Same bounded shape as
+    * [[knnBruteForce]]: the query side (with its labels) is broadcast,
+    * the corpus streams through the scoring join once, and the label
+    * mismatch is part of the join condition so same-label rows never
+    * reach the window. Swap the corpus frame for an ANN candidate frame
+    * to mine at 100 TB without the exact scan. */
+  def hardNegatives(embeddings: DataFrame, queryFilter: Column, k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("emb").as("qemb"), col("vnorm").as("qnorm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("label") =!= col("qlabel"))
+      .withColumn("cos",
+        cosinePre(col("qemb"), col("emb"), col("qnorm"), col("vnorm")))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("qlabel"), col("vec_id").as("neighbor_id"),
+        col("label"), round(col("cos"), 6).as("cosine"), col("neg_rank"))
+  }
+
   /** One scored candidate inside the top-k aggregation. */
   final case class Neighbor(neighbor_id: Long, cosine: Double)
 

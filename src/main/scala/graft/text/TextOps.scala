@@ -910,6 +910,32 @@ object TextOps {
     }
   }
 
+  /** Per-stratum token-budget sampling: admit documents in deterministic
+    * hash order until each stratum's cumulative token count reaches the
+    * budget — how a mixture spec ("this source contributes ≤ B tokens")
+    * is actually materialized, as opposed to row-percentage sampling
+    * ([[hashSample]]) which can't hit a token target when doc lengths
+    * vary. Hash order (salted, like every sampling decision here) makes
+    * the admitted set reproducible across engines, runs, retries, AND
+    * stable under corpus append: new docs sort into the hash order
+    * without reshuffling earlier admissions beyond the boundary. One
+    * window per stratum — partitions are per-source, so the sort is
+    * bounded by stratum size, not corpus size; integer token counts keep
+    * the cumulative sum engine-exact. */
+  def budgetSample(docs: DataFrame, budgetTokens: Long,
+                   strataCol: String = "source"): DataFrame = {
+    val t = tokenized(docs)
+      .select(col("doc_id"), col(strataCol), size(col("toks")).as("n_tokens"),
+        md5Long(concat(lit("budget:"), col("doc_id").cast("string"))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col(strataCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic train/validation/test assignment by hash range: the
     * split every dataset release needs, with the same auditability
     * properties as [[hashSample]] — reproducible across engines, runs,

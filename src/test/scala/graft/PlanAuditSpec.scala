@@ -28,6 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_ann_recall",
     // the vector leg is knnBruteForce — same bounded broadcast query set
     "emb_hybrid_rrf",
+    // label-mismatch is non-equi by design; broadcast side is the query set
+    "emb_hard_negatives",
     // corpus-size N rides the plan as a ONE-ROW broadcast aggregate (the
     // alternative was a separate driver-side count()/first() job over the
     // corpus); a 1-row build side makes the nested loop a map-side
