@@ -104,6 +104,13 @@ object TrainingOps extends OpsModule {
         .limit(30)
     }),
 
+    // full BPE training loop — iterative and data-dependent, so there is
+    // no SQL-expressible oracle; BpeTrainSpec pins it against a
+    // sequential reference implementation instead (driver records the
+    // rows-only check, per the contract for non-SQL-expressible ops)
+    "td_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrain(docs(s, d), nMerges = 8).orderBy("merge_rank")),
+
     "td_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")),
 

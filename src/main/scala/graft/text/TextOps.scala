@@ -241,6 +241,66 @@ object TextOps {
       .withColumn("pieces_per_word",
         round(col("bpe_pieces") / greatest(col("ws_tokens"), lit(1)).cast("double"), 6))
 
+  /** Replace every adjacent (a, b) symbol pair with the merged symbol,
+    * left-to-right non-overlapping — the BPE merge step as a row-local
+    * array fold (no shuffle; applying a merge to the vocabulary is a
+    * narrow map). After a merge the accumulator's tail is the LONGER
+    * merged symbol, so runs self-limit exactly like the sequential
+    * algorithm ("aaaaa" + (a,a) → aa aa a). */
+  def bpeMergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Full BPE training (Sennrich et al., arXiv:1508.07909): iterate
+    * "count adjacent symbol pairs → merge the most frequent" `nMerges`
+    * times. The 100 TB shape hinges on one fact: after the FIRST
+    * aggregation everything operates on the word-frequency table, which
+    * is vocabulary-sized (sublinear in corpus) — the corpus itself is
+    * tokenized exactly once. Each iteration is one vocab-sized
+    * aggregation plus a 1-row argmax collect (the merge decision is
+    * inherently sequential — that single row per round is the entire
+    * driver traffic), and the vocabulary frame is localCheckpoint'd per
+    * round to truncate the growing lineage, the same discipline as the
+    * dedup-cluster loop. Ties break (count desc, sym_a, sym_b) so the
+    * merge table is deterministic in any engine.
+    *
+    * Returns the merge table — rank, the pair, the merged symbol, and
+    * the pair count at merge time — which IS the trained tokenizer
+    * artifact ([[bpeMergeOnce]] folded over it encodes text). */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 16,
+               minPairCount: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    var words = tokenized(docs)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(split(col("word"), "").as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum("n").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minPairCount) exhausted = true
+      else {
+        val (a, b, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += ((rank, a, b, a + b, c))
+        words = words.select(bpeMergeOnce(col("syms"), a, b).as("syms"), col("n"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
   /** Benchmark decontamination, step 1: per-corpus-doc count of distinct
     * k-shingles shared with an eval/benchmark set. The 100 TB shape:
     * benchmark shingles are eval-set-sized (millions, not corpus-sized) →
