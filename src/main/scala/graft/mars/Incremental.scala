@@ -469,6 +469,40 @@ object Incremental {
     spark.read.parquet(s"$root/$snap")
   }
 
+  /** CDC read: the row-level delta between two committed versions, as a
+    * frame of (keys…, change_type ∈ insert|update|delete, _before,
+    * _after) — before/after are payload structs (null image on the
+    * absent side). Because every version is a full snapshot, the diff IS
+    * the change feed — one full-outer join keyed on the table key,
+    * co-partitionable (both sides are the same table, so cluster_by /
+    * bucketing lines the shuffle up), with the unchanged majority
+    * dropped by the null-safe struct compare, the same `<=>` idiom the
+    * SCD2 merge uses. Survives additive schema evolution: a column the
+    * older version predates reads as null in `_before`, so its
+    * appearance alone does not fabricate updates for otherwise-unchanged
+    * rows — only rows whose values actually differ surface. */
+  def changesBetween(spark: SparkSession, root: String, fromVersion: Int,
+                     toVersion: Int, keys: Seq[String]): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val from = readVersion(spark, root, fromVersion)
+    val to = readVersion(spark, root, toVersion)
+    val payload = to.columns.filterNot(keys.contains).toSeq
+    def image(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+ struct(payload.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(to.schema(c).dataType).as(c)
+      }: _*).as(as): _*)
+    image(from, "_before").join(image(to, "_after"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_before").isNull, lit("insert"))
+          .when(col("_after").isNull, lit("delete"))
+          .when(!(col("_before") <=> col("_after")), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change_type"), col("_before"),
+        col("_after")): _*)
+  }
+
   /** Drop committed snapshots beyond the `keep` newest, plus every
     * uncommitted leftover (stage dirs, claims without commits, orphaned
     * snapshot dirs). Two safety contracts:
