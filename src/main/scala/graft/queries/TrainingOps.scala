@@ -246,6 +246,10 @@ object TrainingOps extends OpsModule {
         .orderBy("cell", "far_rank")
     }),
 
+    // distributed PCA power-iteration step (mat-vec without a matrix)
+    "emb_pca_power" -> ((s, d) =>
+      Embeddings.pcaPowerStep(embs(s, d))),
+
     // hybrid retrieval: keyword top-20 (shared-distinct-token overlap) and
     // vector top-20 (brute cosine) fused by Reciprocal Rank Fusion; docs
     // and embeddings share the id space, so the legs join on it
@@ -1063,6 +1067,26 @@ object TrainingOps extends OpsModule {
                      AS rk
             FROM q2, e2 WHERE e2.label != q2.qlabel)
           WHERE rk <= 5 ORDER BY query_id, neg_rank""",
+
+    // v0 = 1/sqrt(64) = 0.125 — exact in binary, so the start vector is
+    // bit-identical across engines; idx shifted to Spark's 0-based pos
+    "emb_pca_power" -> {
+      val v0List = "CAST([" + Seq.fill(64)("0.125").mkString(",") + "] AS DOUBLE[])"
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          mu AS (SELECT list(m ORDER BY idx) AS muarr FROM (
+            SELECT idx, avg(v) AS m FROM (
+              SELECT generate_subscripts(emb, 1) AS idx, unnest(emb) AS v FROM e)
+            GROUP BY idx)),
+          c AS (SELECT list_transform(generate_series(1, 64),
+                         i -> emb[i] - muarr[i]) AS cx
+                FROM e CROSS JOIN mu),
+          cs AS (SELECT cx, list_dot_product(cx, $v0List) AS s FROM c),
+          o AS (SELECT idx, sum(cv * s) AS uv FROM (
+            SELECT generate_subscripts(cx, 1) AS idx, unnest(cx) AS cv, s FROM cs)
+            GROUP BY idx),
+          n AS (SELECT sqrt(sum(uv * uv)) AS nrm FROM o)
+          SELECT CAST(idx - 1 AS INT) AS idx, round(uv / nrm, 6) AS component
+          FROM o CROSS JOIN n ORDER BY idx""" },
 
     // same association as the Spark side: (a·a − 2(a·b)) + b·b
     "emb_outliers" ->

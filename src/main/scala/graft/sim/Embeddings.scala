@@ -622,6 +622,43 @@ object Embeddings {
         round(avg(col("a") - col("b")), 6).as("avg_silhouette"))
   }
 
+  /** One PCA power-iteration step over the embedding matrix: v' =
+    * normalize(Xᶜᵀ(Xᶜ v₀)) with Xᶜ the mean-centered embeddings and v₀
+    * the fixed 1/√d start vector — the distributed mat-vec primitive
+    * under PCA dim-reduction / whitening / OPQ rotation training,
+    * computed WITHOUT ever materializing a matrix: the d×d covariance
+    * never exists, only per-row scalars (one dot product each) and a
+    * d-row aggregation.
+    *
+    * Shape at 100 TB: one pass computes the d-row mean frame (map-side
+    * combinable posexplode-avg, the [[centroids]] pattern made global);
+    * the mean rides back as a 1-row broadcast array so centering is a
+    * row-local zip; each row contributes (x−μ)·v₀ (a scalar) times its
+    * centered coordinates to a d-row sum. Driver traffic is zero; the
+    * two 1-row broadcast attaches (mean array, normalizer) are the
+    * whitelisted BNLJ literal-attach pattern. Iterating k times = k
+    * passes, the standard trade for top-k eigenvectors at scale. */
+  def pcaPowerStep(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(asDouble(col("embedding")).as("emb"))
+    val d = 64
+    val v0 = 1.0 / math.sqrt(d.toDouble)
+    // global per-dimension mean, reassembled as ONE ordered array row
+    val muArr = e.select(posexplode(col("emb")).as(Seq("idx", "v")))
+      .groupBy("idx").agg(avg("v").as("mu"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("mu")))),
+        s => s.getField("mu")).as("muarr"))
+    val centered = e.crossJoin(broadcast(muArr))
+      .withColumn("cx", zip_with(col("emb"), col("muarr"), (a, b) => a - b))
+      .withColumn("s", dot(col("cx"), array(Seq.fill(d)(lit(v0)): _*)))
+    val out = centered
+      .select(posexplode(col("cx")).as(Seq("idx", "cv")), col("s"))
+      .groupBy("idx").agg(sum(col("cv") * col("s")).as("uv"))
+    val nrm = out.agg(sqrt(sum(col("uv") * col("uv"))).as("_nrm"))
+    out.crossJoin(broadcast(nrm))
+      .select(col("idx"), round(col("uv") / col("_nrm"), 6).as("component"))
+      .orderBy("idx")
+  }
+
   /** Per-cell stats: size, centroid norm, mean vector norm. */
   def clusterStats(embeddings: DataFrame): DataFrame = {
     val perRow = embeddings.select(col("label").as("cell"),

@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus); a 1-row build side makes the nested loop a map-side
     // literal attach
     "td_tfidf_top_term", "td_pmi_pairs", "td_unigram_logprob",
-    "td_bigram_logprob", "td_source_kl", "td_mixture_sample", "td_bm25")
+    "td_bigram_logprob", "td_source_kl", "td_mixture_sample", "td_bm25",
+    // two 1-row literal attaches: the mean array and the normalizer
+    "emb_pca_power")
 
   test("no registered query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
