@@ -81,8 +81,10 @@ object CurationPipeline {
       Seq("doc_id"), "left_anti")
       .persist()
 
-    // stage 4: decontaminate against the benchmark slice
-    val curated = TextOps.decontaminate(nearDeduped, benchmark).persist()
+    // stage 4: decontaminate against the benchmark slice — size-adaptive:
+    // broadcast-set path for eval-sized benchmarks, Bloom prefilter when
+    // the benchmark outgrows the broadcast threshold (same answer)
+    val curated = TextOps.decontaminateAuto(nearDeduped, benchmark).persist()
 
     // stage 5: deterministic split assignment rides along
     val withSplit = curated.select(

@@ -362,6 +362,23 @@ object TextOps {
     corpus.join(broadcast(hits.select("doc_id")), Seq("doc_id"), "left_anti")
   }
 
+  /** Size-adaptive decontamination: the exact broadcast-set path while
+    * the benchmark fits the session broadcast threshold, the Bloom-
+    * prefilter path beyond it. Both return the IDENTICAL clean corpus
+    * ([[decontaminateBloom]]'s confirm join guarantees it), so the flip
+    * is purely a physical decision — the AutoBroadcast.sizeGate
+    * discipline applied here: no pinned default that OOMs at 100×.
+    * Inflation 4×: the broadcast side is the benchmark's exploded
+    * k-shingle set, several times wider than its scan bytes. */
+  def decontaminateAuto(corpus: DataFrame, benchmark: DataFrame, k: Int = 8,
+                        expectedShingles: Long = 1L << 20,
+                        fpp: Double = 0.01): DataFrame = {
+    val t = graft.ops.AutoBroadcast.thresholdBytes(benchmark)
+    val est = graft.ops.AutoBroadcast.estimatedBytes(benchmark) * 4
+    if (t > 0 && est <= t) decontaminate(corpus, benchmark, k)
+    else decontaminateBloom(corpus, benchmark, k, expectedShingles, fpp)
+  }
+
   /** Document fingerprints: the minimum shingle digest (winnowing-style,
     * stable under reordering outside the minimal window), an
     * order-sensitive rolling hash, and a whole-document hash. */

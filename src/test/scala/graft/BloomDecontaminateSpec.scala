@@ -49,6 +49,48 @@ class BloomDecontaminateSpec extends AnyFunSuite {
     assert(plan.contains("bloom_might_contain"), plan.take(2000))
   }
 
+  test("decontaminateAuto flips path on the broadcast threshold; answers agree") {
+    val (corpus, bench) = split()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    try {
+      spark.conf.set(key, "10MB")
+      val exactPath = TextOps.decontaminateAuto(corpus, bench, k = 3)
+      assert(!planOf(exactPath).contains("bloom_might_contain"),
+        "eval-sized benchmark should take the broadcast-set path")
+      spark.conf.set(key, "1") // force "benchmark too big to broadcast"
+      val bloomPath = TextOps.decontaminateAuto(corpus, bench, k = 3)
+      assert(planOf(bloomPath).contains("bloom_might_contain"),
+        "over-threshold benchmark should take the Bloom path")
+      assert(
+        bloomPath.select("doc_id").collect().map(_.getLong(0)).toSet ==
+          exactPath.select("doc_id").collect().map(_.getLong(0)).toSet)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("interpreted eval path (no codegen) matches codegen") {
+    import spark.implicits._
+    val keys = (1L to 200L).map(_ * 31L)
+    val df = keys.toDF("h")
+    val bytes = graft.functions.BloomMightContain.serialize(
+      df.stat.bloomFilter("h", 200, 0.01))
+    val probe = (1L to 400L).map(_ * 31L).toDF("h")
+      .filter(call_function("bloom_might_contain", col("h"), lit(bytes)))
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      val interpreted = probe.collect().map(_.getLong(0)).toSet
+      spark.conf.set(key, prev)
+      val codegen = probe.collect().map(_.getLong(0)).toSet
+      assert(interpreted == codegen)
+      assert(keys.toSet.subsetOf(interpreted), "false negative in interpreted eval")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no false negatives: every inserted key probes true") {
     import spark.implicits._
     val keys = (1L to 1000L).map(_ * 7919L)
