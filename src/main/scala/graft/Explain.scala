@@ -20,10 +20,20 @@ object Explain {
       .getOrCreate()
     graft.functions.GraftFunctions.register(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXEC=1: run the query first and print the AQE-FINAL
+    // executed plan — the one with runtime exchange reuse, skew splits,
+    // and broadcast conversions actually applied. Default stays the
+    // static formatted plan (shows pushdown/ReadSchema detail).
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     names.foreach { n =>
       println(s"\n########## $n ##########")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (exec) {
+          df.collect()
+          println(df.queryExecution.executedPlan.toString)
+        } else df.explain("formatted")
+      } catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()
   }
