@@ -197,6 +197,22 @@ object TrainingOps extends OpsModule {
     "td_simhash" -> ((s, d) =>
       TextOps.simhash16(docs(s, d)).orderBy("doc_id")),
 
+    // candidate-generation quality: of the exhaustive (source-blocked,
+    // token-jaccard >= 0.5) near-dup pairs, how many does banded shingle
+    // LSH surface — the text-side counterpart of emb_ann_recall, the
+    // number that justifies replacing the quadratic path at scale
+    "td_lsh_recall" -> ((s, d) => {
+      val truth = TextOps.nearDupPairs(docs(s, d)).select("doc_id_a", "doc_id_b")
+      val cand = TextOps.lshCandidatePairs(docs(s, d))
+        .select("doc_id_a", "doc_id_b")
+      val hit = truth.join(cand, Seq("doc_id_a", "doc_id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_true"), 6))
+    }),
+
     "td_dedup_clusters" -> ((s, d) =>
       TextOps.dedupClusters(TextOps.nearDupPairs(docs(s, d))).orderBy("doc_id")),
 
@@ -972,6 +988,20 @@ object TrainingOps extends OpsModule {
                  md5(concat_ws('_', 1, mh_2, mh_3)) AS band_1
           FROM mh ORDER BY doc_id"""
     },
+
+    // truth = the source-blocked token-jaccard pairs, candidates = banded
+    // shingle LSH — the same CTE bundles the individual oracles use
+    "td_lsh_recall" ->
+      s"""WITH $duckNearDupCtes, $duckLshCandCtes,
+          truth AS (SELECT doc_id_a, doc_id_b FROM p
+                    WHERE round(CAST(inter AS DOUBLE) / un, 6) >= 0.5),
+          hit AS (SELECT t.doc_id_a FROM truth t
+                  JOIN lshcand c USING (doc_id_a, doc_id_b))
+          SELECT n_true, n_candidates, n_hit,
+                 round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
+          FROM (SELECT count(*) AS n_true FROM truth)
+          CROSS JOIN (SELECT count(*) AS n_candidates FROM lshcand)
+          CROSS JOIN (SELECT count(*) AS n_hit FROM hit)""",
 
     "td_near_dup_pairs" ->
       s"""WITH $duckNearDupCtes

@@ -37,7 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "td_tfidf_top_term", "td_pmi_pairs", "td_unigram_logprob",
     "td_bigram_logprob", "td_source_kl", "td_mixture_sample", "td_bm25",
     // two 1-row literal attaches: the mean array and the normalizer
-    "emb_pca_power")
+    "emb_pca_power",
+    // three 1-row count frames folded into one row
+    "td_lsh_recall")
 
   test("no registered query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
