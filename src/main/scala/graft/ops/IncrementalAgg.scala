@@ -58,6 +58,68 @@ object IncrementalAgg {
     }
   }
 
+  /** CDC-driven maintenance: fold a change feed
+    * ([[graft.mars.Incremental.changesBetween]] shape: keys…,
+    * change_type, _before, _after) into the stored partials by
+    * RETRACTION — insert adds the after-image, delete subtracts the
+    * before-image, update does both — so the mart absorbs updates and
+    * deletes from the feed alone, never re-reading history. Groups whose
+    * row count retracts to zero are dropped.
+    *
+    * Only invertible aggregates maintain this way (count/sum, avg
+    * derived at read; beware float residue on long-lived double sums —
+    * re-baseline periodically). min/max are NOT invertible — a deleted
+    * minimum cannot be un-taken from a partial — so when the store
+    * carries them the caller must pass `current` (the table's new
+    * version) and every group the feed touches is re-aggregated from it:
+    * a semi-join-bounded partial recompute, the standard IVM fallback
+    * tier. Untouched groups are never recomputed on either path.
+    *
+    * The feed's key columns must be the AGGREGATE's grouping keys. An
+    * update that MOVES a row between groups must arrive as two feed rows
+    * (delete under the old key, insert under the new) — the shape a
+    * grouped projection of [[graft.mars.Incremental.changesBetween]]
+    * naturally produces only when the grouping key is immutable, which
+    * is the usual mart contract. */
+  def applyChanges(spark: SparkSession, storeDir: String, changes: DataFrame,
+                   keys: Seq[String], sums: Seq[String] = Nil,
+                   mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+                   current: Option[DataFrame] = None): Unit = {
+    val path = new Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"no aggregate store at $storeDir — seed with update()")
+    val stored = spark.read.parquet(storeDir)
+    val ct = col("change_type")
+    val merged =
+      if (mins.isEmpty && maxs.isEmpty) {
+        // pure retraction: one pass over the (change-sized) feed
+        val deltaAggs = sum(when(ct === "insert", 1)
+          .when(ct === "delete", -1).otherwise(0)).as("n_rows") +:
+          sums.map { c =>
+            sum(coalesce(when(ct =!= "delete", col(s"_after.$c")), lit(0)) -
+              coalesce(when(ct =!= "insert", col(s"_before.$c")), lit(0)))
+              .as(s"sum_$c")
+          }
+        val delta = changes.groupBy(keys.map(col): _*)
+          .agg(deltaAggs.head, deltaAggs.tail: _*)
+        combine(stored, delta, keys, sums, Nil, Nil)
+          .filter(col("n_rows") > 0)
+      } else {
+        // affected-group recompute: min/max need the surviving values
+        val cur = current.getOrElse(throw new IllegalArgumentException(
+          "min/max maintenance needs `current` — they are not invertible"))
+        val affected = changes.select(keys.map(col): _*).distinct()
+        stored.join(AutoBroadcast.sizeGate(affected), keys, "left_anti")
+          .unionByName(
+            partials(cur.join(AutoBroadcast.sizeGate(affected), keys, "left_semi"),
+              keys, sums, mins, maxs))
+      }
+    val tmp = storeDir + ".tmp_swap"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(path, true)
+    fs.rename(new Path(tmp), path)
+  }
+
   /** Read the maintained mart, deriving avg_X = sum_X / n_rows. */
   def read(spark: SparkSession, storeDir: String,
            avgsOf: Seq[String] = Nil): DataFrame = {

@@ -36,4 +36,86 @@ class IncrementalAggSpec extends AnyFunSuite {
         r.getDouble(4), r.getLong(5), r.getDouble(6)))
     assert(got.toSeq == full.toSeq)
   }
+
+  test("CDC retraction: updates and deletes maintain sums without history") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("inc_agg_cdc").toString + "/mart"
+    IncrementalAgg.update(spark, store,
+      Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L)).toDF("k", "qty"),
+      keys = Seq("k"), sums = Seq("qty"))
+    // feed: update one a-row 10->13, delete b entirely, insert new d
+    val changes = Seq(
+      ("a", "update", Some(10L), Some(13L)),
+      ("b", "delete", Some(5L), None),
+      ("d", "insert", None, Some(2L)))
+      .toDF("k", "change_type", "b_qty", "a_qty")
+      .select(col("k"), col("change_type"),
+        struct(col("b_qty").as("qty")).as("_before"),
+        struct(col("a_qty").as("qty")).as("_after"))
+    IncrementalAgg.applyChanges(spark, store, changes,
+      keys = Seq("k"), sums = Seq("qty"))
+    val got = IncrementalAgg.read(spark, store).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a: 13+20, c untouched, b gone (count retracted to 0), d new
+    assert(got == Seq(("a", 2L, 33L), ("c", 1L, 7L), ("d", 1L, 2L)))
+  }
+
+  test("min/max maintenance recomputes only the affected groups") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("inc_agg_mm").toString + "/mart"
+    val v1 = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("b", 9L)).toDF("k", "qty")
+    IncrementalAgg.update(spark, store, v1,
+      keys = Seq("k"), sums = Seq("qty"), mins = Seq("qty"), maxs = Seq("qty"))
+    // delete a's minimum — NOT invertible, needs the current table
+    val v2 = Seq(("a", 20L), ("b", 5L), ("b", 9L)).toDF("k", "qty")
+    val changes = Seq(("a", "delete", Option(10L), Option.empty[Long]))
+      .toDF("k", "change_type", "b_qty", "a_qty")
+      .select(col("k"), col("change_type"),
+        struct(col("b_qty").as("qty")).as("_before"),
+        struct(col("a_qty").as("qty")).as("_after"))
+    val err = intercept[IllegalArgumentException] {
+      IncrementalAgg.applyChanges(spark, store, changes, Seq("k"),
+        sums = Seq("qty"), mins = Seq("qty"), maxs = Seq("qty"))
+    }
+    assert(err.getMessage.contains("not invertible"))
+    IncrementalAgg.applyChanges(spark, store, changes, Seq("k"),
+      sums = Seq("qty"), mins = Seq("qty"), maxs = Seq("qty"),
+      current = Some(v2))
+    val got = IncrementalAgg.read(spark, store).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(("a", 1L, 20L, 20L, 20L), ("b", 2L, 14L, 5L, 9L)))
+  }
+
+  test("end to end: versioned store -> changesBetween -> maintained mart") {
+    import spark.implicits._
+    import graft.mars.Incremental
+    val dir = Files.createTempDirectory("inc_agg_e2e").toString
+    val table = dir + "/table"
+    val mart = dir + "/mart"
+    Incremental.mergeIncremental(spark, table,
+      (1L to 40L).map(i => (i, s"s${i % 4}", i * 2)).toDF("id", "grp", "qty"),
+      Seq("id"), "grp")
+    IncrementalAgg.update(spark, mart, Incremental.readVersion(spark, table, 1),
+      keys = Seq("grp"), sums = Seq("qty"))
+    // v2: upsert some, v3: takedown
+    Incremental.upsertSnapshot(spark, table,
+      Seq((3L, "s3", 100L), (41L, "s1", 9L)).toDF("id", "grp", "qty"), Seq("id"))
+    Incremental.deleteWhere(spark, table, col("id") <= 10L)
+    // NOTE: grp is part of the key set for the agg, so feed keys = grp only
+    val changes = Incremental.changesBetween(spark, table, 1, 3, Seq("id"))
+      .select(coalesce(col("_after.grp"), col("_before.grp")).as("grp"),
+        col("change_type"),
+        struct(col("_before.qty").as("qty")).as("_before"),
+        struct(col("_after.qty").as("qty")).as("_after"))
+    IncrementalAgg.applyChanges(spark, mart, changes,
+      keys = Seq("grp"), sums = Seq("qty"))
+    val got = IncrementalAgg.read(spark, mart).orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = Incremental.read(spark, table)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("qty").as("s"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
 }
