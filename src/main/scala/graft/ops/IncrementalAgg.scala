@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  private def partials(batch: DataFrame, keys: Seq[String], sums: Seq[String],
+  private[graft] def partials(batch: DataFrame, keys: Seq[String], sums: Seq[String],
                        mins: Seq[String], maxs: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       (sums.map(c => sum(col(c)).as(s"sum_$c")) ++
@@ -30,7 +30,7 @@ object IncrementalAgg {
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  private def combine(a: DataFrame, b: DataFrame, keys: Seq[String],
+  private[graft] def combine(a: DataFrame, b: DataFrame, keys: Seq[String],
                       sums: Seq[String], mins: Seq[String],
                       maxs: Seq[String]): DataFrame = {
     val aggs = sum(col("n_rows")).as("n_rows") +:
