@@ -354,12 +354,15 @@ object TextOps {
       .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
       .filter(call_function("bloom_might_contain",
         md5Long(col("shingle")), lit(bfBytes)))
-    // exact confirm on the prefiltered trickle; broadcast is fine at any
-    // scale where the benchmark was broadcastable anyway — at true 100 TB
-    // this join can go shuffle-side without touching the prefilter
-    val hits = pre.join(broadcast(bg), "shingle")
+    // exact confirm on the prefiltered trickle. SIZE-GATED, not pinned:
+    // this path exists precisely for benchmarks too big to broadcast, so
+    // pinning broadcast(bg) here would re-plant the landmine the sketch
+    // removes — over the gate the confirm becomes a shuffle join, whose
+    // corpus side is only the prefiltered survivors (~fpp of shingles)
+    val gate = (df: DataFrame) => graft.ops.AutoBroadcast.sizeGate(df, 4.0)
+    val hits = pre.join(gate(bg), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    corpus.join(broadcast(hits.select("doc_id")), Seq("doc_id"), "left_anti")
+    corpus.join(gate(hits.select("doc_id")), Seq("doc_id"), "left_anti")
   }
 
   /** Size-adaptive decontamination: the exact broadcast-set path while
