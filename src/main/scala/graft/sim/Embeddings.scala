@@ -288,7 +288,18 @@ object Embeddings {
     * [[kmeansAssign]] + [[buildIvfIndex]] when drift accumulates.
     * Routing is the same argmax-without-a-window as kmeansAssign. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-                       embeddings: DataFrame): Unit = {
+                       embeddings: DataFrame): Unit =
+    appendRoutedToIvf(routeToIvfCells(spark, indexDir, embeddings), indexDir)
+
+  /** Route vectors to their nearest EXISTING centroid — the shared head of
+    * the batch append and the streaming ingest ([[graft.streaming.VectorIngest]]).
+    * Routing is a pure function of (embedding, centroids): as long as the
+    * centroid table is unchanged, the same `vec_id` always lands in the
+    * same cell — which is what lets a dedup check scope itself to the
+    * routed cells instead of scanning the whole index. Output:
+    * (vec_id, emb, vnorm, cell), write-ready for the postings layout. */
+  def routeToIvfCells(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                      embeddings: DataFrame): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("vnorm", norm(col("emb")))
@@ -299,8 +310,12 @@ object Embeddings {
       .select(col("vec_id"), (-col("m.nc")).as("cell"))
     e.join(routed, "vec_id")
       .select(col("vec_id"), col("emb"), col("vnorm"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/postings")
   }
+
+  /** Append a [[routeToIvfCells]]-shaped frame to the postings. */
+  def appendRoutedToIvf(routed: DataFrame, indexDir: String): Unit =
+    routed.select(col("vec_id"), col("emb"), col("vnorm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/postings")
 
   /** Search a [[buildIvfIndex]]-persisted index. Results are identical to
     * the inline [[ivfSearch]] over the same vectors (spec-asserted). */

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -43,6 +44,39 @@ class VectorIngestSpec extends AnyFunSuite {
     VectorIngest.applyBatch(wider, dir)
     val done = postingIds(dir)
     assert(done.size == 50 && done.distinct.size == 50)
+  }
+
+  test("dedup anti-join partition-prunes the postings scan to the batch's cells") {
+    val (dir, all) = freshIndex()
+    val routed = Embeddings.routeToIvfCells(spark, dir,
+      all.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+        .select("vec_id", "embedding")).persist()
+    try {
+      val batchCells = routed.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val allCells = spark.read.parquet(s"$dir/postings").select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      assume(batchCells.size < allCells.size,
+        "fixture batch must touch a strict subset of cells for pruning to show")
+      val unseen = graft.streaming.VectorIngest.unseenOf(routed, dir)
+      val postingScans = unseen.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+      }
+      assert(postingScans.nonEmpty)
+      // the scan carries a partition filter on cell …
+      val pf = postingScans.map(_.metadata.getOrElse("PartitionFilters", "")).mkString
+      assert(pf.contains("cell"), s"no partition filter on the postings scan: $pf")
+      // … and the files it selects under that filter are exactly the
+      // batch's cells
+      val readCells = postingScans.flatMap { s =>
+        s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+          .flatMap("cell=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt))
+      }.toSet
+      assert(readCells.subsetOf(batchCells),
+        s"postings scan read cells $readCells beyond the batch's $batchCells")
+    } finally { routed.unpersist(); () }
   }
 
   test("streamed vectors are searchable and routing matches the batch append") {
