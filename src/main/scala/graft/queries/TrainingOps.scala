@@ -188,6 +188,43 @@ object TrainingOps extends OpsModule {
         .orderBy("doc_id")
     }),
 
+    // graded contamination: per-doc overlap FRACTION vs the benchmark
+    // shingle set, where td_decontaminate drops on any single hit
+    "td_overlap_frac" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.contaminationFraction(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0), k = 3)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights: log-ratio of hashed-unigram likelihoods,
+    // target = the benchmark slice, raw = the rest of the corpus
+    "td_dsir" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.dsirWeights(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // C4-style global segment dedup: cross-corpus boilerplate spans
+    // removed from every document, survivors reassembled in order
+    "td_segment_dedup" -> ((s, d) =>
+      TextOps.segmentDedup(docs(s, d)).orderBy("doc_id")),
+
+    // temperature-scaled source mixture weights (tau = 0.5)
+    "td_temperature_mix" -> ((s, d) =>
+      TextOps.temperatureMixture(docs(s, d)).orderBy("source")),
+
+    // Kneser-Ney-smoothed bigram LM scoring (continuation back-off)
+    "td_kneser_ney" -> ((s, d) =>
+      TextOps.kneserNeyLogProb(docs(s, d)).orderBy("doc_id")),
+
+    // winnowing fingerprints (MOSS scheme) summarized per doc
+    "td_winnow" -> ((s, d) =>
+      TextOps.winnowFingerprints(docs(s, d)).orderBy("doc_id")),
+
     "td_near_dup_pairs" -> ((s, d) =>
       TextOps.nearDupPairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
 
@@ -965,6 +1002,94 @@ object TrainingOps extends OpsModule {
           SELECT doc_id, source, n_chars FROM documents
           WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
           ORDER BY doc_id""",
+
+    "td_overlap_frac" ->
+      s"""WITH $duckShingles,
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+          SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(coalesce(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 END), 0)
+                      AS BIGINT) AS n_hits,
+                 round(CAST(coalesce(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 END), 0)
+                      AS DOUBLE) / count(*), 6) AS overlap_frac
+          FROM sh s LEFT JOIN bench b USING (shingle)
+          WHERE s.doc_id % 97 != 0
+          GROUP BY s.doc_id ORDER BY doc_id""",
+
+    "td_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          b AS (SELECT doc_id, ${dHash("tok")} % 64 AS bucket FROM tk),
+          rawd AS (SELECT bucket, count(*) AS c_raw FROM b WHERE doc_id % 97 != 0 GROUP BY bucket),
+          tgtd AS (SELECT bucket, count(*) AS c_tgt FROM b WHERE doc_id % 97 = 0 GROUP BY bucket),
+          tot AS (SELECT (SELECT CAST(sum(c_raw) AS DOUBLE) FROM rawd) AS t_raw,
+                         (SELECT CAST(sum(c_tgt) AS DOUBLE) FROM tgtd) AS t_tgt),
+          ratio AS (SELECT coalesce(r.bucket, g.bucket) AS bucket,
+              log2(((coalesce(c_tgt, 0) + 1) / (t_tgt + 64)) /
+                   ((coalesce(c_raw, 0) + 1) / (t_raw + 64))) AS log2_ratio
+            FROM rawd r FULL OUTER JOIN tgtd g ON r.bucket = g.bucket, tot)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(CAST(sum(log2_ratio) AS DOUBLE), 6) AS log2_weight
+          FROM b JOIN ratio USING (bucket) WHERE doc_id % 97 != 0
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          segs AS (
+            SELECT doc_id, u.seg_idx, u.seg FROM (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(0, greatest(CAST(ceil(len(toks) / 16.0) AS INT) - 1, 0)),
+                       i -> {'seg_idx': i,
+                             'seg': array_to_string(list_slice(toks, i*16 + 1, i*16 + 16), ' ')})) AS u
+              FROM t)),
+          df AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg)
+          SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(coalesce(sum(CASE WHEN d.seg_df > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_segments,
+                 coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx) FILTER (WHERE d.seg_df <= 1), '')
+                   AS cleaned_text
+          FROM segs s JOIN df d USING (seg)
+          GROUP BY s.doc_id ORDER BY doc_id""",
+
+    "td_temperature_mix" ->
+      """WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY source),
+          t AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS sum_pow,
+                       CAST(sum(n_tokens) AS DOUBLE) AS sum_tokens FROM s)
+          SELECT source, n_tokens,
+                 round(pow(CAST(n_tokens AS DOUBLE), 0.5) / sum_pow, 6) AS weight,
+                 round(pow(CAST(n_tokens AS DOUBLE), 0.5) / sum_pow * sum_tokens / n_tokens, 6)
+                   AS epochs
+          FROM s, t ORDER BY source""",
+
+    "td_kneser_ney" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                      WHERE len(string_split(text, ' ')) >= 2),
+          bg AS (SELECT doc_id, u.prev, u.cur FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(0, len(toks) - 2),
+              i -> {'prev': toks[i+1], 'cur': toks[i+2]})) AS u FROM tok)),
+          bgc AS (SELECT prev, cur, count(*) AS cnt_b FROM bg GROUP BY prev, cur),
+          pre AS (SELECT prev, sum(cnt_b) AS cnt_prev, count(*) AS n_follow FROM bgc GROUP BY prev),
+          cont AS (SELECT cur, count(*) AS n_precede FROM bgc GROUP BY cur),
+          ty AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bgc)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(avg(log2((cnt_b - 0.75)/cnt_prev +
+                                0.75*n_follow/cnt_prev*(n_precede/n_types))), 6) AS avg_log2p
+          FROM bg JOIN bgc USING (prev, cur) JOIN pre USING (prev) JOIN cont USING (cur), ty
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_winnow" -> {
+      val gramHash = dHash("array_to_string(list_slice(toks, i+1, i+3), ' ')")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+          g AS (SELECT doc_id, u.pos, u.h FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(0, len(toks) - 3),
+              i -> {'pos': i, 'h': $gramHash})) AS u
+            FROM tok)),
+          fp AS (SELECT DISTINCT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS fp_min,
+                 max(fp) AS fp_max, CAST(sum(fp % 1048576) AS BIGINT) AS fp_checksum
+          FROM fp GROUP BY doc_id ORDER BY doc_id"""
+    },
 
     "td_fingerprint" ->
       s"""WITH $duckShingles,

@@ -1096,4 +1096,203 @@ object TextOps {
       .select("doc_id", "n_tokens", "n_stopwords", "n_punct",
         "avg_token_len", "stopword_ratio", "quality_bucket")
   }
+
+  /** Global segment-level dedup (C4/Dolma span dedup, on disjoint
+    * `segTokens`-token windows instead of sentences — the corpus has no
+    * sentence boundaries): a segment occurring in more than `maxDf`
+    * DISTINCT documents is boilerplate and is cut from every document;
+    * survivors are reassembled in order.
+    *
+    * Shape at 100 TB: segmentation is a per-row transform (narrow); the
+    * frequency table groups on the segment's 16-byte md5, so the shuffle
+    * carries digests + counts, never segment text twice; reassembly
+    * groups by doc_id with an in-group array_sort on the segment index —
+    * per-doc state is bounded by document length, not corpus size. This
+    * is [[substringDupSpans]]'s remove-side: spans REPORTED there,
+    * boilerplate REMOVED here, at a coarser (disjoint-window) grain. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 16,
+                   maxDf: Int = 1): DataFrame = {
+    val t = tokenized(docs)
+    val nSegs = greatest(
+      ceil(size(col("toks")).cast("double") / segTokens).cast("int"), lit(1))
+    val segs = t
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nSegs - 1)).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        concat_ws(" ", slice(col("toks"), col("seg_idx") * segTokens + 1,
+          lit(segTokens))).as("seg"))
+      .withColumn("h", md5(col("seg")))
+    val segDf = segs.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("seg_df"))
+    segs.join(segDf, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum((col("seg_df") > maxDf).cast("int")).as("n_dup_segments"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("seg_df") <= maxDf,
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg"))).as("cleaned_text"))
+  }
+
+  /** Per-document contamination FRACTION vs a benchmark — the graded form
+    * of [[contaminationHits]] (GPT-3-style overlap accounting): what share
+    * of the document's distinct k-shingles appear anywhere in the
+    * benchmark. A thresholdable score, where decontaminate's boolean
+    * drops on any single hit. Same shape as decontaminate: the benchmark
+    * side reduces to a distinct-shingle set (size-gated broadcast), the
+    * corpus is shingled once and left-joined against it. */
+  def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
+                            k: Int = 3): DataFrame = {
+    val c = tokenized(corpus).filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
+    val b = tokenized(benchmark).filter(size(col("toks")) >= k)
+      .select(explode(shingles(col("toks"), k)).as("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    c.join(graft.ops.AutoBroadcast.sizeGate(b), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .withColumn("overlap_frac",
+        round(col("n_hits").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Temperature-scaled source mixture (the multilingual/multi-source
+    * sampling standard): source s with n_s tokens gets sampling weight
+    * w_s ∝ n_s^tau, normalized. tau < 1 up-weights small sources;
+    * `epochs` is how many passes over s a w_s-proportional token budget
+    * of one corpus-size implies — the over/under-sampling factor.
+    * Shape: one token-count aggregation to |sources| rows, then 1-row
+    * broadcast totals; everything after the first shuffle is
+    * sources-sized. */
+  def temperatureMixture(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val bySource = tokenized(docs)
+      .groupBy("source").agg(sum(size(col("toks"))).as("n_tokens"))
+    val totals = bySource.agg(
+      sum(pow(col("n_tokens").cast("double"), tau)).as("sum_pow"),
+      sum("n_tokens").cast("double").as("sum_tokens"))
+    bySource.crossJoin(broadcast(totals))
+      .withColumn("weight",
+        round(pow(col("n_tokens").cast("double"), tau) / col("sum_pow"), 6))
+      .withColumn("epochs",
+        round(pow(col("n_tokens").cast("double"), tau) / col("sum_pow") *
+          col("sum_tokens") / col("n_tokens"), 6))
+      .select("source", "n_tokens", "weight", "epochs")
+  }
+
+  /** Kneser-Ney-smoothed bigram scoring — the serious LM rung above
+    * Jelinek-Mercer ([[bigramLogProb]]): absolute discounting plus a
+    * CONTINUATION-count back-off,
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1·) + D·N1+(w1,·)/c(w1·) · Pcont(w2)
+    *   Pcont(w2) = N1+(·,w2) / |distinct bigram types|
+    *
+    * so the back-off rewards words that follow MANY contexts, not words
+    * that are merely frequent ("Francisco" scores high in raw frequency
+    * but follows almost nothing except "San"). Every count is an exact
+    * integer from a hash-keyed aggregation; bigram-prefix totals and
+    * continuation counts derive from the ONE bigram-count table (its
+    * exchange is reused three ways), the type total rides as a 1-row
+    * broadcast, and the per-doc average accumulates within the doc's
+    * partition — deterministic to the last bit. Scored bigrams are
+    * observed (c ≥ 1) and D < 1, so the discounted term never goes
+    * negative. */
+  def kneserNeyLogProb(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val bg = tokenized(docs).filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("prev"),
+            element_at(col("toks"), i + 2).as("cur")))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val bgCnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_b"))
+    // prefix totals + distinct continuations per prev, continuation
+    // counts per cur, and the type total all fold off bgCnt — vocabulary-
+    // sized tables, size-gated for the joins back onto the corpus
+    val pre = bgCnt.groupBy("prev").agg(
+      sum("cnt_b").as("cnt_prev"), count(lit(1)).as("n_follow"))
+    val cont = bgCnt.groupBy("cur").agg(count(lit(1)).as("n_precede"))
+    val types = bgCnt.agg(count(lit(1)).cast("double").as("n_types"))
+    bg.join(graft.ops.AutoBroadcast.sizeGate(bgCnt), Seq("prev", "cur"))
+      .join(graft.ops.AutoBroadcast.sizeGate(pre), "prev")
+      .join(graft.ops.AutoBroadcast.sizeGate(cont), "cur")
+      .crossJoin(broadcast(types))
+      .withColumn("p",
+        (col("cnt_b") - lit(discount)) / col("cnt_prev") +
+          lit(discount) * col("n_follow") / col("cnt_prev") *
+            (col("n_precede") / col("n_types")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(2.0, col("p"))), 6).as("avg_log2p"))
+  }
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every k-gram, slide a
+    * w-hash window, keep each window's minimum — guaranteed to select at
+    * least one fingerprint from every w-gram stretch, so any shared
+    * substring of length ≥ k+w−1 yields a shared fingerprint, with ~2/(w+1)
+    * of positions retained. The robust middle ground between one-hash-per-
+    * doc ([[fingerprints]]) and all-positions ([[substringDupSpans]]).
+    * Shape: grams are a per-row transform; the window min partitions by
+    * doc (per-doc state only) — at 100 TB each document's positions
+    * co-locate, no corpus-wide ordering exists anywhere. Output is
+    * per-doc summary stats over the distinct selected hashes; the
+    * checksum folds them order-independently (sum of 20-bit residues —
+    * exact integer arithmetic, no float drift). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = tokenized(docs).filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => md5Long(concat_ws(" ",
+            slice(col("toks"), i + 1, lit(k)))))).as(Seq("pos", "h")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min("h").over(win))
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_fp"),
+        min("fp").as("fp_min"),
+        max("fp").as("fp_max"),
+        sum(pmod(col("fp"), lit(1048576L))).as("fp_checksum"))
+  }
+
+  /** DSIR importance weights (Xie et al.: Data Selection via Importance
+    * Resampling): score each raw document by how much more likely its
+    * hashed-unigram bag is under the TARGET distribution than under the
+    * RAW corpus distribution,
+    *
+    *   log w(x) = Σ_tokens log( p_target(bucket(tok)) / p_raw(bucket(tok)) )
+    *
+    * with tokens hashed into `buckets` buckets and add-one smoothing on
+    * both sides (no bucket is ever zero). Resampling the corpus with
+    * probability ∝ w(x) shifts it toward the target domain — the
+    * importance-sampling complement of [[contaminationFraction]]'s
+    * exclusion. Shape: both distributions are `buckets`-row aggregates
+    * (pinned broadcast — the table is O(buckets), not O(data)); the
+    * per-doc sum accumulates inside the doc's partition. */
+  def dsirWeights(corpus: DataFrame, target: DataFrame,
+                  buckets: Int = 64): DataFrame = {
+    def bucketed(d: DataFrame) = tokenized(d)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("bucket", pmod(md5Long(col("tok")), lit(buckets.toLong)))
+    val raw = bucketed(corpus)
+    val rawDist = raw.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    val tgtDist = bucketed(target).groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+    val totals = rawDist.agg(sum("c_raw").cast("double").as("t_raw"))
+      .crossJoin(broadcast(tgtDist.agg(sum("c_tgt").cast("double").as("t_tgt"))))
+    // bucket-keyed log-ratio table: buckets rows, full outer so a bucket
+    // seen on only one side still smooths correctly
+    val ratio = rawDist.join(tgtDist, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        log(2.0,
+          ((coalesce(col("c_tgt"), lit(0L)) + 1) / (col("t_tgt") + buckets)) /
+            ((coalesce(col("c_raw"), lit(0L)) + 1) / (col("t_raw") + buckets)))
+          .as("log2_ratio"))
+    raw.join(broadcast(ratio), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("log2_ratio"), 6).as("log2_weight"))
+  }
 }

@@ -39,7 +39,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // two 1-row literal attaches: the mean array and the normalizer
     "emb_pca_power",
     // three 1-row count frames folded into one row
-    "td_lsh_recall")
+    "td_lsh_recall",
+    // 1-row broadcast totals: sum_pow/sum_tokens, the bigram type count,
+    // and the two distribution totals — same literal-attach shape
+    "td_temperature_mix", "td_kneser_ney", "td_dsir")
 
   test("no registered query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

@@ -397,4 +397,86 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs(Embeddings.ivfSearch(e, qf, k = 5, nprobe = nCells)) ==
       pairs(Embeddings.knnBruteForce(e, qf, k = 5)))
   }
+
+  test("segment dedup: cross-doc boilerplate segment removed, uniques kept") {
+    val boiler = (0 until 16).map(i => s"b$i").mkString(" ")
+    val u = (0 until 16).map(i => s"u$i").mkString(" ")
+    val v = (0 until 16).map(i => s"v$i").mkString(" ")
+    val df = docDF(
+      (1L, s"$boiler $u", "s"),
+      (2L, s"$boiler $v", "s"),
+      (3L, v, "s"))
+    val out = TextOps.segmentDedup(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the shared first segment is boilerplate in docs 1 and 2; doc 2's
+    // second segment also repeats as doc 3's only segment
+    assert(out(1L).getAs[Long]("n_dup_segments") == 1)
+    assert(out(1L).getAs[String]("cleaned_text") == u)
+    assert(out(2L).getAs[Long]("n_dup_segments") == 2)
+    assert(out(2L).getAs[String]("cleaned_text") == "")
+    assert(out(3L).getAs[Long]("n_segments") == 1)
+  }
+
+  test("contamination fraction: graded overlap between 0 and 1") {
+    val bench = docDF((100L, "w1 w2 w3 w4 w5", "b"))
+    val corpus = docDF(
+      (1L, "w1 w2 w3 w4 w5", "s"),      // fully contained → 1.0
+      (2L, "w1 w2 w3 x1 x2 x3", "s"),   // 1 of 4 shingles hit
+      (3L, "y1 y2 y3 y4", "s"))         // disjoint → 0.0
+    val m = TextOps.contaminationFraction(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("overlap_frac")).toMap
+    assert(m(1L) == 1.0 && m(3L) == 0.0)
+    assert(m(2L) == 0.25)
+  }
+
+  test("temperature mixture: tau < 1 up-weights the small source") {
+    val big = (1 to 10).map(i => (i.toLong, "t " * 9 + "t", "big"))
+    val small = Seq((11L, "t t t t t t t t t t t t t t t t t t t t t t t t t", "small"))
+    val df = docDF(big ++ small: _*)
+    val m = TextOps.temperatureMixture(df, tau = 0.5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // 100 vs 25 tokens at tau=0.5: weights 10/15 and 5/15
+    assert(m("big")._1 == 100L && m("small")._1 == 25L)
+    assert(math.abs(m("big")._2 - 2.0 / 3) < 1e-6)
+    assert(math.abs(m("small")._2 - 1.0 / 3) < 1e-6)
+    // epochs: small source oversampled past one pass, big undersampled
+    assert(m("small")._3 > 1.0 && m("big")._3 < 1.0)
+  }
+
+  test("kneser-ney: hand-computed tiny corpus, discounted mass flows to back-off") {
+    val df = docDF((1L, "a b", "s"), (2L, "a b", "s"), (3L, "a c", "s"))
+    val m = TextOps.kneserNeyLogProb(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_log2p")).toMap
+    // bgc: (a,b)=2, (a,c)=1; cnt_prev(a)=3, N1+(a,·)=2; Pcont(b)=Pcont(c)=1/2
+    // P(b|a) = 1.25/3 + 0.75·(2/3)·(1/2) = 2/3;  P(c|a) = 0.25/3 + 0.25 = 1/3
+    assert(math.abs(m(1L) - math.log(2.0 / 3) / math.log(2)) < 1e-6)
+    assert(math.abs(m(3L) - math.log(1.0 / 3) / math.log(2)) < 1e-6)
+  }
+
+  test("winnow: identical docs share fingerprints; disjoint docs differ") {
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val df = docDF(
+      (1L, shared, "s"), (2L, shared, "s"),
+      (3L, (0 until 12).map(i => s"z$i").mkString(" "), "s"))
+    val rows = TextOps.winnowFingerprints(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_fp"), r.getAs[Long]("fp_min"),
+          r.getAs[Long]("fp_max"), r.getAs[Long]("fp_checksum"))).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    // selection bound: 10 grams, window 4 → between ceil(10/4) and 10 fps
+    assert(rows(1L)._1 >= 3 && rows(1L)._1 <= 10)
+  }
+
+  test("dsir: target-like documents outweigh off-target ones") {
+    val target = docDF((100L, "ml data model train loss", "t"))
+    val corpus = docDF(
+      (1L, "ml data model train loss ml data model", "web"),
+      (2L, "cat dog bird fish horse cow sheep goat", "web"))
+    val m = TextOps.dsirWeights(corpus, target).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("log2_weight")).toMap
+    // the ORDERING is the contract; absolute sign is smoothing-dominated
+    // on a tiny fixture (add-one over 64 buckets vs a 5-token target)
+    assert(m(1L) > m(2L))
+  }
 }
