@@ -225,6 +225,34 @@ object TrainingOps extends OpsModule {
     "td_winnow" -> ((s, d) =>
       TextOps.winnowFingerprints(docs(s, d)).orderBy("doc_id")),
 
+    // trained model-based quality filter: batch-GD logistic regression on
+    // hashed token features — iterative and data-dependent, so no
+    // SQL-expressible oracle (rows-only check, like td_bpe_train);
+    // ClassifierSpec pins it against a sequential reference
+    "td_quality_logreg" -> ((s, d) => {
+      val dd = docs(s, d)
+      val model = graft.text.Classifier.logregTrain(dd, col("lang") === "en")
+      graft.text.Classifier.logregScore(dd, model)
+        .join(dd.select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ROC AUC without a corpus sort: distinct-score-value table + midrank
+    // accumulation (the window is value-table-sized, documented bound)
+    "td_auc" -> ((s, d) =>
+      graft.text.Classifier.auc(docs(s, d), col("n_chars"),
+        col("lang") === "en")),
+
+    // reliability curve of the stopword-ratio signal vs the lang label
+    "td_calibration" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.text.Classifier.calibration(
+        TextOps.qualityScores(dd).join(dd.select("doc_id", "lang"), "doc_id"),
+        col("stopword_ratio"), col("lang") === "en")
+        .orderBy("bin")
+    }),
+
     "td_near_dup_pairs" -> ((s, d) =>
       TextOps.nearDupPairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
 
@@ -1075,6 +1103,35 @@ object TrainingOps extends OpsModule {
                                 0.75*n_follow/cnt_prev*(n_precede/n_types))), 6) AS avg_log2p
           FROM bg JOIN bgc USING (prev, cur) JOIN pre USING (prev) JOIN cont USING (cur), ty
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_auc" ->
+      """WITH v AS (SELECT n_chars AS s,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos_v,
+                 sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nneg_v
+               FROM documents GROUP BY n_chars),
+          c AS (SELECT s, npos_v, nneg_v,
+                 coalesce(sum(nneg_v) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg_below
+               FROM v)
+          SELECT CAST(sum(npos_v) AS BIGINT) AS n_pos,
+                 CAST(sum(nneg_v) AS BIGINT) AS n_neg,
+                 round(sum(npos_v * (cumneg_below + CAST(nneg_v AS DOUBLE) / 2)) /
+                       (sum(npos_v) * sum(nneg_v)), 6) AS auc
+          FROM c""",
+
+    "td_calibration" ->
+      """WITH q AS (
+            SELECT doc_id,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) /
+                     len(string_split(text, ' ')), 6) AS s,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents)
+          SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 round(avg(s), 6) AS mean_score,
+                 round(avg(y), 6) AS pos_rate
+          FROM q GROUP BY 1 ORDER BY bin""",
 
     "td_winnow" -> {
       val gramHash = dHash("array_to_string(list_slice(toks, i+1, i+3), ' ')")
