@@ -231,7 +231,11 @@ object TrainingOps extends OpsModule {
     // ClassifierSpec pins it against a sequential reference
     "td_quality_logreg" -> ((s, d) => {
       val dd = docs(s, d)
-      val model = graft.text.Classifier.logregTrain(dd, col("lang") === "en")
+      // 3 iterations: the loss curve flattens by then on this corpus, and
+      // the query demonstrates the operator — ClassifierSpec exercises
+      // deeper schedules
+      val model = graft.text.Classifier.logregTrain(dd, col("lang") === "en",
+        iters = 3)
       graft.text.Classifier.logregScore(dd, model)
         .join(dd.select(col("doc_id"),
           (col("lang") === "en").cast("int").as("y")), "doc_id")

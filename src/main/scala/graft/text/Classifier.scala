@@ -60,11 +60,20 @@ object Classifier {
                   iters: Int = 5, lr: Double = 0.5): Model = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // repartition by doc_id BEFORE caching: every iteration's per-doc
+    // aggregation and residual join then reuse the cached partitioning
+    // (HashPartitioning(doc_id) satisfies both), so an iteration shuffles
+    // only the buckets-sized gradient table — not the corpus. Without
+    // this, each of the `iters` iterations re-shuffled the feature table
+    // twice.
     val feats = features(docs, buckets)
       .join(docs.select(col("doc_id"), labelCol.cast("double").as("y")), "doc_id")
+      .repartition(col("doc_id"))
       .persist()
     try {
-      val n = feats.select("doc_id").distinct().count().toDouble
+      // document count, not feature count — a metadata-only scan of the
+      // source table, no pass over the cached features
+      val n = docs.count().toDouble
       var w = Map.empty[Long, Double].withDefaultValue(0.0)
       for (_ <- 0 until iters) {
         val wDf = broadcast(

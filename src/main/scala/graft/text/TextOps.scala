@@ -1213,9 +1213,11 @@ object TextOps {
       sum("cnt_b").as("cnt_prev"), count(lit(1)).as("n_follow"))
     val cont = bgCnt.groupBy("cur").agg(count(lit(1)).as("n_precede"))
     val types = bgCnt.agg(count(lit(1)).cast("double").as("n_types"))
-    bg.join(graft.ops.AutoBroadcast.sizeGate(bgCnt), Seq("prev", "cur"))
-      .join(graft.ops.AutoBroadcast.sizeGate(pre), "prev")
-      .join(graft.ops.AutoBroadcast.sizeGate(cont), "cur")
+    // assemble the full probability table on the BIGRAM-TYPE side first —
+    // those joins shuffle vocabulary-sized tables — so the corpus is
+    // joined once, not three times
+    val table = bgCnt.join(pre, "prev").join(cont, "cur")
+    bg.join(graft.ops.AutoBroadcast.sizeGate(table), Seq("prev", "cur"))
       .crossJoin(broadcast(types))
       .withColumn("p",
         (col("cnt_b") - lit(discount)) / col("cnt_prev") +
