@@ -136,6 +136,57 @@ object Multimodal {
     * wrong for real PCM). A real build swaps the byte fold for a
     * decoded-sample fold with identical shape. Requires
     * `GraftFunctions.register(spark)` (as md5Long does). */
+  /** Perceptual hash (aHash structure) over the raw bytes: split the
+    * content into `blocks` equal spans, set bit i when block i's byte-sum
+    * exceeds the mean block sum. The mean compare is INTEGER
+    * (`block_sum * blocks > total_sum`) so no float ever enters the
+    * hash — bit-identical in any engine. Entirely row-local (one
+    * codegen'd [[graft.functions.BytesSum]] per block inside an array
+    * aggregate); a real image build computes the same bits from a
+    * decoded, downsampled luma plane — identical shape, different codec.
+    * Requires `GraftFunctions.register(spark)`. */
+  def phash(media: DataFrame, blocks: Int = 32): DataFrame = {
+    require(blocks <= 63, "phash packs into one BIGINT")
+    def off(i: String) =
+      s"CAST(floor($i * length(content) / $blocks.0) AS INT)"
+    media.select(col("doc_id"),
+      expr(s"""aggregate(sequence(0, ${blocks - 1}), CAST(0 AS BIGINT),
+        (acc, i) -> acc + IF(
+          bytes_sum(substring(content, ${off("i")} + 1,
+            ${off("(i+1)")} - ${off("i")})) * $blocks > bytes_sum(content),
+          shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""").as("phash"))
+  }
+
+  /** Media near-dup by perceptual-hash Hamming distance — [[phash]] plus
+    * the banded-LSH pair search the text side uses for SimHash: split the
+    * hash into `bands` 4-bit keys, join on any shared (band, key), then
+    * confirm `bit_count(xor) <= maxHamming`. EXACT, not approximate,
+    * because maxHamming < bands: a pair within the threshold can corrupt
+    * at most `maxHamming` bands, so at least one band matches
+    * (pigeonhole) and every qualifying pair is generated. Fan-in is
+    * bounded per (band, key) bucket — never an all-pairs join. */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 3,
+                   bands: Int = 8): DataFrame = {
+    require(maxHamming < bands, "exactness needs maxHamming < bands")
+    val banded = phash(media)
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey", expr("(phash >> (band * 4)) & 15"))
+    banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_id_a"), col("phash").as("phash_a"))
+      .join(banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_id_b"), col("phash").as("phash_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      // a pair can collide in several bands — one row per pair
+      .groupBy("doc_id_a", "doc_id_b", "phash_a", "phash_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .withColumn("hamming",
+        expr("bit_count(phash_a ^ phash_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_a", "doc_id_b", "hamming", "n_shared_bands")
+  }
+
   def audioEnergy(media: DataFrame, window: Int = 32): DataFrame =
     media
       .select(col("doc_id"), col("content"),

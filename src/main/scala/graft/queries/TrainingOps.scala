@@ -663,6 +663,29 @@ object TrainingOps extends OpsModule {
       Multimodal.resizeBatched(
         Multimodal.mediaFromDocuments(docs(s, d)).as[Multimodal.MediaRecord])
         .toDF().orderBy("doc_id")
+    }),
+
+    // perceptual hash over the media bytes — integer-compare bits, no
+    // float anywhere in the hash
+    "mm_phash" -> ((s, d) =>
+      Multimodal.phash(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy("doc_id")),
+
+    // media near-dup: banded-LSH pair search over phash, EXACT for
+    // hamming <= 3 by pigeonhole (the oracle is the exhaustive self-join)
+    "mm_phash_neardup" -> ((s, d) =>
+      Multimodal.phashNearDup(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // ENCODE half of the tokenizer lifecycle: apply the trained merge
+    // table to the corpus (train is td_bpe_train). Iterative input, so
+    // rows-only oracle; BpeTrainSpec pins encode against a sequential
+    // reference
+    "td_bpe_encode" -> ((s, d) => {
+      val dd = docs(s, d)
+      val merges = TextOps.bpeTrain(dd, nMerges = 8).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(dd, merges).orderBy("doc_id")
     })
   )
 
@@ -681,6 +704,22 @@ object TrainingOps extends OpsModule {
                        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
          FROM (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents WHERE len(string_split(text, ' ')) >= 3)))"""
+
+  /** 32-bit perceptual hash of the media bytes, integer block-mean
+    * compare — the oracle twin of [[graft.mm.Multimodal.phash]]. */
+  private val duckPhash =
+    """m AS (SELECT doc_id, hex(encode(text)) AS h,
+                    octet_length(encode(text)) AS L FROM documents),
+       by AS (SELECT doc_id, L, list_transform(generate_series(1, L),
+                j -> CAST(concat('0x', substr(h, j*2-1, 2)) AS BIGINT)) AS bytes
+              FROM m),
+       p AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), i ->
+               CASE WHEN coalesce(list_sum(list_slice(bytes,
+                      CAST(floor(i*L/32.0) AS INT) + 1,
+                      CAST(floor((i+1)*L/32.0) AS INT))), 0) * 32
+                    > list_sum(bytes)
+               THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT) AS phash FROM by)"""
 
   private val simhashVotes = (0 until 16).map(j =>
     s"sum(CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END) AS s_$j").mkString(", ")
@@ -1884,6 +1923,21 @@ object TrainingOps extends OpsModule {
                 round(CAST((n_chars % 64) * 10 + 64 AS DOUBLE) /
                       ((n_chars % 48) * 10 + 48), 6) AS aspect_ratio
          FROM documents ORDER BY doc_id""",
+
+    "mm_phash" ->
+      s"""WITH $duckPhash
+          SELECT doc_id, phash FROM p ORDER BY doc_id""",
+
+    "mm_phash_neardup" ->
+      s"""WITH $duckPhash
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
+                   CASE WHEN (a.phash >> (j*4)) & 15 = (b.phash >> (j*4)) & 15
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_shared_bands
+          FROM p a JOIN p b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3
+          ORDER BY doc_id_a, doc_id_b""",
 
     "mm_audio_energy" ->
       """SELECT doc_id, CAST(win_idx AS INT) AS win_idx,

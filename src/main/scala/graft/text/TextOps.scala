@@ -301,6 +301,33 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
   }
 
+  /** Apply a trained merge table ([[bpeTrain]]'s output) to the corpus —
+    * the ENCODE half of the tokenizer lifecycle. The scale trick is the
+    * same one training uses: merges are folded over the DISTINCT-WORD
+    * table (vocabulary-sized, sublinear in corpus), so each word is
+    * encoded once no matter how often it occurs; the corpus then joins
+    * its words to the encoded vocabulary (size-gated broadcast). The
+    * fold itself is `nMerges` nested row-local array aggregates — no
+    * shuffle anywhere in the encoding. Output is per-doc piece
+    * accounting; `pieces_per_word` is the compression ratio, the
+    * standard tokenizer-quality metric. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = tokenized(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+    val pieces = merges.foldLeft(split(col("word"), ""): Column) {
+      case (c, (a, b)) => bpeMergeOnce(c, a, b)
+    }
+    val encVocab = words.select("word").distinct()
+      .select(col("word"), pieces.as("pieces"))
+    words.join(graft.ops.AutoBroadcast.sizeGate(encVocab), "word")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("pieces"))).as("n_pieces"),
+        round(sum(size(col("pieces"))).cast("double") / count(lit(1)), 6)
+          .as("pieces_per_word"))
+  }
+
   /** Benchmark decontamination, step 1: per-corpus-doc count of distinct
     * k-shingles shared with an eval/benchmark set. The 100 TB shape:
     * benchmark shingles are eval-set-sized (millions, not corpus-sized) →

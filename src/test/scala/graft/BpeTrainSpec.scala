@@ -92,4 +92,23 @@ class BpeTrainSpec extends AnyFunSuite {
     val all = TextOps.bpeTrain(docs, nMerges = 1000, minPairCount = 500)
     assert(all.count() < 1000)
   }
+
+  test("bpeEncode matches the sequential per-doc fold") {
+    val docs = Tables.documents(spark, sf)
+    val merges = TextOps.bpeTrain(docs, nMerges = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val subset = docs.filter(col("doc_id") < 50)
+    val got = TextOps.bpeEncode(subset, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = subset.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      val pieces = toks.map { w =>
+        merges.foldLeft(w.split("").toList) { case (syms, (a, b)) =>
+          mergeLR(syms, a, b)
+        }.size.toLong
+      }.sum
+      r.getLong(0) -> (toks.length.toLong, pieces)
+    }.toMap
+    assert(got == expect)
+  }
 }

@@ -479,4 +479,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     // on a tiny fixture (add-one over 64 buckets vs a 5-token target)
     assert(m(1L) > m(2L))
   }
+
+  test("phash: identical bytes collide at hamming 0; pairs obey the pigeonhole bound") {
+    val df = docDF(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (3L, "totally different content with other words here", "s"))
+    val media = Multimodal.mediaFromDocuments(df)
+    val hashes = Multimodal.phash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Multimodal.phashNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0 && p._4 == 8L))
+    // exactness invariant: hamming <= 3 forces at least 8-3 intact bands
+    pairs.foreach { case (_, _, ham, shared) =>
+      assert(ham <= 3 && shared >= 8 - ham)
+    }
+  }
 }
