@@ -159,19 +159,26 @@ object Multimodal {
 
   /** Media near-dup by perceptual-hash Hamming distance — [[phash]] plus
     * the banded-LSH pair search the text side uses for SimHash: split the
-    * hash into `bands` 4-bit keys, join on any shared (band, key), then
-    * confirm `bit_count(xor) <= maxHamming`. EXACT, not approximate,
-    * because maxHamming < bands: a pair within the threshold can corrupt
-    * at most `maxHamming` bands, so at least one band matches
+    * hash into `bands` keys of `bandBits` bits, join on any shared
+    * (band, key), then confirm `bit_count(xor) <= maxHamming`. EXACT, not
+    * approximate, because maxHamming < bands: a pair within the threshold
+    * can corrupt at most `maxHamming` bands, so at least one band matches
     * (pigeonhole) and every qualifying pair is generated. Fan-in is
-    * bounded per (band, key) bucket — never an all-pairs join. */
+    * bounded per (band, key) bucket; `bandBits` is the scale knob —
+    * bucket count is 2^bandBits per band, so WIDER bands (with a wider
+    * hash) hold the per-bucket pair work flat as the corpus grows.
+    * Exactness survives any (bands, bandBits) split of the hash as long
+    * as maxHamming < bands. (4 bands x 4 bits measured 10x slower at sf1
+    * than 4 x 8: sixteen buckets per band is quadratic-in-corpus pair
+    * work; 256 divides it by ~16.) */
   def phashNearDup(media: DataFrame, maxHamming: Int = 3,
-                   bands: Int = 8): DataFrame = {
+                   bands: Int = 4, bandBits: Int = 8): DataFrame = {
     require(maxHamming < bands, "exactness needs maxHamming < bands")
     val banded = phash(media)
       .select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bkey", expr("(phash >> (band * 4)) & 15"))
+      .withColumn("bkey",
+        expr(s"(phash >> (band * $bandBits)) & ${(1 << bandBits) - 1}"))
     banded.select(col("band"), col("bkey"),
         col("doc_id").as("doc_id_a"), col("phash").as("phash_a"))
       .join(banded.select(col("band"), col("bkey"),

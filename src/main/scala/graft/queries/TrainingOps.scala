@@ -1932,8 +1932,8 @@ object TrainingOps extends OpsModule {
       s"""WITH $duckPhash
           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
-                 CAST(list_sum(list_transform(generate_series(0, 7), j ->
-                   CASE WHEN (a.phash >> (j*4)) & 15 = (b.phash >> (j*4)) & 15
+                 CAST(list_sum(list_transform(generate_series(0, 3), j ->
+                   CASE WHEN (a.phash >> (j*8)) & 255 = (b.phash >> (j*8)) & 255
                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_shared_bands
           FROM p a JOIN p b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.phash, b.phash)) <= 3

@@ -491,10 +491,10 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(hashes(1L) == hashes(2L))
     val pairs = Multimodal.phashNearDup(media).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
-    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0 && p._4 == 8L))
-    // exactness invariant: hamming <= 3 forces at least 8-3 intact bands
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0 && p._4 == 4L))
+    // exactness invariant: hamming <= 3 forces at least 4-3 intact bands
     pairs.foreach { case (_, _, ham, shared) =>
-      assert(ham <= 3 && shared >= 8 - ham)
+      assert(ham <= 3 && shared >= 4 - ham)
     }
   }
 }
