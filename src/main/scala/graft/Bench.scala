@@ -62,11 +62,12 @@ object Bench {
     val qs = detail.take(25).map { case (k, v) => s"\"$k\":${f2(v)}" }
       .mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
-    try {
+    // Write the detail artifact only for FULL runs (or an explicit
+    // SPARK_GRAFT_DETAIL path): a subset run used for local iteration
+    // must not clobber the committed full-run detail with a fragment.
+    if (args.isEmpty || sys.env.contains("SPARK_GRAFT_DETAIL")) try {
       val full = detail.map { case (k, v) => s"  \"$k\": ${f2(v)}" }
         .mkString("{\n", ",\n", "\n}\n")
-      // SPARK_GRAFT_DETAIL: alternate detail path, so subset runs (e.g.
-      // the sf1 scale spot-bench) don't clobber the full-run detail.
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
           "/root/repo/BENCH_DETAIL.json")),

@@ -221,6 +221,11 @@ object TrainingOps extends OpsModule {
     "td_kneser_ney" -> ((s, d) =>
       TextOps.kneserNeyLogProb(docs(s, d)).orderBy("doc_id")),
 
+    // CCNet perplexity head/middle/tail per language — broadcast tertile
+    // cutoffs, never a per-doc ntile window over the corpus
+    "td_ppl_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(docs(s, d)).orderBy("doc_id")),
+
     // winnowing fingerprints (MOSS scheme) summarized per doc
     "td_winnow" -> ((s, d) =>
       TextOps.winnowFingerprints(docs(s, d)).orderBy("doc_id")),
@@ -1175,6 +1180,32 @@ object TrainingOps extends OpsModule {
                  round(avg(s), 6) AS mean_score,
                  round(avg(y), 6) AS pos_rate
           FROM q GROUP BY 1 ORDER BY bin""",
+
+    "td_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+         tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS corpus_tokens FROM tf),
+         sc AS (SELECT t.doc_id, d.lang,
+                       round(avg(log2(cnt / corpus_tokens)), 6) AS avg_log2p
+                FROM toks t JOIN tf USING (term), tot
+                JOIN documents d ON t.doc_id = d.doc_id
+                GROUP BY t.doc_id, d.lang),
+         v AS (SELECT lang, avg_log2p AS s, count(*) AS c FROM sc GROUP BY 1, 2),
+         cm AS (SELECT lang, s,
+                  sum(c) OVER (PARTITION BY lang ORDER BY s DESC) AS cumc FROM v),
+         nl AS (SELECT lang, count(*) AS n FROM sc GROUP BY lang),
+         cuts AS (SELECT lang,
+                    max(CASE WHEN cumc >= CAST(ceil(n / 3.0) AS BIGINT)
+                             THEN s END) AS c_head,
+                    max(CASE WHEN cumc >= CAST(ceil(2 * n / 3.0) AS BIGINT)
+                             THEN s END) AS c_mid
+                  FROM cm JOIN nl USING (lang) GROUP BY lang)
+         SELECT sc.doc_id, sc.lang, sc.avg_log2p,
+                CASE WHEN sc.avg_log2p >= c_head THEN 'head'
+                     WHEN sc.avg_log2p >= c_mid THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM sc JOIN cuts USING (lang) ORDER BY doc_id""",
 
     "td_winnow" -> {
       val gramHash = dHash("array_to_string(list_slice(toks, i+1, i+3), ' ')")

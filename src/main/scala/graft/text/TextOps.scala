@@ -886,6 +886,37 @@ object TextOps {
         round(avg(log(2.0, col("p"))), 6).as("avg_log2p"))
   }
 
+  /** CCNet-style perplexity bucketing: split each language's documents
+    * into head/middle/tail by LM score ([[unigramLogProb]] here; a real
+    * build swaps in a KenLM-grade scorer with the same shape). The
+    * scale-right formulation computes per-language TERTILE CUTOFFS and
+    * broadcasts them back — NOT a per-document ntile, whose window would
+    * sort each language's whole corpus in one partition. Cutoffs come
+    * off a per-language distinct-score table (the [[graft.text.Classifier.auc]]
+    * stance: the window is value-table-sized, documented bound); boundary
+    * ties take the better bucket, deterministically in any engine. */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = unigramLogProb(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("avg_log2p"))
+    val vals = scored.groupBy("lang", "avg_log2p").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("avg_log2p").desc)
+    val cum = vals.withColumn("cumc", sum("c").over(w))
+    val n = vals.groupBy("lang").agg(sum("c").as("n"))
+    val cuts = cum.join(n, "lang")
+      .groupBy("lang")
+      .agg(
+        max(when(col("cumc") >= ceil(col("n") / lit(3.0)),
+          col("avg_log2p"))).as("c_head"),
+        max(when(col("cumc") >= ceil(col("n") * 2 / lit(3.0)),
+          col("avg_log2p"))).as("c_mid"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_log2p"),
+        when(col("avg_log2p") >= col("c_head"), "head")
+          .when(col("avg_log2p") >= col("c_mid"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Canonical signature for edit-distance matching: the document's
     * DISTINCT tokens, sorted, joined, truncated. Word-order edits and
     * repetition vanish, so near-duplicates that token-shuffle (the common

@@ -480,6 +480,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(m(1L) > m(2L))
   }
 
+  test("perplexity buckets: per-lang score ordering head >= middle >= tail, all populated") {
+    val out = TextOps.perplexityBuckets(
+      Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+    out.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val by = rows.groupBy(_.getString(3))
+        .view.mapValues(_.map(_.getDouble(2)).toSeq).toMap
+      assert(Set("head", "middle", "tail").subsetOf(by.keySet), s"$lang: ${by.keySet}")
+      assert(by("head").min >= by("middle").max, lang)
+      assert(by("middle").min >= by("tail").max, lang)
+    }
+  }
+
   test("phash: identical bytes collide at hamming 0; pairs obey the pigeonhole bound") {
     val df = docDF(
       (1L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
