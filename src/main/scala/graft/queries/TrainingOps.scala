@@ -528,6 +528,12 @@ object TrainingOps extends OpsModule {
     "emb_pq_codes" -> ((s, d) =>
       Embeddings.pqCodes(embs(s, d)).orderBy("vec_id")),
 
+    // IVF-PQ composed: probe 2 cells, ADC-score only their codes — the
+    // production ANN serving layout (cell pruning x 4-byte codes)
+    "emb_ivfpq_knn" -> ((s, d) =>
+      Embeddings.ivfPqSearch(embs(s, d), col("vec_id") < 5, k = 5, nprobe = 2)
+        .orderBy("query_id", "knn_rank")),
+
     "emb_pq_knn" -> ((s, d) =>
       Embeddings.pqSearch(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -1786,6 +1792,36 @@ object TrainingOps extends OpsModule {
             AND quality_bucket != 'low' AND is_canonical = 1
             THEN 1 ELSE 0 END) AS BIGINT) FROM f
           ORDER BY stage_idx""",
+
+    "emb_ivfpq_knn" ->
+      s"""WITH $duckCosPrelude, $duckCentroids, $duckPqSub, $duckPqCodes,
+          probe AS (
+            SELECT query_id, cell AS probe_cell FROM (
+              SELECT q.query_id, c2.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${dCos("q.qemb", "c2.cemb")} DESC, c2.cell ASC) AS pr
+              FROM q, cent c2) WHERE pr <= 2),
+          lut AS (
+            SELECT q.query_id, s.cell,
+                   ${(0 until PqM).map(j => dDist2(
+                     s"q.qemb[${j * PqDsub + 1}:${(j + 1) * PqDsub}]",
+                     s"s.s_$j") + s" AS d_$j").mkString(", ")}
+            FROM q, sub s),
+          scored AS (
+            SELECT l0.query_id, c.vec_id AS neighbor_id,
+                   ((l0.d_0 + l1.d_1) + l2.d_2) + l3.d_3 AS est
+            FROM codes c
+            JOIN e ev ON ev.vec_id = c.vec_id
+            JOIN lut l0 ON l0.cell = c.code_0
+            JOIN probe p ON p.query_id = l0.query_id AND p.probe_cell = ev.cell
+            JOIN lut l1 ON l1.query_id = l0.query_id AND l1.cell = c.code_1
+            JOIN lut l2 ON l2.query_id = l0.query_id AND l2.cell = c.code_2
+            JOIN lut l3 ON l3.query_id = l0.query_id AND l3.cell = c.code_3
+            WHERE c.vec_id != l0.query_id)
+          SELECT query_id, neighbor_id, round(est, 6) AS est_dist,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY est ASC, neighbor_id ASC) AS knn_rank
+          FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
 
     "emb_ivf_knn" ->
       s"""WITH $duckCosPrelude, $duckCentroids,

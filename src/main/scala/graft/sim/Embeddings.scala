@@ -614,6 +614,71 @@ object Embeddings {
         round(col("est_dist"), 6).as("est_dist"), col("knn_rank"))
   }
 
+  /** IVF-PQ composed search — the production ANN serving layout: IVF
+    * routing picks `nprobe` cells, ADC over PQ codes scores ONLY the
+    * vectors in those cells. Each half exists standalone ([[ivfSearch]],
+    * [[pqSearch]]); composing them multiplies their savings — the scan
+    * touches ~nprobe/|cells| of the corpus AND reads m-int codes instead
+    * of raw floats. With nprobe = |cells| this degenerates to exactly
+    * [[pqSearch]] (spec-asserted), the same way exhaustive probing
+    * recovers brute force for IVF.
+    *
+    * Shape at 100 TB: the probe table is query-set × nprobe rows
+    * (broadcast); candidate generation is one broadcast join against the
+    * code table's cell column (partition-prunable in a persisted layout,
+    * see [[buildIvfIndex]]); the ADC LUT join and fixed-order sum are
+    * [[pqSearchCore]]'s, restricted to candidates. */
+  def ivfPqSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
+                  nprobe: Int = 1, m: Int = 4): DataFrame = {
+    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val cents = centroids(embeddings)
+    val queries = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qemb"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("qemb"), col("cemb")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell").as("probe_cell"))
+    val codes = pqCodesWith(embeddings, cents, m)
+      .join(embeddings.select(col("vec_id"), col("label").as("cell")), "vec_id")
+    val cand = codes.join(broadcast(probes), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val candLong = cand.select(col("query_id"), col("vec_id"),
+      explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+        col(s"code_$j").as("code"))): _*)).as("sc"))
+      .select(col("query_id"), col("vec_id"),
+        col("sc.sub").as("csub"), col("sc.code").as("code"))
+    val q = pqProject(queries, "qemb", Seq(col("query_id")), m, dsub, "q")
+    val c = pqProject(cents, "cemb", Seq(col("cell")), m, dsub, "c")
+    val lut = q.crossJoin(broadcast(c))
+      .select(col("query_id").as("lq"), col("cell"),
+        explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+          dist2Pre(col(s"qn2_$j"), col(s"qsub_$j"), col(s"csub_$j"), col(s"cn2_$j"))
+            .as("d"))): _*)).as("sd"))
+      .select(col("lq"), col("sd.sub").as("sub"), col("cell"), col("sd.d").as("d"))
+    val aggs = (0 until m).map(j =>
+      max(when(col("sub") === j, col("d"))).as(s"d_$j"))
+    val perSub = candLong
+      .join(broadcast(lut),
+        col("query_id") === col("lq") && col("csub") === col("sub") &&
+          col("code") === col("cell"))
+      .groupBy("query_id", "vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val est = (0 until m).map(j => col(s"d_$j")).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("est_dist").asc, col("vec_id").asc)
+    perSub
+      .withColumn("est_dist", est)
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("est_dist"), 6).as("est_dist"), col("knn_rank"))
+  }
+
   /** Cluster-quality metric (centroid silhouette): per vector,
     * a = cosine to its OWN cell's centroid, b = best cosine to any OTHER
     * centroid; s = a − b. Positive s = the vector sits closer to its own

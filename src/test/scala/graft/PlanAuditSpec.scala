@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_quant_knn", "emb_mrl_rerank", "emb_mrl_recall", "emb_filtered_knn",
     // every vector scores against every centroid by design; the broadcast
     // side is the centroid table, bounded by cell count
-    "emb_kmeans_step", "emb_pq_codes", "emb_pq_knn", "emb_silhouette",
+    "emb_kmeans_step", "emb_pq_codes", "emb_pq_knn", "emb_ivfpq_knn",
+    "emb_silhouette",
     // composes knnBruteForce + ivfSearch, so it inherits their intentional
     // broadcast-query-set scoring joins
     "emb_ann_recall",
@@ -36,6 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // literal attach
     "td_tfidf_top_term", "td_pmi_pairs", "td_unigram_logprob",
     "td_bigram_logprob", "td_source_kl", "td_mixture_sample", "td_bm25",
+    // composes unigramLogProb, inheriting its 1-row corpus-total attach
+    "td_ppl_buckets",
     // two 1-row literal attaches: the mean array and the normalizer
     "emb_pca_power",
     // three 1-row count frames folded into one row

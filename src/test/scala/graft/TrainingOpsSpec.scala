@@ -398,6 +398,19 @@ class TrainingOpsSpec extends AnyFunSuite {
       pairs(Embeddings.knnBruteForce(e, qf, k = 5)))
   }
 
+  test("ivf-pq: exhaustive probing degenerates to exactly pqSearch") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nCells = e.select("label").distinct().count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "est_dist", "knn_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(Embeddings.ivfPqSearch(e, col("vec_id") < 5, nprobe = nCells)) ==
+      rows(Embeddings.pqSearch(e, col("vec_id") < 5)))
+    // and restricting probes can only shrink the candidate pool
+    val narrow = Embeddings.ivfPqSearch(e, col("vec_id") < 5, nprobe = 1)
+    assert(narrow.count() <= 5 * 5)
+  }
+
   test("segment dedup: cross-doc boilerplate segment removed, uniques kept") {
     val boiler = (0 until 16).map(i => s"b$i").mkString(" ")
     val u = (0 until 16).map(i => s"u$i").mkString(" ")
