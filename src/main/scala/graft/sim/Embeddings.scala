@@ -631,20 +631,67 @@ object Embeddings {
   def ivfPqSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
                   nprobe: Int = 1, m: Int = 4): DataFrame = {
     val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
-    require(dims % m == 0, s"dims $dims not divisible by m=$m")
-    val dsub = dims / m
     val cents = centroids(embeddings)
     val queries = embeddings.filter(queryFilter)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qemb"))
+    val codes = pqCodesWith(embeddings, cents, m)
+      .join(embeddings.select(col("vec_id"), col("label").as("cell")), "vec_id")
+    ivfPqCore(codes, cents, queries, ivfProbes(queries, cents, nprobe), k, m, dims)
+  }
+
+  /** IVF probe routing: each query's `nprobe` nearest centroids by
+    * cosine — query-set × nprobe rows, always broadcastable. */
+  private def ivfProbes(queries: DataFrame, cents: DataFrame,
+                        nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("cell").asc)
-    val probes = queries.crossJoin(broadcast(cents))
+    queries.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("qemb"), col("cemb")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("cell").as("probe_cell"))
-    val codes = pqCodesWith(embeddings, cents, m)
+  }
+
+  /** Persist the IVF-PQ index: PQ codes PARTITIONED BY CELL plus the
+    * codebook — the combined serving layout of [[buildIvfIndex]] and
+    * [[buildPqIndex]]. A search reads only the probed cells' code
+    * partitions (static partition pruning, spec-asserted) and never
+    * touches a raw embedding: at 100 TB the per-query read is
+    * ~(nprobe/|cells|) × 4-byte codes. */
+  def buildIvfPqIndex(embeddings: DataFrame, indexDir: String, m: Int = 4): Unit = {
+    val cents = centroids(embeddings)
+    pqCodesWith(embeddings, cents, m)
       .join(embeddings.select(col("vec_id"), col("label").as("cell")), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    cents.write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** Search a [[buildIvfPqIndex]]-persisted index; identical results to
+    * the inline [[ivfPqSearch]] (spec-asserted). `queries` is
+    * (query_id, qemb double[]). The probed cells are collected (bounded
+    * by query-set × nprobe — a driver-side scalar) and pushed into the
+    * codes scan as a static partition filter, so only those partitions'
+    * files are read — the same discipline as
+    * [[graft.streaming.VectorIngest]]'s cell-scoped dedup. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                       queries: DataFrame, k: Int = 5, nprobe: Int = 1,
+                       m: Int = 4): DataFrame = {
+    val dims = queries.select(size(col("qemb"))).first().getInt(0)
+    val cents = spark.read.parquet(s"$indexDir/codebook")
+    val q = queries.select(col("query_id"), asDouble(col("qemb")).as("qemb"))
+    val probes = ivfProbes(q, cents, nprobe)
+    val cells = probes.select("probe_cell").distinct().collect().map(_.get(0))
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    ivfPqCore(codes, cents, q, probes, k, m, dims)
+  }
+
+  /** Probe-pruned ADC: shared by the inline and persisted IVF-PQ paths.
+    * `codes` carries (vec_id, cell, code_0..code_{m-1}). */
+  private def ivfPqCore(codes: DataFrame, cents: DataFrame, queries: DataFrame,
+                        probes: DataFrame, k: Int, m: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
     val cand = codes.join(broadcast(probes), col("cell") === col("probe_cell"))
       .filter(col("vec_id") =!= col("query_id"))
     val candLong = cand.select(col("query_id"), col("vec_id"),

@@ -411,6 +411,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(narrow.count() <= 5 * 5)
   }
 
+  test("persisted ivf-pq index: identical to inline, codes scan partition-pruned") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Embeddings.buildIvfPqIndex(e, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val persisted = Embeddings.searchIvfPqIndex(spark, dir, queries, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(persisted) ==
+      rows(Embeddings.ivfPqSearch(e, col("vec_id") < 5, nprobe = 2)))
+    // the codes scan carries a static partition filter on cell
+    val scans = persisted.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("codes")) => s
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.metadata.getOrElse("PartitionFilters", "").contains("cell")),
+      scans.map(_.metadata.getOrElse("PartitionFilters", "")).mkString(";"))
+  }
+
   test("segment dedup: cross-doc boilerplate segment removed, uniques kept") {
     val boiler = (0 until 16).map(i => s"b$i").mkString(" ")
     val u = (0 until 16).map(i => s"u$i").mkString(" ")
