@@ -476,6 +476,13 @@ object TrainingOps extends OpsModule {
         .select(col("doc_id").as("vec_id"), col("canonical_id"))
         .orderBy("vec_id")),
 
+    // SemDeDup: semantic dedup INSIDE k-means cells, survivor = least
+    // centroid-similar (most atypical) member — vs emb_near_dup (raw
+    // pairs) and emb_dedup_clusters (connected components), this is the
+    // paper's keep/drop decision itself
+    "emb_semdedup" -> ((s, d) =>
+      Embeddings.semDedup(embs(s, d)).orderBy("vec_id")),
+
     "emb_knn_brute" -> ((s, d) =>
       Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -1628,6 +1635,23 @@ object TrainingOps extends OpsModule {
             SELECT e2.dst AS node, c.label FROM cc c JOIN edges e2 ON e2.src = c.node)
           SELECT node AS vec_id, min(label) AS canonical_id
           FROM cc GROUP BY node ORDER BY vec_id""",
+
+    // one-pass SemDeDup: rank by rounded centroid-cosine asc, dup = any
+    // earlier-ranked cell-mate with rounded pair-cosine >= 0.4
+    "emb_semdedup" ->
+      s"""WITH $duckCosPrelude, $duckCentroids,
+          sc AS (SELECT e.cell, e.vec_id, e.emb,
+                        round(${dCos("e.emb", "cent.cemb")}, 6) AS ccos
+                 FROM e JOIN cent USING (cell)),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY cell
+                   ORDER BY ccos ASC, vec_id ASC) AS crank FROM sc),
+          dup AS (SELECT DISTINCT b.vec_id
+                  FROM rk a JOIN rk b ON a.cell = b.cell AND a.crank < b.crank
+                  WHERE round(${dCos("a.emb", "b.emb")}, 6) >= 0.4)
+          SELECT r.cell, r.vec_id, r.ccos AS centroid_cos,
+                 CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+          FROM rk r LEFT JOIN dup d ON r.vec_id = d.vec_id
+          ORDER BY vec_id""",
 
     "emb_knn_brute" ->
       s"""WITH $duckCosPrelude

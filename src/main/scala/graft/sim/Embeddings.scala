@@ -348,6 +348,48 @@ object Embeddings {
       .select("cell", "vec_id_a", "vec_id_b", "cosine")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup scoped
+    * to k-means cells. Members of each cell are ranked by
+    * cosine-to-centroid ascending — the paper keeps the example LEAST
+    * similar to its centroid (the most atypical survivor) — and a vector
+    * is marked duplicate when any earlier-ranked cell-mate is >= threshold
+    * cosine-similar to it. This is the one-pass "dominated by any earlier"
+    * form, not the sequential greedy chain (whose survivors depend on
+    * previous drops); the one-pass form is engine-portable and
+    * order-deterministic, and prunes at least as much as the chain.
+    *
+    * Scale: the pair join is keyed by cell, so total pair work is
+    * Σ|cell|² (cells are n/k-sized under k-means) — identical posture to
+    * [[cosineNearDup]]; the centroid attach broadcasts |cells| rows, and
+    * the rank window partitions by cell (never a global sort). Both
+    * cosines are rounded to 6dp BEFORE the threshold test and the rank
+    * order, so ties and boundary hits resolve identically in any engine.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val cents = centroids(embeddings)
+    val scored = embeddings
+      .select(col("label").as("cell"), col("vec_id"),
+        asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("ccos", round(cosine(col("emb"), col("cemb")), 6))
+      .drop("cemb")
+    val ranked = scored.withColumn("crank", row_number().over(
+      Window.partitionBy("cell").orderBy(col("ccos").asc, col("vec_id").asc)))
+    val a = ranked.select(col("cell"), col("crank").as("rank_a"),
+      col("emb").as("emb_a"), col("vnorm").as("norm_a"))
+    val dup = a.join(ranked, Seq("cell"))
+      .filter(col("rank_a") < col("crank"))
+      .filter(round(cosinePre(col("emb_a"), col("emb"),
+        col("norm_a"), col("vnorm")), 6) >= threshold)
+      .select("vec_id").distinct()
+      .withColumn("is_dup", lit(1))
+    ranked.join(dup, Seq("vec_id"), "left")
+      .select(col("cell"), col("vec_id"),
+        col("ccos").as("centroid_cos"),
+        coalesce(col("is_dup"), lit(0)).as("is_dup"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH: component (p, d) is a
     * uniform value in [-1, 1] derived from md5 — reproducible across
     * engines, runs, and partitionings (same property as the text hashes).

@@ -1155,6 +1155,60 @@ object TextOps {
         "avg_token_len", "stopword_ratio", "quality_bucket")
   }
 
+  /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 App. A.1.1):
+    * the named rule-set applied verbatim — word-count bounds, mean-word-
+    * length bounds, symbol-to-word ratio (`#` and `...`), bullet-start and
+    * ellipsis-end line fractions, alphabetic-word fraction, and required-
+    * stopword presence. Distinct from [[qualityScores]] (free-form
+    * signals + bucket): this is the reproducible KEEP/DROP gate with each
+    * rule exposed so a pipeline can audit which rule rejected a document.
+    *
+    * Every column is a per-row narrow expression over the text — no
+    * shuffle, no UDF, fully codegen'd; at 100 TB this runs at scan speed
+    * and is the cheapest stage of the curation funnel (see
+    * CurationPipeline's cheap-first ordering). Ratios are rounded to 6dp
+    * BEFORE the rule thresholds so boundary hits resolve identically in
+    * any engine. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val reqList = GopherReqStopwords.map(s => s"'$s'").mkString(", ")
+    // substring occurrence count via replace-shrink — literal, not regex
+    def cnt(s: String): Column =
+      (length(col("text")) - length(expr(s"replace(text, '$s', '')"))) / lit(s.length)
+    docs
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        tokens(col("text")).as("toks"), split(col("text"), "\n").as("lns"))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("nw", col("n_words").cast("double"))
+      .withColumn("mean_word_len",
+        round((col("n_chars") - (col("n_words") - 1)).cast("double") / col("nw"), 6))
+      .withColumn("frac_alpha_words",
+        round(expr("size(filter(toks, t -> t RLIKE '[a-z]'))") / col("nw"), 6))
+      .withColumn("n_req_stopwords",
+        expr(s"size(filter(array($reqList), w -> array_contains(toks, w)))"))
+      .withColumn("symbol_ratio",
+        round((cnt("#") + cnt("...")).cast("double") / col("nw"), 6))
+      .withColumn("frac_bullet_lines",
+        round(expr("size(filter(lns, l -> l RLIKE '^(-|\\\\*) '))") /
+          size(col("lns")).cast("double"), 6))
+      .withColumn("frac_ellipsis_lines",
+        round(expr("size(filter(lns, l -> l RLIKE '\\\\.\\\\.\\\\.$'))") /
+          size(col("lns")).cast("double"), 6))
+      .withColumn("pass_gopher",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("frac_bullet_lines") <= 0.9 && col("frac_ellipsis_lines") <= 0.3 &&
+          col("frac_alpha_words") >= 0.8 && col("n_req_stopwords") >= 2).cast("int"))
+      .select("doc_id", "n_words", "mean_word_len", "frac_alpha_words",
+        "n_req_stopwords", "symbol_ratio", "frac_bullet_lines",
+        "frac_ellipsis_lines", "pass_gopher")
+  }
+
+  /** Gopher's required-stopword list (ibid.): a document must contain at
+    * least two of these to pass. */
+  val GopherReqStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Global segment-level dedup (C4/Dolma span dedup, on disjoint
     * `segTokens`-token windows instead of sentences — the corpus has no
     * sentence boundaries): a segment occurring in more than `maxDf`

@@ -105,6 +105,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("semdedup: drops the more-centroid-typical twin, scoped to the cell") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.14f), 0),  // cos ≈ 0.990 with vec 0, MORE centroid-similar
+      (2L, Array(0.0f, 1.0f), 0),    // orthogonal — always kept
+      (3L, Array(1.0f, 0.01f), 1))   // near-parallel to vec 0 but other cell
+      .toDF("vec_id", "embedding", "label")
+    val out = Embeddings.semDedup(e, threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("is_dup")).toMap
+    // centroid of cell 0 ≈ (0.663, 0.380): ccos(v2)≈0.50 < ccos(v0)≈0.87
+    // < ccos(v1)≈0.93, so v1 (ranked after its twin v0) is the duplicate
+    assert(out == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 0))
+  }
+
   test("knn brute force: nearest vector is the near-parallel one") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
