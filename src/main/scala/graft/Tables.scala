@@ -37,21 +37,33 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver's testdata,
-    * which Spark's vectorized reader rejects outright. Read nanos as raw
-    * longs (legacy conf), then rebuild a proper TimestampType column at
-    * microsecond precision — sub-microsecond detail is below every
-    * query's granularity. Datasets whose `ts` is already micros (e.g. a
-    * re-written copy: parquet TIMESTAMP(MICROS) reads as TimestampType
-    * even under the legacy conf) pass through untouched — the rebuild is
-    * keyed on the OBSERVED type, not the path. */
+  /** `events.ts` arrives in whatever physical type the driver's testdata
+    * generator last used — TIMESTAMP(NANOS), TIMESTAMP(MICROS) without a
+    * UTC flag, or plain micros — so normalize on the OBSERVED type, not
+    * the path:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright;
+    *    read nanos as raw longs (legacy conf) and rebuild TimestampType
+    *    at microsecond precision (sub-microsecond detail is below every
+    *    query's granularity).
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false reads as
+    *    TIMESTAMP_NTZ; cast to TimestampType — value-preserving under
+    *    the UTC session timezone all entry points pin — so downstream
+    *    code and specs see ONE timestamp type regardless of generator
+    *    vintage.
+    *  - TimestampType passes through untouched. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val t = table(spark, sfDir, "events")
-    if (t.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      t.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else t
+    t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        t.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        t.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => t
+    }
   }
   /** The corpus tables feed CPU-bound per-row operators (shingling, token
     * hashing, vector arithmetic), so scan parallelism — not IO — decides

@@ -1651,7 +1651,7 @@ object TrainingOps extends OpsModule {
           SELECT r.cell, r.vec_id, r.ccos AS centroid_cos,
                  CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
           FROM rk r LEFT JOIN dup d ON r.vec_id = d.vec_id
-          ORDER BY vec_id""",
+          ORDER BY r.vec_id""",
 
     "emb_knn_brute" ->
       s"""WITH $duckCosPrelude
