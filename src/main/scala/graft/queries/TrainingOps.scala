@@ -104,12 +104,12 @@ object TrainingOps extends OpsModule {
         .limit(30)
     }),
 
-    // full BPE training loop — iterative and data-dependent, so there is
-    // no SQL-expressible oracle; BpeTrainSpec pins it against a
-    // sequential reference implementation instead (driver records the
-    // rows-only check, per the contract for non-SQL-expressible ops)
+    // full BPE training loop — iteration count is a compile-time
+    // constant, so the DuckDB oracle is the same loop UNROLLED into one
+    // CTE triple per merge round (see duckBpeChain); BpeTrainSpec
+    // additionally pins it against a sequential reference implementation
     "td_bpe_train" -> ((s, d) =>
-      TextOps.bpeTrain(docs(s, d), nMerges = 8).orderBy("merge_rank")),
+      TextOps.bpeTrain(docs(s, d), nMerges = BpeMerges).orderBy("merge_rank")),
 
     "td_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")),
@@ -231,16 +231,16 @@ object TrainingOps extends OpsModule {
       TextOps.winnowFingerprints(docs(s, d)).orderBy("doc_id")),
 
     // trained model-based quality filter: batch-GD logistic regression on
-    // hashed token features — iterative and data-dependent, so no
-    // SQL-expressible oracle (rows-only check, like td_bpe_train);
-    // ClassifierSpec pins it against a sequential reference
+    // hashed token features — the fixed 3-step schedule unrolls into a
+    // DuckDB CTE chain (see duckLogregChain), so the trained scorer is
+    // oracle-checked end to end; ClassifierSpec additionally pins it
+    // against a sequential reference and exercises deeper schedules
     "td_quality_logreg" -> ((s, d) => {
       val dd = docs(s, d)
       // 3 iterations: the loss curve flattens by then on this corpus, and
-      // the query demonstrates the operator — ClassifierSpec exercises
-      // deeper schedules
+      // the query demonstrates the operator
       val model = graft.text.Classifier.logregTrain(dd, col("lang") === "en",
-        iters = 3)
+        buckets = LogregBuckets, iters = LogregIters, lr = LogregLr)
       graft.text.Classifier.logregScore(dd, model)
         .join(dd.select(col("doc_id"),
           (col("lang") === "en").cast("int").as("y")), "doc_id")
@@ -479,9 +479,12 @@ object TrainingOps extends OpsModule {
     // SemDeDup: semantic dedup INSIDE k-means cells, survivor = least
     // centroid-similar (most atypical) member — vs emb_near_dup (raw
     // pairs) and emb_dedup_clusters (connected components), this is the
-    // paper's keep/drop decision itself
+    // paper's keep/drop decision itself. Cells come from kmeansCells
+    // (configurable k, independent of the data's label) — the knob that
+    // keeps within-cell pair work bounded as N grows
     "emb_semdedup" -> ((s, d) =>
-      Embeddings.semDedup(embs(s, d)).orderBy("vec_id")),
+      Embeddings.semDedup(embs(s, d), threshold = SemDedupThreshold,
+        nCells = SemDedupCells).orderBy("vec_id")),
 
     "emb_knn_brute" -> ((s, d) =>
       Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5)
@@ -696,12 +699,13 @@ object TrainingOps extends OpsModule {
         .orderBy("doc_id_a", "doc_id_b")),
 
     // ENCODE half of the tokenizer lifecycle: apply the trained merge
-    // table to the corpus (train is td_bpe_train). Iterative input, so
-    // rows-only oracle; BpeTrainSpec pins encode against a sequential
-    // reference
+    // table to the corpus (train is td_bpe_train). The oracle reuses the
+    // unrolled training chain — its final vocabulary state IS the encoded
+    // word table; BpeTrainSpec additionally pins encode against a
+    // sequential reference
     "td_bpe_encode" -> ((s, d) => {
       val dd = docs(s, d)
-      val merges = TextOps.bpeTrain(dd, nMerges = 8).orderBy("merge_rank")
+      val merges = TextOps.bpeTrain(dd, nMerges = BpeMerges).orderBy("merge_rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeEncode(dd, merges).orderBy("doc_id")
     })
@@ -709,9 +713,97 @@ object TrainingOps extends OpsModule {
 
   // ---- DuckDB oracle building blocks ----
 
+  /** Shared loop constants — the Spark query and its unrolled DuckDB
+    * oracle both read these, so the two sides cannot drift (the PqM
+    * pattern). */
+  private val BpeMerges = 8
+  private val LogregIters = 3
+  private val LogregBuckets = 32
+  private val LogregLr = 0.5
+  private val SemDedupCells = 16
+  private val SemDedupThreshold = 0.4
+
   /** 60-bit md5-derived hash, DuckDB side. */
   private def dHash(x: String) =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Unrolled-CTE BPE training chain, DuckDB side. The vocabulary state
+    * is a wrapped-symbol STRING — every symbol enclosed in chr(1)/chr(2)
+    * sentinels — so plain SQL `replace` IS the greedy left-to-right merge
+    * fold [[graft.text.TextOps.bpeMergeOnce]] performs: both scan
+    * non-overlapping left-to-right, neither can re-match output it just
+    * produced, and the sentinels make matching whole-symbol-exact (a pair
+    * (a,b) can't fire inside a longer symbol that merely contains `ab`).
+    * One (pair-count, argmax, apply) CTE triple per merge round;
+    * `LEFT JOIN … ON TRUE` keeps the chain total when a round finds no
+    * pair with count >= 2, reproducing the Spark loop's exhaustion stop
+    * at any scale factor. */
+  private def duckBpeChain(nMerges: Int): String = {
+    val head =
+      """w0 AS (
+         SELECT chr(1) || array_to_string(string_split(word, ''), chr(2)||chr(1)) || chr(2) AS s,
+                count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY 1)"""
+    val rounds = (0 until nMerges).map { r =>
+      s"""p$r AS (
+         SELECT syms[i] AS a, syms[i+1] AS b, sum(n) AS pc
+         FROM (SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i
+               FROM (SELECT string_split(substring(s, 2, length(s) - 2), chr(2)||chr(1)) AS syms, n
+                     FROM w$r))
+         GROUP BY 1, 2),
+         b$r AS (
+         SELECT a, b, pc FROM p$r WHERE pc >= 2 ORDER BY pc DESC, a, b LIMIT 1),
+         w${r + 1} AS (
+         SELECT CASE WHEN b.a IS NULL THEN w.s
+                ELSE replace(w.s, chr(1)||b.a||chr(2)||chr(1)||b.b||chr(2),
+                             chr(1)||b.a||b.b||chr(2)) END AS s, w.n
+         FROM w$r w LEFT JOIN b$r b ON TRUE)"""
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** Unrolled-CTE batch-GD logistic regression, DuckDB side — the oracle
+    * twin of [[graft.text.Classifier.logregTrain]] + `logregScore`. The
+    * model is a (buckets+1)-row weight CTE per iteration; each round is
+    * the same two corpus aggregations the Spark side runs (per-doc score,
+    * per-bucket gradient) followed by the 1e-6-rounded weight update.
+    * That rounding is what makes cross-engine parity hold: both engines
+    * accumulate float sums in different orders, but the drift (~1e-15)
+    * is quantized away each round unless a weight lands within ~1e-10 of
+    * a rounding boundary — verified exact at sf0.01. */
+  private def duckLogregChain(iters: Int, buckets: Int, lr: Double): String = {
+    val h = dHash("tok")
+    val head = Seq(
+      """tk AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+                unnest(string_split(text, ' ')) AS tok
+         FROM documents)""",
+      s"""feats AS (
+         SELECT doc_id, bucket, x FROM (
+           SELECT doc_id, $h % $buckets AS bucket,
+                  CAST(count(*) AS DOUBLE) / any_value(n_toks) AS x
+           FROM tk GROUP BY doc_id, $h % $buckets)
+         UNION ALL
+         SELECT doc_id, -1 AS bucket, 1.0 AS x FROM documents)""",
+      """lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents)""",
+      """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)""",
+      s"""w0 AS (SELECT unnest(generate_series(-1, ${buckets - 1})) AS bucket, 0.0 AS wgt)""")
+    val rounds = (0 until iters).map { r =>
+      s"""g$r AS (
+         SELECT f.bucket, sum(rr.r * f.x) AS g
+         FROM (SELECT doc_id, 1.0/(1.0 + exp(-z)) - y AS r
+               FROM (SELECT f2.doc_id, any_value(lab.y) AS y, sum(f2.x * w.wgt) AS z
+                     FROM feats f2 JOIN w$r w USING (bucket) JOIN lab USING (doc_id)
+                     GROUP BY f2.doc_id)) rr
+         JOIN feats f USING (doc_id)
+         GROUP BY f.bucket),
+         w${r + 1} AS (
+         SELECT w.bucket, round(w.wgt - $lr * coalesce(g.g, 0.0) / nn.n, 6) AS wgt
+         FROM w$r w LEFT JOIN g$r g USING (bucket), nn)"""
+    }
+    (head ++ rounds).mkString(",\n")
+  }
 
   /** distinct word 3-shingles, one row each. */
   private val duckShingles =
@@ -917,6 +1009,35 @@ object TrainingOps extends OpsModule {
          SELECT sym_a, sym_b, CAST(sum(n) AS BIGINT) AS pair_count
          FROM pairs GROUP BY 1, 2
          ORDER BY pair_count DESC, sym_a, sym_b LIMIT 30""",
+
+    "td_bpe_train" -> {
+      val union = (0 until BpeMerges).map(r =>
+        s"""SELECT $r AS merge_rank, a AS sym_a, b AS sym_b, a||b AS merged,
+                   CAST(pc AS BIGINT) AS pair_count FROM b$r""")
+        .mkString("\n UNION ALL ")
+      s"""WITH ${duckBpeChain(BpeMerges)}
+          SELECT * FROM ($union) ORDER BY merge_rank"""
+    },
+
+    "td_bpe_encode" ->
+      s"""WITH ${duckBpeChain(BpeMerges)},
+          enc AS (
+            SELECT replace(replace(s, chr(1), ''), chr(2), '') AS word,
+                   len(string_split(substring(s, 2, length(s) - 2), chr(2)||chr(1))) AS np
+            FROM w$BpeMerges),
+          toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+          SELECT doc_id, count(*) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces,
+                 round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS pieces_per_word
+          FROM toks JOIN enc USING (word)
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_quality_logreg" ->
+      s"""WITH ${duckLogregChain(LogregIters, LogregBuckets, LogregLr)}
+          SELECT s.doc_id, round(1.0/(1.0 + exp(-s.z)), 6) AS score, lab.y
+          FROM (SELECT doc_id, sum(x * wgt) AS z
+                FROM feats JOIN w$LogregIters USING (bucket) GROUP BY doc_id) s
+          JOIN lab USING (doc_id)
+          ORDER BY s.doc_id""",
 
     "td_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -1636,18 +1757,46 @@ object TrainingOps extends OpsModule {
           SELECT node AS vec_id, min(label) AS canonical_id
           FROM cc GROUP BY node ORDER BY vec_id""",
 
-    // one-pass SemDeDup: rank by rounded centroid-cosine asc, dup = any
-    // earlier-ranked cell-mate with rounded pair-cosine >= 0.4
+    // one-pass SemDeDup over DERIVED k-means cells (seed = vec_id mod k,
+    // one Lloyd assignment, centroids recomputed from the assignment):
+    // rank by rounded centroid-cosine asc, dup = any earlier-ranked
+    // cell-mate with rounded pair-cosine >= threshold. Constants are the
+    // shared SemDedupCells / SemDedupThreshold — the Spark side reads the
+    // same values, so the two can't drift
     "emb_semdedup" ->
-      s"""WITH $duckCosPrelude, $duckCentroids,
-          sc AS (SELECT e.cell, e.vec_id, e.emb,
-                        round(${dCos("e.emb", "cent.cemb")}, 6) AS ccos
-                 FROM e JOIN cent USING (cell)),
+      s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+          scent AS (
+            SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
+              SELECT cell, idx, avg(v) AS cv FROM (
+                SELECT vec_id % $SemDedupCells AS cell,
+                       generate_subscripts(emb, 1) AS idx, unnest(emb) AS v
+                FROM eb)
+              GROUP BY cell, idx)
+            GROUP BY cell),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT eb.vec_id, s.cell,
+                     row_number() OVER (PARTITION BY eb.vec_id
+                       ORDER BY ${dCos("eb.emb", "s.cemb")} DESC, s.cell ASC) AS rk
+              FROM eb, scent s)
+            WHERE rk = 1),
+          e2 AS (SELECT a.cell, eb.vec_id, eb.emb FROM eb JOIN asg a USING (vec_id)),
+          cent2 AS (
+            SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
+              SELECT cell, idx, avg(v) AS cv FROM (
+                SELECT cell, generate_subscripts(emb, 1) AS idx, unnest(emb) AS v
+                FROM e2)
+              GROUP BY cell, idx)
+            GROUP BY cell),
+          sc AS (SELECT e2.cell, e2.vec_id, e2.emb,
+                        round(${dCos("e2.emb", "cent2.cemb")}, 6) AS ccos
+                 FROM e2 JOIN cent2 USING (cell)),
           rk AS (SELECT *, row_number() OVER (PARTITION BY cell
                    ORDER BY ccos ASC, vec_id ASC) AS crank FROM sc),
           dup AS (SELECT DISTINCT b.vec_id
                   FROM rk a JOIN rk b ON a.cell = b.cell AND a.crank < b.crank
-                  WHERE round(${dCos("a.emb", "b.emb")}, 6) >= 0.4)
+                  WHERE round(${dCos("a.emb", "b.emb")}, 6) >= $SemDedupThreshold)
           SELECT r.cell, r.vec_id, r.ccos AS centroid_cos,
                  CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
           FROM rk r LEFT JOIN dup d ON r.vec_id = d.vec_id

@@ -348,6 +348,29 @@ object Embeddings {
       .select("cell", "vec_id_a", "vec_id_b", "cosine")
   }
 
+  /** Deterministic k-means cell derivation with a CONFIGURABLE cell
+    * count — the scale mechanism [[semDedup]] needs. Within-cell pair
+    * work is Σ|cell|², so at 100 TB the cell count must grow ∝ N; a cell
+    * inherited from a fixed data label pins k at a constant and the pair
+    * join degrades toward O(N²/k). Init is deterministic and
+    * engine-portable (seed group = vec_id mod k), followed by one Lloyd
+    * assignment step against the seed-group means — the same
+    * argmax-without-a-window shape as [[kmeansAssign]] (map-side-combined
+    * `max(struct(...))`, ties to the lowest cell id). Feed the output
+    * back through [[centroids]] + reassignment for more Lloyd steps when
+    * the partition needs polishing. */
+  def kmeansCells(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val cents = centroids(
+      e.select(pmod(col("vec_id"), lit(nCells.toLong)).as("label"),
+        col("emb").as("embedding")))
+    e.crossJoin(broadcast(cents))
+      .withColumn("acos", cosine(col("emb"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup scoped
     * to k-means cells. Members of each cell are ranked by
     * cosine-to-centroid ascending — the paper keeps the example LEAST
@@ -364,12 +387,24 @@ object Embeddings {
     * the rank window partitions by cell (never a global sort). Both
     * cosines are rounded to 6dp BEFORE the threshold test and the rank
     * order, so ties and boundary hits resolve identically in any engine.
-    */
-  def semDedup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val cents = centroids(embeddings)
-    val scored = embeddings
-      .select(col("label").as("cell"), col("vec_id"),
-        asDouble(col("embedding")).as("emb"))
+    *
+    * `nCells > 0` derives the cells from [[kmeansCells]] — k scales with
+    * the data, independent of any label the input happens to carry, and
+    * centroids are recomputed from the derived assignment. `nCells = 0`
+    * keeps the input's `label` as the cell (the pre-clustered case, e.g.
+    * a persisted IVF index's cells). */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
+               nCells: Int = 0): DataFrame = {
+    val base =
+      if (nCells > 0)
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+          .join(kmeansCells(embeddings, nCells), "vec_id")
+      else
+        embeddings.select(col("label").as("cell"), col("vec_id"),
+          asDouble(col("embedding")).as("emb"))
+    val cents = centroids(
+      base.select(col("cell").as("label"), col("emb").as("embedding")))
+    val scored = base
       .withColumn("vnorm", norm(col("emb")))
       .join(broadcast(cents), Seq("cell"))
       .withColumn("ccos", round(cosine(col("emb"), col("cemb")), 6))

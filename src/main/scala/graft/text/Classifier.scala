@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   * across shuffle widths (DeterminismSpec runs the scorer at widths 3
   * and 29).
   *
-  * No SQL-expressible oracle exists for the training loop (iterative,
-  * data-dependent — same contract as bpeTrain); ClassifierSpec pins it
-  * against a sequential reference implementation instead. The metric
-  * operators ([[auc]], [[calibration]]) ARE oracle-checked.
+  * The fixed-schedule query surface (3 iterations) is oracle-checked end
+  * to end: the loop unrolls into a DuckDB CTE chain (TrainingOps.
+  * duckLogregChain) whose per-round 1e-6 weight rounding is exactly this
+  * implementation's, so the trained scorer hash-matches cross-engine.
+  * ClassifierSpec additionally pins arbitrary schedules against a
+  * sequential reference; the metric operators ([[auc]], [[calibration]])
+  * are oracle-checked directly.
   */
 object Classifier {
 

@@ -119,6 +119,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 0))
   }
 
+  test("semdedup derived cells: pair work is bounded per cell, not corpus-quadratic") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count()
+    val k = 8
+    val cells = Embeddings.kmeansCells(e, k).persist()
+    try {
+      // every vector gets exactly one cell, and cells stay within [0, k)
+      assert(cells.count() == n)
+      assert(cells.select("cell").distinct().count() <= k)
+      assert(cells.agg(min("cell"), max("cell")).first() match {
+        case r => r.getLong(0) >= 0L && r.getLong(1) < k.toLong
+      })
+      // the quadratic stage is cell-scoped: Σ|cell|·(|cell|−1)/2 candidate
+      // pairs, strictly below the all-pairs N·(N−1)/2 a label-free join
+      // would scan — THE bound that makes SemDeDup survive N growing 1000×
+      // (k grows ∝ N, so Σ|cell|² stays ~N·avg_cell, not N²)
+      val pairWork = cells.groupBy("cell").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).first().getDouble(0)
+      assert(pairWork < n * (n - 1) / 2.0 / 2,
+        s"pair work $pairWork not bounded vs all-pairs ${n * (n - 1) / 2}")
+      // and semDedup over derived cells marks dups only within a cell:
+      // every dup has an earlier-ranked cell-mate at >= threshold cosine
+      val out = Embeddings.semDedup(e, threshold = 0.4, nCells = k)
+      assert(out.count() == n)
+      assert(out.select("cell").distinct().count() <= k)
+    } finally { cells.unpersist(); () }
+  }
+
   test("knn brute force: nearest vector is the near-parallel one") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
