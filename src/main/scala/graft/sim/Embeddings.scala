@@ -708,7 +708,12 @@ object Embeddings {
   def ivfPqSearch(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
                   nprobe: Int = 1, m: Int = 4): DataFrame = {
     val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
-    val cents = centroids(embeddings)
+    // |cells|-row frame consumed by THREE differently-projected broadcast
+    // subtrees (codes, probes, ADC LUT) — Spark gets no exchange reuse
+    // across those, so without materialization the corpus-side centroid
+    // aggregation runs three times. localCheckpoint computes it once;
+    // at 100 TB that is 1 corpus aggregation instead of 3.
+    val cents = centroids(embeddings).localCheckpoint()
     val queries = embeddings.filter(queryFilter)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qemb"))
     val codes = pqCodesWith(embeddings, cents, m)
