@@ -68,6 +68,11 @@ object TrainingOps extends OpsModule {
     "td_minhash_sig" -> ((s, d) =>
       TextOps.minhashSignatures(docs(s, d)).orderBy("doc_id")),
 
+    // the named Gopher rule gate (Rae et al. 2021 A.1.1), each rule's
+    // signal exposed for curation audit; per-symbol 0.1 thresholds
+    "txt_gopher" -> ((s, d) =>
+      TextOps.gopherRules(docs(s, d)).orderBy("doc_id")),
+
     "td_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(docs(s, d)).orderBy("doc_id")),
 
@@ -1173,6 +1178,41 @@ object TrainingOps extends OpsModule {
                      '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
                    '${TextOps.PhonePattern}', '<PHONE>', 'g') AS scrubbed
           FROM documents ORDER BY doc_id""",
+
+    "txt_gopher" -> {
+      val reqList = TextOps.GopherReqStopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH g AS (
+            SELECT doc_id, n_chars, text,
+                   string_split(text, ' ') AS toks,
+                   string_split(text, chr(10)) AS lns,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw
+            FROM documents),
+          r AS (
+            SELECT doc_id, n_words,
+                   round((n_chars - (n_words - 1)) / nw, 6) AS mean_word_len,
+                   round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) / nw, 6)
+                     AS frac_alpha_words,
+                   len(list_filter([$reqList], w -> list_contains(toks, w)))
+                     AS n_req_stopwords,
+                   round((length(text) - length(replace(text, '#', ''))) / nw, 6)
+                     AS hash_ratio,
+                   round((length(text) - length(replace(text, '...', ''))) / 3 / nw, 6)
+                     AS ellipsis_ratio,
+                   round(len(list_filter(lns, l -> regexp_matches(l, '^(-|\\*) ')))
+                     / CAST(len(lns) AS DOUBLE), 6) AS frac_bullet_lines,
+                   round(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$$')))
+                     / CAST(len(lns) AS DOUBLE), 6) AS frac_ellipsis_lines
+            FROM g)
+          SELECT *,
+                 CAST(n_words >= 50 AND n_words <= 100000
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+                      AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+                      AND frac_alpha_words >= 0.8 AND n_req_stopwords >= 2
+                   AS INT) AS pass_gopher
+          FROM r ORDER BY doc_id"""
+    },
 
     "td_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

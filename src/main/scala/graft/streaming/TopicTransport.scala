@@ -69,33 +69,67 @@ final case class FileTopicTransport(root: String) extends TopicTransport {
 
 /** The real-broker binding. Value bytes are cast to STRING on read; the
   * producer writes a `value` column — the exact construction
-  * [[ControlPlane.buildValue]] round-trips in ControlPlaneTransportSpec. */
+  * [[ControlPlane.buildValue]] round-trips in ControlPlaneTransportSpec.
+  *
+  * Every option map and the value projection live on the companion as
+  * plain data, consumed verbatim by the reader/writer builders below —
+  * so the binding's full wire contract is assertable in a unit spec
+  * (KafkaContractSpec) without a broker or the connector jar, and a
+  * deployment reading the spec knows exactly what reaches the
+  * DataSource lookup. */
 final case class KafkaTopicTransport(bootstrapServers: String) extends TopicTransport {
+  import KafkaTopicTransport._
+
   override def readTopic(spark: SparkSession, topic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
+    spark.readStream.format(Format)
+      .options(sourceOptions(bootstrapServers, topic))
       .load()
-      .selectExpr("CAST(value AS STRING) AS value")
+      .selectExpr(ValueProjection)
 
   override def readTopicBatch(spark: SparkSession, topic: String): DataFrame =
-    spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("endingOffsets", "latest")
+    spark.read.format(Format)
+      .options(batchOptions(bootstrapServers, topic))
       .load()
-      .selectExpr("CAST(value AS STRING) AS value")
+      .selectExpr(ValueProjection)
 
   override def produce(spark: SparkSession, topic: String, json: String): Unit = {
     import spark.implicits._
-    Seq(json).toDF("value")
-      .write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
+    Seq(json).toDF(SinkValueColumn)
+      .write.format(Format)
+      .options(sinkOptions(bootstrapServers, topic))
       .save()
   }
+}
+
+object KafkaTopicTransport {
+  /** String-based DataSource lookup key — resolved at runtime, so this
+    * module never links against the connector. */
+  val Format = "kafka"
+
+  /** The projection applied to the connector's wire schema: of its seven
+    * output columns (key/value binary, topic, partition, offset,
+    * timestamp, timestampType) the transport contract keeps exactly
+    * `value`, decoded bytes→string. */
+  val ValueProjection = "CAST(value AS STRING) AS value"
+
+  /** The one column the kafka sink requires on the produce side. */
+  val SinkValueColumn = "value"
+
+  /** Streaming-source options: earliest offsets — the control-plane
+    * topics are short command logs, replayed from the beginning like the
+    * file binding does. */
+  def sourceOptions(servers: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> servers,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest")
+
+  /** Batch catch-up read: the full log, bounded at the current end. */
+  def batchOptions(servers: String, topic: String): Map[String, String] =
+    sourceOptions(servers, topic) + ("endingOffsets" -> "latest")
+
+  def sinkOptions(servers: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> servers,
+    "topic" -> topic)
 }
 
 object TopicTransport {

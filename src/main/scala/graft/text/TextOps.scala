@@ -1157,11 +1157,13 @@ object TextOps {
 
   /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 App. A.1.1):
     * the named rule-set applied verbatim — word-count bounds, mean-word-
-    * length bounds, symbol-to-word ratio (`#` and `...`), bullet-start and
-    * ellipsis-end line fractions, alphabetic-word fraction, and required-
-    * stopword presence. Distinct from [[qualityScores]] (free-form
-    * signals + bucket): this is the reproducible KEEP/DROP gate with each
-    * rule exposed so a pipeline can audit which rule rejected a document.
+    * length bounds, symbol-to-word ratios (`#` and `...` each against
+    * their own 0.1 threshold, per the paper's "either … or" phrasing),
+    * bullet-start and ellipsis-end line fractions, alphabetic-word
+    * fraction, and required-stopword presence. Distinct from
+    * [[qualityScores]] (free-form signals + bucket): this is the
+    * reproducible KEEP/DROP gate with each rule exposed so a pipeline can
+    * audit which rule rejected a document.
     *
     * Every column is a per-row narrow expression over the text — no
     * shuffle, no UDF, fully codegen'd; at 100 TB this runs at scan speed
@@ -1185,8 +1187,10 @@ object TextOps {
         round(expr("size(filter(toks, t -> t RLIKE '[a-z]'))") / col("nw"), 6))
       .withColumn("n_req_stopwords",
         expr(s"size(filter(array($reqList), w -> array_contains(toks, w)))"))
-      .withColumn("symbol_ratio",
-        round((cnt("#") + cnt("...")).cast("double") / col("nw"), 6))
+      .withColumn("hash_ratio",
+        round(cnt("#").cast("double") / col("nw"), 6))
+      .withColumn("ellipsis_ratio",
+        round(cnt("...").cast("double") / col("nw"), 6))
       .withColumn("frac_bullet_lines",
         round(expr("size(filter(lns, l -> l RLIKE '^(-|\\\\*) '))") /
           size(col("lns")).cast("double"), 6))
@@ -1196,12 +1200,12 @@ object TextOps {
       .withColumn("pass_gopher",
         (col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_ratio") <= 0.1 &&
+          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1 &&
           col("frac_bullet_lines") <= 0.9 && col("frac_ellipsis_lines") <= 0.3 &&
           col("frac_alpha_words") >= 0.8 && col("n_req_stopwords") >= 2).cast("int"))
       .select("doc_id", "n_words", "mean_word_len", "frac_alpha_words",
-        "n_req_stopwords", "symbol_ratio", "frac_bullet_lines",
-        "frac_ellipsis_lines", "pass_gopher")
+        "n_req_stopwords", "hash_ratio", "ellipsis_ratio",
+        "frac_bullet_lines", "frac_ellipsis_lines", "pass_gopher")
   }
 
   /** Gopher's required-stopword list (ibid.): a document must contain at
