@@ -20,32 +20,42 @@ object Bench {
     Seq("q1_agg", "td_fingerprint").foreach { n =>
       SparkEntry.queries.get(n).foreach(fn => fn(spark, sfDir).count())
     }
+    // Repetitions per query (median reported): single-shot timings proved
+    // noisy at the 160-query scale — r3's one-run numbers showed 3-5×
+    // "regressions" on queries whose plans had not changed, an artifact of
+    // GC pauses and codegen-cache pressure accumulating over the long
+    // in-process sweep. The median of n>=3 is robust to one bad draw.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = wanted.map { case (name, fn) =>
       // Steady-state measurement, per query: run once untimed (pays this
       // plan's janino codegen compilation — measured 4.8s first run vs
       // 1.5s steady for td_lsh_candidates; pure JVM startup cost that a
       // long-lived cluster never re-pays), drop any data cache the
-      // operator materialized, then time a full re-execution from the
-      // parquet scan up. Warm-up and timed run are ADJACENT so the
+      // operator materialized, then time full re-executions from the
+      // parquet scan up. Warm-up and timed runs are ADJACENT so the
       // compiled classes are still resident — a single global warm-up
-      // pass over all 70 queries thrashes the ~100-entry codegen cache
+      // pass over all queries thrashes the ~100-entry codegen cache
       // and times recompilation anyway (measured: total got WORSE).
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      // a query that THROWS must be loud, not a fast-looking near-zero
-      // timing — surface it on stderr and in the metric line
-      val failed =
-        try { fn(spark, sfDir).count(); false }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          true
-        }
-      val dt = if (failed) -1.0 else (System.nanoTime() - t0) / 1e9
+      val times = (0 until reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // a query that THROWS must be loud, not a fast-looking near-zero
+        // timing — surface it on stderr and in the metric line
+        val failed =
+          try { fn(spark, sfDir).count(); false }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            true
+          }
+        if (failed) -1.0 else (System.nanoTime() - t0) / 1e9
+      }
       // Isolate queries: drop caches again and give the cleaner a chance
       // to free accumulated broadcasts before the next query's timing.
       spark.catalog.clearCache()
       System.gc()
+      val dt = if (times.exists(_ < 0)) -1.0
+               else times.sorted.apply(times.size / 2) // median
       name -> dt
     }
     val failures = results.collect { case (n, d) if d < 0 => n }.toSeq.sorted
@@ -76,7 +86,7 @@ object Bench {
     val failedPart =
       if (failures.isEmpty) ""
       else s""","failed":${failures.mkString("[\"", "\",\"", "\"]")}"""
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","reps":$reps,"queries":$qs$failedPart,"sf":"$sfName"}""")
     spark.stop()
   }
 }

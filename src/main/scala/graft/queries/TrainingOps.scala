@@ -606,6 +606,13 @@ object TrainingOps extends OpsModule {
     "emb_kmeans_step" -> ((s, d) =>
       Embeddings.kmeansAssign(embs(s, d)).orderBy("vec_id")),
 
+    // full Lloyd's loop from the deterministic seed — the training pass
+    // behind every derived cell; fixed iteration count unrolls into the
+    // DuckDB oracle like the BPE/logreg chains
+    "emb_kmeans_train" -> ((s, d) =>
+      Embeddings.kmeansTrain(embs(s, d), nCells = KmeansCells,
+        iters = KmeansIters).orderBy("vec_id")),
+
     "emb_silhouette" -> ((s, d) =>
       Embeddings.silhouette(embs(s, d)).orderBy("cell")),
 
@@ -727,6 +734,8 @@ object TrainingOps extends OpsModule {
   private val LogregLr = 0.5
   private val SemDedupCells = 16
   private val SemDedupThreshold = 0.4
+  private val KmeansCells = 16
+  private val KmeansIters = 3
 
   /** 60-bit md5-derived hash, DuckDB side. */
   private def dHash(x: String) =
@@ -766,6 +775,36 @@ object TrainingOps extends OpsModule {
          FROM w$r w LEFT JOIN b$r b ON TRUE)"""
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** Unrolled-CTE Lloyd's k-means, DuckDB side — the oracle twin of
+    * [[graft.sim.Embeddings.kmeansTrain]]. Each round is one centroid
+    * aggregation over the previous assignment and one argmax
+    * re-assignment (row_number ties to the lowest cell, matching the
+    * Spark side's `max(struct(acos, -cell))`). */
+  private def duckKmeansChain(nCells: Int, iters: Int): String = {
+    val head = Seq(
+      """eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings)""",
+      s"""a0 AS (SELECT vec_id, vec_id % $nCells AS cell FROM eb)""")
+    val rounds = (1 to iters).map { r =>
+      s"""c$r AS (
+         SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
+           SELECT cell, idx, avg(v) AS cv FROM (
+             SELECT a.cell, generate_subscripts(eb.emb, 1) AS idx,
+                    unnest(eb.emb) AS v
+             FROM eb JOIN a${r - 1} a USING (vec_id))
+           GROUP BY cell, idx)
+         GROUP BY cell),
+         a$r AS (
+         SELECT vec_id, cell FROM (
+           SELECT eb.vec_id, c.cell,
+                  row_number() OVER (PARTITION BY eb.vec_id
+                    ORDER BY ${dCos("eb.emb", "c.cemb")} DESC, c.cell ASC) AS rk
+           FROM eb, c$r c)
+         WHERE rk = 1)"""
+    }
+    (head ++ rounds).mkString(",\n")
   }
 
   /** Unrolled-CTE batch-GD logistic regression, DuckDB side — the oracle
@@ -2167,6 +2206,10 @@ object TrainingOps extends OpsModule {
           WHERE t.split != 'train'
           GROUP BY t.split ORDER BY t.split"""
     },
+
+    "emb_kmeans_train" ->
+      s"""WITH ${duckKmeansChain(KmeansCells, KmeansIters)}
+          SELECT vec_id, cell FROM a$KmeansIters ORDER BY vec_id""",
 
     "emb_kmeans_step" ->
       s"""WITH $duckCosPrelude, $duckCentroids,

@@ -371,6 +371,40 @@ object Embeddings {
       .select(col("vec_id"), (-col("m.nc")).as("cell"))
   }
 
+  /** Full Lloyd's k-means from the same deterministic seed as
+    * [[kmeansCells]] — the training loop behind every IVF/PQ/SemDeDup
+    * cell in this library, expressed as the iterative-ML shape Spark
+    * does well: per round, ONE |cells|×dims centroid aggregation over
+    * the corpus and ONE broadcast argmax re-assignment
+    * (map-side-combined `max(struct)` — never a window over the scored
+    * corpus). The assignment frame carried between rounds is narrow
+    * (vec_id, cell) and localCheckpoint'd, so lineage stays flat and
+    * per-round driver traffic is zero — iteration count is the only
+    * sequential element, exactly like [[graft.text.TextOps.bpeTrain]].
+    * Ties break to the lowest cell id, deterministically in any engine.
+    *
+    * Returns the final assignment (vec_id, cell). `iters = 1` is
+    * [[kmeansCells]]; the registered query unrolls the same loop into a
+    * DuckDB CTE chain (TrainingOps.duckKmeansChain) so the trained
+    * partition is hash-checked cross-engine. */
+  def kmeansTrain(embeddings: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    var asg = e.select(col("vec_id"),
+      pmod(col("vec_id"), lit(nCells.toLong)).as("cell"))
+    for (_ <- 0 until iters) {
+      val cents = centroids(
+        e.join(asg, "vec_id")
+          .select(col("cell").as("label"), col("emb").as("embedding")))
+      asg = e.crossJoin(broadcast(cents))
+        .withColumn("acos", cosine(col("emb"), col("cemb")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cell"))
+        .localCheckpoint()
+    }
+    asg
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup scoped
     * to k-means cells. Members of each cell are ranked by
     * cosine-to-centroid ascending — the paper keeps the example LEAST

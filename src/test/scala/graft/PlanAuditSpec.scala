@@ -52,9 +52,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row broadcast totals: sum_pow/sum_tokens, the bigram type count,
     // and the two distribution totals — same literal-attach shape
     "td_temperature_mix", "td_kneser_ney", "td_dsir",
-    // kmeansCells: every vector scores against the k seed centroids —
-    // the same bounded-centroid-table broadcast as emb_kmeans_step
-    "emb_semdedup")
+    // kmeansCells / kmeansTrain: every vector scores against the k
+    // centroids per round — the same bounded-centroid-table broadcast
+    // as emb_kmeans_step
+    "emb_semdedup", "emb_kmeans_train")
 
   /** Exhaustive baselines: queries that DELIBERATELY materialize a
     * super-linear candidate set, kept as the correctness yardstick for a

@@ -147,6 +147,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     } finally { cells.unpersist(); () }
   }
 
+  test("kmeans train: one iteration is exactly kmeansCells; assignments total and in range") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 8
+    val one = Embeddings.kmeansTrain(e, k, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = Embeddings.kmeansCells(e, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == cells)
+    val three = Embeddings.kmeansTrain(e, k, iters = 3)
+    assert(three.count() == e.count())
+    assert(three.agg(min("cell"), max("cell")).first() match {
+      case r => r.getLong(0) >= 0L && r.getLong(1) < k.toLong
+    })
+    // deterministic: a re-run reproduces the same partition bit-for-bit
+    val again = Embeddings.kmeansTrain(e, k, iters = 3)
+    assert(three.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("knn brute force: nearest vector is the near-parallel one") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
