@@ -73,6 +73,11 @@ object TrainingOps extends OpsModule {
     "txt_gopher" -> ((s, d) =>
       TextOps.gopherRules(docs(s, d)).orderBy("doc_id")),
 
+    // C4 line-grain cleaning rules (Raffel et al. 2020 §2.2) — the
+    // retained-line / lorem-ipsum / brace gate; span dedup is td_segment_dedup
+    "txt_c4" -> ((s, d) =>
+      TextOps.c4Rules(docs(s, d)).orderBy("doc_id")),
+
     "td_repetition" -> ((s, d) =>
       TextOps.repetitionSignals(docs(s, d)).orderBy("doc_id")),
 
@@ -1252,6 +1257,25 @@ object TrainingOps extends OpsModule {
                    AS INT) AS pass_gopher
           FROM r ORDER BY doc_id"""
     },
+
+    "txt_c4" ->
+      """WITH g AS (
+           SELECT doc_id, text, string_split(text, chr(10)) AS lns
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+                  len(lns) AS n_lines,
+                  len(list_filter(lns, l -> regexp_matches(l, '[.!?"]$')
+                        AND len(string_split(l, ' ')) >= 5)) AS n_kept_lines,
+                  CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem_ipsum,
+                  CAST(contains(text, '{') AS INT) AS has_brace
+           FROM g)
+         SELECT doc_id, n_lines, n_kept_lines,
+                round(n_kept_lines / CAST(n_lines AS DOUBLE), 6) AS frac_kept_lines,
+                has_lorem_ipsum, has_brace,
+                CAST(n_kept_lines >= 3 AND has_lorem_ipsum = 0 AND has_brace = 0
+                  AS INT) AS pass_c4
+         FROM r ORDER BY doc_id""",
 
     "td_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

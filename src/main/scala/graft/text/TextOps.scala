@@ -1213,6 +1213,36 @@ object TextOps {
   val GopherReqStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2), the
+    * line-grain companion of [[gopherRules]]'s document-grain gate: a
+    * line is RETAINED when it ends in terminal punctuation and has at
+    * least 5 words; a document passes when it keeps >= 3 retained lines
+    * (the "at least 3 sentences" rule at line grain) and contains
+    * neither "lorem ipsum" nor a curly brace (the placeholder-text and
+    * code filters). The span-dedup half of C4 lives in [[segmentDedup]].
+    *
+    * Like gopherRules: every signal is a narrow per-row expression —
+    * no shuffle, no UDF, scan-speed at 100 TB — and each rule's value is
+    * exposed so curation can audit which rule dropped a document.
+    * Fractions round to 6dp before any threshold. */
+  def c4Rules(docs: DataFrame): DataFrame = {
+    val kept = "size(filter(lns, l -> l RLIKE '[.!?\"]$' AND size(split(l, ' ')) >= 5))"
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), "\n").as("lns"))
+      .withColumn("n_lines", size(col("lns")))
+      .withColumn("n_kept_lines", expr(kept))
+      .withColumn("frac_kept_lines",
+        round(col("n_kept_lines") / col("n_lines").cast("double"), 6))
+      .withColumn("has_lorem_ipsum",
+        lower(col("text")).contains("lorem ipsum").cast("int"))
+      .withColumn("has_brace", col("text").contains("{").cast("int"))
+      .withColumn("pass_c4",
+        (col("n_kept_lines") >= 3 &&
+          col("has_lorem_ipsum") === 0 && col("has_brace") === 0).cast("int"))
+      .select("doc_id", "n_lines", "n_kept_lines", "frac_kept_lines",
+        "has_lorem_ipsum", "has_brace", "pass_c4")
+  }
+
   /** Global segment-level dedup (C4/Dolma span dedup, on disjoint
     * `segTokens`-token windows instead of sentences — the corpus has no
     * sentence boundaries): a segment occurring in more than `maxDf`

@@ -147,6 +147,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     } finally { cells.unpersist(); () }
   }
 
+  test("c4 rules: terminal-punct 5-word lines retained; lorem/brace docs fail") {
+    val df = Seq(
+      (1L, "this is a good long sentence.\nshort one.\nno punct line here at all\n" +
+        "another solid sentence ends here!\na third proper sentence closes now?"),
+      (2L, "Lorem Ipsum dolor sit amet consectetur adipiscing elit sed do."),
+      (3L, "code like { x } breaks the doc even with three proper sentences.")
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Rules(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_kept_lines"), r.getAs[Int]("has_lorem_ipsum"),
+          r.getAs[Int]("has_brace"), r.getAs[Int]("pass_c4"))).toMap
+    assert(out(1L) == ((3, 0, 0, 1))) // exactly the 3 well-formed lines survive
+    assert(out(2L) == ((1, 1, 0, 0))) // placeholder text rejected
+    assert(out(3L) == ((1, 0, 1, 0))) // code-like brace rejected
+  }
+
   test("kmeans train: one iteration is exactly kmeansCells; assignments total and in range") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val k = 8
