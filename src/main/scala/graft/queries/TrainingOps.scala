@@ -618,6 +618,13 @@ object TrainingOps extends OpsModule {
       Embeddings.kmeansTrain(embs(s, d), nCells = KmeansCells,
         iters = KmeansIters).orderBy("vec_id")),
 
+    // per-round convergence telemetry of the same loop: mean assigned-
+    // centroid cosine rises, moved-vector count falls — the signal that
+    // picks the iteration count and schedules index refreshes
+    "emb_kmeans_quality" -> ((s, d) =>
+      Embeddings.kmeansQuality(embs(s, d), nCells = KmeansCells,
+        iters = KmeansIters).orderBy("round")),
+
     "emb_silhouette" -> ((s, d) =>
       Embeddings.silhouette(embs(s, d)).orderBy("cell")),
 
@@ -2234,6 +2241,20 @@ object TrainingOps extends OpsModule {
     "emb_kmeans_train" ->
       s"""WITH ${duckKmeansChain(KmeansCells, KmeansIters)}
           SELECT vec_id, cell FROM a$KmeansIters ORDER BY vec_id""",
+
+    "emb_kmeans_quality" -> {
+      val rows = (1 to KmeansIters).map { r =>
+        s"""SELECT $r AS round,
+                   round(avg(${dCos("eb.emb", "c.cemb")}), 6) AS mean_ccos,
+                   CAST(sum(CASE WHEN a.cell != p.cell THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_moved
+            FROM eb JOIN a$r a USING (vec_id)
+                    JOIN a${r - 1} p USING (vec_id)
+                    JOIN c$r c ON c.cell = a.cell"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH ${duckKmeansChain(KmeansCells, KmeansIters)}
+          SELECT * FROM ($rows) ORDER BY round"""
+    },
 
     "emb_kmeans_step" ->
       s"""WITH $duckCosPrelude, $duckCentroids,

@@ -405,6 +405,44 @@ object Embeddings {
     asg
   }
 
+  /** Convergence telemetry for [[kmeansTrain]] — one row per round r:
+    * the mean cosine of every vector to the centroid it was assigned in
+    * round r (under round r's centroids), and how many vectors changed
+    * cell vs round r−1. Mean cosine rises and movement falls as Lloyd's
+    * converges; this is the signal that picks `iters` (run until
+    * n_moved ~ 0) and the drift monitor that schedules an IVF index
+    * refresh. Each round's metrics are ONE extra |cells|-broadcast
+    * aggregation over the corpus — no window, no driver traffic beyond
+    * the iters-row result. */
+  def kmeansQuality(embeddings: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    var asg = e.select(col("vec_id"),
+      pmod(col("vec_id"), lit(nCells.toLong)).as("cell"))
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to iters) {
+      val cents = centroids(
+        e.join(asg, "vec_id")
+          .select(col("cell").as("label"), col("emb").as("embedding")))
+      val next = e.crossJoin(broadcast(cents))
+        .withColumn("acos", cosine(col("emb"), col("cemb")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cell"))
+        .localCheckpoint()
+      val prev = asg.select(col("vec_id"), col("cell").as("prev_cell"))
+      rounds += next
+        .join(e, "vec_id")
+        .join(broadcast(cents), Seq("cell"))
+        .join(prev, "vec_id")
+        .agg(
+          round(avg(cosine(col("emb"), col("cemb"))), 6).as("mean_ccos"),
+          sum((col("cell") =!= col("prev_cell")).cast("long")).as("n_moved"))
+        .select(lit(r).as("round"), col("mean_ccos"), col("n_moved"))
+      asg = next
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup scoped
     * to k-means cells. Members of each cell are ranked by
     * cosine-to-centroid ascending — the paper keeps the example LEAST

@@ -55,7 +55,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // kmeansCells / kmeansTrain: every vector scores against the k
     // centroids per round — the same bounded-centroid-table broadcast
     // as emb_kmeans_step
-    "emb_semdedup", "emb_kmeans_train")
+    "emb_semdedup", "emb_kmeans_train", "emb_kmeans_quality")
 
   /** Exhaustive baselines: queries that DELIBERATELY materialize a
     * super-linear candidate set, kept as the correctness yardstick for a
