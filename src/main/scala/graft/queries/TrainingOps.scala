@@ -328,6 +328,13 @@ object TrainingOps extends OpsModule {
       Embeddings.hardNegatives(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "neg_rank")),
 
+    // semantic decontamination: corpus vectors flagged by max cosine to
+    // the (broadcast) eval set — catches paraphrased eval leakage that
+    // exact/shingle decontamination misses; threshold shared with oracle
+    "emb_decontaminate" -> ((s, d) =>
+      Embeddings.semanticDecontaminate(embs(s, d), col("vec_id") < 5,
+        threshold = SemDecontThreshold).orderBy("vec_id")),
+
     // embedding-space outlier audit: the 3 members farthest (squared L2)
     // from their own cell centroid — mislabel/noise candidates per cluster
     "emb_outliers" -> ((s, d) => {
@@ -748,6 +755,7 @@ object TrainingOps extends OpsModule {
   private val SemDedupThreshold = 0.4
   private val KmeansCells = 16
   private val KmeansIters = 3
+  private val SemDecontThreshold = 0.4
 
   /** 60-bit md5-derived hash, DuckDB side. */
   private def dHash(x: String) =
@@ -1911,6 +1919,19 @@ object TrainingOps extends OpsModule {
                  CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
           FROM rk r LEFT JOIN dup d ON r.vec_id = d.vec_id
           ORDER BY r.vec_id""",
+
+    "emb_decontaminate" ->
+      s"""WITH $duckCosPrelude
+          SELECT vec_id, cos AS max_eval_cos, query_id AS nearest_eval_id,
+                 CAST(cos >= $SemDecontThreshold AS INT) AS contaminated
+          FROM (
+            SELECT e.vec_id, round(${dCos("q.qemb", "e.emb")}, 6) AS cos,
+                   q.query_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(${dCos("q.qemb", "e.emb")}, 6) DESC,
+                              q.query_id ASC) AS rk
+            FROM e, q WHERE e.vec_id >= 5)
+          WHERE rk = 1 ORDER BY vec_id""",
 
     "emb_knn_brute" ->
       s"""WITH $duckCosPrelude

@@ -497,6 +497,42 @@ object Embeddings {
         coalesce(col("is_dup"), lit(0)).as("is_dup"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * shingle/Bloom text decontamination family: a corpus vector is
+    * contaminated when its cosine to ANY eval-set vector reaches the
+    * threshold (eval items paraphrased or re-embedded evade exact and
+    * n-gram matching; cosine against the eval embedding catches them).
+    * Output is every corpus vector with its max eval cosine and the
+    * matching eval id, flagged rather than dropped so the curation audit
+    * sees WHAT matched before the filter applies.
+    *
+    * Scale shape: the eval set is benchmark-sized (thousands) →
+    * broadcast; the corpus side is one scan through a broadcast
+    * non-equi scoring join (the same bounded-broadcast posture as
+    * [[knnBruteForce]], with the roles reversed: the SMALL side is the
+    * query set, the corpus is never shuffled). At higher eval
+    * cardinality the IVF route applies unchanged — probe the eval set's
+    * cells only. Cosines round to 6dp before the threshold, so boundary
+    * hits resolve identically in any engine. */
+  def semanticDecontaminate(embeddings: DataFrame, evalFilter: Column,
+                            threshold: Double = 0.4): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+    val ev = e.filter(evalFilter)
+      .select(col("vec_id").as("eval_id"), col("emb").as("eemb"),
+        col("vnorm").as("enorm"))
+    val corpus = e.filter(!evalFilter)
+    corpus.join(broadcast(ev), col("vec_id") =!= col("eval_id"))
+      .withColumn("cos",
+        round(cosinePre(col("eemb"), col("emb"), col("enorm"), col("vnorm")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos").as("c"), (-col("eval_id")).as("ni"))).as("m"))
+      .select(col("vec_id"),
+        col("m.c").as("max_eval_cos"),
+        (-col("m.ni")).as("nearest_eval_id"),
+        (col("m.c") >= threshold).cast("int").as("contaminated"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH: component (p, d) is a
     * uniform value in [-1, 1] derived from md5 — reproducible across
     * engines, runs, and partitionings (same property as the text hashes).

@@ -37,6 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_hybrid_rrf",
     // label-mismatch is non-equi by design; broadcast side is the query set
     "emb_hard_negatives",
+    // eval-set scoring join: broadcast side is the benchmark, bounded by
+    // eval cardinality — the corpus is never shuffled
+    "emb_decontaminate",
     // corpus-size N rides the plan as a ONE-ROW broadcast aggregate (the
     // alternative was a separate driver-side count()/first() job over the
     // corpus); a 1-row build side makes the nested loop a map-side
