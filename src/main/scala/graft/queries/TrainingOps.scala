@@ -68,6 +68,13 @@ object TrainingOps extends OpsModule {
     "td_minhash_sig" -> ((s, d) =>
       TextOps.minhashSignatures(docs(s, d)).orderBy("doc_id")),
 
+    // length-bucketed batch assembly: similar-length docs dealt into
+    // fixed-size batches in a salted deterministic order — the padding-
+    // efficiency counterpart of td_pack; sub-bucket = the skew knob
+    "td_length_buckets" -> ((s, d) =>
+      TextOps.lengthBuckets(docs(s, d), bucketWidth = LbWidth,
+        batchSize = LbBatch, subBuckets = LbSub).orderBy("doc_id")),
+
     // the named Gopher rule gate (Rae et al. 2021 A.1.1), each rule's
     // signal exposed for curation audit; per-symbol 0.1 thresholds
     "txt_gopher" -> ((s, d) =>
@@ -756,6 +763,9 @@ object TrainingOps extends OpsModule {
   private val KmeansCells = 16
   private val KmeansIters = 3
   private val SemDecontThreshold = 0.4
+  private val LbWidth = 64
+  private val LbBatch = 8
+  private val LbSub = 4
 
   /** 60-bit md5-derived hash, DuckDB side. */
   private def dHash(x: String) =
@@ -1237,6 +1247,21 @@ object TrainingOps extends OpsModule {
                      '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
                    '${TextOps.PhonePattern}', '<PHONE>', 'g') AS scrubbed
           FROM documents ORDER BY doc_id""",
+
+    "td_length_buckets" ->
+      s"""WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents),
+          k AS (
+            SELECT doc_id, n_tokens,
+                   n_tokens // $LbWidth AS bucket,
+                   ${dHash("concat('lb:', doc_id)")} % $LbSub AS sub_bucket,
+                   ${dHash("concat('lbo:', doc_id)")} AS sk
+            FROM t)
+          SELECT doc_id, n_tokens, bucket, sub_bucket,
+                 CAST((row_number() OVER (PARTITION BY bucket, sub_bucket
+                        ORDER BY sk, doc_id) - 1) // $LbBatch AS BIGINT) AS batch_id
+          FROM k ORDER BY doc_id""",
 
     "txt_gopher" -> {
       val reqList = TextOps.GopherReqStopwords.map(s => s"'$s'").mkString(", ")

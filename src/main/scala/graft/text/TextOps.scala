@@ -640,6 +640,39 @@ object TextOps {
           .as("chunk_tokens"))
   }
 
+  /** Length-bucketed batch assembly — the padding-efficiency counterpart
+    * of [[packSequences]]: instead of concatenating the stream, group
+    * documents of SIMILAR length (bucket = n_tokens div bucketWidth) and
+    * deal each bucket into fixed-size batches in a deterministic salted
+    * order, so a batch pads only to its own bucket's ceiling. The
+    * standard trade vs packing: no cross-document attention leakage, at
+    * the cost of intra-bucket padding.
+    *
+    * Scale shape: the batch-numbering window partitions by
+    * (bucket, sub_bucket) where the sub-bucket is a salted hash split —
+    * real corpora concentrate mass in few length buckets, so the
+    * sub-bucket count is the skew knob that keeps every window's
+    * partition bounded (batches never span sub-buckets, so semantics
+    * survive any subBuckets choice; at 100 TB set it so
+    * corpus/(buckets·subBuckets) fits an executor). Order inside a
+    * sub-bucket is a salted md5 of doc_id — a reproducible training-order
+    * shuffle, append-stable like every sampling op here. */
+  def lengthBuckets(docs: DataFrame, bucketWidth: Int = 64,
+                    batchSize: Int = 8, subBuckets: Int = 4): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && subBuckets > 0)
+    val t = tokenized(docs)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .withColumn("bucket", expr(s"CAST(n_tokens AS LONG) div $bucketWidth"))
+      .withColumn("sub_bucket",
+        pmod(md5Long(concat(lit("lb:"), col("doc_id"))), lit(subBuckets.toLong)))
+      .withColumn("shuffle_key", md5Long(concat(lit("lbo:"), col("doc_id"))))
+    val w = Window.partitionBy("bucket", "sub_bucket")
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    t.withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"CAST(rn - 1 AS LONG) div $batchSize"))
+      .select("doc_id", "n_tokens", "bucket", "sub_bucket", "batch_id")
+  }
+
   /** Sequence packing (GPT-style concat-and-slice): treat the corpus as
     * one token stream in doc_id order, slice it into `budget`-token
     * context windows, and report where each document lands — pack_id and

@@ -147,6 +147,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     } finally { cells.unpersist(); () }
   }
 
+  test("length buckets: batches bounded by batchSize, all-but-last full per sub-bucket") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextOps.lengthBuckets(docs, bucketWidth = 64, batchSize = 8,
+      subBuckets = 4)
+    assert(out.count() == docs.count()) // total assignment
+    val sizes = out.groupBy("bucket", "sub_bucket", "batch_id")
+      .count().collect()
+    assert(sizes.forall(_.getLong(3) <= 8), "a batch exceeded batchSize")
+    // within each (bucket, sub_bucket), only the highest batch_id may be short
+    val short = out.groupBy("bucket", "sub_bucket")
+      .agg(max("batch_id").as("last"), count(lit(1)).as("n")).collect()
+    short.foreach { r =>
+      val full = sizes.filter(s => s.getLong(0) == r.getLong(0) &&
+        s.getLong(1) == r.getLong(1) && s.getLong(2) < r.getLong(2))
+      assert(full.forall(_.getLong(3) == 8), "a non-final batch was short")
+    }
+  }
+
   test("c4 rules: terminal-punct 5-word lines retained; lorem/brace docs fail") {
     val df = Seq(
       (1L, "this is a good long sentence.\nshort one.\nno punct line here at all\n" +
