@@ -98,6 +98,12 @@ object TrainingOps extends OpsModule {
       docs(s, d).select(col("doc_id"), TextOps.assignSplit().as("split"))
         .orderBy("doc_id")),
 
+    // held-out LM eval: train-split unigram LM scores the val split with
+    // OOV smoothing — generalization, not memorization; n_oov is the
+    // drift signal between corpus versions
+    "td_lm_holdout" -> ((s, d) =>
+      TextOps.lmHoldout(docs(s, d)).orderBy("doc_id")),
+
     // one BPE training iteration: adjacent-symbol pair counts, the inner
     // loop of tokenizer training. The BPE trick is ORDER of operations:
     // aggregate the corpus to its word-frequency table FIRST (one shuffle,
@@ -1112,6 +1118,27 @@ object TrainingOps extends OpsModule {
                 FROM feats JOIN w$LogregIters USING (bucket) GROUP BY doc_id) s
           JOIN lab USING (doc_id)
           ORDER BY s.doc_id""",
+
+    "td_lm_holdout" ->
+      s"""WITH sp AS (
+            SELECT doc_id, text,
+                   CASE WHEN ${dHash("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90
+                        THEN 'train'
+                        WHEN ${dHash("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 95
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents),
+          tt AS (SELECT unnest(string_split(text, ' ')) AS term
+                 FROM sp WHERE split = 'train'),
+          tf AS (SELECT term, count(*) AS cnt FROM tt GROUP BY term),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS corpus_tokens FROM tt),
+          vt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM sp WHERE split = 'val')
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                 round(avg(log2(coalesce(CAST(cnt AS DOUBLE), 0.5) / corpus_tokens)), 6)
+                   AS avg_log2p
+          FROM vt LEFT JOIN tf USING (term), tot
+          GROUP BY doc_id ORDER BY doc_id""",
 
     "td_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -1122,6 +1122,38 @@ object TextOps {
       .otherwise("test")
   }
 
+  /** Held-out LM evaluation — [[unigramLogProb]] under the train/val
+    * discipline [[assignSplit]] provides: the unigram distribution is
+    * estimated from the TRAIN split only and scores the VAL split, so the
+    * metric measures generalization, not memorization (scoring the
+    * training distribution on itself — what td_unigram_logprob
+    * demonstrates — inflates log-probs exactly like eval contamination
+    * does). Out-of-vocabulary terms get `oovMass` pseudo-count smoothing
+    * and are counted per doc: rising n_oov is the drift/contamination
+    * signal between corpus versions.
+    *
+    * Scale shape: identical to unigramLogProb — the train vocabulary is
+    * a vocabulary-sized aggregate (size-gated broadcast in the join);
+    * the corpus-total rides as a 1-row aggregate; the val side is one
+    * scan. */
+  def lmHoldout(docs: DataFrame, oovMass: Double = 0.5): DataFrame = {
+    val sp = docs.withColumn("split", assignSplit())
+    val trainToks = tokenized(sp.filter(col("split") === "train"))
+      .select(explode(col("toks")).as("term"))
+    val vocab = trainToks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = trainToks.agg(count(lit(1)).cast("double").as("corpus_tokens"))
+    tokenized(sp.filter(col("split") === "val"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(graft.ops.AutoBroadcast.sizeGate(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", log2(coalesce(col("cnt").cast("double"), lit(oovMass))
+        / col("corpus_tokens")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt").isNull.cast("long")).as("n_oov"),
+        round(avg("lp"), 6).as("avg_log2p"))
+  }
+
   /** All k-grams WITH multiplicity (unlike [[shingles]], which dedups) —
     * repetition measurement needs the duplicates. */
   private def rawGrams(toks: Column, k: Int): Column = {

@@ -55,6 +55,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row broadcast totals: sum_pow/sum_tokens, the bigram type count,
     // and the two distribution totals — same literal-attach shape
     "td_temperature_mix", "td_kneser_ney", "td_dsir",
+    // 1-row corpus-total attach, same shape as td_unigram_logprob
+    "td_lm_holdout",
     // kmeansCells / kmeansTrain: every vector scores against the k
     // centroids per round — the same bounded-centroid-table broadcast
     // as emb_kmeans_step
