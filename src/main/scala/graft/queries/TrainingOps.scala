@@ -75,6 +75,12 @@ object TrainingOps extends OpsModule {
       TextOps.lengthBuckets(docs(s, d), bucketWidth = LbWidth,
         batchSize = LbBatch, subBuckets = LbSub).orderBy("doc_id")),
 
+    // quantified padding economics: length-bucketed vs naive batching on
+    // the same salted deal — the measured claim that bucketing pays
+    "td_pad_waste" -> ((s, d) =>
+      TextOps.paddingWaste(docs(s, d), bucketWidth = LbWidth,
+        batchSize = LbBatch, subBuckets = LbSub).orderBy("strategy")),
+
     // the named Gopher rule gate (Rae et al. 2021 A.1.1), each rule's
     // signal exposed for curation audit; per-symbol 0.1 thresholds
     "txt_gopher" -> ((s, d) =>
@@ -1289,6 +1295,35 @@ object TrainingOps extends OpsModule {
                  CAST((row_number() OVER (PARTITION BY bucket, sub_bucket
                         ORDER BY sk, doc_id) - 1) // $LbBatch AS BIGINT) AS batch_id
           FROM k ORDER BY doc_id""",
+
+    "td_pad_waste" -> {
+      def wasteSql(width: String, strategy: String) =
+        s"""SELECT '$strategy' AS strategy,
+                   count(*) AS n_batches,
+                   round(1.0 - CAST(sum(toks) AS DOUBLE)
+                         / CAST(sum(cap * n) AS DOUBLE), 6) AS padding_frac
+            FROM (
+              SELECT bucket, sub_bucket, batch_id, max(n_tokens) AS cap,
+                     count(*) AS n, sum(n_tokens) AS toks
+              FROM (
+                SELECT doc_id, n_tokens, bucket, sub_bucket,
+                       (row_number() OVER (PARTITION BY bucket, sub_bucket
+                          ORDER BY sk, doc_id) - 1) // $LbBatch AS batch_id
+                FROM (SELECT doc_id, n_tokens,
+                             n_tokens // $width AS bucket,
+                             ${dHash("concat('lb:', doc_id)")} % $LbSub AS sub_bucket,
+                             ${dHash("concat('lbo:', doc_id)")} AS sk
+                      FROM t))
+              GROUP BY bucket, sub_bucket, batch_id)"""
+      s"""WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents)
+          SELECT * FROM (
+            ${wasteSql(LbWidth.toString, "length_bucketed")}
+            UNION ALL
+            ${wasteSql(Int.MaxValue.toString, "naive")})
+          ORDER BY strategy"""
+    },
 
     "txt_gopher" -> {
       val reqList = TextOps.GopherReqStopwords.map(s => s"'$s'").mkString(", ")

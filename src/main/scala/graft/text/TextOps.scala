@@ -673,6 +673,36 @@ object TextOps {
       .select("doc_id", "n_tokens", "bucket", "sub_bucket", "batch_id")
   }
 
+  /** Padding-waste comparison: the measure-don't-guess companion of
+    * [[lengthBuckets]]. A padded batch costs `batchMax × batchSize`
+    * token slots; waste is the slots not covered by real tokens. Compares
+    * the length-bucketed deal against a NAIVE baseline that batches the
+    * same salted order without length grouping (same sub-bucket hash
+    * split, so both sides carry identical window bounds) — the output is
+    * the quantified claim that bucketing pays: same batch count, lower
+    * padding fraction. One aggregation per strategy over the same narrow
+    * assignment frames; two rows out. */
+  def paddingWaste(docs: DataFrame, bucketWidth: Int = 64,
+                   batchSize: Int = 8, subBuckets: Int = 4): DataFrame = {
+    def waste(assigned: DataFrame, strategy: String): DataFrame =
+      assigned
+        .groupBy("bucket", "sub_bucket", "batch_id")
+        .agg(max("n_tokens").as("cap"), count(lit(1)).as("n"),
+          sum("n_tokens").as("toks"))
+        .agg(count(lit(1)).as("n_batches"),
+          round(lit(1.0) - sum(col("toks")).cast("double") /
+            sum(col("cap") * col("n")), 6).as("padding_frac"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("padding_frac"))
+    val bucketed = lengthBuckets(docs, bucketWidth, batchSize, subBuckets)
+    // naive: identical deal, but every doc lands in one length bucket —
+    // batches mix lengths and pad to the batch max
+    val naive = lengthBuckets(docs, bucketWidth = Int.MaxValue,
+      batchSize = batchSize, subBuckets = subBuckets)
+    waste(bucketed, "length_bucketed")
+      .unionByName(waste(naive, "naive"))
+  }
+
   /** Sequence packing (GPT-style concat-and-slice): treat the corpus as
     * one token stream in doc_id order, slice it into `budget`-token
     * context windows, and report where each document lands — pack_id and
