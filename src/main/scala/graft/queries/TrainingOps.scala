@@ -717,6 +717,25 @@ object TrainingOps extends OpsModule {
         .orderBy("query_id")
     }),
 
+    // the IVF recall/latency DIAL as data: micro-averaged recall@5 per
+    // nprobe — the curve an operator reads before picking the knob
+    // (scanned fraction ≈ nprobe/|cells| buys the recall shown)
+    "emb_recall_curve" -> ((s, d) => {
+      val qf = col("vec_id") < 5
+      val brute = Embeddings.knnBruteForce(embs(s, d), qf, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      RecallNprobes.map { np =>
+        val ivf = Embeddings.ivfSearch(embs(s, d), qf, k = 5, nprobe = np)
+          .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+        brute.join(ivf,
+            col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+            "left")
+          .agg(round(sum(when(col("n2").isNotNull, 1).otherwise(0)) /
+            count(lit(1)).cast("double"), 6).as("mean_recall_at_5"))
+          .select(lit(np).as("nprobe"), col("mean_recall_at_5"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
+
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy("doc_id")),
@@ -778,6 +797,7 @@ object TrainingOps extends OpsModule {
   private val LbWidth = 64
   private val LbBatch = 8
   private val LbSub = 4
+  private val RecallNprobes = Seq(1, 2, 4)
 
   /** 60-bit md5-derived hash, DuckDB side. */
   private def dHash(x: String) =
@@ -2274,6 +2294,41 @@ object TrainingOps extends OpsModule {
           FROM brute b LEFT JOIN mrl m
             ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
           GROUP BY b.query_id ORDER BY b.query_id""",
+
+    "emb_recall_curve" -> {
+      val blocks = RecallNprobes.map { np =>
+        s"""probe$np AS (
+            SELECT query_id, qemb, cell AS probe_cell FROM (
+              SELECT q.query_id, q.qemb, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${dCos("q.qemb", "c.cemb")} DESC, c.cell ASC) AS pr
+              FROM q, cent c) WHERE pr <= $np),
+          ivf$np AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT p.query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY ${dCos("p.qemb", "e.emb")} DESC, e.vec_id ASC) AS rk
+              FROM probe$np p JOIN e ON e.cell = p.probe_cell
+                                    AND e.vec_id != p.query_id) WHERE rk <= 5)"""
+      }.mkString(",\n")
+      val rows = RecallNprobes.map { np =>
+        s"""SELECT $np AS nprobe,
+                   round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS mean_recall_at_5
+            FROM brute b LEFT JOIN ivf$np i
+              ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH $duckCosPrelude, $duckCentroids,
+          brute AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC) AS rk
+              FROM q, e WHERE e.vec_id != q.query_id) WHERE rk <= 5),
+          $blocks
+          SELECT * FROM ($rows) ORDER BY nprobe"""
+    },
 
     "emb_ann_recall" ->
       s"""WITH $duckCosPrelude, $duckCentroids,

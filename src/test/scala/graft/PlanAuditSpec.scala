@@ -32,7 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_silhouette",
     // composes knnBruteForce + ivfSearch, so it inherits their intentional
     // broadcast-query-set scoring joins
-    "emb_ann_recall",
+    "emb_ann_recall", "emb_recall_curve",
     // the vector leg is knnBruteForce — same bounded broadcast query set
     "emb_hybrid_rrf",
     // label-mismatch is non-equi by design; broadcast side is the query set
