@@ -227,6 +227,24 @@ object TrainingOps extends OpsModule {
         .orderBy("doc_id")
     }),
 
+    // contamination OBSERVABILITY: the per-source rollup of graded
+    // overlap — which corpus slice leaks benchmark content, at what rate
+    // and how badly; the report a curation run publishes alongside drops
+    "td_contamination_report" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.contaminationFraction(
+          all.filter(col("doc_id") % 97 =!= 0),
+          all.filter(col("doc_id") % 97 === 0), k = 3)
+        .join(all.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("overlap_frac") >= ContamReportThreshold).cast("long"))
+            .as("n_contaminated"),
+          round(avg("overlap_frac"), 6).as("mean_overlap"),
+          round(max("overlap_frac"), 6).as("max_overlap"))
+        .orderBy("source")
+    }),
+
     // DSIR importance weights: log-ratio of hashed-unigram likelihoods,
     // target = the benchmark slice, raw = the rest of the corpus
     "td_dsir" -> ((s, d) => {
@@ -798,6 +816,7 @@ object TrainingOps extends OpsModule {
   private val LbBatch = 8
   private val LbSub = 4
   private val RecallNprobes = Seq(1, 2, 4)
+  private val ContamReportThreshold = 0.1
 
   /** 60-bit md5-derived hash, DuckDB side. */
   private def dHash(x: String) =
@@ -1449,6 +1468,24 @@ object TrainingOps extends OpsModule {
           FROM sh s LEFT JOIN bench b USING (shingle)
           WHERE s.doc_id % 97 != 0
           GROUP BY s.doc_id ORDER BY doc_id""",
+
+    "td_contamination_report" ->
+      s"""WITH $duckShingles,
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+          frac AS (
+            SELECT s.doc_id,
+                   round(CAST(coalesce(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 END), 0)
+                        AS DOUBLE) / count(*), 6) AS overlap_frac
+            FROM sh s LEFT JOIN bench b USING (shingle)
+            WHERE s.doc_id % 97 != 0
+            GROUP BY s.doc_id)
+          SELECT d.source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN overlap_frac >= $ContamReportThreshold
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+                 round(avg(overlap_frac), 6) AS mean_overlap,
+                 round(max(overlap_frac), 6) AS max_overlap
+          FROM frac JOIN documents d USING (doc_id)
+          GROUP BY d.source ORDER BY d.source""",
 
     "td_dsir" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
