@@ -795,7 +795,53 @@ object TrainingOps extends OpsModule {
       val merges = TextOps.bpeTrain(dd, nMerges = BpeMerges).orderBy("merge_rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeEncode(dd, merges).orderBy("doc_id")
-    })
+    }),
+
+    // tokenizer-fit economics: chars-per-piece by source under the
+    // TRAINED merge table — the measured answer to "which slice does this
+    // tokenizer compress badly" (a poorly-fit source pays more context
+    // window per character). Composes bpeTrain + bpeEncode; the oracle
+    // extends the unrolled training chain with the per-source rollup.
+    "td_bpe_compression" -> ((s, d) => {
+      val dd = docs(s, d)
+      val merges = TextOps.bpeTrain(dd, nMerges = BpeMerges).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = TextOps.bpeEncode(dd, merges).select("doc_id", "n_pieces")
+      dd.select("doc_id", "source", "n_chars").join(enc, "doc_id")
+        .groupBy("source").agg(
+          sum("n_chars").as("total_chars"),
+          sum("n_pieces").as("total_pieces"),
+          round(sum(col("n_chars")).cast("double") /
+            sum(col("n_pieces")).cast("double"), 6).as("chars_per_piece"))
+        .orderBy("source")
+    }),
+
+    // per-source k-gram diversity — the templated-source detector that
+    // feeds mixture reweighting; oracle pins k = NgramK
+    "td_ngram_diversity" -> ((s, d) =>
+      TextOps.ngramDiversity(docs(s, d), k = NgramK).orderBy("source")),
+
+    // keep-rate curve over candidate length gates in ONE corpus scan
+    // (conditional sums + stack — no per-threshold pass)
+    "td_quality_sweep" -> ((s, d) =>
+      TextOps.qualitySweep(docs(s, d), SweepThresholds).orderBy("min_tokens")),
+
+    // feature-hashed (hashing-trick) document vectors: the stateless,
+    // vocabulary-free embedder — l2-normalized, 6dp-rounded, sparse form
+    "td_doc_embed" -> ((s, d) =>
+      TextOps.hashedTf(docs(s, d), dims = HashDims).orderBy("doc_id", "dim")),
+
+    // ANN over the hashed vectors, blocked by the dominant hashed
+    // dimension (single-band LSH over the vector itself) — text-side
+    // similarity search with no external embedder
+    "td_doc_embed_knn" -> ((s, d) =>
+      TextOps.hashedKnn(docs(s, d), dims = HashDims, k = HashKnnK)
+        .orderBy("doc_id_a", "rk")),
+
+    // within-cell cosine histogram: the threshold-picking distribution
+    // diagnostic — |bins| output rows from cell-blocked pair work
+    "emb_sim_histogram" -> ((s, d) =>
+      Embeddings.cosineHistogram(embs(s, d)).orderBy("bin"))
   )
 
   // ---- DuckDB oracle building blocks ----
@@ -817,10 +863,30 @@ object TrainingOps extends OpsModule {
   private val LbSub = 4
   private val RecallNprobes = Seq(1, 2, 4)
   private val ContamReportThreshold = 0.1
+  private val NgramK = 3
+  private val SweepThresholds = Seq(20, 40, 60, 80, 120)
+  private val HashDims = 16
+  private val HashKnnK = 3
 
   /** 60-bit md5-derived hash, DuckDB side. */
   private def dHash(x: String) =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Sparse l2-normalized feature-hashed doc vectors, DuckDB side — the
+    * oracle twin of [[graft.text.TextOps.hashedTf]] (CTE `sp`:
+    * doc_id, source, dim, val). */
+  private def duckHashedSparse: String =
+    s"""dm AS (
+         SELECT doc_id, source,
+                ${dHash("concat('dim:', term)")} % $HashDims AS dim,
+                CAST(count(*) AS DOUBLE) AS w
+         FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+               FROM documents)
+         GROUP BY doc_id, source, dim),
+       nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM dm GROUP BY doc_id),
+       sp AS (SELECT dm.doc_id, dm.source, CAST(dim AS INT) AS dim,
+                     round(w / nrm, 6) AS val
+              FROM dm JOIN nm USING (doc_id))"""
 
   /** Unrolled-CTE BPE training chain, DuckDB side. The vocabulary state
     * is a wrapped-symbol STRING — every symbol enclosed in chr(1)/chr(2)
@@ -2537,6 +2603,94 @@ object TrainingOps extends OpsModule {
          FROM (SELECT doc_id, text,
                       unnest(generate_series(0, CAST(n_chars % 7 AS INT))) AS frame_idx
                FROM documents)
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+
+    "td_bpe_compression" ->
+      s"""WITH ${duckBpeChain(BpeMerges)},
+          enc AS (
+            SELECT replace(replace(s, chr(1), ''), chr(2), '') AS word,
+                   len(string_split(substring(s, 2, length(s) - 2), chr(2)||chr(1))) AS np
+            FROM w$BpeMerges),
+          toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          per_doc AS (SELECT doc_id, sum(np) AS n_pieces
+                      FROM toks JOIN enc USING (word) GROUP BY doc_id)
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+                 round(sum(n_chars) / CAST(sum(n_pieces) AS DOUBLE), 6) AS chars_per_piece
+          FROM documents JOIN per_doc USING (doc_id)
+          GROUP BY source ORDER BY source""",
+
+    "td_ngram_diversity" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+          inst AS (SELECT source, sum(greatest(len(toks) - ${NgramK - 1}, 0)) AS n_instances
+                   FROM t GROUP BY source),
+          tri AS (SELECT source, count(DISTINCT sh) AS n_distinct FROM (
+                    SELECT source, array_to_string(toks[i:i+${NgramK - 1}], ' ') AS sh
+                    FROM (SELECT source, toks,
+                                 unnest(generate_series(1, len(toks) - ${NgramK - 1})) AS i
+                          FROM t))
+                  GROUP BY source)
+          SELECT i.source, CAST(i.n_instances AS BIGINT) AS n_instances,
+                 CAST(coalesce(tr.n_distinct, 0) AS BIGINT) AS n_distinct,
+                 CASE WHEN i.n_instances > 0
+                      THEN round(coalesce(tr.n_distinct, 0) /
+                                 CAST(i.n_instances AS DOUBLE), 6) END AS diversity
+          FROM inst i LEFT JOIN tri tr USING (source) ORDER BY source""",
+
+    "td_quality_sweep" ->
+      s"""WITH t AS (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS total,
+                         CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM t),
+          th AS (SELECT unnest([${SweepThresholds.mkString(", ")}]) AS min_tokens)
+          SELECT CAST(min_tokens AS INT) AS min_tokens,
+                 CAST(sum(CASE WHEN n_tokens >= min_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 round(sum(CASE WHEN n_tokens >= min_tokens THEN 1 ELSE 0 END) /
+                       max(tot.total), 6) AS keep_rate,
+                 CAST(sum(CASE WHEN n_tokens >= min_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+                 round(sum(CASE WHEN n_tokens >= min_tokens THEN n_tokens ELSE 0 END) /
+                       max(tot.total_tokens), 6) AS token_keep_rate
+          FROM t CROSS JOIN th CROSS JOIN tot
+          GROUP BY min_tokens ORDER BY min_tokens""",
+
+    "td_doc_embed" ->
+      s"""WITH $duckHashedSparse
+          SELECT doc_id, source, dim, val FROM sp ORDER BY doc_id, dim""",
+
+    "td_doc_embed_knn" ->
+      s"""WITH $duckHashedSparse,
+          dims AS (SELECT unnest(generate_series(0, ${HashDims - 1})) AS dim),
+          ids AS (SELECT DISTINCT doc_id FROM sp),
+          dn AS (SELECT i.doc_id, list(coalesce(s.val, 0.0) ORDER BY d.dim) AS vec
+                 FROM ids i CROSS JOIN dims d
+                 LEFT JOIN sp s ON s.doc_id = i.doc_id AND s.dim = d.dim
+                 GROUP BY i.doc_id),
+          blk AS (SELECT doc_id, CAST(idx - 1 AS INT) AS block FROM (
+                    SELECT doc_id, idx,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY v DESC, idx ASC) AS rk
+                    FROM (SELECT doc_id, generate_subscripts(vec, 1) AS idx,
+                                 unnest(vec) AS v FROM dn))
+                  WHERE rk = 1),
+          vb AS (SELECT dn.doc_id, b.block, dn.vec FROM dn JOIN blk b USING (doc_id)),
+          pr AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                        round(list_dot_product(a.vec, b.vec), 6) AS cosine
+                 FROM vb a JOIN vb b ON a.block = b.block AND a.doc_id <> b.doc_id),
+          rnk AS (SELECT doc_id_a, doc_id_b, cosine,
+                         row_number() OVER (PARTITION BY doc_id_a
+                           ORDER BY cosine DESC, doc_id_b ASC) AS rk
+                  FROM pr)
+          SELECT doc_id_a, doc_id_b, cosine, CAST(rk AS INT) AS rk
+          FROM rnk WHERE rk <= $HashKnnK ORDER BY doc_id_a, rk""",
+
+    "emb_sim_histogram" ->
+      s"""WITH e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
+                     FROM embeddings),
+          pr AS (SELECT floor(round(${dCos("a.emb", "b.emb")}, 6) * 10) AS bin
+                 FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          bn AS (SELECT CAST(bin AS INT) AS bin, count(*) AS n_pairs FROM pr GROUP BY bin),
+          tot AS (SELECT CAST(sum(n_pairs) AS DOUBLE) AS total FROM bn)
+          SELECT bin, round(bin / 10.0, 1) AS bin_lo, CAST(n_pairs AS BIGINT) AS n_pairs,
+                 round(n_pairs / total, 6) AS frac
+          FROM bn CROSS JOIN tot ORDER BY bin"""
   )
 }

@@ -348,6 +348,38 @@ object Embeddings {
       .select("cell", "vec_id_a", "vec_id_b", "cosine")
   }
 
+  /** Within-cell pairwise-cosine HISTOGRAM — the distribution diagnostic
+    * that picks near-dup / SemDeDup thresholds from measured data instead
+    * of folklore (run it before committing a threshold; the near-dup mass
+    * is the right-tail bump). Pair generation is the same cell-blocked
+    * Σ|cell|² join as [[cosineNearDup]] (cell count is the scale knob; at
+    * 100 TB the cells come from [[kmeansCells]] so k grows ∝ N), but the
+    * OUTPUT is |bins|-sized, so this is the cheap way to look at pair
+    * structure without materializing a pair list. bin = floor(cosine·10)
+    * over the 6dp-rounded cosine, so boundary pairs land in the same bin
+    * in any engine; fractions attach via a 1-row broadcast total. */
+  def cosineHistogram(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("label").as("cell"), col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+    val a = e.select(col("cell"), col("vec_id").as("va"),
+      col("emb").as("ea"), col("vnorm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("vb"),
+      col("emb").as("eb"), col("vnorm").as("nb"))
+    val binned = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cosine",
+        round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 6))
+      .withColumn("bin", floor(col("cosine") * 10).cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val tot = binned.agg(sum("n_pairs").as("total"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), round(col("bin") / 10.0, 1).as("bin_lo"),
+        col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("total").cast("double"), 6)
+          .as("frac"))
+  }
+
   /** Deterministic k-means cell derivation with a CONFIGURABLE cell
     * count — the scale mechanism [[semDedup]] needs. Within-cell pair
     * work is Σ|cell|², so at 100 TB the cell count must grow ∝ N; a cell

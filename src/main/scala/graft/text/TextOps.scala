@@ -1538,4 +1538,126 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum("log2_ratio"), 6).as("log2_weight"))
   }
+
+  /** Per-source k-gram diversity: distinct k-grams / total k-gram
+    * instances — the corpus-slice complement of [[repetitionSignals]]'
+    * per-doc view. A low-diversity source is templated/boilerplate-heavy
+    * and is the first candidate for down-weighting in the mixture
+    * ([[budgetSample]] / temperature mix consume exactly this signal).
+    *
+    * Shapes: the instance count is a narrow per-row expression aggregated
+    * by source; the distinct side shuffles (source, shingle) once for the
+    * exact count. At 100 TB swap the exact count-distinct for
+    * `approx_count_distinct` (the q20_approx_distinct HLL path) — the
+    * ratio is a diagnostic, not a training artifact, so 2% rsd is fine;
+    * the exact form here is what the oracle can hash-check. */
+  def ngramDiversity(docs: DataFrame, k: Int = 3): DataFrame = {
+    val t = tokenized(docs)
+    val inst = t.groupBy("source")
+      .agg(sum(greatest(size(col("toks")) - (k - 1), lit(0)).cast("long"))
+        .as("n_instances"))
+    val dist = t.select(col("source"), explode(shingles(col("toks"), k)).as("sh"))
+      .groupBy("source").agg(countDistinct("sh").as("n_distinct"))
+    inst.join(dist, Seq("source"), "left")
+      .select(col("source"), col("n_instances"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("diversity",
+        when(col("n_instances") > 0,
+          round(col("n_distinct").cast("double") /
+            col("n_instances").cast("double"), 6)))
+      .select("source", "n_instances", "n_distinct", "diversity")
+  }
+
+  /** Keep-rate curve over a sweep of minimum-token thresholds — the
+    * curation dial: what fraction of documents (and of the token budget)
+    * survives each candidate length gate, BEFORE committing the corpus to
+    * one. ONE scan: every threshold's counters are conditional sums in a
+    * single aggregation (no per-threshold pass, no row explosion), and
+    * the 1-row wide result unpivots via `stack` — at 100 TB the sweep
+    * costs exactly one corpus read no matter how many thresholds it
+    * tries. */
+  def qualitySweep(docs: DataFrame,
+                   thresholds: Seq[Int] = Seq(20, 40, 60, 80, 120)): DataFrame = {
+    val t = docs.select(size(tokens(col("text"))).as("n_tokens"))
+    val aggs = thresholds.flatMap { th =>
+      Seq(sum((col("n_tokens") >= th).cast("long")).as(s"kept_$th"),
+        sum(when(col("n_tokens") >= th, col("n_tokens").cast("long"))
+          .otherwise(0L)).as(s"tok_$th"))
+    } ++ Seq(count(lit(1)).as("total"), sum(col("n_tokens").cast("long")).as("total_tokens"))
+    val row = t.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds.map(th => s"$th, kept_$th, tok_$th").mkString(", ")
+    row.selectExpr(
+      s"stack(${thresholds.size}, $stackArgs) AS (min_tokens, n_kept, tokens_kept)",
+      "total", "total_tokens")
+      .select(col("min_tokens"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("total").cast("double"), 6)
+          .as("keep_rate"),
+        col("tokens_kept"),
+        round(col("tokens_kept").cast("double") /
+          col("total_tokens").cast("double"), 6).as("token_keep_rate"))
+  }
+
+  /** Feature-hashed (hashing-trick) sparse document vectors: every token
+    * hashes to one of `dims` buckets via the shared md5 primitive, bucket
+    * weights are term counts, and vectors are l2-normalized then rounded
+    * to 6dp. The HashingTF shape without MLlib: no vocabulary table and
+    * no fit pass, so the transform is stateless and identical on every
+    * executor — what makes it usable as a deterministic embedder at
+    * 100 TB (and lets the DuckDB oracle re-derive every value). Long
+    * (doc_id, dim, val) form; only non-zero dims are emitted. The l2 norm
+    * sums integer-valued squares, so the fold is exact in double and
+    * partitioning-invariant. */
+  def hashedTf(docs: DataFrame, dims: Int = 16): DataFrame = {
+    val dw = tokenized(docs)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("source"),
+        pmod(md5Long(concat(lit("dim:"), col("term"))), lit(dims.toLong)).as("dim"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val nrm = dw.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    dw.join(nrm, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("dim").cast("int").as("dim"),
+        round(col("w") / col("nrm"), 6).as("val"))
+  }
+
+  /** Dense array form of [[hashedTf]]: element d = the normalized weight
+    * of bucket d (0.0 where the doc has no token in d). Built as `dims`
+    * conditional sums in ONE map-side-combinable aggregation — each sum
+    * has at most one non-zero contribution (dims are unique per doc), so
+    * the fold is exact and partitioning-invariant, and no second shuffle
+    * or pivot pass is needed. */
+  def hashedDocVectors(docs: DataFrame, dims: Int = 16): DataFrame =
+    hashedTf(docs, dims).groupBy("doc_id", "source")
+      .agg(array((0 until dims).map(d =>
+        sum(when(col("dim") === d, col("val")).otherwise(0.0))): _*).as("vec"))
+
+  /** Approximate nearest neighbors over the hashed vectors: candidate
+    * pairs are blocked by each document's DOMINANT hashed dimension (its
+    * argmax bucket — an LSH-style band key derived from the vector
+    * itself), so pair work is Σ|block|² with `dims` as the scale knob,
+    * never corpus². Two near-identical documents share their heaviest
+    * feature bucket with high probability, which is exactly the
+    * single-band sign-LSH argument. Cosine is the fixed-order `vec_dot`
+    * fold over the dense arrays (unit vectors → dot = cosine), rounded
+    * to 6dp BEFORE ranking; ties break on the neighbor id. Both
+    * directions of each pair compete, so every document ranks its own
+    * neighbor list. */
+  def hashedKnn(docs: DataFrame, dims: Int = 16, k: Int = 3): DataFrame = {
+    val v = hashedDocVectors(docs, dims)
+      // first index of the max element, 0-based — deterministic because
+      // the elements are already 6dp-rounded on both engines
+      .withColumn("block",
+        (expr("array_position(vec, array_max(vec))") - 1).cast("int"))
+    val a = v.select(col("block"), col("doc_id").as("doc_id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("block"), col("doc_id").as("doc_id_b"), col("vec").as("vec_b"))
+    val w = Window.partitionBy("doc_id_a")
+      .orderBy(col("cosine").desc, col("doc_id_b").asc)
+    a.join(b, Seq("block"))
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .withColumn("cosine",
+        round(call_function("vec_dot", col("vec_a"), col("vec_b")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id_a"), col("doc_id_b"), col("cosine"),
+        col("rk").cast("int").as("rk"))
+  }
 }

@@ -57,6 +57,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "td_temperature_mix", "td_kneser_ney", "td_dsir",
     // 1-row corpus-total attach, same shape as td_unigram_logprob
     "td_lm_holdout",
+    // 1-row broadcast pair-total attach onto the |bins|-sized histogram
+    "emb_sim_histogram",
     // kmeansCells / kmeansTrain: every vector scores against the k
     // centroids per round — the same bounded-centroid-table broadcast
     // as emb_kmeans_step
@@ -89,9 +91,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_near_dup", // knob: cell count of the blocking label / index
     "emb_dedup_clusters", // union-find over emb_near_dup's pair list
     "emb_cluster_stats", // within-cell pair distances, same Σ|cell|² bound
+    "emb_sim_histogram", // same cell-blocked pair join, |bins|-sized output
     "mm_phash_neardup", // knob: LSH band width (8-bit bands at sf1)
     "td_fuzzy_blocked", // knob: (source, sig-prefix) block count grows with N
     "td_lsh_candidates", "td_lsh_clusters", // banded LSH: band count is the knob
+    "td_doc_embed_knn", // knob: hash dims — dominant-dim band, Σ|block|²
     "td_segment_dedup") // segment-frequency join, digest-keyed at scale
 
   /** A join emitting more than this × its larger INPUT (child output
