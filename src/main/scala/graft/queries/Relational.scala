@@ -912,8 +912,75 @@ object Relational extends OpsModule {
           (col("valid_to").isNull || col("valid_to") > asOf))
         .select(col("user_id"), col("state"), col("ts").as("valid_from"))
         .orderBy("user_id")
+    }),
+
+    // J3 at full TPC-H Q5 depth: 6-table join — region→nation pre-joined
+    // and broadcast (constant-size), supplier broadcast (100·SF rows,
+    // size-gated), customer size-gated, and ONE fact-fact shuffle
+    // (lineitem⋈orders on orderkey). The local-supplier predicate
+    // (s_nationkey = c_nationkey) rides the supplier join as a second
+    // equi-key, so no post-join filter materializes the mismatched rows.
+    // This is the shape Catalyst's join reorder + AQE must keep optimal
+    // at 100 TB: every dimension hop is broadcast, the single big shuffle
+    // is on the fact key.
+    "q63_deep_join" -> ((s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      ord(s, d)
+        .join(graft.ops.AutoBroadcast.sizeGate(
+          cust(s, d).join(broadcast(asiaNations),
+            col("c_nationkey") === col("n_nationkey"))
+            .select("c_custkey", "c_nationkey", "n_name")),
+          col("o_custkey") === col("c_custkey"))
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(graft.ops.AutoBroadcast.sizeGate(supp(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // Iterative graph op (beyond reference): PageRank over the undirected
+    // customer–supplier trade graph (an edge when a customer's order has
+    // a line supplied by that supplier). Pregel-as-DataFrame: per round,
+    // ONE shuffle of the edge list keyed by dst aggregates incoming
+    // rank/degree contributions; the rank frame is 2 narrow columns and
+    // localCheckpoint'd so lineage stays flat (same iterative-plan
+    // discipline as Embeddings.kmeansTrain / TextOps.bpeTrain). Rounds
+    // are the only sequential element; per-round driver traffic is zero.
+    // At 100 TB the edge list is the only big frame, and it shuffles on
+    // dst exactly once per round — degree is precomputed, never a window.
+    // Undirected ⇒ no dangling mass; ranks scaled by N for 6dp stability.
+    "q64_pagerank" -> ((s, d) => {
+      // node ids: customer → 2k, supplier → 2k+1 (disjoint, engine-stable)
+      val fwd = ord(s, d)
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val rank = graft.ops.Graph.pageRank(edges, PrIters, PrDamping)
+      rank.select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          floor(col("node") / 2).as("entity_key"),
+          col("deg").as("degree"),
+          round(col("rank") * col("n_nodes"), 6).as("rank_x_n"))
+        .orderBy("node")
     })
   )
+
+  /** PageRank loop constants — shared with the unrolled DuckDB oracle. */
+  private val PrIters = 4
+  private val PrDamping = 0.85
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -1498,6 +1565,49 @@ object Relational extends OpsModule {
          FROM hist
          WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
            AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    "q63_deep_join" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1 ORDER BY 1""",
+    "q64_pagerank" -> {
+      // unrolled Pregel rounds; float literals forced to DOUBLE (e0) so
+      // both engines do the identical IEEE arithmetic
+      val rounds = (1 to PrIters).map { r =>
+        s"""r$r AS (
+             SELECT d.node, d.deg, d.n_nodes,
+                    (1e0 - ${PrDamping}e0) / d.n_nodes +
+                      ${PrDamping}e0 * coalesce(c.in_rank, 0e0) AS rank
+             FROM r${r - 1} d LEFT JOIN (
+               SELECT e.dst AS node, sum(r.rank / r.deg) AS in_rank
+               FROM edges e JOIN r${r - 1} r ON r.node = e.src
+               GROUP BY 1) c USING (node))"""
+      }.mkString(",\n")
+      s"""WITH fwd AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          edges AS (SELECT src, dst FROM fwd
+                    UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+          deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+          nn AS (SELECT count(*) AS n_nodes FROM deg),
+          r0 AS (SELECT node, deg, n_nodes, 1e0 / n_nodes AS rank
+                 FROM deg, nn),
+          $rounds
+          SELECT node,
+                 CASE WHEN node % 2 = 0 THEN 'customer'
+                      ELSE 'supplier' END AS kind,
+                 node // 2 AS entity_key,
+                 deg AS degree,
+                 round(rank * n_nodes, 6) AS rank_x_n
+          FROM r$PrIters ORDER BY node"""
+    }
   )
 }

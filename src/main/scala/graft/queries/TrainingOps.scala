@@ -841,7 +841,51 @@ object TrainingOps extends OpsModule {
     // within-cell cosine histogram: the threshold-picking distribution
     // diagnostic — |bins| output rows from cell-blocked pair work
     "emb_sim_histogram" -> ((s, d) =>
-      Embeddings.cosineHistogram(embs(s, d)).orderBy("bin"))
+      Embeddings.cosineHistogram(embs(s, d)).orderBy("bin")),
+
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    // IPL 2006): each doc draws a deterministic uniform u from its id
+    // hash and competes on key = ln(u)/w (monotone in u^(1/w)); the
+    // global top-K by key IS an exact weighted sample. One scan, no
+    // shuffle of the corpus — TakeOrderedAndProject keeps K rows per
+    // partition and merges on the driver, the same top-k machinery as
+    // q12. The ranking window runs AFTER the limit, over K rows only.
+    // At 100 TB this is THE mixture-sampling primitive: any weight
+    // column (quality score, source temperature) slots into w.
+    "td_weighted_sample" -> ((s, d) =>
+      TextOps.weightedSample(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          col("doc_id"), col("n_chars"), k = WsK)
+        .select("sample_rank", "doc_id", "source", "n_chars")
+        .orderBy("sample_rank")),
+
+    // count–min sketch (Cormode & Muthukrishnan 2005): the fixed-memory
+    // frequency structure. The sketch build NEVER shuffles per-term state
+    // — each token emits `depth` (row, col) cells and the groupBy
+    // map-side-combines every partition down to ≤ depth×width rows, so
+    // the only shuffle is the 384-cell sketch itself, at ANY corpus
+    // size. The exact-count branch exists purely as the evaluation
+    // harness: estimate = min over rows ≥ exact, and the overcount
+    // column measures collision inflation on the true heavy hitters.
+    // EXACT set-similarity join (PPJoin prefix filter): every pair with
+    // token-Jaccard >= t, 100% recall, NO blocking key — the exact
+    // counterpart to td_near_dup_pairs (per-source blocked) and
+    // td_lsh_candidates (probabilistic). Rarest-first prefixes keep the
+    // candidate buckets small exactly where pair work would explode.
+    "td_prefix_join" -> ((s, d) =>
+      TextOps.prefixJaccardPairs(docs(s, d), PrefixJoinT)
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    "td_cms_heavy" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val sketch = TextOps.cmsSketch(toks, col("term"), CmsDepth, CmsWidth)
+      val top = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("term")).limit(CmsTopK)
+      TextOps.cmsEstimate(top, col("term"), sketch, CmsDepth, CmsWidth)
+        .withColumn("overcount", col("cms_estimate") - col("exact"))
+        .orderBy(col("exact").desc, col("term"))
+    })
   )
 
   // ---- DuckDB oracle building blocks ----
@@ -864,6 +908,15 @@ object TrainingOps extends OpsModule {
   private val RecallNprobes = Seq(1, 2, 4)
   private val ContamReportThreshold = 0.1
   private val NgramK = 3
+  /** Efraimidis–Spirakis sample size (td_weighted_sample). */
+  private val WsK = 100
+  /** count–min sketch geometry + probe set (td_cms_heavy). */
+  private val CmsDepth = 3
+  private val CmsWidth = 128
+  private val CmsTopK = 20
+  /** PPJoin Jaccard threshold (td_prefix_join) — matches NearDupT so the
+    * exact join's pairs are comparable against the blocked variant's. */
+  private val PrefixJoinT = 0.5
   private val SweepThresholds = Seq(20, 40, 60, 80, 120)
   private val HashDims = 16
   private val HashKnnK = 3
@@ -2691,6 +2744,74 @@ object TrainingOps extends OpsModule {
           tot AS (SELECT CAST(sum(n_pairs) AS DOUBLE) AS total FROM bn)
           SELECT bin, round(bin / 10.0, 1) AS bin_lo, CAST(n_pairs AS BIGINT) AS n_pairs,
                  round(n_pairs / total, 6) AS frac
-          FROM bn CROSS JOIN tot ORDER BY bin"""
+          FROM bn CROSS JOIN tot ORDER BY bin""",
+
+    "td_prefix_join" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents),
+          freq AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
+          sized AS (
+            SELECT t.doc_id, t.tok, f.tf,
+                   count(*) OVER (PARTITION BY t.doc_id) AS set_size,
+                   row_number() OVER (PARTITION BY t.doc_id
+                     ORDER BY f.tf ASC, t.tok ASC) AS rk
+            FROM tok t JOIN freq f USING (tok)),
+          pfx AS (SELECT * FROM sized
+                  WHERE rk <= set_size - ceil($PrefixJoinT * set_size) + 1),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            WHERE least(a.set_size, b.set_size) >=
+                  $PrefixJoinT * greatest(a.set_size, b.set_size)),
+          sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks
+                   FROM documents)
+          SELECT doc_id_a, doc_id_b, jaccard FROM (
+            SELECT c.doc_id_a, c.doc_id_b,
+                   round(CAST(len(list_intersect(sa.dtoks, sb.dtoks)) AS DOUBLE)
+                         / (len(sa.dtoks) + len(sb.dtoks)
+                            - len(list_intersect(sa.dtoks, sb.dtoks))), 6)
+                     AS jaccard
+            FROM cand c
+            JOIN sets sa ON sa.doc_id = c.doc_id_a
+            JOIN sets sb ON sb.doc_id = c.doc_id_b)
+          WHERE jaccard >= $PrefixJoinT
+          ORDER BY doc_id_a, doc_id_b""",
+
+    "td_weighted_sample" ->
+      s"""WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ln((CAST(${dHash("concat('ws:', CAST(doc_id AS VARCHAR))")}
+                        % 1000000000 AS DOUBLE) + 0.5e0) / 1e9)
+                     / CAST(n_chars AS DOUBLE) AS es_key
+            FROM documents),
+          top AS (SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT $WsK)
+          SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT)
+                   AS sample_rank,
+                 doc_id, source, n_chars
+          FROM top ORDER BY sample_rank""",
+
+    "td_cms_heavy" -> {
+      val hashRows = (0 until CmsDepth).map { i =>
+        s"""SELECT $i AS srow,
+                   ${dHash(s"concat('cms$i:', term)")} % $CmsWidth AS ccol,
+                   term
+            FROM toks"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+          hashed AS ($hashRows),
+          cells AS (SELECT srow, ccol, count(*) AS cell_count
+                    FROM hashed GROUP BY 1, 2),
+          tc AS (SELECT term, count(*) AS exact FROM toks GROUP BY 1),
+          top AS (SELECT term, exact FROM tc
+                  ORDER BY exact DESC, term LIMIT $CmsTopK),
+          probes AS (SELECT DISTINCT t.term, t.exact, h.srow, h.ccol
+                     FROM top t JOIN hashed h USING (term))
+          SELECT p.term, p.exact, min(c.cell_count) AS cms_estimate,
+                 min(c.cell_count) - p.exact AS overcount
+          FROM probes p JOIN cells c USING (srow, ccol)
+          GROUP BY 1, 2 ORDER BY p.exact DESC, p.term"""
+    }
   )
 }

@@ -443,9 +443,13 @@ object Embeddings {
     * cell vs round r−1. Mean cosine rises and movement falls as Lloyd's
     * converges; this is the signal that picks `iters` (run until
     * n_moved ~ 0) and the drift monitor that schedules an IVF index
-    * refresh. Each round's metrics are ONE extra |cells|-broadcast
-    * aggregation over the corpus — no window, no driver traffic beyond
-    * the iters-row result. */
+    * refresh. The per-round metrics are FREE on the corpus side: the
+    * argmax that picks the new cell already carries the winning cosine
+    * (`m.s` IS cosine-to-assigned-centroid, bit-identical to recomputing
+    * it against the broadcast centroid table), so telemetry is a narrow
+    * 3-column self-join with the previous assignment — no second scoring
+    * pass over the corpus, no window, no driver traffic beyond the
+    * iters-row result. */
   def kmeansQuality(embeddings: DataFrame, nCells: Int, iters: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     var asg = e.select(col("vec_id"),
@@ -459,18 +463,16 @@ object Embeddings {
         .withColumn("acos", cosine(col("emb"), col("cemb")))
         .groupBy("vec_id")
         .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cell"))
+        .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
         .localCheckpoint()
       val prev = asg.select(col("vec_id"), col("cell").as("prev_cell"))
       rounds += next
-        .join(e, "vec_id")
-        .join(broadcast(cents), Seq("cell"))
         .join(prev, "vec_id")
         .agg(
-          round(avg(cosine(col("emb"), col("cemb"))), 6).as("mean_ccos"),
+          round(avg(col("ccos")), 6).as("mean_ccos"),
           sum((col("cell") =!= col("prev_cell")).cast("long")).as("n_moved"))
         .select(lit(r).as("round"), col("mean_ccos"), col("n_moved"))
-      asg = next
+      asg = next.select("vec_id", "cell")
     }
     rounds.reduce(_ unionByName _)
   }

@@ -1660,4 +1660,119 @@ object TextOps {
       .select(col("doc_id_a"), col("doc_id_b"), col("cosine"),
         col("rk").cast("int").as("rk"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * IPL 97(5) 2006): each row draws u ~ U(0,1) deterministically from
+    * its id hash and competes on key = ln(u)/w — the monotone-log form
+    * of u^(1/w) — and the global top-k by key is an exact w-weighted
+    * sample. One scan, no corpus shuffle: orderBy+limit plans as
+    * TakeOrderedAndProject (k rows retained per partition, merged on
+    * the driver), so this IS the mixture-sampling primitive at 100 TB —
+    * any weight column (quality score, source temperature, token count)
+    * slots into `weight`. Returns the k sampled rows with `sample_rank`;
+    * the ranking window runs AFTER the limit, over k rows only. */
+  def weightedSample(df: DataFrame, idCol: Column, weight: Column,
+                     k: Int): DataFrame = {
+    val u = (md5Long(concat(lit("ws:"), idCol.cast("string")))
+      % lit(1000000000L) + lit(0.5)) / lit(1.0e9)
+    val top = df
+      .withColumn("es_key", log(u) / weight.cast("double"))
+      .orderBy(col("es_key").desc, idCol)
+      .limit(k)
+    top.withColumn("sample_rank",
+      row_number().over(Window.orderBy(col("es_key").desc, idCol)))
+  }
+
+  /** Count–min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) over
+    * a column of items: `depth` md5-derived hash rows × `width` columns.
+    * The build never holds per-item state — every item emits `depth`
+    * (srow, ccol) cells and the aggregation map-side-combines each
+    * partition down to ≤ depth×width rows, so the only shuffle is the
+    * fixed-size sketch itself at ANY corpus size. That is the whole
+    * point of the sketch: frequency queries with memory independent of
+    * cardinality. Returns (srow, ccol, cell_count). */
+  def cmsSketch(items: DataFrame, itemCol: Column,
+                depth: Int = 3, width: Int = 128): DataFrame =
+    items
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("srow"),
+          (md5Long(concat(lit(s"cms$i:"), itemCol))
+            % lit(width.toLong)).as("ccol"))): _*)).as("c"))
+      .groupBy(col("c.srow").as("srow"), col("c.ccol").as("ccol"))
+      .agg(count(lit(1)).as("cell_count"))
+
+  /** Point-estimate lookup against [[cmsSketch]]: the CM estimate is the
+    * MIN over the item's `depth` cells (each an overcount: collisions
+    * only inflate). `probes` carries one row per item to estimate; the
+    * sketch side is depth×width rows and broadcasts. */
+  def cmsEstimate(probes: DataFrame, itemCol: Column, sketch: DataFrame,
+                  depth: Int = 3, width: Int = 128): DataFrame = {
+    val exploded = probes
+      .withColumn("c", explode(array((0 until depth).map(i =>
+        struct(lit(i).as("srow"),
+          (md5Long(concat(lit(s"cms$i:"), itemCol))
+            % lit(width.toLong)).as("ccol"))): _*)))
+      .select(probes.columns.map(col) :+ col("c.srow").as("srow")
+        :+ col("c.ccol").as("ccol"): _*)
+    exploded.join(broadcast(sketch), Seq("srow", "ccol"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min("cell_count").as("cms_estimate"))
+  }
+
+  /** EXACT set-similarity join via prefix filtering (PPJoin family —
+    * Xiao, Wang, Lin, Yu WWW'08; Chaudhuri et al. ICDE'06 SSJoin): all
+    * pairs with token-set Jaccard >= `threshold`, 100% recall, no
+    * blocking key and no probabilistic miss. The filter that makes it
+    * sub-quadratic: order each doc's tokens by GLOBAL frequency
+    * ascending (rarest first, ties on the token), keep only the first
+    * |T| - ceil(t·|T|) + 1 as the doc's PREFIX — two sets with
+    * Jaccard >= t MUST share a prefix token (pigeonhole on the overlap
+    * bound) — and generate candidates only from the prefix-token
+    * buckets. Rare tokens make small buckets, so candidate fan-in
+    * concentrates exactly where pair work is cheap; the frequent-token
+    * floods that sink a naive token join never enter a prefix. A length
+    * filter (min size >= t·max size, implied by J >= t) prunes pairs
+    * before the verify join touches token arrays.
+    *
+    * Scale: the shuffles are (1) distinct (doc, token) pairs, (2) the
+    * token-frequency aggregate (size-gated broadcast back), (3) a
+    * doc-keyed window for per-doc prefix ranks, (4) the prefix-bucket
+    * self-join — each linear in data or bounded by prefix-bucket
+    * fan-in. Verification joins token ARRAYS only for surviving
+    * candidate pairs. This is the exact counterpart to the recall-trade
+    * paths ([[lshCandidatePairs]], [[fuzzyMatchesPrefixBlocked]]) and
+    * the unblocked answer to [[nearDupPairs]]' per-source blocking. */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val sized = tok
+      .join(graft.ops.AutoBroadcast.sizeGate(freq), "tok")
+      .withColumn("set_size", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tf").asc, col("tok").asc)))
+    val prefix = sized.filter(
+      col("rk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc_id_a"),
+        col("set_size").as("sz_a"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_id_b"),
+        col("set_size").as("sz_b")), Seq("tok"))
+      .filter(col("doc_id_a") < col("doc_id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val sets = docs.select(col("doc_id"),
+      array_distinct(tokens(col("text"))).as("dtoks"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val union = size(col("toks_a")) + size(col("toks_b")) - inter
+    cand
+      .join(sets.select(col("doc_id").as("doc_id_a"), col("dtoks").as("toks_a")),
+        "doc_id_a")
+      .join(sets.select(col("doc_id").as("doc_id_b"), col("dtoks").as("toks_b")),
+        "doc_id_b")
+      .withColumn("jaccard",
+        round(inter.cast("double") / union.cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
 }

@@ -23,7 +23,10 @@ only = [a for a in sys.argv[2:] if not a.startswith("-")]
 
 
 def run_verify():
-    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    # When specific queries were requested, dump only those (Verify
+    # accepts optional name filters after the two positional args).
+    extra = (" " + " ".join(only)) if only else ""
+    cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}{extra}']
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     out = r.stdout + r.stderr
     for line in out.splitlines():
