@@ -867,13 +867,29 @@ object TrainingOps extends OpsModule {
     // size. The exact-count branch exists purely as the evaluation
     // harness: estimate = min over rows ≥ exact, and the overcount
     // column measures collision inflation on the true heavy hitters.
-    // EXACT set-similarity join (PPJoin prefix filter): every pair with
-    // token-Jaccard >= t, 100% recall, NO blocking key — the exact
-    // counterpart to td_near_dup_pairs (per-source blocked) and
-    // td_lsh_candidates (probabilistic). Rarest-first prefixes keep the
-    // candidate buckets small exactly where pair work would explode.
+    // linear-counting distinct sketch over the corpus 3-shingle stream,
+    // evaluated at three bitmap sizes in ONE scan — the deterministic
+    // (md5-bitmap, oracle-hash-checkable) fixed-memory counterpart to
+    // q20's HLL approx_count_distinct
+    "td_distinct_sketch" -> ((s, d) => {
+      val sh = TextOps.tokenized(docs(s, d))
+        .select(explode(TextOps.shingles(col("toks"), 3)).as("shingle"))
+      TextOps.linearCount(sh, col("shingle"), LcMs).orderBy("m")
+    }),
+
+    // EXACT set-similarity join (PPJoin prefix filter) over 3-shingle
+    // sets: every pair with shingle-Jaccard >= t, 100% recall, NO
+    // blocking key — the exact ground truth for what td_lsh_candidates
+    // approximates and the unblocked answer to td_near_dup_pairs.
+    // Shingles (not raw tokens) are the item set: combinatorially rarer
+    // keys keep the rarest-first prefix buckets small even on this
+    // narrow-vocabulary corpus, which is what keeps the candidate join
+    // inside PlanAuditSpec's quadratic gate.
     "td_prefix_join" -> ((s, d) =>
-      TextOps.prefixJaccardPairs(docs(s, d), PrefixJoinT)
+      TextOps.prefixJaccardPairs(
+          TextOps.tokenized(docs(s, d)).select(col("doc_id"),
+            TextOps.shingles(col("toks"), 3).as("items")),
+          PrefixJoinT)
         .orderBy("doc_id_a", "doc_id_b")),
 
     "td_cms_heavy" -> ((s, d) => {
@@ -917,6 +933,8 @@ object TrainingOps extends OpsModule {
   /** PPJoin Jaccard threshold (td_prefix_join) — matches NearDupT so the
     * exact join's pairs are comparable against the blocked variant's. */
   private val PrefixJoinT = 0.5
+  /** Linear-counting bitmap sizes (td_distinct_sketch). */
+  private val LcMs = Seq(4096, 16384, 65536)
   private val SweepThresholds = Seq(20, 40, 60, 80, 120)
   private val HashDims = 16
   private val HashKnnK = 3
@@ -2746,10 +2764,29 @@ object TrainingOps extends OpsModule {
                  round(n_pairs / total, 6) AS frac
           FROM bn CROSS JOIN tot ORDER BY bin""",
 
+    "td_distinct_sketch" -> {
+      val mBlocks = LcMs.map { m =>
+        s"""SELECT $m AS m,
+                   ${dHash("concat('lc:', shingle)")} % $m AS bucket
+            FROM sh"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH $duckShingles,
+          cells AS (SELECT DISTINCT m, bucket FROM ($mBlocks)),
+          occ AS (SELECT m, count(*) AS occupied FROM cells GROUP BY 1),
+          ex AS (SELECT count(DISTINCT shingle) AS exact_distinct FROM sh)
+          SELECT m, exact_distinct, occupied,
+                 round(-CAST(m AS DOUBLE) *
+                       ln((CAST(m AS DOUBLE) - occupied) / CAST(m AS DOUBLE)), 6)
+                   AS lc_estimate,
+                 round(abs(round(-CAST(m AS DOUBLE) *
+                       ln((CAST(m AS DOUBLE) - occupied) / CAST(m AS DOUBLE)), 6)
+                       - exact_distinct) / exact_distinct, 6) AS rel_err
+          FROM occ CROSS JOIN ex ORDER BY m"""
+    },
+
     "td_prefix_join" ->
-      s"""WITH tok AS (
-            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-            FROM documents),
+      s"""WITH $duckShingles,
+          tok AS (SELECT doc_id, shingle AS tok FROM sh),
           freq AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
           sized AS (
             SELECT t.doc_id, t.tok, f.tf,
@@ -2764,8 +2801,8 @@ object TrainingOps extends OpsModule {
             FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
             WHERE least(a.set_size, b.set_size) >=
                   $PrefixJoinT * greatest(a.set_size, b.set_size)),
-          sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks
-                   FROM documents)
+          sets AS (SELECT doc_id, list(DISTINCT shingle) AS dtoks
+                   FROM sh GROUP BY doc_id)
           SELECT doc_id_a, doc_id_b, jaccard FROM (
             SELECT c.doc_id_a, c.doc_id_b,
                    round(CAST(len(list_intersect(sa.dtoks, sb.dtoks)) AS DOUBLE)

@@ -1719,6 +1719,43 @@ object TextOps {
       .agg(min("cell_count").as("cms_estimate"))
   }
 
+  /** Linear (probabilistic) counting (Whang, Vander-Zanden, Taylor, ACM
+    * TODS 1990): distinct-count estimation from an m-bit bitmap — item
+    * sets bit md5(item) mod m, estimate = −m·ln(V) where V is the zero
+    * fraction. Because the hash is md5-derived the bitmap — and hence
+    * the estimate — is DETERMINISTIC and engine-independent, so unlike
+    * HLL-based approx_count_distinct this sketch is hash-checkable
+    * against an oracle, bit for bit. Evaluated at several m at once
+    * (one scan; each item emits |ms| cells): the memory/accuracy trade
+    * made measurable. Scale: aggregation state is bounded at Σm bits
+    * per task (the distinct on (m, bucket) map-side-combines), and the
+    * only shuffle is the occupied-cell table — fixed size at any corpus
+    * cardinality, the same argument as [[cmsSketch]]. Bitmaps merge by
+    * OR (distinct of the cell union), so the sketch is
+    * streaming-maintainable. Returns one row per m with the exact
+    * distinct count alongside for calibration. */
+  def linearCount(items: DataFrame, itemCol: Column, ms: Seq[Int]): DataFrame = {
+    val cells = items
+      .select(explode(array(ms.map(m =>
+        struct(lit(m).as("m"),
+          (md5Long(concat(lit("lc:"), itemCol))
+            % lit(m.toLong)).as("bucket"))): _*)).as("c"))
+      .select(col("c.m").as("m"), col("c.bucket").as("bucket"))
+      .distinct()
+      .groupBy("m").agg(count(lit(1)).as("occupied"))
+    val exact = items.select(itemCol.as("it")).distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    cells.crossJoin(broadcast(exact))
+      .withColumn("lc_estimate", round(
+        -col("m").cast("double") *
+          log((col("m").cast("double") - col("occupied")) /
+            col("m").cast("double")), 6))
+      .withColumn("rel_err", round(
+        abs(col("lc_estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 6))
+      .select("m", "exact_distinct", "occupied", "lc_estimate", "rel_err")
+  }
+
   /** EXACT set-similarity join via prefix filtering (PPJoin family —
     * Xiao, Wang, Lin, Yu WWW'08; Chaudhuri et al. ICDE'06 SSJoin): all
     * pairs with token-set Jaccard >= `threshold`, 100% recall, no
@@ -1741,10 +1778,21 @@ object TextOps {
     * fan-in. Verification joins token ARRAYS only for surviving
     * candidate pairs. This is the exact counterpart to the recall-trade
     * paths ([[lshCandidatePairs]], [[fuzzyMatchesPrefixBlocked]]) and
-    * the unblocked answer to [[nearDupPairs]]' per-source blocking. */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    * the unblocked answer to [[nearDupPairs]]' per-source blocking.
+    *
+    * `sets` carries (doc_id, items: array<string>) — the per-doc ITEM
+    * SET the Jaccard is over. Pass [[shingles]] output for shingle
+    * Jaccard (the quantity MinHash-LSH approximates — this join is its
+    * exact ground truth) or a distinct token array for token Jaccard.
+    * Item choice is also the practical fan-in control: k-shingles are
+    * combinatorially rarer than tokens, so their prefix buckets stay
+    * small even on a narrow vocabulary where token buckets degenerate
+    * (the audited failure mode PlanAuditSpec's quadratic gate catches). */
+  def prefixJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    val dsets = sets.select(col("doc_id"),
+      array_distinct(col("items")).as("items"))
+    val tok = dsets
+      .select(col("doc_id"), explode(col("items")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
     val sized = tok
       .join(graft.ops.AutoBroadcast.sizeGate(freq), "tok")
@@ -1761,14 +1809,12 @@ object TextOps {
         least(col("sz_a"), col("sz_b")) >=
           lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select("doc_id_a", "doc_id_b").distinct()
-    val sets = docs.select(col("doc_id"),
-      array_distinct(tokens(col("text"))).as("dtoks"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
     cand
-      .join(sets.select(col("doc_id").as("doc_id_a"), col("dtoks").as("toks_a")),
+      .join(dsets.select(col("doc_id").as("doc_id_a"), col("items").as("toks_a")),
         "doc_id_a")
-      .join(sets.select(col("doc_id").as("doc_id_b"), col("dtoks").as("toks_b")),
+      .join(dsets.select(col("doc_id").as("doc_id_b"), col("items").as("toks_b")),
         "doc_id_b")
       .withColumn("jaccard",
         round(inter.cast("double") / union.cast("double"), 6))

@@ -12,11 +12,11 @@ class PrefixJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def docDF(rows: (Long, String)*) =
+  /** token-set form: items = distinct tokens (the spec exercises the
+    * generic set join; the registered query passes shingle sets). */
+  private def setDF(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
-      .withColumn("source", lit("s"))
-      .withColumn("lang", lit("en"))
-      .withColumn("n_chars", length(col("text")))
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("items"))
 
   private def bruteJaccard(rows: Seq[(Long, String)], t: Double) = {
     val sets = rows.map { case (id, txt) => id -> txt.split(" ").toSet }
@@ -36,7 +36,7 @@ class PrefixJoinSpec extends AnyFunSuite {
       (5L, "quick brown fox"),                             // subset, low J
       (6L, "completely different words here entirely now") // exact dup of 3
     )
-    val got = TextOps.prefixJaccardPairs(docDF(rows: _*), 0.5)
+    val got = TextOps.prefixJaccardPairs(setDF(rows: _*), 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == bruteJaccard(rows, 0.5))
     // sanity: the exact dup pair is present at J = 1.0
@@ -46,7 +46,7 @@ class PrefixJoinSpec extends AnyFunSuite {
   test("threshold 1.0 returns only exact set matches") {
     val rows = Seq[(Long, String)](
       (1L, "a b c"), (2L, "c b a"), (3L, "a b c d"))
-    val got = TextOps.prefixJaccardPairs(docDF(rows: _*), 1.0)
+    val got = TextOps.prefixJaccardPairs(setDF(rows: _*), 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSet == Set((1L, 2L)))
   }
@@ -56,14 +56,13 @@ class PrefixJoinSpec extends AnyFunSuite {
     // a naive token join; rarest-first prefixes keep them apart when the
     // frequent token never enters a prefix
     val rows = (1L to 20L).map(i => (i, s"common u$i v$i w$i x$i y$i z$i"))
-    val df = docDF(rows: _*)
+    val df = setDF(rows: _*)
     assert(TextOps.prefixJaccardPairs(df, 0.5).count() == 0)
     // the shared token 'common' appears in every doc (tf=20) while each
     // doc's 6 unique tokens have tf=1 — prefix length is 7-ceil(3.5)+1=4,
     // all rarest-first, so 'common' (rank 7) is never a prefix token and
     // the candidate set is EMPTY, not 190 pairs
-    val tok = df.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val tok = df.select(col("doc_id"), explode(col("items")).as("tok"))
     assert(tok.filter(col("tok") === "common").count() == 20)
   }
 }

@@ -73,6 +73,40 @@ class SamplingSketchSpec extends AnyFunSuite {
     est.foreach { case (_, exact, e) => assert(e == exact) }
   }
 
+  test("cms sketches MERGE: sketch(A ++ B) = cell-wise sum of the parts") {
+    val a = Seq("x", "x", "y", "z").toDF("term")
+    val b = Seq("y", "w", "w", "w").toDF("term")
+    val whole = TextOps.cmsSketch(a.union(b), col("term"), 3, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sa = TextOps.cmsSketch(a, col("term"), 3, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sb = TextOps.cmsSketch(b, col("term"), 3, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (sa.keySet ++ sb.keySet)
+      .map(k => k -> (sa.getOrElse(k, 0L) + sb.getOrElse(k, 0L))).toMap
+    assert(whole == merged)
+  }
+
+  test("linearCount: occupied == n and small rel_err when m >> n") {
+    val items = (1 to 300).map(i => s"item-$i").toDF("it")
+    val r = TextOps.linearCount(items, col("it"), Seq(1 << 16))
+      .collect().head
+    assert(r.getLong(1) == 300L) // exact_distinct
+    // 300 items in 65536 buckets: expected collisions ~0.7 — allow a few
+    assert(r.getLong(2) >= 297L && r.getLong(2) <= 300L)
+    assert(math.abs(r.getDouble(3) - 300.0) < 5.0)
+    assert(r.getDouble(4) < 0.02)
+  }
+
+  test("linearCount bitmap is duplicate-insensitive and merges by OR") {
+    val once = (1 to 50).map(i => s"t$i").toDF("it")
+    val thrice = ((1 to 50) ++ (1 to 50) ++ (1 to 50)).map(i => s"t$i").toDF("it")
+    val o = TextOps.linearCount(once, col("it"), Seq(1024)).collect().head
+    val t = TextOps.linearCount(thrice, col("it"), Seq(1024)).collect().head
+    // same distinct set → identical bitmap, estimate, and exact count
+    assert(o.getLong(2) == t.getLong(2) && o.getDouble(3) == t.getDouble(3))
+  }
+
   test("cms min-over-rows beats any single row under forced collisions") {
     // width 2 forces heavy collisions; the estimate is still an upper
     // bound and equals the min across the depth rows
