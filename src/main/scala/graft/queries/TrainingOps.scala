@@ -867,6 +867,17 @@ object TrainingOps extends OpsModule {
     // size. The exact-count branch exists purely as the evaluation
     // harness: estimate = min over rows ≥ exact, and the overcount
     // column measures collision inflation on the true heavy hitters.
+    // stratified A-ES: an independent weighted draw of k docs inside
+    // every source — per-source quotas for mixture construction; the
+    // rank filter rewrites to WindowGroupLimit (per-task top-k per
+    // group before the exchange)
+    "td_stratified_sample" -> ((s, d) =>
+      TextOps.weightedSamplePerGroup(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          col("doc_id"), col("n_chars"), col("source"), k = StratSampleK)
+        .select("source", "sample_rank", "doc_id", "n_chars")
+        .orderBy("source", "sample_rank")),
+
     // linear-counting distinct sketch over the corpus 3-shingle stream,
     // evaluated at three bitmap sizes in ONE scan — the deterministic
     // (md5-bitmap, oracle-hash-checkable) fixed-memory counterpart to
@@ -935,6 +946,8 @@ object TrainingOps extends OpsModule {
   private val PrefixJoinT = 0.5
   /** Linear-counting bitmap sizes (td_distinct_sketch). */
   private val LcMs = Seq(4096, 16384, 65536)
+  /** Per-source draw size (td_stratified_sample). */
+  private val StratSampleK = 5
   private val SweepThresholds = Seq(20, 40, 60, 80, 120)
   private val HashDims = 16
   private val HashKnnK = 3
@@ -2764,6 +2777,21 @@ object TrainingOps extends OpsModule {
                  round(n_pairs / total, 6) AS frac
           FROM bn CROSS JOIN tot ORDER BY bin""",
 
+    "td_stratified_sample" ->
+      s"""WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ln((CAST(${dHash("concat('ws:', CAST(doc_id AS VARCHAR))")}
+                        % 1000000000 AS DOUBLE) + 0.5e0) / 1e9)
+                     / CAST(n_chars AS DOUBLE) AS es_key
+            FROM documents),
+          rk AS (SELECT source, doc_id, n_chars,
+                        CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY es_key DESC, doc_id) AS INT) AS sample_rank
+                 FROM keyed)
+          SELECT source, sample_rank, doc_id, n_chars
+          FROM rk WHERE sample_rank <= $StratSampleK
+          ORDER BY source, sample_rank""",
+
     "td_distinct_sketch" -> {
       val mBlocks = LcMs.map { m =>
         s"""SELECT $m AS m,
@@ -2786,7 +2814,8 @@ object TrainingOps extends OpsModule {
 
     "td_prefix_join" ->
       s"""WITH $duckShingles,
-          tok AS (SELECT doc_id, shingle AS tok FROM sh),
+          tok AS (SELECT DISTINCT doc_id,
+                         ${dHash("shingle")} AS tok FROM sh),
           freq AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
           sized AS (
             SELECT t.doc_id, t.tok, f.tf,
@@ -2801,7 +2830,7 @@ object TrainingOps extends OpsModule {
             FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
             WHERE least(a.set_size, b.set_size) >=
                   $PrefixJoinT * greatest(a.set_size, b.set_size)),
-          sets AS (SELECT doc_id, list(DISTINCT shingle) AS dtoks
+          sets AS (SELECT doc_id, list(DISTINCT ${dHash("shingle")}) AS dtoks
                    FROM sh GROUP BY doc_id)
           SELECT doc_id_a, doc_id_b, jaccard FROM (
             SELECT c.doc_id_a, c.doc_id_b,

@@ -1683,6 +1683,26 @@ object TextOps {
       row_number().over(Window.orderBy(col("es_key").desc, idCol)))
   }
 
+  /** Per-stratum [[weightedSample]]: an independent A-ES draw of k rows
+    * inside every group (per-source sampling quotas, the stratified form
+    * of mixture construction). One shuffle, keyed by the group; the
+    * rank-filter-over-window pattern is rewritten by Spark's
+    * WindowGroupLimit rule into a per-partition top-k BEFORE the
+    * exchange, so each map task forwards at most k rows per group it
+    * saw — the grouped equivalent of TakeOrderedAndProject. Skewed
+    * strata therefore bound at (k × groups-per-task) rows in flight,
+    * not at the largest stratum's row count. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: Column, weight: Column,
+                             groupCol: Column, k: Int): DataFrame = {
+    val u = (md5Long(concat(lit("ws:"), idCol.cast("string")))
+      % lit(1000000000L) + lit(0.5)) / lit(1.0e9)
+    df.withColumn("es_key", log(u) / weight.cast("double"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("es_key").desc, idCol)))
+      .filter(col("sample_rank") <= k)
+      .drop("es_key")
+  }
+
   /** Count–min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) over
     * a column of items: `depth` md5-derived hash rows × `width` columns.
     * The build never holds per-item state — every item emits `depth`
@@ -1789,18 +1809,30 @@ object TextOps {
     * small even on a narrow vocabulary where token buckets degenerate
     * (the audited failure mode PlanAuditSpec's quadratic gate catches). */
   def prefixJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    // Hash every item to its 60-bit md5 long FIRST: all downstream state
+    // (frequency keys, window payloads, the bucket self-join, the verify
+    // arrays) then carries 8-byte longs instead of item text — measured
+    // ~2× on the end-to-end at sf0.1, and the identical dHash on the
+    // oracle side keeps it engine-exact. Set semantics survive hashing
+    // (distinct AFTER hashing, so an improbable collision dedups the
+    // same way in both engines).
     val dsets = sets.select(col("doc_id"),
-      array_distinct(col("items")).as("items"))
+      array_distinct(transform(col("items"), x => md5Long(x))).as("items"))
     val tok = dsets
-      .select(col("doc_id"), explode(col("items")).as("tok"))
+      .select(col("doc_id"), size(col("items")).as("set_size"),
+        explode(col("items")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
     val sized = tok
       .join(graft.ops.AutoBroadcast.sizeGate(freq), "tok")
-      .withColumn("set_size", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("tf").asc, col("tok").asc)))
+    // materialize the prefix once — it feeds BOTH sides of the candidate
+    // self-join, and without a checkpoint the explode→freq→window
+    // subtree executes twice
     val prefix = sized.filter(
       col("rk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
+      .select("tok", "doc_id", "set_size")
+      .localCheckpoint()
     val cand = prefix.select(col("tok"), col("doc_id").as("doc_id_a"),
         col("set_size").as("sz_a"))
       .join(prefix.select(col("tok"), col("doc_id").as("doc_id_b"),

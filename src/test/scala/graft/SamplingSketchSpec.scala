@@ -53,6 +53,23 @@ class SamplingSketchSpec extends AnyFunSuite {
     assert(first == 99L)
   }
 
+  test("weightedSamplePerGroup: independent k-draw per stratum, same keys") {
+    val df = (1L to 120L).map(i => (i, (i % 5 + 1) * 7L, s"g${i % 3}"))
+      .toDF("id", "w", "g")
+    val got = TextOps.weightedSamplePerGroup(
+      df, col("id"), col("w"), col("g"), k = 4)
+      .collect().map(r => (r.getString(2), r.getInt(3), r.getLong(0))).toSet
+    // brute: per group, top-4 by the same ES key
+    val expect = (1L to 120L).groupBy(i => s"g${i % 3}").flatMap { case (g, ids) =>
+      ids.map(i => (i, esKey(i, ((i % 5 + 1) * 7L).toDouble)))
+        .sortBy { case (id, k) => (-k, id) }.take(4).zipWithIndex
+        .map { case ((id, _), j) => (g, j + 1, id) }
+    }.toSet
+    assert(got == expect)
+    // every stratum yields exactly k
+    assert(got.groupBy(_._1).forall(_._2.size == 4))
+  }
+
   test("cms estimate is >= exact count and exact when collision-free") {
     val items = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
       Seq.fill(10)("gamma") ++ Seq("delta")
