@@ -968,6 +968,42 @@ object Relational extends OpsModule {
           fwd.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
       val rank = graft.ops.Graph.pageRank(edges, PrIters, PrDamping)
+      pr_out(rank)
+    }),
+
+    // W1+P-style composite (beyond reference): bounded-window EWMA per
+    // user — the position-weighted frame a plain windowed sum cannot
+    // express. The frame's value list (≤ EwmaW elements by construction)
+    // is weighted via the same left-fold dot the embedding ops use
+    // (proven bit-parity with DuckDB's list_dot_product); the weight
+    // normalizer uses the geometric-series closed form, so no second
+    // fold. One user-keyed shuffle; frames never exceed EwmaW elements,
+    // so state per row is bounded at any history length — the reason to
+    // prefer a bounded EWMA over the recursive infinite-history form,
+    // which would need a sequential scan per user.
+    "q65_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-(EwmaW - 1), Window.currentRow)
+      ev(s, d).filter(col("event_type") === "purchase")
+        .withColumn("vals", collect_list("value").over(w))
+        .withColumn("wts", transform(sequence(lit(1), size(col("vals"))),
+          i => pow(lit(EwmaDecay),
+            size(col("vals")).cast("double") - i.cast("double"))))
+        .withColumn("ewma", round(
+          aggregate(zip_with(col("vals"), col("wts"), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v) /
+            ((lit(1.0) - pow(lit(EwmaDecay),
+              size(col("vals")).cast("double"))) / lit(1.0 - EwmaDecay)), 6))
+        .select("event_id", "user_id", "ts", "value", "ewma")
+        .orderBy("event_id")
+    })
+  )
+
+  /** EWMA frame width + decay (q65_ewma) — shared with the oracle. */
+  private val EwmaW = 20
+  private val EwmaDecay = 0.9
+
+  private def pr_out(rank: org.apache.spark.sql.DataFrame) =
       rank.select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -975,8 +1011,6 @@ object Relational extends OpsModule {
           col("deg").as("degree"),
           round(col("rank") * col("n_nodes"), 6).as("rank_x_n"))
         .orderBy("node")
-    })
-  )
 
   /** PageRank loop constants — shared with the unrolled DuckDB oracle. */
   private val PrIters = 4
@@ -1608,6 +1642,27 @@ object Relational extends OpsModule {
                  deg AS degree,
                  round(rank * n_nodes, 6) AS rank_x_n
           FROM r$PrIters ORDER BY node"""
-    }
+    },
+    "q65_ewma" ->
+      s"""WITH p AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'),
+          fr AS (
+            SELECT event_id, user_id, ts, value,
+                   list(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN ${EwmaW - 1} PRECEDING AND CURRENT ROW)
+                     AS vals
+            FROM p),
+          wt AS (
+            SELECT *, list_transform(generate_series(1, len(vals)),
+                     i -> pow(${EwmaDecay}e0,
+                              CAST(len(vals) - i AS DOUBLE))) AS wts
+            FROM fr)
+          SELECT event_id, user_id, ts, value,
+                 round(list_dot_product(vals, wts) /
+                       ((1e0 - pow(${EwmaDecay}e0, CAST(len(vals) AS DOUBLE)))
+                        / (1e0 - ${EwmaDecay}e0)), 6) AS ewma
+          FROM wt ORDER BY event_id"""
   )
 }

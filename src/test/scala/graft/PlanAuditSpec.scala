@@ -132,6 +132,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("sampling plans bound in-flight data: TakeOrdered / WindowGroupLimit") {
+    // td_weighted_sample's global top-k must plan as TakeOrderedAndProject
+    // (k rows per partition, no corpus sort/shuffle) ...
+    val ws = SparkEntry.queries("td_weighted_sample")(spark, sf)
+    ws.collect()
+    assert(allNodes(ws.queryExecution.executedPlan)
+      .exists(_.nodeName.contains("TakeOrderedAndProject")),
+      ws.queryExecution.executedPlan.toString)
+    // ... and the stratified form must carry the WindowGroupLimit rewrite
+    // (per-task top-k per stratum BEFORE the exchange)
+    val ss = SparkEntry.queries("td_stratified_sample")(spark, sf)
+    ss.collect()
+    assert(allNodes(ss.queryExecution.executedPlan)
+      .exists(_.nodeName.contains("WindowGroupLimit")),
+      ss.queryExecution.executedPlan.toString)
+  }
+
   test("no CartesianProduct; BNLJ only where intended; no undocumented quadratic joins") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
