@@ -878,6 +878,23 @@ object TrainingOps extends OpsModule {
         .select("source", "sample_rank", "doc_id", "n_chars")
         .orderBy("source", "sample_rank")),
 
+    // fixed-grid histogram quantiles per source: the deterministic
+    // bounded-memory alternative to exact percentile (which shuffles
+    // every value) — histogram state is |sources|×|buckets| cells at any
+    // corpus size; exact percentiles ride along as calibration
+    "td_quantile_sketch" -> ((s, d) => {
+      val dd = docs(s, d)
+      val est = TextOps.histogramQuantiles(dd, col("n_chars"), col("source"),
+        QsQuantiles, width = QsWidth)
+      val exact = dd.groupBy(col("source").as("grp")).agg(
+        round(expr("percentile(n_chars, 0.5)"), 6).as("exact_p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("exact_p90"),
+        round(expr("percentile(n_chars, 0.99)"), 6).as("exact_p99"))
+      est.join(exact, "grp")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
+
     // linear-counting distinct sketch over the corpus 3-shingle stream,
     // evaluated at three bitmap sizes in ONE scan — the deterministic
     // (md5-bitmap, oracle-hash-checkable) fixed-memory counterpart to
@@ -948,6 +965,9 @@ object TrainingOps extends OpsModule {
   private val LcMs = Seq(4096, 16384, 65536)
   /** Per-source draw size (td_stratified_sample). */
   private val StratSampleK = 5
+  /** Histogram-quantile sketch grid (td_quantile_sketch). */
+  private val QsQuantiles = Seq(0.5, 0.9, 0.99)
+  private val QsWidth = 8
   private val SweepThresholds = Seq(20, 40, 60, 80, 120)
   private val HashDims = 16
   private val HashKnnK = 3
@@ -2791,6 +2811,49 @@ object TrainingOps extends OpsModule {
           SELECT source, sample_rank, doc_id, n_chars
           FROM rk WHERE sample_rank <= $StratSampleK
           ORDER BY source, sample_rank""",
+
+    "td_quantile_sketch" -> {
+      val qList = QsQuantiles.map(q => s"${q}e0").mkString("[", ", ", "]")
+      val estCases = QsQuantiles.map(q =>
+        s"max(CASE WHEN q = ${q}e0 THEN est END) AS est_p${(q * 100).toInt}")
+        .mkString(", ")
+      s"""WITH hist AS (
+            SELECT source AS grp,
+                   floor(CAST(n_chars AS DOUBLE) / $QsWidth) AS bucket,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1, 2),
+          cumr AS (
+            SELECT grp, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) - cnt
+                     AS cum_prev
+            FROM hist),
+          tot AS (SELECT grp, sum(cnt) AS n FROM hist GROUP BY 1),
+          tgt AS (SELECT grp, n, unnest($qList) AS q FROM tot),
+          sel AS (
+            SELECT grp, q, n, bucket, cum_prev, cnt FROM (
+              SELECT t.grp, t.q, t.n, c.bucket, c.cum_prev, c.cnt,
+                     row_number() OVER (PARTITION BY t.grp, t.q
+                       ORDER BY c.bucket) AS rk
+              FROM tgt t JOIN cumr c USING (grp)
+              WHERE c.cum >= t.q * t.n) WHERE rk = 1),
+          est AS (
+            SELECT grp, q, n,
+                   round(bucket * $QsWidth +
+                         $QsWidth * (q * n - cum_prev) / cnt, 6) AS est
+            FROM sel),
+          pv AS (SELECT grp, CAST(any_value(n) AS BIGINT) AS n_rows, $estCases
+                 FROM est GROUP BY grp),
+          ex AS (SELECT source AS grp,
+                        round(quantile_cont(n_chars, 0.5), 6) AS exact_p50,
+                        round(quantile_cont(n_chars, 0.9), 6) AS exact_p90,
+                        round(quantile_cont(n_chars, 0.99), 6) AS exact_p99
+                 FROM documents GROUP BY 1)
+          SELECT pv.grp AS source, pv.n_rows,
+                 pv.est_p50, pv.est_p90, pv.est_p99,
+                 ex.exact_p50, ex.exact_p90, ex.exact_p99
+          FROM pv JOIN ex USING (grp) ORDER BY source"""
+    },
 
     "td_distinct_sketch" -> {
       val mBlocks = LcMs.map { m =>

@@ -1647,6 +1647,10 @@ object TextOps {
       // the elements are already 6dp-rounded on both engines
       .withColumn("block",
         (expr("array_position(vec, array_max(vec))") - 1).cast("int"))
+      // materialize once: the vector build (token explode → hashed-dim
+      // aggregation → dense assembly) feeds BOTH sides of the block
+      // self-join and would otherwise execute twice
+      .localCheckpoint()
     val a = v.select(col("block"), col("doc_id").as("doc_id_a"), col("vec").as("vec_a"))
     val b = v.select(col("block"), col("doc_id").as("doc_id_b"), col("vec").as("vec_b"))
     val w = Window.partitionBy("doc_id_a")
@@ -1774,6 +1778,46 @@ object TextOps {
         abs(col("lc_estimate") - col("exact_distinct")) /
           col("exact_distinct"), 6))
       .select("m", "exact_distinct", "occupied", "lc_estimate", "rel_err")
+  }
+
+  /** Fixed-grid histogram quantiles: estimate per-group quantiles from a
+    * `width`-wide bucket histogram with linear interpolation inside the
+    * selected bucket — the deterministic fixed-memory alternative to an
+    * exact `percentile` (which shuffles every value per group) and to
+    * t-digest/KLL (whose merge order makes them engine-dependent). The
+    * aggregation state is ≤ |groups|×|buckets| cells per task
+    * (map-side-combined), so the only exchange is the histogram itself
+    * at any corpus size — same posture as [[cmsSketch]]/[[linearCount]].
+    * Estimate: the first bucket where the cumulative count reaches q·n,
+    * entered proportionally: lo + width·(q·n − cum_prev)/bucket_count.
+    * All arithmetic is rational-on-integers → IEEE-deterministic, so the
+    * estimates hash-check against the oracle. */
+  def histogramQuantiles(df: DataFrame, valueCol: Column, groupCol: Column,
+                         qs: Seq[Double], width: Int): DataFrame = {
+    val hist = df.select(groupCol.as("grp"),
+        floor(valueCol.cast("double") / width).as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp").orderBy("bucket")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val tot = hist.groupBy("grp").agg(sum("cnt").as("n"))
+    val targets = tot.select(col("grp"), col("n"),
+      explode(array(qs.map(lit): _*)).as("q"))
+    val sel = targets
+      .join(cum, Seq("grp"))
+      .filter(col("cum") >= col("q") * col("n"))
+      .groupBy("grp", "q", "n")
+      .agg(min(struct(col("bucket"), col("cum_prev"), col("cnt"))).as("m"))
+      .withColumn("est", round(
+        col("m.bucket") * width +
+          lit(width) * (col("q") * col("n") - col("m.cum_prev")) / col("m.cnt"),
+        6))
+    val estCols = qs.map(q =>
+      max(when(col("q") === q, col("est"))).as(s"est_p${(q * 100).toInt}"))
+    sel.groupBy("grp", "n")
+      .agg(estCols.head, estCols.tail: _*)
+      .withColumnRenamed("n", "n_rows")
   }
 
   /** EXACT set-similarity join via prefix filtering (PPJoin family —

@@ -124,6 +124,38 @@ class SamplingSketchSpec extends AnyFunSuite {
     assert(o.getLong(2) == t.getLong(2) && o.getDouble(3) == t.getDouble(3))
   }
 
+  test("histogramQuantiles: hand-computed interpolation on a uniform grid") {
+    // 80 values 0..79, width 8 → 10 buckets × 8: q·n lands exactly on
+    // cumulative boundaries, so the interpolated estimates are exact
+    val df = (0 until 80).map(v => ("g", v)).toDF("grp0", "v")
+    val r = TextOps.histogramQuantiles(
+      df, col("v"), col("grp0"), Seq(0.5, 0.9, 0.99), width = 8)
+      .collect().head
+    assert(r.getString(0) == "g" && r.getLong(1) == 80L)
+    assert(r.getDouble(2) == 40.0)  // est_p50: bucket 4 entered 8/8
+    assert(r.getDouble(3) == 72.0)  // est_p90
+    assert(r.getDouble(4) == 79.2)  // est_p99: 72 + 8·(79.2−72)/8
+  }
+
+  test("histogramQuantiles: estimate within one bucket width of exact, per group") {
+    val df = ((1 to 500).map(i => ("a", i * 3 % 97)) ++
+      (1 to 300).map(i => ("b", i * 7 % 211))).toDF("grp0", "v")
+    val est = TextOps.histogramQuantiles(
+      df, col("v"), col("grp0"), Seq(0.5, 0.9, 0.99), width = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = df.groupBy("grp0").agg(
+      expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"),
+      expr("percentile(v, 0.99)"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    for (g <- Seq("a", "b")) {
+      assert(math.abs(est(g)._1 - exact(g)._1) <= 8.0, s"$g p50")
+      assert(math.abs(est(g)._2 - exact(g)._2) <= 8.0, s"$g p90")
+      assert(math.abs(est(g)._3 - exact(g)._3) <= 8.0, s"$g p99")
+    }
+  }
+
   test("cms min-over-rows beats any single row under forced collisions") {
     // width 2 forces heavy collisions; the estimate is still an upper
     // bound and equals the min across the depth rows
