@@ -97,6 +97,11 @@ object GraftFunctions {
       registry.registerFunction(bmIdent, BloomMightContain.info,
         (children: Seq[Expression]) => BloomMightContain(children(0), children(1)))
     }
+    val nfcIdent = FunctionIdentifier("nfc_normalize")
+    if (!registry.functionExists(nfcIdent)) {
+      registry.registerFunction(nfcIdent, NfcNormalize.info,
+        (children: Seq[Expression]) => NfcNormalize(children.head))
+    }
     // one call wires the whole custom surface: expressions above, the
     // range-join planner strategy here (idempotent)
     graft.plans.NativeRangeJoin.ensureRegistered(spark)
@@ -117,6 +122,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => BytesSum(children.head)))
     ext.injectFunction((FunctionIdentifier("bloom_might_contain"), BloomMightContain.info,
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

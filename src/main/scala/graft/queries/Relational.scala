@@ -996,6 +996,24 @@ object Relational extends OpsModule {
               size(col("vals")).cast("double"))) / lit(1.0 - EwmaDecay)), 6))
         .select("event_id", "user_id", "ts", "value", "ewma")
         .orderBy("event_id")
+    }),
+
+    // manual skew-salted join surfaced as a query: ops.Skew.saltedJoin
+    // spreads each orders row over 8 salted reducers (whole-row-hash
+    // salt, small side replicated 8×), then aggregates per market
+    // segment — row-for-row identical to the plain join, which is
+    // exactly what the oracle checks. The knob for the key-skew case
+    // AQE's sort-merge splitter can't reach (hash-partitioned upstream,
+    // or one hot key overwhelming a single build side).
+    "q66_salted_join" -> ((s, d) => {
+      val joined = graft.ops.Skew.saltedJoin(
+        ord(s, d).withColumnRenamed("o_custkey", "c_custkey"),
+        cust(s, d).select("c_custkey", "c_mktsegment"),
+        Seq("c_custkey"), saltFactor = 8)
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -1663,6 +1681,14 @@ object Relational extends OpsModule {
                  round(list_dot_product(vals, wts) /
                        ((1e0 - pow(${EwmaDecay}e0, CAST(len(vals) AS DOUBLE)))
                         / (1e0 - ${EwmaDecay}e0)), 6) AS ewma
-          FROM wt ORDER BY event_id"""
+          FROM wt ORDER BY event_id""",
+
+    // the oracle is the PLAIN join — the salted plan must be
+    // row-for-row identical to it
+    "q66_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

@@ -929,7 +929,46 @@ object TrainingOps extends OpsModule {
       TextOps.cmsEstimate(top, col("term"), sketch, CmsDepth, CmsWidth)
         .withColumn("overcount", col("cms_estimate") - col("exact"))
         .orderBy(col("exact").desc, col("term"))
-    })
+    }),
+
+    // K-minimum-values distinct sketch per source: the fixed-k mergeable
+    // member of the sketch family (linear counting's bitmap must scale
+    // with cardinality; KMV's k values don't) — md5-derived, so the
+    // estimate is engine-exact, same stance as td_distinct_sketch
+    "td_kmv_distinct" -> ((s, d) => {
+      val terms = TextOps.tokenized(docs(s, d))
+        .select(col("source"), explode(col("toks")).as("term"))
+      TextOps.kmvDistinct(terms, col("term"), col("source"), KmvK)
+        .withColumnRenamed("grp", "source").orderBy("source")
+    }),
+
+    // Zipf rank–frequency slope per source — the one-number corpus-health
+    // diagnostic (natural text ≈ −1; template spam bows away)
+    "td_zipf" -> ((s, d) =>
+      TextOps.zipfSlope(docs(s, d), ZipfTopN).orderBy("source")),
+
+    // tokenizer-coverage diagnostic: OOV rate against the corpus top-500
+    // vocabulary; integer-count ratio, so exact in any engine
+    "td_oov_rate" -> ((s, d) =>
+      TextOps.oovRate(docs(s, d), OovVocab).orderBy("source")),
+
+    // Unicode NFC canonicalization via the codegen'd nfc_normalize
+    // Expression (graft.functions.NfcNormalize) — the pre-hash text
+    // normalization every web corpus needs; the appended decomposed
+    // suffix makes the composition observable on ASCII synthetic data
+    "td_unicode_norm" -> ((s, d) => {
+      val raw = concat(substring(col("text"), 1, 24), lit(UnicodeSuffix))
+      docs(s, d).select(col("doc_id"),
+          length(raw).as("raw_len"),
+          length(call_function("nfc_normalize", raw)).as("norm_len"),
+          call_function("nfc_normalize", raw).as("normalized"))
+        .orderBy("doc_id")
+    }),
+
+    // split-half centroid drift per cell — the ingest-generation shift
+    // monitor that decides when an ANN index needs re-clustering
+    "emb_centroid_drift" -> ((s, d) =>
+      Embeddings.centroidDrift(embs(s, d)).orderBy("cell"))
   )
 
   // ---- DuckDB oracle building blocks ----
@@ -958,6 +997,16 @@ object TrainingOps extends OpsModule {
   private val CmsDepth = 3
   private val CmsWidth = 128
   private val CmsTopK = 20
+  /** KMV sketch size (td_kmv_distinct); 2^60 = md5_prefix64's range. */
+  private val KmvK = 64
+  private val KmvRange = "1152921504606846976.0"
+  /** Zipf fit depth + OOV vocabulary cut (td_zipf / td_oov_rate). */
+  private val ZipfTopN = 200
+  private val OovVocab = 500
+  /** Decomposed-form suffix (e + U+0301, e + U+0308) appended so the NFC
+    * normalization op does real composition work on the ASCII-only
+    * synthetic corpus; Scala and the oracle SQL share the one constant. */
+  private val UnicodeSuffix = " cafe\u0301 noe\u0308l"
   /** PPJoin Jaccard threshold (td_prefix_join) — matches NearDupT so the
     * exact join's pairs are comparable against the blocked variant's. */
   private val PrefixJoinT = 0.5
@@ -2941,6 +2990,93 @@ object TrainingOps extends OpsModule {
                  min(c.cell_count) - p.exact AS overcount
           FROM probes p JOIN cells c USING (srow, ccol)
           GROUP BY 1, 2 ORDER BY p.exact DESC, p.term"""
-    }
+    },
+
+    "td_kmv_distinct" ->
+      s"""WITH terms AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+          hashed AS (SELECT DISTINCT source,
+                       ${dHash("concat('kmv:', term)")} AS h FROM terms),
+          kth AS (SELECT source, max(h) AS h_k, count(*) AS n_kept FROM (
+              SELECT source, h, row_number() OVER (PARTITION BY source
+                ORDER BY h ASC) AS rk FROM hashed)
+            WHERE rk <= $KmvK GROUP BY source),
+          ex AS (SELECT source, count(DISTINCT term) AS exact_distinct
+                 FROM terms GROUP BY source),
+          est AS (SELECT k.source, k.n_kept,
+                    round(CAST(h_k AS DOUBLE) / $KmvRange, 9) AS u_k,
+                    round(CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS DOUBLE)
+                      ELSE ${KmvK - 1}.0 * $KmvRange / CAST(h_k AS DOUBLE)
+                      END, 6) AS kmv_estimate,
+                    exact_distinct
+                  FROM kth k JOIN ex USING (source))
+          SELECT source, n_kept, u_k, kmv_estimate, exact_distinct,
+                 round(abs(kmv_estimate - exact_distinct) / exact_distinct, 6)
+                   AS rel_err
+          FROM est ORDER BY source""",
+
+    "td_zipf" ->
+      s"""WITH freq AS (SELECT source, term, count(*) AS f FROM (
+              SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents) GROUP BY source, term),
+          ranked AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+                            ln(CAST(f AS DOUBLE)) AS y FROM (
+              SELECT source, f, term, row_number() OVER (PARTITION BY source
+                ORDER BY f DESC, term ASC) AS rnk FROM freq)
+            WHERE rnk <= $ZipfTopN),
+          s AS (SELECT source, count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM ranked GROUP BY source)
+          SELECT source, n_terms,
+                 round((n_terms * sxy - sx * sy) /
+                       (n_terms * sxx - sx * sx), 6) AS zipf_slope
+          FROM s ORDER BY source""",
+
+    "td_oov_rate" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                        FROM documents),
+          vocab AS (SELECT term FROM (
+              SELECT term, count(*) AS f FROM toks GROUP BY term
+              ORDER BY f DESC, term ASC LIMIT $OovVocab)),
+          j AS (SELECT t.source,
+                       CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+                FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+          SELECT source, count(*) AS n_tokens,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+          FROM j GROUP BY source ORDER BY source""",
+
+    "td_unicode_norm" ->
+      s"""SELECT doc_id, length(raw) AS raw_len,
+                 length(nfc_normalize(raw)) AS norm_len,
+                 nfc_normalize(raw) AS normalized
+          FROM (SELECT doc_id, concat(substr(text, 1, 24), '$UnicodeSuffix')
+                  AS raw FROM documents)
+          ORDER BY doc_id""",
+
+    "emb_centroid_drift" ->
+      s"""WITH $duckCosPrelude,
+          ce AS (SELECT cell, list(cv ORDER BY idx) AS c_even FROM (
+              SELECT cell, idx, avg(v) AS cv FROM (
+                SELECT cell, generate_subscripts(emb, 1) AS idx,
+                       unnest(emb) AS v
+                FROM e WHERE vec_id % 2 = 0)
+              GROUP BY cell, idx) GROUP BY cell),
+          co AS (SELECT cell, list(cv ORDER BY idx) AS c_odd FROM (
+              SELECT cell, idx, avg(v) AS cv FROM (
+                SELECT cell, generate_subscripts(emb, 1) AS idx,
+                       unnest(emb) AS v
+                FROM e WHERE vec_id % 2 = 1)
+              GROUP BY cell, idx) GROUP BY cell),
+          cnt AS (SELECT cell,
+                    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_even,
+                    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_odd
+                  FROM e GROUP BY cell)
+          SELECT cnt.cell, n_even, n_odd,
+                 round(${dCos("c_even", "c_odd")}, 6) AS drift_cosine
+          FROM cnt JOIN ce USING (cell) JOIN co USING (cell)
+          ORDER BY cnt.cell"""
   )
 }

@@ -1016,6 +1016,32 @@ object Embeddings {
   }
 
   /** Per-cell stats: size, centroid norm, mean vector norm. */
+  /** Split-half embedding drift monitor: partition each cell's vectors by
+    * vec_id parity (a deterministic stand-in for "old batch vs new
+    * batch"), compute both half-centroids, and report their cosine — the
+    * production shape for detecting distribution shift between ingest
+    * generations before it degrades an ANN index or a dedup threshold
+    * (cos ≈ 1 ⇒ the cell is stationary; a drop flags re-clustering).
+    * Scale: two |cells|×dims centroid aggregations (map-side combined)
+    * and a |cells|-row join — no corpus-sized shuffle, and on a real
+    * pipeline the "halves" come from partition pruning on an ingest-date
+    * column, same plan shape. */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    val even = centroids(embeddings.filter(pmod(col("vec_id"), lit(2)) === 0))
+      .select(col("cell"), col("cemb").as("c_even"))
+    val odd = centroids(embeddings.filter(pmod(col("vec_id"), lit(2)) === 1))
+      .select(col("cell"), col("cemb").as("c_odd"))
+    val counts = embeddings.groupBy(col("label").as("cell"))
+      .agg(sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L))
+          .as("n_even"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("n_odd"))
+    counts.join(even, "cell").join(odd, "cell")
+      .withColumn("drift_cosine",
+        round(cosine(col("c_even"), col("c_odd")), 6))
+      .select("cell", "n_even", "n_odd", "drift_cosine")
+  }
+
   def clusterStats(embeddings: DataFrame): DataFrame = {
     val perRow = embeddings.select(col("label").as("cell"),
       norm(asDouble(col("embedding"))).as("vnorm"))

@@ -1897,4 +1897,110 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. RANDOM'02;
+    * Beyer et al. SIGMOD'07 unbiased form): per group, hash every item
+    * into [0,1), keep the k smallest DISTINCT hash values, estimate
+    * distinct count as (k−1)/u_k where u_k is the k-th minimum. The
+    * family member [[linearCount]] and [[cmsSketch]] lack: a
+    * fixed-k sketch whose size is independent of BOTH corpus size and
+    * domain size (linear counting's bitmap must scale with cardinality),
+    * and that supports set UNION by merging k-min lists — the
+    * cross-partition mergeable shape.
+    *
+    * Scale: the (group, hash) distinct map-side-combines; the k-smallest
+    * selection is a per-group window over the distinct-hash stream —
+    * state beyond memory drops into the k-bounded TopK Aggregator
+    * (emb_knn_topk's shape) with identical semantics. The md5-derived
+    * hash makes the k-min set — and hence the estimate — deterministic
+    * and engine-exact (Determinism contract above). Returns one row per
+    * group: k-th min (normalized), estimate, exact distinct, rel err. */
+  def kmvDistinct(items: DataFrame, itemCol: Column, groupCol: Column,
+                  k: Int = 64): DataFrame = {
+    val M = 1L << 60 // md5Long range: [0, 2^60)
+    val hashed = items.select(groupCol.as("grp"),
+        md5Long(concat(lit("kmv:"), itemCol)).as("h"))
+      .distinct()
+    val w = Window.partitionBy("grp").orderBy(col("h").asc)
+    val kth = hashed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("grp")
+      .agg(max("h").as("h_k"), count(lit(1)).as("n_kept"))
+    val exact = items.select(groupCol.as("grp"), itemCol.as("it"))
+      .distinct()
+      .groupBy("grp").agg(count(lit(1)).as("exact_distinct"))
+    kth.join(exact, "grp")
+      .withColumn("u_k", round(col("h_k").cast("double") / lit(M.toDouble), 9))
+      // fewer than k distinct values observed → the sketch IS the exact
+      // set; report the kept count itself (the standard small-set case)
+      .withColumn("kmv_estimate", round(
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(M.toDouble) /
+            col("h_k").cast("double")), 6))
+      .withColumn("rel_err", round(
+        abs(col("kmv_estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 6))
+      .select(col("grp"), col("n_kept"), col("u_k"),
+        col("kmv_estimate"), col("exact_distinct"), col("rel_err"))
+  }
+
+  /** Zipf rank–frequency fit per group: least-squares slope of
+    * ln(freq) on ln(rank) over the top `topN` terms — natural text sits
+    * near −1; corpora skewed by boilerplate or template spam bow away
+    * from it, which makes the slope a one-number corpus-health
+    * diagnostic (Piantadosi 2014 review). Restricting the fit to a
+    * deterministic top-N (freq desc, term asc ties) bounds the
+    * regression input per group, and the closed-form slope
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over those N points is engine-exact
+    * at the rounded precision. Scale: one token aggregation (map-side
+    * combined) + a per-group N-bounded window — no corpus-sized state
+    * past the frequency table. */
+  def zipfSlope(docs: DataFrame, topN: Int = 200): DataFrame = {
+    val freq = tokenized(docs)
+      .select(col("source"), explode(col("toks")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("f").desc, col("term").asc)
+    val ranked = freq
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .withColumn("x", log(col("rnk").cast("double")))
+      .withColumn("y", log(col("f").cast("double")))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("zipf_slope", round(
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6))
+      .select("source", "n_terms", "zipf_slope")
+  }
+
+  /** Out-of-vocabulary rate per source against a corpus-derived top-K
+    * vocabulary (freq desc, term asc ties — deterministic cut): the
+    * standard tokenizer-coverage diagnostic before committing a vocab
+    * size. The rate is a ratio of integer token counts (no float
+    * accumulation), so it is exact in any engine. Scale: vocabulary is
+    * top-K (bounded) and broadcasts; the membership probe is a
+    * broadcast LEFT join at the token stream — one corpus-linear pass,
+    * no corpus-sized shuffle beyond the frequency aggregation that
+    * derives the vocab (shared via exchange reuse with the probe's
+    * aggregation). */
+  def oovRate(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val toks = tokenized(docs)
+      .select(col("source"), explode(col("toks")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(
+        col("n_oov").cast("double") / col("n_tokens"), 6))
+      .select("source", "n_tokens", "n_oov", "oov_rate")
+  }
 }

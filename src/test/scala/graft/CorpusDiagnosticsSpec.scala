@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.Embeddings
+import graft.text.TextOps
+
+/** KMV distinct sketch, Zipf fit, OOV rate, NFC normalization, and
+  * centroid drift — each pinned against a plain-Scala twin of the same
+  * deterministic math.
+  */
+class CorpusDiagnosticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Plain-JVM twin of TextOps.md5Long (first 60 bits of md5 as long). */
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  // ---- KMV ----
+
+  test("kmvDistinct matches the brute-force (k-1)/u_k estimate") {
+    val items = (1 to 1000).map(i => (s"w${i % 317}", "g")).toDF("it", "g")
+    val k = 16
+    val row = TextOps.kmvDistinct(items, col("it"), col("g"), k)
+      .collect().head
+    val hashes = (0 until 317).map(i => md5Long(s"kmv:w$i")).distinct.sorted
+    val hk = hashes(k - 1)
+    val expected = BigDecimal((k - 1).toDouble * math.pow(2, 60) / hk.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Long]("n_kept") == k)
+    assert(row.getAs[Long]("exact_distinct") == 317L)
+    assert(row.getAs[Double]("kmv_estimate") == expected)
+  }
+
+  test("kmvDistinct: fewer distincts than k reports the exact count") {
+    val items = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq("c")
+    val df = items.map((_, "g")).toDF("it", "g")
+    val row = TextOps.kmvDistinct(df, col("it"), col("g"), k = 64)
+      .collect().head
+    assert(row.getAs[Long]("n_kept") == 3L)
+    assert(row.getAs[Double]("kmv_estimate") == 3.0)
+    assert(row.getAs[Double]("rel_err") == 0.0)
+  }
+
+  test("kmvDistinct estimate is within 30% of exact at k=64 on 2k items") {
+    val items = (1 to 6000).map(i => (s"t${i % 2000}", "g")).toDF("it", "g")
+    val row = TextOps.kmvDistinct(items, col("it"), col("g"), k = 64)
+      .collect().head
+    assert(row.getAs[Double]("rel_err") < 0.3,
+      s"rel_err ${row.getAs[Double]("rel_err")}")
+  }
+
+  test("kmvDistinct is partitioning-invariant") {
+    val items = (1 to 500).map(i => (s"x${i % 99}", s"g${i % 3}"))
+      .toDF("it", "g")
+    val a = TextOps.kmvDistinct(items, col("it"), col("g"), 8)
+      .orderBy("grp").collect().toSeq
+    val b = TextOps.kmvDistinct(items.repartition(17), col("it"), col("g"), 8)
+      .orderBy("grp").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- Zipf ----
+
+  test("zipfSlope recovers the slope of an exact power law") {
+    // construct a corpus whose rank-frequency IS freq = 1000 / rank
+    // (slope −1 in log-log): term w_r appears round(1000/r) times
+    val words = (1 to 50).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"w${"%03d".format(r)}"))
+    val docs = Seq((1L, words.mkString(" "), "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val slope = TextOps.zipfSlope(docs, topN = 50)
+      .collect().head.getAs[Double]("zipf_slope")
+    // rounding of counts to integers perturbs the fit slightly
+    assert(math.abs(slope - (-1.0)) < 0.01, s"slope $slope")
+  }
+
+  test("zipfSlope: uniform frequencies give slope 0") {
+    val words = (1 to 40).flatMap(r => Seq.fill(5)(s"u$r"))
+    val docs = Seq((1L, words.mkString(" "), "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val slope = TextOps.zipfSlope(docs, topN = 40)
+      .collect().head.getAs[Double]("zipf_slope")
+    assert(slope == 0.0)
+  }
+
+  // ---- OOV ----
+
+  test("oovRate: tokens outside the top-K vocabulary are counted") {
+    // vocab size 2 → "a" and "b" (most frequent); "z1".."z4" are OOV
+    val docs = Seq(
+      (1L, "a a a b b z1", "en", "s1", 1L),
+      (2L, "a b z2 z3 z4", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.oovRate(docs, vocabSize = 2)
+      .orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_oov") == 1L) // s1: z1
+    assert(got(0).getAs[Double]("oov_rate") == BigDecimal(1.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1).getAs[Long]("n_oov") == 3L) // s2: z2 z3 z4
+    assert(got(1).getAs[Double]("oov_rate") == 0.6)
+  }
+
+  test("oovRate vocabulary cut is deterministic under frequency ties") {
+    // all terms tie at freq 1 → vocab = lexicographically first K
+    val docs = Seq((1L, "d c b a", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.oovRate(docs, vocabSize = 2).collect().head
+    assert(got.getAs[Long]("n_oov") == 2L) // c, d are OOV; a, b in vocab
+  }
+
+  // ---- NFC normalization ----
+
+  test("nfc_normalize composes decomposed sequences and is identity on NFC") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq("café", "café", "plain ascii")
+      .toDF("s")
+      .select(call_function("nfc_normalize", col("s")).as("n"),
+        length(col("s")).as("raw_len"),
+        length(call_function("nfc_normalize", col("s"))).as("norm_len"))
+    val rows = df.collect()
+    assert(rows(0).getAs[String]("n") == "caf\u00e9")
+    assert(rows(0).getAs[Int]("raw_len") == 5)
+    assert(rows(0).getAs[Int]("norm_len") == 4)
+    assert(rows(1).getAs[String]("n") == "caf\u00e9")
+    assert(rows(2).getAs[String]("n") == "plain ascii")
+  }
+
+  test("nfc_normalize stays inside whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    // a Range source (not a LocalTableScan, which constant-folds the
+    // whole projection away) so the projection actually plans
+    val df = spark.range(3)
+      .select(call_function("nfc_normalize",
+        concat(lit("e\u0301x"), col("id").cast("string"))).as("n"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen
+    // stage (same assertion style as VecDotSpec)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*("), plan)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("\u00e9x0", "\u00e9x1", "\u00e9x2"))
+  }
+
+  // ---- centroid drift ----
+
+  test("centroidDrift: identical halves give cosine 1") {
+    // vectors chosen so even and odd halves have the SAME centroid
+    val rows = Seq(
+      (0L, Array(1f, 0f), 1), (2L, Array(0f, 1f), 1), // even half
+      (1L, Array(1f, 0f), 1), (3L, Array(0f, 1f), 1)) // odd half
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Embeddings.centroidDrift(df).collect().head
+    assert(got.getAs[Long]("n_even") == 2L)
+    assert(got.getAs[Long]("n_odd") == 2L)
+    assert(got.getAs[Double]("drift_cosine") == 1.0)
+  }
+
+  test("centroidDrift: orthogonal halves give cosine 0") {
+    val rows = Seq(
+      (0L, Array(1f, 0f), 7), (1L, Array(0f, 1f), 7))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Embeddings.centroidDrift(df).collect().head
+    assert(got.getAs[Double]("drift_cosine") == 0.0)
+  }
+}
