@@ -2995,14 +2995,15 @@ object TrainingOps extends OpsModule {
     "td_kmv_distinct" ->
       s"""WITH terms AS (SELECT source, unnest(string_split(text, ' ')) AS term
                          FROM documents),
-          hashed AS (SELECT DISTINCT source,
-                       ${dHash("concat('kmv:', term)")} AS h FROM terms),
+          dt AS (SELECT DISTINCT source, term FROM terms),
+          hashed AS (SELECT source,
+                       ${dHash("concat('kmv:', term)")} AS h FROM dt),
           kth AS (SELECT source, max(h) AS h_k, count(*) AS n_kept FROM (
               SELECT source, h, row_number() OVER (PARTITION BY source
                 ORDER BY h ASC) AS rk FROM hashed)
             WHERE rk <= $KmvK GROUP BY source),
-          ex AS (SELECT source, count(DISTINCT term) AS exact_distinct
-                 FROM terms GROUP BY source),
+          ex AS (SELECT source, count(*) AS exact_distinct
+                 FROM dt GROUP BY source),
           est AS (SELECT k.source, k.n_kept,
                     round(CAST(h_k AS DOUBLE) / $KmvRange, 9) AS u_k,
                     round(CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS DOUBLE)
@@ -3033,17 +3034,19 @@ object TrainingOps extends OpsModule {
           FROM s ORDER BY source""",
 
     "td_oov_rate" ->
-      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
-                        FROM documents),
+      s"""WITH st AS (SELECT source, term, count(*) AS c_st FROM (
+              SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents) GROUP BY source, term),
           vocab AS (SELECT term FROM (
-              SELECT term, count(*) AS f FROM toks GROUP BY term
-              ORDER BY f DESC, term ASC LIMIT $OovVocab)),
-          j AS (SELECT t.source,
-                       CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
-                FROM toks t LEFT JOIN vocab v ON t.term = v.term)
-          SELECT source, count(*) AS n_tokens,
+              SELECT term, CAST(sum(c_st) AS BIGINT) AS f FROM st
+              GROUP BY term ORDER BY f DESC, term ASC LIMIT $OovVocab)),
+          j AS (SELECT s.source,
+                       CASE WHEN v.term IS NULL THEN s.c_st ELSE 0 END AS oov,
+                       s.c_st
+                FROM st s LEFT JOIN vocab v ON s.term = v.term)
+          SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
                  CAST(sum(oov) AS BIGINT) AS n_oov,
-                 round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+                 round(CAST(sum(oov) AS DOUBLE) / sum(c_st), 6) AS oov_rate
           FROM j GROUP BY source ORDER BY source""",
 
     "td_unicode_norm" ->

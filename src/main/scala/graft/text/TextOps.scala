@@ -1918,18 +1918,21 @@ object TextOps {
   def kmvDistinct(items: DataFrame, itemCol: Column, groupCol: Column,
                   k: Int = 64): DataFrame = {
     val M = 1L << 60 // md5Long range: [0, 2^60)
-    val hashed = items.select(groupCol.as("grp"),
-        md5Long(concat(lit("kmv:"), itemCol)).as("h"))
-      .distinct()
+    // ONE distinct over (group, item) feeds both the sketch and the
+    // exact-calibration side — the two consumers share the distinct's
+    // exchange (ReusedExchange), so the item stream is scanned and
+    // shuffled once, not twice. Hashing after the distinct keeps the
+    // subtree identical for both.
+    val dt = items.select(groupCol.as("grp"), itemCol.as("it")).distinct()
+    val hashed = dt.select(col("grp"),
+      md5Long(concat(lit("kmv:"), col("it"))).as("h"))
     val w = Window.partitionBy("grp").orderBy(col("h").asc)
     val kth = hashed
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .groupBy("grp")
       .agg(max("h").as("h_k"), count(lit(1)).as("n_kept"))
-    val exact = items.select(groupCol.as("grp"), itemCol.as("it"))
-      .distinct()
-      .groupBy("grp").agg(count(lit(1)).as("exact_distinct"))
+    val exact = dt.groupBy("grp").agg(count(lit(1)).as("exact_distinct"))
     kth.join(exact, "grp")
       .withColumn("u_k", round(col("h_k").cast("double") / lit(M.toDouble), 9))
       // fewer than k distinct values observed → the sketch IS the exact
@@ -1989,16 +1992,24 @@ object TextOps {
     * derives the vocab (shared via exchange reuse with the probe's
     * aggregation). */
   def oovRate(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
-    val toks = tokenized(docs)
+    // aggregate the token stream to (source, term) counts ONCE; the
+    // global vocabulary derives from a rollup of those partials and the
+    // probe joins the same frame — the corpus is scanned and the token
+    // stream shuffled a single time, both consumers sharing the
+    // (source, term) exchange (td_source_kl's trick). Probe rows are
+    // |vocab ∪ observed terms| per source, not |tokens|.
+    val st = tokenized(docs)
       .select(col("source"), explode(col("toks")).as("term"))
-    val vocab = toks.groupBy("term").agg(count(lit(1)).as("f"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val vocab = st.groupBy("term").agg(sum("c_st").as("f"))
       .orderBy(col("f").desc, col("term").asc)
       .limit(vocabSize)
       .select(col("term"), lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("term"), "left")
+    st.join(broadcast(vocab), Seq("term"), "left")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum("c_st").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c_st")).otherwise(0L))
+          .as("n_oov"))
       .withColumn("oov_rate", round(
         col("n_oov").cast("double") / col("n_tokens"), 6))
       .select("source", "n_tokens", "n_oov", "oov_rate")
