@@ -1,6 +1,7 @@
 package graft.mm
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` content + typed metadata.
@@ -203,4 +204,42 @@ object Multimodal {
       .select(col("doc_id"), col("win_idx"),
         call_function("bytes_sum",
           expr(s"substring(content, win_idx * $window + 1, $window)")).as("energy"))
+
+  /** Scene-cut detection over the frame stream: per-frame byte-sum energy
+    * ([[graft.functions.BytesSum]] on the frame slice, the same stubbed
+    * stand-in for decoded luma the other media ops use), frame-to-frame
+    * absolute delta via a per-video lag window, and a cut wherever the
+    * delta exceeds 1.5× the video's mean delta. The comparison is INTEGER
+    * (`2·delta·n > 3·Σdelta`) so no float enters the decision —
+    * bit-identical in any engine. Shape: one narrow frame explode, one
+    * per-video window — frames co-locate per video, so state per task is
+    * one video's frame list; a real build swaps byte-sum for a decoded
+    * luma histogram distance with the identical plan. Videos with a
+    * single frame have no deltas and drop out (no cut is definable).
+    * Returns (doc_id, n_frames, n_deltas, n_cuts, first_cut). */
+  def sceneCuts(media: DataFrame, stride: Int = 32): DataFrame = {
+    val frames = media
+      .select(col("doc_id"), col("n_frames"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        call_function("bytes_sum",
+          expr(s"substring(content, frame_idx * $stride + 1, $stride)"))
+          .as("energy"))
+    val byFrame = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val perVideo = Window.partitionBy("doc_id")
+    val deltas = frames
+      .withColumn("prev", lag("energy", 1).over(byFrame))
+      .filter(col("prev").isNotNull)
+      .withColumn("delta", abs(col("energy") - col("prev")))
+    val flagged = deltas
+      .withColumn("total_delta", sum("delta").over(perVideo))
+      .withColumn("n_deltas", count(lit(1)).over(perVideo))
+      .withColumn("is_cut",
+        col("delta") * col("n_deltas") * 2 > col("total_delta") * 3)
+    flagged.groupBy("doc_id")
+      .agg(max("n_frames").as("n_frames"),
+        max("n_deltas").as("n_deltas"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("is_cut"), col("frame_idx"))).as("first_cut"))
+  }
 }

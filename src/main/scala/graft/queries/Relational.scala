@@ -1014,6 +1014,48 @@ object Relational extends OpsModule {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("total_price"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Kaplan–Meier survival over signup→first-purchase delay: users
+    // without a purchase are right-censored at the corpus horizon.
+    // Per-user firsts are one keyed aggregation; everything after runs
+    // on the DAY-GRID duration table (≤ horizon-days rows — state
+    // bounded regardless of user count): risk sets as total − prefix
+    // sum, the KM product as exp of a prefix sum of logs. The
+    // single-partition windows are over that bounded grid, never the
+    // user table.
+    "q67_survival" -> ((s, d) => {
+      val e = ev(s, d)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("dp"))
+      val horizon = e.agg(max(to_date(col("ts"))).as("dmax"))
+      val users = su.join(pu, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .withColumn("event", col("dp").isNotNull && !(col("dp") < col("d0")))
+        .withColumn("dur",
+          when(col("event"), datediff(col("dp"), col("d0")))
+            .otherwise(datediff(col("dmax"), col("d0"))))
+      val tab = users.groupBy("dur")
+        .agg(sum(when(col("event"), 1L).otherwise(0L)).as("n_events"),
+          count(lit(1)).as("n_total"))
+      val wPrev = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tab
+        .withColumn("n_risk", sum("n_total").over(wAll) -
+          coalesce(sum("n_total").over(wPrev), lit(0L)))
+        .withColumn("survival", round(exp(sum(
+          log(lit(1.0) - col("n_events").cast("double") / col("n_risk")))
+          .over(wCum)), 6))
+        .filter(col("n_events") > 0)
+        .select(col("dur").as("day"), col("n_events"), col("n_risk"),
+          col("survival"))
+        .orderBy("day")
     })
   )
 
@@ -1689,6 +1731,39 @@ object Relational extends OpsModule {
       """SELECT c_mktsegment, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS total_price
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q67_survival" ->
+      """WITH su AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+                     FROM events WHERE event_type = 'signup'
+                     GROUP BY user_id),
+          pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS dp
+                 FROM events WHERE event_type = 'purchase'
+                 GROUP BY user_id),
+          hz AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+          users AS (SELECT su.user_id,
+                      (dp IS NOT NULL AND NOT dp < d0) AS event,
+                      CASE WHEN dp IS NOT NULL AND NOT dp < d0
+                           THEN date_diff('day', d0, dp)
+                           ELSE date_diff('day', d0, dmax) END AS dur
+                    FROM su LEFT JOIN pu USING (user_id) CROSS JOIN hz),
+          tab AS (SELECT dur,
+                    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_events,
+                    count(*) AS n_total
+                  FROM users GROUP BY dur),
+          r AS (SELECT dur, n_events, n_total,
+                  CAST(sum(n_total) OVER () AS BIGINT) -
+                  CAST(coalesce(sum(n_total) OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+                FROM tab),
+          s AS (SELECT dur, n_events, n_risk,
+                  round(exp(sum(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk))
+                    OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)), 6) AS survival
+                FROM r)
+          SELECT CAST(dur AS INT) AS day, n_events, n_risk, survival
+          FROM s WHERE n_events > 0 ORDER BY day"""
   )
 }

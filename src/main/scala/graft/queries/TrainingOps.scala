@@ -968,7 +968,24 @@ object TrainingOps extends OpsModule {
     // split-half centroid drift per cell — the ingest-generation shift
     // monitor that decides when an ANN index needs re-clustering
     "emb_centroid_drift" -> ((s, d) =>
-      Embeddings.centroidDrift(embs(s, d)).orderBy("cell"))
+      Embeddings.centroidDrift(embs(s, d)).orderBy("cell")),
+
+    // pairwise source Jaccard from MERGED KMV sketches (the union-merge
+    // that justifies KMV): all-pairs source overlap at |groups|²·k array
+    // cost instead of a corpus term join; exact Jaccard rides along as
+    // the calibration column
+    "td_source_jaccard" -> ((s, d) => {
+      val terms = TextOps.tokenized(docs(s, d))
+        .select(col("source"), explode(col("toks")).as("term"))
+      TextOps.kmvPairJaccard(terms, col("term"), col("source"), KmvPairK)
+        .orderBy("source_a", "source_b")
+    }),
+
+    // scene-cut detection over the frame stream: per-frame byte-sum
+    // energy, lag-window deltas, integer 1.5×-mean threshold
+    "mm_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy("doc_id"))
   )
 
   // ---- DuckDB oracle building blocks ----
@@ -999,6 +1016,8 @@ object TrainingOps extends OpsModule {
   private val CmsTopK = 20
   /** KMV sketch size (td_kmv_distinct); 2^60 = md5_prefix64's range. */
   private val KmvK = 64
+  /** KMV size for the pairwise-Jaccard merge (td_source_jaccard). */
+  private val KmvPairK = 128
   private val KmvRange = "1152921504606846976.0"
   /** Zipf fit depth + OOV vocabulary cut (td_zipf / td_oov_rate). */
   private val ZipfTopN = 200
@@ -3080,6 +3099,77 @@ object TrainingOps extends OpsModule {
           SELECT cnt.cell, n_even, n_odd,
                  round(${dCos("c_even", "c_odd")}, 6) AS drift_cosine
           FROM cnt JOIN ce USING (cell) JOIN co USING (cell)
-          ORDER BY cnt.cell"""
+          ORDER BY cnt.cell""",
+
+    "td_source_jaccard" ->
+      s"""WITH terms AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+          dt AS (SELECT DISTINCT source, term FROM terms),
+          hashed AS (SELECT source,
+                       ${dHash("concat('kmv:', term)")} AS h FROM dt),
+          kmin AS (SELECT source, list_sort(list(h)) AS kl FROM (
+              SELECT source, h, row_number() OVER (PARTITION BY source
+                ORDER BY h ASC) AS rk FROM hashed)
+            WHERE rk <= $KmvPairK GROUP BY source),
+          pairs AS (SELECT a.source AS source_a, a.kl AS ka,
+                           b.source AS source_b, b.kl AS kb
+                    FROM kmin a, kmin b WHERE a.source < b.source),
+          est AS (SELECT source_a, source_b, ka, kb,
+                    list_sort(list_distinct(list_concat(ka, kb)))[1:$KmvPairK]
+                      AS ku
+                  FROM pairs),
+          e2 AS (SELECT source_a, source_b,
+                   round(CAST(len(list_filter(ku, x ->
+                       list_contains(ka, x) AND list_contains(kb, x)))
+                     AS DOUBLE) / len(ku), 6) AS kmv_jaccard
+                 FROM est),
+          sizes AS (SELECT source, count(*) AS n FROM dt GROUP BY source),
+          inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                           count(*) AS n_inter
+                    FROM dt a JOIN dt b
+                      ON a.term = b.term AND a.source < b.source
+                    GROUP BY 1, 2),
+          fin AS (SELECT e2.source_a, e2.source_b, kmv_jaccard,
+                    round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+                      (sa.n + sb.n - coalesce(n_inter, 0)), 6)
+                      AS exact_jaccard
+                  FROM e2
+                  LEFT JOIN inter USING (source_a, source_b)
+                  JOIN sizes sa ON sa.source = e2.source_a
+                  JOIN sizes sb ON sb.source = e2.source_b)
+          SELECT source_a, source_b, kmv_jaccard, exact_jaccard,
+                 round(abs(kmv_jaccard - exact_jaccard), 6) AS abs_err
+          FROM fin ORDER BY source_a, source_b""",
+
+    "mm_scene_cuts" ->
+      """WITH fr AS (
+           SELECT doc_id, n_frames, frame_idx,
+                  CAST(coalesce(list_sum(list_transform(
+                    generate_series(1, len(h) // 2),
+                    i -> CAST(concat('0x', substr(h, i * 2 - 1, 2)) AS BIGINT))),
+                    0) AS BIGINT) AS energy
+           FROM (SELECT doc_id, CAST(n_chars % 7 + 1 AS INT) AS n_frames,
+                        frame_idx,
+                        substr(hex(encode(text)),
+                          CAST(frame_idx * 64 + 1 AS INT), 64) AS h
+                 FROM (SELECT doc_id, text, n_chars,
+                              unnest(generate_series(0,
+                                CAST(n_chars % 7 AS INT))) AS frame_idx
+                       FROM documents))),
+         d AS (SELECT doc_id, n_frames, frame_idx,
+                 abs(energy - lag(energy) OVER (PARTITION BY doc_id
+                   ORDER BY frame_idx)) AS delta
+               FROM fr QUALIFY delta IS NOT NULL),
+         f AS (SELECT doc_id, n_frames, frame_idx, delta,
+                 sum(delta) OVER (PARTITION BY doc_id) AS total_delta,
+                 count(*) OVER (PARTITION BY doc_id) AS n_deltas
+               FROM d)
+         SELECT doc_id, max(n_frames) AS n_frames,
+                CAST(max(n_deltas) AS BIGINT) AS n_deltas,
+                CAST(sum(CASE WHEN delta * n_deltas * 2 > total_delta * 3
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                CAST(min(CASE WHEN delta * n_deltas * 2 > total_delta * 3
+                  THEN frame_idx END) AS INT) AS first_cut
+         FROM f GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -1948,6 +1948,69 @@ object TextOps {
         col("kmv_estimate"), col("exact_distinct"), col("rel_err"))
   }
 
+  /** Pairwise group Jaccard from MERGED KMV sketches — the operation
+    * that justifies KMV over a bitmap: two groups' k-min lists union
+    * into the k-min list of A∪B (dedup + sort + take k), and
+    * J(A,B) ≈ |{x ∈ KMV_k(A∪B) : x ∈ A ∧ x ∈ B}| / |KMV_k(A∪B)|
+    * (Beyer et al. SIGMOD'07 §5). That turns all-pairs set overlap —
+    * the pre-reweighting "which sources duplicate each other" matrix —
+    * into |groups|² work over k-length long arrays instead of a
+    * corpus-sized term join. The exact Jaccard rides along as
+    * calibration (a term-keyed pair join whose fan-in is bounded by
+    * |groups|² per term — fine at 20 sources, and explicitly the part
+    * the sketch path replaces at scale). Everything is md5-derived
+    * integer/array arithmetic → engine-exact.
+    *
+    * Scale: the sketch side shuffles ONE distinct (group, item) stream
+    * (shared with the per-group k-min via ReusedExchange), then the
+    * pair matrix is |groups|²·k array ops on the driver-free broadcast
+    * join of two |groups|-row frames. */
+  def kmvPairJaccard(items: DataFrame, itemCol: Column, groupCol: Column,
+                     k: Int = 128): DataFrame = {
+    val dt = items.select(groupCol.as("grp"), itemCol.as("it")).distinct()
+    val hashed = dt.select(col("grp"),
+      md5Long(concat(lit("kmv:"), col("it"))).as("h"))
+    val w = Window.partitionBy("grp").orderBy(col("h").asc)
+    val kmin = hashed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("grp")
+      .agg(array_sort(collect_list("h")).as("kmin"))
+    val pairs = kmin.select(col("grp").as("source_a"), col("kmin").as("ka"))
+      .join(broadcast(
+        kmin.select(col("grp").as("source_b"), col("kmin").as("kb"))))
+      .filter(col("source_a") < col("source_b"))
+    val est = pairs
+      .withColumn("ku", slice(array_sort(array_union(col("ka"), col("kb"))),
+        1, k))
+      .withColumn("kmv_jaccard", round(
+        size(filter(col("ku"), x =>
+          array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+          .cast("double") / size(col("ku")), 6))
+      .select("source_a", "source_b", "kmv_jaccard")
+    // exact calibration: |A∩B| via the term-keyed pair join over the
+    // SAME distinct frame, sizes from its per-group rollup
+    val sizes = dt.groupBy("grp").agg(count(lit(1)).as("n"))
+    val inter = dt.select(col("it"), col("grp").as("source_a"))
+      .join(dt.select(col("it"), col("grp").as("source_b")), "it")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(broadcast(sizes.select(col("grp").as("source_a"),
+        col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("grp").as("source_b"),
+        col("n").as("n_b"))), "source_b")
+      .withColumn("exact_jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .withColumn("abs_err",
+        round(abs(col("kmv_jaccard") - col("exact_jaccard")), 6))
+      .select("source_a", "source_b", "kmv_jaccard", "exact_jaccard",
+        "abs_err")
+  }
+
   /** Zipf rank–frequency fit per group: least-squares slope of
     * ln(freq) on ln(rank) over the top `topN` terms — natural text sits
     * near −1; corpora skewed by boilerplate or template spam bow away

@@ -161,6 +161,77 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(got.getAs[Double]("drift_cosine") == 1.0)
   }
 
+  // ---- KMV pair Jaccard ----
+
+  test("kmvPairJaccard is exact when k covers the union") {
+    // |A ∪ B| = 30 < k=64 → the merged sketch IS the union, estimate
+    // must equal the exact Jaccard: |A∩B|=10, |A∪B|=30 → 1/3
+    val items = ((1 to 20).map(i => (s"w$i", "a")) ++
+      (11 to 30).map(i => (s"w$i", "b"))).toDF("it", "g")
+    val row = TextOps.kmvPairJaccard(items, col("it"), col("g"), k = 64)
+      .collect().head
+    val third = BigDecimal(10.0 / 30)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("kmv_jaccard") == third)
+    assert(row.getAs[Double]("exact_jaccard") == third)
+    assert(row.getAs[Double]("abs_err") == 0.0)
+  }
+
+  test("kmvPairJaccard: identical groups give 1, disjoint give 0") {
+    val items = ((1 to 40).map(i => (s"s$i", "a")) ++
+      (1 to 40).map(i => (s"s$i", "b")) ++
+      (100 to 140).map(i => (s"s$i", "c"))).toDF("it", "g")
+    val got = TextOps.kmvPairJaccard(items, col("it"), col("g"), k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("kmv_jaccard")).toMap
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == 0.0)
+    assert(got(("b", "c")) == 0.0)
+  }
+
+  // ---- scene cuts ----
+
+  test("sceneCuts flags the frame where energy jumps") {
+    import spark.implicits._
+    // 3 frames of 32 bytes: 'a'×32, 'a'×32, 'z'×32 — deltas (0, 800);
+    // mean 400, threshold 1.5×mean=600 → exactly one cut at frame 2
+    val content = ("a" * 64 + "z" * 32).getBytes("UTF-8")
+    val media = Seq((1L, 3, content)).toDF("doc_id", "n_frames", "content")
+    val row = graft.mm.Multimodal.sceneCuts(media).collect().head
+    assert(row.getAs[Int]("n_frames") == 3)
+    assert(row.getAs[Long]("n_deltas") == 2L)
+    assert(row.getAs[Long]("n_cuts") == 1L)
+    assert(row.getAs[Int]("first_cut") == 2)
+  }
+
+  test("sceneCuts: constant frames yield no cuts; 1-frame videos drop") {
+    import spark.implicits._
+    val flat = Seq(
+      (1L, 4, ("q" * 128).getBytes("UTF-8")),
+      (2L, 1, ("q" * 32).getBytes("UTF-8")))
+      .toDF("doc_id", "n_frames", "content")
+    val got = graft.mm.Multimodal.sceneCuts(flat).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
+    assert(got.head.getAs[Long]("n_cuts") == 0L)
+    assert(got.head.isNullAt(got.head.fieldIndex("first_cut")))
+  }
+
+  // ---- Kaplan–Meier ----
+
+  test("q67_survival: survival is in (0,1], non-increasing, starts at full risk") {
+    val rows = graft.queries.Relational
+      .queries("q67_survival")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.forall(v => v > 0.0 && v <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a },
+      "survival must be non-increasing")
+    // day-0 risk set = every user with a signup (events or censored)
+    val firstRisk = rows.head.getAs[Long]("n_risk")
+    assert(firstRisk >= surv.length, s"risk $firstRisk")
+  }
+
   test("centroidDrift: orthogonal halves give cosine 0") {
     val rows = Seq(
       (0L, Array(1f, 0f), 7), (1L, Array(0f, 1f), 7))

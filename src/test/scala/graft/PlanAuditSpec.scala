@@ -64,7 +64,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // kmeansCells / kmeansTrain: every vector scores against the k
     // centroids per round — the same bounded-centroid-table broadcast
     // as emb_kmeans_step
-    "emb_semdedup", "emb_kmeans_train", "emb_kmeans_quality")
+    "emb_semdedup", "emb_kmeans_train", "emb_kmeans_quality",
+    // 1-row corpus-horizon attach (max ts) onto the per-user firsts —
+    // the same literal-attach shape as td_unigram_logprob
+    "q67_survival",
+    // the |groups|² sketch pair matrix: a deliberate cross of two
+    // |groups|-row k-min frames (20 sources → 190 pairs of k-length
+    // arrays) — THE point of the sketch is that pair work runs on
+    // sketches, never the corpus; the corpus-sized side is one shared
+    // distinct (ReusedExchange)
+    "td_source_jaccard")
 
   /** Exhaustive baselines: queries that DELIBERATELY materialize a
     * super-linear candidate set, kept as the correctness yardstick for a
@@ -98,7 +107,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "td_fuzzy_blocked", // knob: (source, sig-prefix) block count grows with N
     "td_lsh_candidates", "td_lsh_clusters", // banded LSH: band count is the knob
     "td_doc_embed_knn", // knob: hash dims — dominant-dim band, Σ|block|²
-    "td_segment_dedup") // segment-frequency join, digest-keyed at scale
+    "td_segment_dedup", // segment-frequency join, digest-keyed at scale
+    // exact-Jaccard calibration side: term-keyed pair join bounded by
+    // |groups|² per term (the KMV sketch path is what replaces it at
+    // scale — the knob is "stop running the calibration")
+    "td_source_jaccard")
 
   /** A join emitting more than this × its larger INPUT (child output
     * rows, not scan leaves — token/shingle explodes legitimately dwarf
