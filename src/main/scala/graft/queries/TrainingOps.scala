@@ -985,7 +985,19 @@ object TrainingOps extends OpsModule {
     // energy, lag-window deltas, integer 1.5×-mean threshold
     "mm_scene_cuts" -> ((s, d) =>
       Multimodal.sceneCuts(Multimodal.mediaFromDocuments(docs(s, d)))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // max-min-fair (water-filling) token-budget allocation across
+    // sources at budget = half the corpus — the "cap the
+    // over-represented sources" mixture rule, closed-form and
+    // all-integer on the sorted |sources|-row table
+    "td_waterfill" -> ((s, d) =>
+      TextOps.waterFill(docs(s, d)).orderBy("source")),
+
+    // per-doc 3-gram novelty: share of a doc's shingles appearing in no
+    // other doc — the doc-wise memorization/contribution diagnostic
+    "td_novelty" -> ((s, d) =>
+      TextOps.ngramNovelty(docs(s, d), NgramK).orderBy("doc_id"))
   )
 
   // ---- DuckDB oracle building blocks ----
@@ -3170,6 +3182,46 @@ object TrainingOps extends OpsModule {
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
                 CAST(min(CASE WHEN delta * n_deltas * 2 > total_delta * 3
                   THEN frame_idx END) AS INT) AS first_cut
-         FROM f GROUP BY doc_id ORDER BY doc_id"""
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_waterfill" ->
+      """WITH counts AS (SELECT source,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+          r AS (SELECT source, n_tokens,
+                  row_number() OVER w AS i,
+                  count(*) OVER () AS m,
+                  CAST(sum(n_tokens) OVER () AS BIGINT) // 2 AS budget,
+                  CAST(coalesce(sum(n_tokens) OVER (ORDER BY n_tokens ASC,
+                    source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    1 PRECEDING), 0) AS BIGINT) AS p_prev
+                FROM counts
+                WINDOW w AS (ORDER BY n_tokens ASC, source ASC)),
+          r2 AS (SELECT *,
+                   (n_tokens * (m - i + 1) <= budget - p_prev) AS is_full
+                 FROM r),
+          a AS (SELECT
+                  CAST(sum(CASE WHEN is_full THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS sum_full,
+                  CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_full
+                FROM r2)
+          SELECT source, n_tokens, is_full,
+                 CASE WHEN is_full THEN n_tokens
+                      ELSE (budget - sum_full) // (m - n_full) END
+                   AS allocation,
+                 budget
+          FROM r2 CROSS JOIN a ORDER BY source""",
+
+    "td_novelty" ->
+      s"""WITH $duckShingles,
+          d AS (SELECT doc_id,
+                  count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+          SELECT doc_id, count(*) AS n_shingles,
+                 CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+                 round(1.0 - CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 6) AS novelty
+          FROM d GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -1948,6 +1948,64 @@ object TextOps {
         col("kmv_estimate"), col("exact_distinct"), col("rel_err"))
   }
 
+  /** Water-filling token-budget allocation across sources: given a
+    * global budget B (here ⌊total/2⌋), find the uniform cap c such that
+    * sources under the cap keep everything and the rest contribute
+    * exactly c — the max-min-fair mixture allocation (the allocation
+    * rule behind "cap the over-represented sources" in data-mixture
+    * design). Closed form on the SORTED source table: with n₁≤…≤n_m and
+    * prefix sums P, a source is fully taken iff nᵢ·(m−i+1) ≤ B−Pᵢ₋₁
+    * (monotone in i, so full sources form a prefix), and
+    * c = (B − Σ_full n) div (m − |full|). All-integer arithmetic →
+    * engine-exact. Scale: one corpus-linear per-source count; every
+    * window runs on the |sources|-row table. */
+  def waterFill(docs: DataFrame): DataFrame = {
+    val counts = tokenized(docs)
+      .select(col("source"), size(col("toks")).as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens"))
+    val byN = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val wAll = byN.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wPrev = byN.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("i", row_number().over(byN))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("budget", expr("sum(n_tokens) over () div 2"))
+      .withColumn("p_prev", coalesce(sum("n_tokens").over(wPrev), lit(0L)))
+      .withColumn("is_full",
+        col("n_tokens") * (col("m") - col("i") + 1) <=
+          col("budget") - col("p_prev"))
+    val totals = ranked.agg(
+      sum(when(col("is_full"), col("n_tokens")).otherwise(0L)).as("sum_full"),
+      sum(when(col("is_full"), 1L).otherwise(0L)).as("n_full"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("allocation",
+        when(col("is_full"), col("n_tokens"))
+          .otherwise(expr("(budget - sum_full) div (m - n_full)")))
+      .select("source", "n_tokens", "is_full", "allocation", "budget")
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * k-shingles that appear in NO other document — the memorization-risk
+    * / contribution diagnostic (a doc whose shingles all recur elsewhere
+    * adds nothing the corpus doesn't already have; Lee et al. 2022's
+    * dedup motivation viewed doc-wise). One exploded shingle stream, the
+    * shingle document-frequency as a count-over-window on the SAME
+    * stream (one shuffle, no self-join), then a doc-grain rollup.
+    * Integer-count ratio → engine-exact. Docs with < k tokens have no
+    * shingles and drop out. */
+  def ngramNovelty(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = tokenized(docs)
+      .select(col("doc_id"), explode(shingles(col("toks"), k)).as("sh"))
+    val bySh = Window.partitionBy("sh")
+    sh.withColumn("df", count(lit(1)).over(bySh))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty", round(lit(1.0) -
+        col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Pairwise group Jaccard from MERGED KMV sketches — the operation
     * that justifies KMV over a bitmap: two groups' k-min lists union
     * into the k-min list of A∪B (dedup + sort + take k), and

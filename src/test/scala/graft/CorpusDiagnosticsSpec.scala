@@ -216,6 +216,49 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(got.head.isNullAt(got.head.fieldIndex("first_cut")))
   }
 
+  // ---- water-filling ----
+
+  test("waterFill: uniform cap, full prefix, budget never exceeded") {
+    // sources 10/20/100/200 tokens, total 330, budget 165:
+    // 10 and 20 fit fully (30), cap = (165-30) div 2 = 67 for the rest
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("tok").mkString(" "), "en", src, n.toLong)
+    val docs = Seq(doc(1, "sA", 10), doc(2, "sB", 20),
+      doc(3, "sC", 100), doc(4, "sD", 200))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.waterFill(docs).orderBy("source").collect()
+    val alloc = got.map(r => r.getString(0) -> r.getAs[Long]("allocation")).toMap
+    assert(alloc == Map("sA" -> 10L, "sB" -> 20L, "sC" -> 67L, "sD" -> 67L))
+    assert(got.map(_.getAs[Long]("allocation")).sum <= 165L)
+    assert(got.count(_.getAs[Boolean]("is_full")) == 2)
+  }
+
+  test("waterFill: budget covering everything takes everything") {
+    // equal sources: budget = total/2 caps each at half
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("t").mkString(" "), "en", src, n.toLong)
+    val docs = Seq(doc(1, "a", 40), doc(2, "b", 40))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.waterFill(docs).collect()
+    assert(got.forall(_.getAs[Long]("allocation") == 20L))
+  }
+
+  // ---- n-gram novelty ----
+
+  test("ngramNovelty separates a duplicated doc from a unique one") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s1", 1L),
+      (2L, "alpha beta gamma delta", "en", "s2", 1L), // exact dup of 1
+      (3L, "wholly original text here", "en", "s3", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.ngramNovelty(docs, k = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Double]("novelty") == 0.0) // all shingles shared
+    assert(got(1).getAs[Double]("novelty") == 0.0)
+    assert(got(2).getAs[Double]("novelty") == 1.0) // none shared
+    assert(got(0).getAs[Long]("n_shingles") == 2L) // 4 tokens, k=3
+  }
+
   // ---- Kaplan–Meier ----
 
   test("q67_survival: survival is in (0,1], non-increasing, starts at full risk") {
