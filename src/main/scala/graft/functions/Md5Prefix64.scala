@@ -102,6 +102,12 @@ object GraftFunctions {
       registry.registerFunction(nfcIdent, NfcNormalize.info,
         (children: Seq[Expression]) => NfcNormalize(children.head))
     }
+    val kmIdent = FunctionIdentifier("kmin_values")
+    if (!registry.functionExists(kmIdent)) {
+      registry.registerFunction(kmIdent, KMinValues.info,
+        (children: Seq[Expression]) =>
+          KMinValues(children(0), children(1)).toAggregateExpression())
+    }
     // one call wires the whole custom surface: expressions above, the
     // range-join planner strategy here (idempotent)
     graft.plans.NativeRangeJoin.ensureRegistered(spark)
@@ -124,6 +130,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((FunctionIdentifier("kmin_values"), KMinValues.info,
+      (children: Seq[Expression]) =>
+        KMinValues(children(0), children(1)).toAggregateExpression()))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

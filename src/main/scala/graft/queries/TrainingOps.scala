@@ -997,7 +997,32 @@ object TrainingOps extends OpsModule {
     // per-doc 3-gram novelty: share of a doc's shingles appearing in no
     // other doc — the doc-wise memorization/contribution diagnostic
     "td_novelty" -> ((s, d) =>
-      TextOps.ngramNovelty(docs(s, d), NgramK).orderBy("doc_id"))
+      TextOps.ngramNovelty(docs(s, d), NgramK).orderBy("doc_id")),
+
+    // the KMV sketch via the NATIVE kmin_values TypedImperativeAggregate
+    // (graft.functions.KMinValues): dedup + truncate happen inside the
+    // partial pass, so each group ships ≤ k longs per partition — no
+    // distinct shuffle, no rank window. td_kmv_distinct's production
+    // plan; the window formulation stays as the calibrated sibling.
+    "td_kmv_agg" -> ((s, d) => {
+      val M = (1L << 60).toDouble
+      val hashed = TextOps.tokenized(docs(s, d))
+        .select(col("source"), explode(col("toks")).as("term"))
+        .select(col("source"),
+          TextOps.md5Long(concat(lit("kmv:"), col("term"))).as("h"))
+      hashed.groupBy("source")
+        .agg(call_function("kmin_values", col("h"), lit(KmvK)).as("kmin"))
+        .select(col("source"),
+          size(col("kmin")).cast("long").as("n_kept"),
+          round(element_at(col("kmin"), -1).cast("double") / lit(M), 9)
+            .as("u_k"),
+          round(when(size(col("kmin")) < KmvK,
+              size(col("kmin")).cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * lit(M) /
+              element_at(col("kmin"), -1).cast("double")), 6)
+            .as("kmv_estimate"))
+        .orderBy("source")
+    })
   )
 
   // ---- DuckDB oracle building blocks ----
@@ -3222,6 +3247,24 @@ object TrainingOps extends OpsModule {
                    AS n_shared,
                  round(1.0 - CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
                    AS DOUBLE) / count(*), 6) AS novelty
-          FROM d GROUP BY doc_id ORDER BY doc_id"""
+          FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    // distinct on the HASH (not the term) to mirror the aggregate's
+    // TreeSet-of-hashes state exactly
+    "td_kmv_agg" ->
+      s"""WITH terms AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+          hashed AS (SELECT DISTINCT source,
+                       ${dHash("concat('kmv:', term)")} AS h FROM terms),
+          kth AS (SELECT source, max(h) AS h_k, count(*) AS n_kept FROM (
+              SELECT source, h, row_number() OVER (PARTITION BY source
+                ORDER BY h ASC) AS rk FROM hashed)
+            WHERE rk <= $KmvK GROUP BY source)
+          SELECT source, n_kept,
+                 round(CAST(h_k AS DOUBLE) / $KmvRange, 9) AS u_k,
+                 round(CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS DOUBLE)
+                   ELSE ${KmvK - 1}.0 * $KmvRange / CAST(h_k AS DOUBLE)
+                   END, 6) AS kmv_estimate
+          FROM kth ORDER BY source"""
   )
 }

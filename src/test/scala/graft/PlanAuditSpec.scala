@@ -68,6 +68,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row corpus-horizon attach (max ts) onto the per-user firsts —
     // the same literal-attach shape as td_unigram_logprob
     "q67_survival",
+    // 1-row (sum_full, n_full) attach onto the |sources|-row table
+    "td_waterfill",
     // the |groups|² sketch pair matrix: a deliberate cross of two
     // |groups|-row k-min frames (20 sources → 190 pairs of k-length
     // arrays) — THE point of the sketch is that pair work runs on
