@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -998,6 +998,49 @@ object TrainingOps extends OpsModule {
     // other doc — the doc-wise memorization/contribution diagnostic
     "td_novelty" -> ((s, d) =>
       TextOps.ngramNovelty(docs(s, d), NgramK).orderBy("doc_id")),
+
+    // leakage-aware train/val/test split: hash-assign by near-dup
+    // CLUSTER ROOT so every member of a duplicate cluster lands in one
+    // split, then AUDIT both this and the naive doc-hash split by
+    // counting verified near-dup pairs that straddle split boundaries —
+    // cluster-aware must leak ZERO by construction (the contamination
+    // mechanism eval-set decontamination exists to fix, prevented at
+    // split time). Composes the scale-safe LSH path end to end.
+    "td_split_leakage" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = TextOps.lshCandidatePairs(dd)
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint()
+      val roots = TextOps.dedupClusters(pairs)
+      def splitOf(c: Column) = {
+        val h = pmod(TextOps.md5Long(concat(lit("split:"),
+          c.cast("string"))), lit(100L))
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+      }
+      val asg = dd.select(col("doc_id"))
+        .join(roots, Seq("doc_id"), "left")
+        .withColumn("root", coalesce(col("canonical_id"), col("doc_id")))
+        .select(col("doc_id"), splitOf(col("root")).as("split"),
+          splitOf(col("doc_id")).as("naive_split"))
+        .localCheckpoint() // feeds 2 rollups + 2 leak probes
+      val leaks = pairs
+        .join(asg.select(col("doc_id").as("doc_id_a"),
+          col("split").as("sa"), col("naive_split").as("na")), "doc_id_a")
+        .join(asg.select(col("doc_id").as("doc_id_b"),
+          col("split").as("sb"), col("naive_split").as("nb")), "doc_id_b")
+        .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("leaked_aware"),
+          sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+            .as("leaked_naive"))
+      val ca = asg.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      val na = asg.groupBy(col("naive_split").as("split"))
+        .agg(count(lit(1)).as("n_docs_naive"))
+      ca.join(na, Seq("split"), "left")
+        .na.fill(0L, Seq("n_docs_naive"))
+        .crossJoin(broadcast(leaks))
+        .orderBy("split")
+    }),
 
     // the KMV sketch via the NATIVE kmin_values TypedImperativeAggregate
     // (graft.functions.KMinValues): dedup + truncate happen inside the
@@ -3248,6 +3291,44 @@ object TrainingOps extends OpsModule {
                  round(1.0 - CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
                    AS DOUBLE) / count(*), 6) AS novelty
           FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_split_leakage" -> {
+      def dSplit(x: String) = {
+        val h = s"${dHash(s"concat('split:', CAST($x AS VARCHAR))")} % 100"
+        s"CASE WHEN $h < 80 THEN 'train' WHEN $h < 90 THEN 'val' " +
+          "ELSE 'test' END"
+      }
+      s"""WITH RECURSIVE $duckLshCandCtes,
+          nd AS (SELECT doc_id_a, doc_id_b FROM lshcand WHERE jaccard >= 0.5),
+          edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM nd
+                    UNION SELECT doc_id_b, doc_id_a FROM nd),
+          cc AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst AS node, c.label FROM cc c JOIN edges e
+              ON e.src = c.node),
+          roots AS (SELECT node AS doc_id, min(label) AS canonical_id
+                    FROM cc GROUP BY node),
+          asg AS (SELECT d.doc_id,
+                    ${dSplit("coalesce(r.canonical_id, d.doc_id)")} AS split,
+                    ${dSplit("d.doc_id")} AS naive_split
+                  FROM documents d LEFT JOIN roots r USING (doc_id)),
+          leaks AS (SELECT
+              CAST(sum(CASE WHEN a.split != b.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS leaked_aware,
+              CAST(sum(CASE WHEN a.naive_split != b.naive_split
+                THEN 1 ELSE 0 END) AS BIGINT) AS leaked_naive
+            FROM nd JOIN asg a ON nd.doc_id_a = a.doc_id
+                    JOIN asg b ON nd.doc_id_b = b.doc_id),
+          ca AS (SELECT split, count(*) AS n_docs FROM asg GROUP BY split),
+          nv AS (SELECT naive_split AS split, count(*) AS n_docs_naive
+                 FROM asg GROUP BY naive_split)
+          SELECT ca.split, n_docs,
+                 CAST(coalesce(n_docs_naive, 0) AS BIGINT) AS n_docs_naive,
+                 leaked_aware, leaked_naive
+          FROM ca LEFT JOIN nv USING (split) CROSS JOIN leaks
+          ORDER BY ca.split"""
+    },
 
     // distinct on the HASH (not the term) to mirror the aggregate's
     // TreeSet-of-hashes state exactly

@@ -259,6 +259,22 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("n_shingles") == 2L) // 4 tokens, k=3
   }
 
+  // ---- leakage-aware split ----
+
+  test("td_split_leakage: cluster-aware split leaks zero near-dup pairs") {
+    val rows = graft.queries.TrainingOps
+      .queries("td_split_leakage")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    // zero leakage by construction: every cluster member shares its
+    // root's hash, so no near-dup pair can straddle a boundary
+    assert(rows.forall(_.getAs[Long]("leaked_aware") == 0L))
+    // both assignments cover every document exactly once
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val totalNaive = rows.map(_.getAs[Long]("n_docs_naive")).sum
+    assert(total == totalNaive)
+  }
+
   // ---- Kaplan–Meier ----
 
   test("q67_survival: survival is in (0,1], non-increasing, starts at full risk") {

@@ -70,6 +70,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q67_survival",
     // 1-row (sum_full, n_full) attach onto the |sources|-row table
     "td_waterfill",
+    // 1-row (leaked_aware, leaked_naive) attach onto the 3-row split table
+    "td_split_leakage",
     // the |groups|² sketch pair matrix: a deliberate cross of two
     // |groups|-row k-min frames (20 sources → 190 pairs of k-length
     // arrays) — THE point of the sketch is that pair work runs on
@@ -108,6 +110,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "mm_phash_neardup", // knob: LSH band width (8-bit bands at sf1)
     "td_fuzzy_blocked", // knob: (source, sig-prefix) block count grows with N
     "td_lsh_candidates", "td_lsh_clusters", // banded LSH: band count is the knob
+    "td_split_leakage", // composes the banded-LSH pair path end to end
     "td_doc_embed_knn", // knob: hash dims — dominant-dim band, Σ|block|²
     "td_segment_dedup", // segment-frequency join, digest-keyed at scale
     // exact-Jaccard calibration side: term-keyed pair join bounded by
