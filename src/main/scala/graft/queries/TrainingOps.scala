@@ -999,6 +999,29 @@ object TrainingOps extends OpsModule {
     "td_novelty" -> ((s, d) =>
       TextOps.ngramNovelty(docs(s, d), NgramK).orderBy("doc_id")),
 
+    // corpus manifest fingerprint: per-source doc count, XOR of content
+    // hashes (order-independent, so ANY partitioning/replication
+    // reproduces it), hash range, byte total — the reproducibility
+    // check a pipeline publishes next to a dataset version; two corpora
+    // with equal manifests are content-identical per source
+    "td_corpus_manifest" -> ((s, d) =>
+      docs(s, d)
+        .select(col("source"), TextOps.md5Long(col("text")).as("h"),
+          col("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("content_xor"),
+          min("h").as("min_hash"), max("h").as("max_hash"),
+          sum("n_chars").as("n_chars_total"))
+        .orderBy("source")),
+
+    // contrastive (anchor, positive, hard-negative) triplets per query
+    // vector — the embedding-training data-construction op; one scored
+    // scan, both picks as rank-1 rows of a (query, same-label?) window
+    "emb_triplets" -> ((s, d) =>
+      Embeddings.trainingTriplets(embs(s, d), col("vec_id") < 5)
+        .orderBy("query_id")),
+
     // leakage-aware train/val/test split: hash-assign by near-dup
     // CLUSTER ROOT so every member of a duplicate cluster lands in one
     // split, then AUDIT both this and the naive doc-hash split by
@@ -3291,6 +3314,38 @@ object TrainingOps extends OpsModule {
                  round(1.0 - CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
                    AS DOUBLE) / count(*), 6) AS novelty
           FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    "td_corpus_manifest" ->
+      s"""SELECT source, count(*) AS n_docs,
+                 bit_xor(${dHash("text")}) AS content_xor,
+                 min(${dHash("text")}) AS min_hash,
+                 max(${dHash("text")}) AS max_hash,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+          FROM documents GROUP BY source ORDER BY source""",
+
+    "emb_triplets" ->
+      s"""WITH e2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+          q2 AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qemb
+                 FROM e2 WHERE vec_id < 5),
+          scored AS (
+            SELECT q2.query_id, e2.vec_id, (e2.label = q2.qlabel) AS same,
+                   ${dCos("q2.qemb", "e2.emb")} AS cos
+            FROM q2, e2 WHERE e2.vec_id != q2.query_id),
+          best AS (
+            SELECT query_id, vec_id, same, cos,
+                   row_number() OVER (PARTITION BY query_id, same
+                     ORDER BY cos DESC, vec_id ASC) AS rk
+            FROM scored)
+          SELECT query_id,
+                 max(CASE WHEN same THEN vec_id END) AS positive_id,
+                 max(CASE WHEN same THEN round(cos, 6) END) AS pos_cos,
+                 max(CASE WHEN NOT same THEN vec_id END) AS negative_id,
+                 max(CASE WHEN NOT same THEN round(cos, 6) END) AS neg_cos,
+                 round(max(CASE WHEN same THEN round(cos, 6) END) -
+                       max(CASE WHEN NOT same THEN round(cos, 6) END), 6)
+                   AS margin
+          FROM best WHERE rk = 1 GROUP BY query_id ORDER BY query_id""",
 
     "td_split_leakage" -> {
       def dSplit(x: String) = {

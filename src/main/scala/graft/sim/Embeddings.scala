@@ -96,6 +96,41 @@ object Embeddings {
         col("label"), round(col("cos"), 6).as("cosine"), col("neg_rank"))
   }
 
+  /** Contrastive training triplets (anchor, positive, hard negative) —
+    * the data-construction step for embedding fine-tuning (Schroff et
+    * al. FaceNet CVPR'15 semi-hard mining, InfoNCE batch construction):
+    * per anchor, the most similar SAME-label vector is the positive and
+    * the most similar CROSS-label vector is the hard negative; margin =
+    * pos − neg is the per-anchor difficulty signal (negative margin ⇒
+    * the anchor currently violates the ranking the training must fix).
+    * ONE broadcast-query scan scores every candidate once; both picks
+    * are rank-1 rows of the same scored frame under a (query, same?)
+    * window, so no second pass over the corpus. Bounded by the anchor
+    * set like every kNN op here. */
+  def trainingTriplets(embeddings: DataFrame, queryFilter: Column): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("emb").as("qemb"), col("vnorm").as("qnorm"))
+    val w = Window.partitionBy("query_id", "same")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val best = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        cosinePre(col("qemb"), col("emb"), col("qnorm"), col("vnorm")))
+      .withColumn("same", col("label") === col("qlabel"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    best.groupBy("query_id")
+      .agg(
+        max(when(col("same"), col("vec_id"))).as("positive_id"),
+        max(when(col("same"), round(col("cos"), 6))).as("pos_cos"),
+        max(when(!col("same"), col("vec_id"))).as("negative_id"),
+        max(when(!col("same"), round(col("cos"), 6))).as("neg_cos"))
+      .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+  }
+
   /** One scored candidate inside the top-k aggregation. */
   final case class Neighbor(neighbor_id: Long, cosine: Double)
 

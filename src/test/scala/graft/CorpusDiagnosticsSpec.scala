@@ -259,6 +259,45 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("n_shingles") == 2L) // 4 tokens, k=3
   }
 
+  // ---- corpus manifest ----
+
+  test("corpus manifest XOR is partitioning- and order-invariant") {
+    import org.apache.spark.sql.DataFrame
+    graft.functions.GraftFunctions.register(spark)
+    def manifest(df: DataFrame) = df
+      .select(col("source"), TextOps.md5Long(col("text")).as("h"))
+      .groupBy("source").agg(expr("bit_xor(h)").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = (1 to 200).map(i => (s"s${i % 4}", s"text body $i"))
+      .toDF("source", "text")
+    val a = manifest(docs)
+    val b = manifest(docs.repartition(17).sortWithinPartitions("text"))
+    assert(a == b)
+    // a single changed document changes its source's fingerprint
+    val mutated = manifest(docs.withColumn("text",
+      when(col("text") === "text body 7", lit("CHANGED")).otherwise(col("text"))))
+    assert(mutated("s3") != a("s3") && mutated("s0") == a("s0"))
+  }
+
+  // ---- training triplets ----
+
+  test("trainingTriplets picks nearest same-label and nearest cross-label") {
+    // anchor 0 (label 1): positive must be vec 1 (identical, same label),
+    // negative must be vec 2 (identical direction, other label) over vec 3
+    val rows = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(1f, 0f), 1),
+      (5L, Array(0f, 1f), 1),
+      (2L, Array(1f, 0f), 2), (3L, Array(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val t = Embeddings.trainingTriplets(rows, col("vec_id") === 0)
+      .collect().head
+    assert(t.getAs[Long]("positive_id") == 1L)
+    assert(t.getAs[Double]("pos_cos") == 1.0)
+    assert(t.getAs[Long]("negative_id") == 2L)
+    assert(t.getAs[Double]("neg_cos") == 1.0)
+    assert(t.getAs[Double]("margin") == 0.0)
+  }
+
   // ---- leakage-aware split ----
 
   test("td_split_leakage: cluster-aware split leaks zero near-dup pairs") {

@@ -37,6 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_hybrid_rrf",
     // label-mismatch is non-equi by design; broadcast side is the query set
     "emb_hard_negatives",
+    // one scored scan for positive + hard negative; broadcast query set
+    "emb_triplets",
     // eval-set scoring join: broadcast side is the benchmark, bounded by
     // eval cardinality — the corpus is never shuffled
     "emb_decontaminate",
