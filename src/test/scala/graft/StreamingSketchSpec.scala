@@ -83,6 +83,33 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("histogram-quantile cells maintained by AggSink == batch histogram") {
+    import spark.implicits._
+    val mart = tmp(); val ckpt = tmp()
+    val input = MemoryStream[(String, Long)](spark)
+    // the quantile sketch's aggregation state IS (grp, bucket) counts —
+    // per-key algebraic, so the same exactly-once mart maintains it
+    val cells = (df: DataFrame) => df
+      .select(col("grp"), floor(col("v").cast("double") / 10).as("bucket"))
+    val q = AggSink.aggStream(cells(input.toDF().toDF("grp", "v")), mart,
+      keys = Seq("grp", "bucket"), checkpointDir = ckpt)
+    try {
+      input.addData(("a", 3L), ("a", 17L), ("b", 42L))
+      q.processAllAvailable()
+      input.addData(("a", 11L), ("a", 95L), ("b", 44L))
+      q.processAllAvailable()
+      val streamed = AggSink.read(spark, mart)
+        .select("grp", "bucket", "n_rows").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Seq(("a", 3L), ("a", 17L), ("b", 42L), ("a", 11L),
+          ("a", 95L), ("b", 44L)).toDF("grp", "v")
+        .select(col("grp"), floor(col("v").cast("double") / 10).as("bucket"))
+        .groupBy("grp", "bucket").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("KMV maintained via mapGroupsWithState == batch kmvDistinct") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
