@@ -108,6 +108,11 @@ object GraftFunctions {
         (children: Seq[Expression]) =>
           KMinValues(children(0), children(1)).toAggregateExpression())
     }
+    val jwIdent = FunctionIdentifier("jaro_winkler")
+    if (!registry.functionExists(jwIdent)) {
+      registry.registerFunction(jwIdent, JaroWinkler.info,
+        (children: Seq[Expression]) => JaroWinkler(children(0), children(1)))
+    }
     // one call wires the whole custom surface: expressions above, the
     // range-join planner strategy here (idempotent)
     graft.plans.NativeRangeJoin.ensureRegistered(spark)
@@ -133,6 +138,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("kmin_values"), KMinValues.info,
       (children: Seq[Expression]) =>
         KMinValues(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"), JaroWinkler.info,
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

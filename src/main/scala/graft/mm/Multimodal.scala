@@ -195,6 +195,43 @@ object Multimodal {
       .select("doc_id_a", "doc_id_b", "hamming", "n_shared_bands")
   }
 
+  /** Video-level near-dup by frame-fingerprint set overlap — the
+    * cross-VIDEO companion of [[phashNearDup]] (which matches whole media
+    * items): two videos match when the Jaccard similarity of their
+    * distinct frame-fingerprint sets ([[frameSample]]'s md5 per
+    * fixed-stride slice; a real build fingerprints decoded keyframes)
+    * reaches `threshold`. Catches trimmed / extended / re-muxed copies
+    * that share most frames, which a whole-file hash misses.
+    *
+    * Shape: an inverted-index equi-join on the frame fingerprint — the
+    * standard share-a-fingerprint blocking, identical to exact-dedup's
+    * digest join at frame grain. Pair work is Σ|postings|² over
+    * fingerprints, bounded by the corpus's true duplication (a fingerprint
+    * shared by d videos emits d² candidate rows); no all-pairs path
+    * exists. Set sizes ride the same frame scan (distinct → groupBy), and
+    * the per-pair Jaccard confirm is arithmetic on three counters. */
+  def videoNearDup(media: DataFrame, threshold: Double = 0.5,
+                   stride: Int = 32): DataFrame = {
+    val frames = frameSample(media, stride)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+      .localCheckpoint() // one frame scan feeds the join sides + sizes
+    val sizes = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    frames.select(col("doc_id").as("doc_id_a"), col("frame_md5"))
+      .join(frames.select(col("doc_id").as("doc_id_b"), col("frame_md5")),
+        "frame_md5")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("nf").as("n_a")),
+        "doc_id_a")
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("nf").as("n_b")),
+        "doc_id_b")
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "n_shared", "n_a", "n_b", "jaccard")
+  }
+
   def audioEnergy(media: DataFrame, window: Int = 32): DataFrame =
     media
       .select(col("doc_id"), col("content"),

@@ -156,6 +156,12 @@ object TrainingOps extends OpsModule {
       TextOps.fuzzyMatchesPrefixBlocked(docs(s, d))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // alignment-based record linkage over the same blocked geometry,
+    // scored by the native codegen'd jaro_winkler Expression
+    "td_jw_match" -> ((s, d) =>
+      TextOps.jaroWinklerMatches(docs(s, d))
+        .orderBy("doc_id_a", "doc_id_b")),
+
     "td_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(docs(s, d)).orderBy("doc_id")),
 
@@ -585,6 +591,13 @@ object TrainingOps extends OpsModule {
       Embeddings.lshSearchMultiProbe(embs(s, d), col("vec_id") < 5, maxFlips = 1)
         .orderBy("query_id", "knn_rank")),
 
+    // graph ANN: one NN-descent round over the LSH-seeded kNN graph, with
+    // sampled brute-force recall for both stages — the O(N·k²)-per-round
+    // graph-construction path that replaces bucket scans at billion-vector
+    // scale (see Embeddings.nnDescentRecall for the full shape)
+    "emb_nndescent" -> ((s, d) =>
+      Embeddings.nnDescentRecall(embs(s, d)).orderBy("stage")),
+
     "emb_quant_knn" -> ((s, d) =>
       Embeddings.quantizedKnn(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -783,6 +796,12 @@ object TrainingOps extends OpsModule {
     // hamming <= 3 by pigeonhole (the oracle is the exhaustive self-join)
     "mm_phash_neardup" -> ((s, d) =>
       Multimodal.phashNearDup(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // cross-video near-dup: Jaccard over distinct frame-fingerprint sets,
+    // blocked by the shared-fingerprint inverted index (no all-pairs)
+    "mm_video_neardup" -> ((s, d) =>
+      Multimodal.videoNearDup(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
 
     // ENCODE half of the tokenizer lifecycle: apply the trained merge
@@ -1568,6 +1587,23 @@ object TrainingOps extends OpsModule {
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE round(1.0 - CAST(levenshtein(a.sig, b.sig) AS DOUBLE)
                      / greatest(len(a.sig), len(b.sig), 1), 6) >= 0.95
+         ORDER BY doc_id_a, doc_id_b""",
+
+    // the Spark side's native jaro_winkler Expression is bit-calibrated
+    // against DuckDB's jaro_winkler_similarity (same matching, floor(t/2),
+    // 0.7 boost gate, FP evaluation order); both engines filter on the
+    // ROUNDED score
+    "td_jw_match" ->
+      """WITH d AS (SELECT doc_id, source,
+                           substr(array_to_string(list_sort(list_distinct(
+                             string_split(text, ' '))), ' '), 1, 160) AS sig
+                    FROM documents)
+         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                round(jaro_winkler_similarity(a.sig, b.sig), 6) AS jw_similarity
+         FROM d a JOIN d b ON a.source = b.source
+           AND substr(a.sig, 1, 8) = substr(b.sig, 1, 8)
+           AND a.doc_id < b.doc_id
+         WHERE round(jaro_winkler_similarity(a.sig, b.sig), 6) >= 0.9
          ORDER BY doc_id_a, doc_id_b""",
 
     "td_fuzzy_blocked" ->
@@ -2511,6 +2547,68 @@ object TrainingOps extends OpsModule {
                    ORDER BY cos DESC, neighbor_id) AS knn_rank
           FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
 
+    // NN-descent round over the LSH seed graph; avg_cos aggregates in
+    // exact integer micro-units so the value is float-order independent
+    "emb_nndescent" ->
+      s"""WITH $duckCosPrelude,
+          planes AS (
+            SELECT p, list((${dHash("concat(p, ':', d)")} % 2001 - 1000) / 1000.0
+                           ORDER BY d) AS pv
+            FROM generate_series(0, 3) AS gp(p),
+                 generate_series(0, 63) AS gd(d)
+            GROUP BY p),
+          buckets AS (
+            SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(e.emb, pl.pv) >= 0
+                                    THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+            FROM e, planes pl GROUP BY vec_id),
+          eb AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN buckets b USING (vec_id)),
+          seed AS (
+            SELECT u, w, cos FROM (
+              SELECT a.vec_id AS u, b.vec_id AS w, ${dCos("a.emb", "b.emb")} AS cos,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${dCos("a.emb", "b.emb")} DESC, b.vec_id ASC) AS rk
+              FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+            WHERE rk <= 5),
+          cand AS (
+            SELECT DISTINCT u, w FROM (
+              SELECT u, w FROM seed
+              UNION ALL
+              SELECT s1.u AS u, s2.w AS w FROM seed s1 JOIN seed s2 ON s1.w = s2.u)
+            WHERE u != w),
+          refined AS (
+            SELECT u, w, cos FROM (
+              SELECT c.u, c.w, ${dCos("eu.emb", "ew.emb")} AS cos,
+                     row_number() OVER (PARTITION BY c.u
+                       ORDER BY ${dCos("eu.emb", "ew.emb")} DESC, c.w ASC) AS rk
+              FROM cand c JOIN e eu ON eu.vec_id = c.u JOIN e ew ON ew.vec_id = c.w)
+            WHERE rk <= 5),
+          samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 20 = 0),
+          nsamp AS (SELECT count(*) AS n_nodes FROM samp),
+          brute AS (
+            SELECT bq, bn FROM (
+              SELECT s.vec_id AS bq, e2.vec_id AS bn,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY ${dCos("s.emb", "e2.emb")} DESC, e2.vec_id ASC) AS rk
+              FROM samp s JOIN e e2 ON e2.vec_id != s.vec_id)
+            WHERE rk <= 5),
+          m AS (
+            SELECT 'seed' AS stage,
+                   sum(CASE WHEN b.bq IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+                   sum(CAST(round(s.cos * 1000000) AS BIGINT)) AS cos_micro,
+                   count(*) AS n_edges
+            FROM seed s LEFT JOIN brute b ON b.bq = s.u AND b.bn = s.w
+            WHERE s.u % 20 = 0
+            UNION ALL
+            SELECT 'refined',
+                   sum(CASE WHEN b.bq IS NOT NULL THEN 1 ELSE 0 END),
+                   sum(CAST(round(r.cos * 1000000) AS BIGINT)), count(*)
+            FROM refined r LEFT JOIN brute b ON b.bq = r.u AND b.bn = r.w
+            WHERE r.u % 20 = 0)
+          SELECT m.stage, n.n_nodes,
+                 round(CAST(hits AS DOUBLE) / (n.n_nodes * 5), 6) AS recall_at_5,
+                 round(CAST(cos_micro AS DOUBLE) / 1000000.0 / n_edges, 6) AS avg_cos
+          FROM m, nsamp n ORDER BY stage""",
+
     "emb_ivf_nprobe2" ->
       s"""WITH $duckCosPrelude, $duckCentroids,
           probe AS (
@@ -2847,6 +2945,32 @@ object TrainingOps extends OpsModule {
           FROM p a JOIN p b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.phash, b.phash)) <= 3
           ORDER BY doc_id_a, doc_id_b""",
+
+    // frame-fingerprint derivation mirrors the green mm_frame_sample
+    // oracle; both engines filter on the ROUNDED jaccard so the threshold
+    // compare can't split on a 1-ulp ratio difference
+    "mm_video_neardup" ->
+      """WITH fr AS (
+           SELECT DISTINCT doc_id,
+                  md5(substr(text, frame_idx * 32 + 1, 32)) AS frame_md5
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(0, CAST(n_chars % 7 AS INT)))
+                          AS frame_idx
+                 FROM documents)),
+         sz AS (SELECT doc_id, count(*) AS nf FROM fr GROUP BY doc_id),
+         sh AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       count(*) AS n_shared
+                FROM fr a JOIN fr b ON a.frame_md5 = b.frame_md5
+                                   AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_id_a, doc_id_b, n_shared, sa.nf AS n_a, sb.nf AS n_b,
+                round(CAST(n_shared AS DOUBLE) / (sa.nf + sb.nf - n_shared), 6)
+                  AS jaccard
+         FROM sh JOIN sz sa ON sa.doc_id = doc_id_a
+                 JOIN sz sb ON sb.doc_id = doc_id_b
+         WHERE round(CAST(n_shared AS DOUBLE) / (sa.nf + sb.nf - n_shared), 6)
+               >= 0.5
+         ORDER BY doc_id_a, doc_id_b""",
 
     "mm_audio_energy" ->
       """SELECT doc_id, CAST(win_idx AS INT) AS win_idx,

@@ -685,6 +685,96 @@ object Embeddings {
         round(col("cos"), 6).as("cosine"), col("knn_rank"))
   }
 
+  /** One NN-descent refinement round (Dong et al., WWW 2011) over an
+    * LSH-seeded kNN graph, with sampled-recall instrumentation.
+    *
+    * The graph-ANN alternative to IVF/PQ: start from a cheap approximate
+    * kNN graph (here sign-LSH same-bucket top-k over ALL nodes, not just
+    * a query subset) and improve it by scoring each node against its
+    * neighbors' neighbors — "a neighbor of a neighbor is likely a
+    * neighbor". One round is implemented because rounds compose by
+    * re-feeding the refined graph; each round is two bounded equi-joins.
+    *
+    * Scale shape: the seed is the block-scoped quadratic every LSH op in
+    * this file shares (Σ|bucket|² pair work; nPlanes ∝ log N keeps bucket
+    * occupancy — and hence per-node seed cost — constant). The expansion
+    * is seed ⋈ seed on the shared endpoint: ≤ k² candidates per node, so
+    * the round costs O(N·k²) scored pairs INDEPENDENT of bucket size —
+    * this is what makes NN-descent the standard graph-construction path
+    * at billion-vector scale (k² ≈ 25 vs |bucket| ≈ N/2^planes). Recall
+    * is measured against brute-force truth on a deterministic 1-in-
+    * `sampleMod` node sample, so the exact side stays |sample|×N bounded
+    * (the same discipline as [[knnBruteForce]]'s broadcast query set).
+    *
+    * avg_cos aggregates in exact integer micro-units (round→BIGINT sum)
+    * so the result is independent of float summation order — hash-stable
+    * across engines and shuffle widths, unlike a double `avg`.
+    *
+    * Returns 2 rows: (stage ∈ {refined, seed}, n_nodes, recall_at_k,
+    * avg_cos) — refined recall ≥ seed recall is the invariant the spec
+    * pins. */
+  def nnDescentRecall(embeddings: DataFrame, k: Int = 5, nPlanes: Int = 4,
+                      sampleMod: Int = 20): DataFrame = {
+    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, dims)
+    // bucket+norm computed once; localCheckpoint truncates lineage so the
+    // four consumers (2 seed sides, candidate scoring, brute truth) reuse
+    // the materialized frame instead of re-deriving it
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+      .withColumn("bucket", lshBucket(col("emb"), planes))
+      .localCheckpoint()
+
+    val wU = Window.partitionBy("u").orderBy(col("cos").desc, col("w").asc)
+    def topK(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(e.select(col("vec_id").as("u"), col("emb").as("uemb"),
+          col("vnorm").as("unorm")), "u")
+        .join(e.select(col("vec_id").as("w"), col("emb").as("wemb"),
+          col("vnorm").as("wnorm")), "w")
+        .withColumn("cos",
+          cosinePre(col("uemb"), col("wemb"), col("unorm"), col("wnorm")))
+      scored.withColumn("rk", row_number().over(wU)).filter(col("rk") <= k)
+        .select(col("u"), col("w"), col("cos"))
+    }
+
+    // seed graph: same-bucket pairs, per-node top-k
+    val seed = topK(
+      e.select(col("vec_id").as("u"), col("bucket"))
+        .join(e.select(col("vec_id").as("w"), col("bucket")), "bucket")
+        .filter(col("u") =!= col("w")).select("u", "w"))
+      .localCheckpoint() // seed feeds 3 consumers (2 expansion sides + metrics)
+
+    // one NN-descent round: u→v→w ⇒ candidate (u, w), unioned with the
+    // seed edges, deduped, re-scored, re-ranked
+    val non = seed.select(col("u"), col("w").as("v"))
+      .join(seed.select(col("u").as("v"), col("w")), "v")
+      .select("u", "w").filter(col("u") =!= col("w"))
+    val refined = topK(seed.select("u", "w").union(non).distinct())
+
+    val nSample = e.filter(col("vec_id") % sampleMod === 0)
+      .agg(count(lit(1)).as("n_nodes")).withColumn("jk", lit(1))
+    val brute = knnBruteForce(embeddings, col("vec_id") % sampleMod === 0, k)
+      .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+
+    def stageMetrics(stage: String, edges: DataFrame): DataFrame =
+      edges.filter(col("u") % sampleMod === 0)
+        .join(brute, col("u") === col("bq") && col("w") === col("bn"), "left")
+        .agg(
+          sum(when(col("bq").isNotNull, 1L).otherwise(0L)).as("hits"),
+          sum(round(col("cos") * 1000000.0, 0).cast("long")).as("cos_micro"),
+          count(lit(1)).as("n_edges"))
+        .withColumn("jk", lit(1)).join(broadcast(nSample), "jk")
+        .select(lit(stage).as("stage"), col("n_nodes"),
+          round(col("hits").cast("double") / (col("n_nodes") * k), 6)
+            .as(s"recall_at_$k"),
+          round(col("cos_micro").cast("double") / 1000000.0 / col("n_edges"), 6)
+            .as("avg_cos"))
+
+    stageMetrics("seed", seed).unionByName(stageMetrics("refined", refined))
+      .orderBy("stage")
+  }
+
   /** Symmetric int8 scalar quantization: per-vector scale = max|v| / 127,
     * q_i = trunc(v_i / scale) ∈ [-127, 127]. Truncation (not rounding) is
     * chosen deliberately: it is bit-identical across engines, while

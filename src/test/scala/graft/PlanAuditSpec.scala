@@ -35,6 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_ann_recall", "emb_recall_curve",
     // the vector leg is knnBruteForce — same bounded broadcast query set
     "emb_hybrid_rrf",
+    // sampled brute-force truth leg is knnBruteForce on a 1-in-20 node
+    // sample — bounded broadcast query set, corpus streams once
+    "emb_nndescent",
     // label-mismatch is non-equi by design; broadcast side is the query set
     "emb_hard_negatives",
     // one scored scan for positive + hard negative; broadcast query set
@@ -109,8 +112,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_dedup_clusters", // union-find over emb_near_dup's pair list
     "emb_cluster_stats", // within-cell pair distances, same Σ|cell|² bound
     "emb_sim_histogram", // same cell-blocked pair join, |bins|-sized output
+    "emb_nndescent", // knob: nPlanes ∝ log N bounds the LSH seed; the
+    // NN-descent expansion itself is O(N·k²), not bucket-quadratic
     "mm_phash_neardup", // knob: LSH band width (8-bit bands at sf1)
     "td_fuzzy_blocked", // knob: (source, sig-prefix) block count grows with N
+    "td_jw_match", // same (source, sig-prefix) blocking as td_fuzzy_blocked
     "td_lsh_candidates", "td_lsh_clusters", // banded LSH: band count is the knob
     "td_split_leakage", // composes the banded-LSH pair path end to end
     "td_doc_embed_knn", // knob: hash dims — dominant-dim band, Σ|block|²

@@ -397,6 +397,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("video near-dup: identical frame sets give jaccard 1, disjoint sets no pair") {
+    // 35 chars -> n_frames = 35 % 7 + 1 = 1 frame per doc at stride 32;
+    // doc 1 and 2 share their text (identical frame fingerprints), doc 3
+    // shares nothing
+    val base = "the quick brown fox jumps over a a" // 34+1 chars w/ padding
+    val docs = docDF(
+      (1L, base + "!", "a"), (2L, base + "!", "a"), (3L, "x" * 35, "b"))
+    val out = Multimodal.videoNearDup(Multimodal.mediaFromDocuments(docs))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(5) == 1.0, s"identical frame sets must score 1.0: $r")
+  }
+
+  test("nn-descent: one round never lowers sampled recall, metrics well-formed") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Embeddings.nnDescentRecall(e).orderBy("stage").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("refined", "seed"))
+    val byStage = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (nSeed, recSeed, cosSeed) = byStage("seed")
+    val (nRef, recRef, cosRef) = byStage("refined")
+    assert(nSeed == nRef && nSeed > 0, "both stages measure the same node sample")
+    // the refined top-k is selected from a SUPERSET of the seed candidates
+    // (seed edges are in the candidate union), so per-node top-k quality —
+    // and hence recall against brute truth — cannot drop
+    // (an edge in brute truth is beaten by at most k-1 nodes globally, so
+    // no candidate superset can push it out of the per-node top-k)
+    assert(recRef >= recSeed, s"refined $recRef < seed $recSeed")
+    assert(recSeed >= 0.0 && recRef <= 1.0)
+    assert(cosSeed >= -1.0 && cosSeed <= 1.0 && cosRef >= -1.0 && cosRef <= 1.0)
+  }
+
   test("int8 quantization: values in range, dequantization error under one step") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qz = e.select(col("vec_id"),
