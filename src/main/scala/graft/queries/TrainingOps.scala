@@ -279,6 +279,17 @@ object TrainingOps extends OpsModule {
     "td_ppl_buckets" -> ((s, d) =>
       TextOps.perplexityBuckets(docs(s, d)).orderBy("doc_id")),
 
+    // soft dedup: weight near-dup cluster members by 1/|cluster| instead
+    // of dropping them — composes the scale-safe LSH dedup path
+    "td_softdedup" -> ((s, d) =>
+      TextOps.softDedupWeights(docs(s, d)).orderBy("doc_id")),
+
+    // curriculum ordering: global easy→hard ordinal with salted
+    // intra-stage shuffle, built from shard-ranks + broadcast offsets
+    // (never a single-partition corpus window)
+    "td_curriculum" -> ((s, d) =>
+      TextOps.curriculumOrder(docs(s, d)).orderBy("doc_id")),
+
     // winnowing fingerprints (MOSS scheme) summarized per doc
     "td_winnow" -> ((s, d) =>
       TextOps.winnowFingerprints(docs(s, d)).orderBy("doc_id")),
@@ -1980,6 +1991,44 @@ object TrainingOps extends OpsModule {
                      ELSE 'tail' END AS ppl_bucket
          FROM sc JOIN cuts USING (lang) ORDER BY doc_id""",
 
+    // curriculum: the ppl-bucket chain, then a sequential ROW_NUMBER over
+    // (stage, salt, key, doc) — the Spark side's shard-rank + offset
+    // construction is mathematically identical to this total order
+    "td_curriculum" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                        FROM documents),
+          tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS corpus_tokens FROM tf),
+          sc AS (SELECT t.doc_id, d.lang,
+                        round(avg(log2(cnt / corpus_tokens)), 6) AS avg_log2p
+                 FROM toks t JOIN tf USING (term), tot
+                 JOIN documents d ON t.doc_id = d.doc_id
+                 GROUP BY t.doc_id, d.lang),
+          v AS (SELECT lang, avg_log2p AS s, count(*) AS c FROM sc GROUP BY 1, 2),
+          cm AS (SELECT lang, s,
+                   sum(c) OVER (PARTITION BY lang ORDER BY s DESC) AS cumc FROM v),
+          nl AS (SELECT lang, count(*) AS n FROM sc GROUP BY lang),
+          cuts AS (SELECT lang,
+                     max(CASE WHEN cumc >= CAST(ceil(n / 3.0) AS BIGINT)
+                              THEN s END) AS c_head,
+                     max(CASE WHEN cumc >= CAST(ceil(2 * n / 3.0) AS BIGINT)
+                              THEN s END) AS c_mid
+                   FROM cm JOIN nl USING (lang) GROUP BY lang),
+          bk AS (SELECT sc.doc_id, sc.lang,
+                        CASE WHEN sc.avg_log2p >= c_head THEN 'head'
+                             WHEN sc.avg_log2p >= c_mid THEN 'middle'
+                             ELSE 'tail' END AS ppl_bucket
+                 FROM sc JOIN cuts USING (lang)),
+          staged AS (SELECT doc_id, lang, ppl_bucket,
+                       CASE ppl_bucket WHEN 'head' THEN 0
+                            WHEN 'middle' THEN 1 ELSE 2 END AS stage,
+                       ${dHash("concat('curr:', CAST(doc_id AS VARCHAR))")} AS skey
+                     FROM bk)
+          SELECT doc_id, lang, ppl_bucket, stage,
+                 row_number() OVER (ORDER BY stage, skey % 64, skey, doc_id)
+                   AS ord_idx
+          FROM staged ORDER BY doc_id""",
+
     "td_winnow" -> {
       val gramHash = dHash("array_to_string(list_slice(toks, i+1, i+3), ' ')")
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -2370,6 +2419,30 @@ object TrainingOps extends OpsModule {
             SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node)
           SELECT node AS doc_id, min(label) AS canonical_id
           FROM cc GROUP BY node ORDER BY doc_id""",
+
+    // soft-dedup weights: lsh-cluster chain + sizes, every doc kept with
+    // weight 1/|cluster| (singletons 1)
+    "td_softdedup" ->
+      s"""WITH RECURSIVE $duckLshCandCtes,
+          nd AS (SELECT doc_id_a, doc_id_b FROM lshcand WHERE jaccard >= 0.5),
+          edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM nd
+                    UNION SELECT doc_id_b, doc_id_a FROM nd),
+          cc AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node),
+          canon AS (SELECT node AS doc_id, min(label) AS canonical_id
+                    FROM cc GROUP BY node),
+          sz AS (SELECT canonical_id, count(*) AS csize
+                 FROM canon GROUP BY canonical_id)
+          SELECT d.doc_id, coalesce(sz.csize, 1) AS cluster_size,
+                 round(CAST(1 AS DOUBLE) / coalesce(sz.csize, 1), 6) AS weight,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                 round(CAST(len(string_split(d.text, ' ')) AS DOUBLE)
+                       / coalesce(sz.csize, 1), 6) AS eff_tokens
+          FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+                           LEFT JOIN sz ON sz.canonical_id = c.canonical_id
+          ORDER BY d.doc_id""",
 
     "emb_near_dup" ->
       s"""WITH e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb

@@ -980,6 +980,76 @@ object TextOps {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Soft deduplication (the SoftDedup / D4 family): instead of DROPPING
+    * near-duplicates, down-weight every member of a duplicate cluster by
+    * 1/|cluster| so the cluster contributes one document's worth of
+    * training mass in expectation. Composes the engine's scale-safe dedup
+    * path end to end — banded-LSH candidates → Jaccard confirm →
+    * connected components ([[dedupClusters]]) — then attaches cluster
+    * sizes back to EVERY document (singletons get weight 1). eff_tokens
+    * is the per-doc token mass after weighting, i.e. what a sampler would
+    * actually draw.
+    *
+    * Shape: the cluster table is a small fraction of the corpus (only
+    * docs in some near-dup pair); its size aggregation is tiny; the two
+    * attach joins are doc_id / canonical_id equi-joins. Nothing here adds
+    * a super-linear step beyond the LSH path itself. */
+  def softDedupWeights(docs: DataFrame): DataFrame = {
+    val clusters = dedupClusters(
+      lshCandidatePairs(docs).filter(col("jaccard") >= 0.5))
+    val sizes = clusters.groupBy("canonical_id")
+      .agg(count(lit(1)).as("csize"))
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(sizes, Seq("canonical_id"), "left")
+      .withColumn("cluster_size", coalesce(col("csize"), lit(1L)))
+      .select(col("doc_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("cluster_size"), 6)
+          .as("eff_tokens"))
+  }
+
+  /** Curriculum ordering: a global training order easy→hard with
+    * deterministic intra-stage shuffling — head-bucket (most probable
+    * under the corpus LM, see [[perplexityBuckets]]) documents first,
+    * tail last, salted-hash order inside each stage so no source/length
+    * clumping survives.
+    *
+    * The interesting part is the GLOBAL ordinal without a global
+    * single-partition window: rank inside (stage, salt-shard) — a
+    * well-distributed window — then add broadcast per-shard offsets
+    * (cumulative counts over the |stages|×|shards| table, ~192 rows).
+    * Because the shard is derived from the same salted hash that orders
+    * within the shard, concatenating shards in (stage, salt) order IS the
+    * total order (stage, salt, key, doc_id) — mathematically identical to
+    * a sequential ROW_NUMBER, which is exactly what the oracle runs. This
+    * is the same block-sums discipline as [[packSequences]]: at 100 TB
+    * the corpus-side window has stages×shards partitions, never 1. */
+  def curriculumOrder(docs: DataFrame, shards: Int = 64): DataFrame = {
+    val staged = perplexityBuckets(docs)
+      .withColumn("stage",
+        when(col("ppl_bucket") === "head", 0)
+          .when(col("ppl_bucket") === "middle", 1).otherwise(2))
+      .withColumn("skey", md5Long(concat(lit("curr:"), col("doc_id"))))
+      .withColumn("salt", (col("skey") % shards).cast("int"))
+    val wShard = Window.partitionBy("stage", "salt")
+      .orderBy(col("skey"), col("doc_id"))
+    val ranked = staged.withColumn("shard_rank", row_number().over(wShard))
+    val counts = staged.groupBy("stage", "salt").agg(count(lit(1)).as("cnt"))
+    // cumulative offsets over the tiny shard table only — the corpus
+    // never passes through this single-partition window
+    val wOff = Window.orderBy("stage", "salt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select("stage", "salt", "off")
+    ranked.join(broadcast(offsets), Seq("stage", "salt"))
+      .select(col("doc_id"), col("lang"), col("ppl_bucket"), col("stage"),
+        (col("off") + col("shard_rank")).as("ord_idx"))
+  }
+
   /** Canonical signature for edit-distance matching: the document's
     * DISTINCT tokens, sorted, joined, truncated. Word-order edits and
     * repetition vanish, so near-duplicates that token-shuffle (the common

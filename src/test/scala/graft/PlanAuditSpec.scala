@@ -119,6 +119,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "td_jw_match", // same (source, sig-prefix) blocking as td_fuzzy_blocked
     "td_lsh_candidates", "td_lsh_clusters", // banded LSH: band count is the knob
     "td_split_leakage", // composes the banded-LSH pair path end to end
+    "td_softdedup", // same banded-LSH pair path, resolved to weights
     "td_doc_embed_knn", // knob: hash dims — dominant-dim band, Σ|block|²
     "td_segment_dedup", // segment-frequency join, digest-keyed at scale
     // exact-Jaccard calibration side: term-keyed pair join bounded by

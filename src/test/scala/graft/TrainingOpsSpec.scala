@@ -397,6 +397,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("soft dedup: cluster members weigh 1/|cluster|, singletons 1, mass conserved") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docDF(
+      (1L, dup, "s"), (2L, dup, "s"), (3L, dup, "s"),
+      (4L, "completely different text lives here today ok", "s"))
+    val out = TextOps.softDedupWeights(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 3L, 3L, 1L))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(0.333333, 0.333333, 0.333333, 1.0))
+    // weighted token mass ≈ one cluster representative + the singleton
+    val eff = out.map(_.getDouble(4)).sum
+    assert(math.abs(eff - (8.0 + 7.0)) < 1e-3, s"eff mass $eff")
+  }
+
+  test("curriculum: ordinal is a permutation, stages ordered easy→hard") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextOps.curriculumOrder(docs).collect()
+    val n = out.length
+    assert(out.map(_.getLong(4)).sorted.toSeq == (1L to n).toSeq,
+      "ord_idx must be a contiguous 1..n permutation")
+    // every head-stage ordinal precedes every tail-stage ordinal
+    val byStage = out.groupBy(_.getInt(3)).map { case (s, rs) =>
+      s -> (rs.map(_.getLong(4)).min, rs.map(_.getLong(4)).max) }
+    for (s <- byStage.keys; t <- byStage.keys if s < t)
+      assert(byStage(s)._2 < byStage(t)._1,
+        s"stage $s ordinals must all precede stage $t")
+  }
+
   test("video near-dup: identical frame sets give jaccard 1, disjoint sets no pair") {
     // 35 chars -> n_frames = 35 % 7 + 1 = 1 frame per doc at stride 32;
     // doc 1 and 2 share their text (identical frame fingerprints), doc 3
