@@ -437,6 +437,16 @@ object Relational extends OpsModule {
           |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
     }),
 
+    // recursive CTE (Spark 4.x UnionLoop): 2-hop reachability with path
+    // counts over the co-purchase graph — the iterative-traversal class
+    // (hierarchies, BOM explosion, graph closure) expressed in pure SQL;
+    // the bounded-depth guard is the standard termination contract. The
+    // SQL text is engine-portable: the oracle runs the SAME query.
+    "q44_recursive_cte" -> ((s, d) => {
+      graft.SqlSurface.registerTables(s, d)
+      s.sql(RecursiveReachSql)
+    }),
+
     // linear interpolation over day-grid gaps: densify with
     // sequence+explode, carry the nearest real observation from each side
     // with IGNORE NULLS window folds, interpolate proportionally. The
@@ -1060,6 +1070,26 @@ object Relational extends OpsModule {
   )
 
   /** EWMA frame width + decay (q65_ewma) — shared with the oracle. */
+  /** One SQL text for BOTH engines (Spark executes it via UnionLoop;
+    * DuckDB runs it verbatim as the oracle): 2-hop reachability with path
+    * multiplicity from the minimum part over the co-purchase edge set.
+    * UNION ALL + a depth guard is the portable recursion contract —
+    * hop < 2 bounds the loop at 3 levels in any engine. */
+  private[queries] val RecursiveReachSql =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+      |seed AS (SELECT min(l_partkey) AS p FROM lineitem),
+      |reach(part, hop) AS (
+      |  SELECT p, 0 FROM seed
+      |  UNION ALL
+      |  SELECT e.dst, r.hop + 1
+      |  FROM reach r JOIN edges e ON e.src = r.part
+      |  WHERE r.hop < 2)
+      |SELECT part, min(hop) AS min_hops, count(*) AS n_paths
+      |FROM reach GROUP BY part ORDER BY part""".stripMargin
+
   private val EwmaW = 20
   private val EwmaDecay = 0.9
 
@@ -1422,6 +1452,7 @@ object Relational extends OpsModule {
                   WHERE o.o_custkey = c.c_custkey
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
          ORDER BY c.c_custkey, t.o_orderkey""",
+    "q44_recursive_cte" -> RecursiveReachSql,
     "q45_interpolate" ->
       """WITH daily AS (
            SELECT event_type,

@@ -382,6 +382,13 @@ object TrainingOps extends OpsModule {
       Embeddings.hardNegatives(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "neg_rank")),
 
+    // diverse exemplar selection: greedy MMR over the top-20 ANN pool,
+    // k=5 unrolled steps on rounded scores (bit-reproducible greedy path)
+    "emb_mmr" -> ((s, d) =>
+      Embeddings.mmrSelect(embs(s, d), col("vec_id") < 5,
+        k = MmrK, pool = MmrPool, lamTenths = MmrLamTenths)
+        .orderBy("query_id", "mmr_rank")),
+
     // semantic decontamination: corpus vectors flagged by max cosine to
     // the (broadcast) eval set — catches paraphrased eval leakage that
     // exact/shingle decontamination misses; threshold shared with oracle
@@ -1420,6 +1427,78 @@ object TrainingOps extends OpsModule {
            SELECT cell, generate_subscripts(emb, 1) AS idx, unnest(emb) AS v FROM e)
          GROUP BY cell, idx)
        GROUP BY cell)"""
+
+  private val MmrK = 5
+  private val MmrPool = 20
+  private val MmrLamTenths = 7 // λ = 7/10
+
+  /** Unrolled greedy-MMR chain, the oracle twin of Embeddings.mmrSelect:
+    * step i scores every remaining pool member on EXACT INTEGER 1e-7
+    * units — score_u = rel_micro·λ₁₀ − maxsim_micro·(10−λ₁₀) with rel/sim
+    * being 6-dp values — and takes the windowed argmax with a neighbor-id
+    * tie-break. No float round sits on the selection path (rel·0.7 at
+    * 6 dp lands on round-half boundaries engines disagree on), so the
+    * greedy chain is bit-identical to the Spark side; the reported score
+    * is the exact integer over 1e7. */
+  private def duckMmrChain: String = {
+    val lamN = MmrLamTenths
+    val omlN = 10 - MmrLamTenths
+    def microSql(x: String) = s"CAST(round($x * 1000000) AS BIGINT)"
+    val steps = (2 to MmrK).map { i =>
+      s"""ms$i AS (
+            SELECT p.query_id, p.na, max(p.sim) AS ms
+            FROM psim p JOIN selall${i - 1} s
+              ON s.query_id = p.query_id AND s.neighbor_id = p.nb
+            GROUP BY p.query_id, p.na),
+          sc$i AS (
+            SELECT r.query_id, r.neighbor_id, r.rel,
+                   ${microSql("r.rel")} * $lamN
+                     - ${microSql("coalesce(m.ms, 0.0)")} * $omlN AS score_u
+            FROM rem${i - 1} r LEFT JOIN ms$i m
+              ON m.query_id = r.query_id AND m.na = r.neighbor_id),
+          sel$i AS (
+            SELECT query_id, neighbor_id, $i AS mmr_rank, rel,
+                   CAST(score_u AS DOUBLE) / 10000000.0 AS score FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score_u DESC, neighbor_id ASC) AS rk FROM sc$i)
+            WHERE rk = 1),
+          selall$i AS (SELECT * FROM selall${i - 1}
+                       UNION ALL SELECT * FROM sel$i),
+          rem$i AS (
+            SELECT r.query_id, r.neighbor_id, r.rel FROM rem${i - 1} r
+            LEFT JOIN sel$i s ON s.query_id = r.query_id
+              AND s.neighbor_id = r.neighbor_id
+            WHERE s.neighbor_id IS NULL)"""
+    }.mkString(",\n")
+    s"""cand AS (
+          SELECT query_id, neighbor_id, rel FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(${dCos("q.qemb", "e.emb")}, 6) AS rel,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${dCos("q.qemb", "e.emb")} DESC, e.vec_id ASC) AS rk
+            FROM q, e WHERE e.vec_id != q.query_id) WHERE rk <= $MmrPool),
+        pe AS (SELECT c.query_id, c.neighbor_id, e.emb
+               FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        psim AS (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+                        round(${dCos("a.emb", "b.emb")}, 6) AS sim
+                 FROM pe a JOIN pe b
+                   ON a.query_id = b.query_id
+                  AND a.neighbor_id != b.neighbor_id),
+        sc1 AS (SELECT query_id, neighbor_id, rel,
+                       ${microSql("rel")} * $lamN
+                         - ${microSql("0.0")} * $omlN AS score_u FROM cand),
+        sel1 AS (SELECT query_id, neighbor_id, 1 AS mmr_rank, rel,
+                        CAST(score_u AS DOUBLE) / 10000000.0 AS score FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score_u DESC, neighbor_id ASC) AS rk FROM sc1)
+                 WHERE rk = 1),
+        selall1 AS (SELECT * FROM sel1),
+        rem1 AS (SELECT c.query_id, c.neighbor_id, c.rel FROM cand c
+                 LEFT JOIN sel1 s ON s.query_id = c.query_id
+                   AND s.neighbor_id = c.neighbor_id
+                 WHERE s.neighbor_id IS NULL),
+        $steps"""
+  }
 
   /** Squared L2 with the same association as Embeddings.dist2. */
   private def dDist2(a: String, b: String) =
@@ -2619,6 +2698,12 @@ object TrainingOps extends OpsModule {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id) AS knn_rank
           FROM scored QUALIFY knn_rank <= 5 ORDER BY query_id, knn_rank""",
+
+    "emb_mmr" ->
+      s"""WITH $duckCosPrelude,
+          $duckMmrChain
+          SELECT query_id, neighbor_id, mmr_rank, rel, score
+          FROM selall$MmrK ORDER BY query_id, mmr_rank""",
 
     // NN-descent round over the LSH seed graph; avg_cos aggregates in
     // exact integer micro-units so the value is float-order independent

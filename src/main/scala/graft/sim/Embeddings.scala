@@ -775,6 +775,80 @@ object Embeddings {
       .orderBy("stage")
   }
 
+  /** Greedy Maximal-Marginal-Relevance subset selection (Carbonell &
+    * Goldstein 1998) — pick k results that are RELEVANT to the query yet
+    * DIVERSE among themselves: step i takes
+    * argmax λ·rel(x) − (1−λ)·max_{s∈S} sim(x, s). The training-data use
+    * is diverse exemplar/eval-set selection, where plain top-k returns k
+    * near-copies of the same neighborhood.
+    *
+    * Scale shape: the corpus appears ONLY in the candidate-pool ANN
+    * search (here [[knnBruteForce]]; swap in the IVF path at scale). The
+    * greedy loop itself touches pool-sized frames: pairwise sims are
+    * pool² per query (a bounded block — the pool size is a compile-time
+    * constant), and each of the k unrolled steps is an equi-join +
+    * windowed argmax over ≤ pool rows per query.
+    *
+    * Determinism: λ is the rational `lamTenths`/10 and the greedy compare
+    * runs on EXACT INTEGERS — rel and sim are 6-dp values, so
+    * score_u = rel_micro·λ₁₀ − sim_micro·(10−λ₁₀) in 1e-7 units is exact
+    * arithmetic with a neighbor-id tie-break; no float round sits on the
+    * selection path (a first cut rounded rel·0.7 at 6 dp and hit the
+    * round-half boundary engines disagree on). The reported score is the
+    * exact integer over 1e7 — the same double in any engine. The oracle
+    * replays the identical k-step chain as unrolled CTEs.
+    * localCheckpoint per step truncates the iterative lineage, the same
+    * discipline as [[kmeansTrain]]. */
+  def mmrSelect(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
+                pool: Int = 20, lamTenths: Int = 7): DataFrame = {
+    require(lamTenths > 0 && lamTenths <= 10, "λ in (0,1] tenths")
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("vnorm", norm(col("emb")))
+    val cand = knnBruteForce(embeddings, queryFilter, pool)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+      .localCheckpoint()
+    val pe = cand.join(e, cand("neighbor_id") === e("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("emb"), col("vnorm"))
+    val psim = pe.select(col("query_id"), col("neighbor_id").as("na"),
+        col("emb").as("ea"), col("vnorm").as("norma"))
+      .join(pe.select(col("query_id"), col("neighbor_id").as("nb"),
+        col("emb").as("eb"), col("vnorm").as("normb")), "query_id")
+      .filter(col("na") =!= col("nb"))
+      .select(col("query_id"), col("na"), col("nb"),
+        round(cosinePre(col("ea"), col("eb"), col("norma"), col("normb")), 6)
+          .as("sim"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy("query_id")
+      .orderBy(col("score_u").desc, col("neighbor_id").asc)
+    def micro(c: Column): Column = round(c * 1000000.0, 0).cast("long")
+    var selected: DataFrame = null
+    var remaining = cand
+    for (i <- 1 to k) {
+      val withMs =
+        if (selected == null) remaining.withColumn("maxsim", lit(0.0))
+        else remaining.join(
+          psim.join(selected.select(col("query_id"),
+              col("neighbor_id").as("nb")), Seq("query_id", "nb"))
+            .groupBy("query_id", "na").agg(max("sim").as("maxsim"))
+            .withColumnRenamed("na", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left")
+          .withColumn("maxsim", coalesce(col("maxsim"), lit(0.0)))
+      val pick = withMs
+        .withColumn("score_u", micro(col("rel")) * lamTenths -
+          micro(col("maxsim")) * (10 - lamTenths))
+        .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(i).as("mmr_rank"), col("rel"),
+          (col("score_u").cast("double") / 10000000.0).as("score"))
+      selected =
+        (if (selected == null) pick else selected.unionByName(pick))
+          .localCheckpoint()
+      remaining = remaining.join(pick.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti").localCheckpoint()
+    }
+    selected
+  }
+
   /** Symmetric int8 scalar quantization: per-vector scale = max|v| / 127,
     * q_i = trunc(v_i / scale) ∈ [-127, 127]. Truncation (not rounding) is
     * chosen deliberately: it is bit-identical across engines, while

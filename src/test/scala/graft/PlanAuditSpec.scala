@@ -38,6 +38,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // sampled brute-force truth leg is knnBruteForce on a 1-in-20 node
     // sample — bounded broadcast query set, corpus streams once
     "emb_nndescent",
+    // pool generation is knnBruteForce; the greedy chain is pool-sized
+    "emb_mmr",
     // label-mismatch is non-equi by design; broadcast side is the query set
     "emb_hard_negatives",
     // one scored scan for positive + hard negative; broadcast query set
@@ -53,6 +55,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "td_bigram_logprob", "td_source_kl", "td_mixture_sample", "td_bm25",
     // composes unigramLogProb, inheriting its 1-row corpus-total attach
     "td_ppl_buckets",
+    // composes perplexityBuckets, same inherited 1-row attach
+    "td_curriculum",
     // two 1-row literal attaches: the mean array and the normalizer
     "emb_pca_power",
     // three 1-row count frames folded into one row
@@ -114,6 +118,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_sim_histogram", // same cell-blocked pair join, |bins|-sized output
     "emb_nndescent", // knob: nPlanes ∝ log N bounds the LSH seed; the
     // NN-descent expansion itself is O(N·k²), not bucket-quadratic
+    "emb_mmr", // pairwise sims are pool² per query — pool is a constant
     "mm_phash_neardup", // knob: LSH band width (8-bit bands at sf1)
     "td_fuzzy_blocked", // knob: (source, sig-prefix) block count grows with N
     "td_jw_match", // same (source, sig-prefix) blocking as td_fuzzy_blocked

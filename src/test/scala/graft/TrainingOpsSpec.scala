@@ -397,6 +397,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("mmr: first pick is the top-1 neighbor; later picks trade relevance for diversity") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qf = col("vec_id") < 3
+    val mmr = Embeddings.mmrSelect(e, qf, k = 5, pool = 20, lamTenths = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val top1 = Embeddings.knnBruteForce(e, qf, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // rank 1 maximizes λ·rel − (1−λ)·0 ⟹ it IS the plain top-1 neighbor
+    for ((q, n, rk) <- mmr if rk == 1)
+      assert(n == top1(q), s"query $q first MMR pick $n != top-1 ${top1(q)}")
+    // k picks per query, no repeats within a query
+    mmr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == 5 && rows.map(_._2).distinct.length == 5,
+        s"query $q must select 5 distinct exemplars")
+    }
+    // diversity actually bites on this corpus (duplicated vectors exist):
+    // some query's MMR set must differ from its plain top-5
+    val top5 = Embeddings.knnBruteForce(e, qf, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mmr.exists { case (q, n, _) => !top5.contains((q, n)) },
+      "MMR must deviate from plain top-k somewhere, else λ is vacuous")
+  }
+
   test("soft dedup: cluster members weigh 1/|cluster|, singletons 1, mass conserved") {
     val dup = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = docDF(
