@@ -162,6 +162,11 @@ object TrainingOps extends OpsModule {
       TextOps.jaroWinklerMatches(docs(s, d))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // sorted-neighborhood dedup: N·w pair work via distributed sort-rank
+    // + exact rank-banded window join, JW-confirmed
+    "td_snm_pairs" -> ((s, d) =>
+      TextOps.snmPairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
+
     "td_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(docs(s, d)).orderBy("doc_id")),
 
@@ -1694,6 +1699,23 @@ object TrainingOps extends OpsModule {
            AND substr(a.sig, 1, 8) = substr(b.sig, 1, 8)
            AND a.doc_id < b.doc_id
          WHERE round(jaro_winkler_similarity(a.sig, b.sig), 6) >= 0.9
+         ORDER BY doc_id_a, doc_id_b""",
+
+    // the Spark side's distributed (shard-window + offsets) rank equals
+    // this sequential ROW_NUMBER because the shard is a prefix of the
+    // sort key; the banded pair join is exact for gaps <= w
+    "td_snm_pairs" ->
+      """WITH d AS (SELECT doc_id,
+                           substr(array_to_string(list_sort(list_distinct(
+                             string_split(text, ' '))), ' '), 1, 160) AS sig
+                    FROM documents),
+         r AS (SELECT doc_id, sig,
+                      row_number() OVER (ORDER BY sig, doc_id) AS rnk FROM d)
+         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                b.rnk - a.rnk AS rank_gap,
+                round(jaro_winkler_similarity(a.sig, b.sig), 6) AS jw_similarity
+         FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 10
+         WHERE round(jaro_winkler_similarity(a.sig, b.sig), 6) >= 0.95
          ORDER BY doc_id_a, doc_id_b""",
 
     "td_fuzzy_blocked" ->

@@ -397,6 +397,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("snm: sorted neighbors pair within the window; distant duplicates of distinct text don't") {
+    // identical docs → identical sigs → adjacent ranks → gap 1, jw 1.0
+    val docs = docDF(
+      (1L, "zeta eta theta iota kappa lambda mu nu", "s"),
+      (2L, "zeta eta theta iota kappa lambda mu nu", "s"),
+      (3L, "alpha beta gamma delta epsilon phi chi psi", "s"))
+    val out = TextOps.snmPairs(docs, window = 1).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getLong(2) == 1L && out.head.getDouble(3) == 1.0)
+    // distributed rank construction == sequential rank: every pair from a
+    // w=2 run over 3 docs has gap <= 2 and both orders of sig-sort respect
+    val all = TextOps.snmPairs(docs, window = 2, simThreshold = 0.0).collect()
+    assert(all.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 2))
+    assert(all.length == 3, s"3 docs, w=2 → C(3,2)=3 ordered pairs: ${all.length}")
+  }
+
   test("mmr: first pick is the top-1 neighbor; later picks trade relevance for diversity") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qf = col("vec_id") < 3
