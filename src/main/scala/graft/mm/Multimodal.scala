@@ -242,6 +242,30 @@ object Multimodal {
         call_function("bytes_sum",
           expr(s"substring(content, win_idx * $window + 1, $window)")).as("energy"))
 
+  /** VAD-style active-segment extraction — the speech-segmentation step of
+    * an audio pipeline: a window is ACTIVE when its energy exceeds the
+    * clip's mean (integer compare `energy·n_windows > Σenergy`, the same
+    * no-float discipline as [[phash]] and [[sceneCuts]]); consecutive
+    * active windows merge into segments by the gaps-and-islands identity
+    * (win_idx − per-clip row_number is constant within a run). A real
+    * build swaps the byte-sum for decoded-frame RMS with identical shape.
+    * Shape: one window explode (narrow), one per-clip aggregate for the
+    * threshold, one per-clip window for the island id — windows co-locate
+    * per clip, so state per task is one clip's window list. */
+  def vadSegments(media: DataFrame, window: Int = 32): DataFrame = {
+    val en = audioEnergy(media, window)
+    val tot = en.groupBy("doc_id")
+      .agg(sum("energy").as("tot"), count(lit(1)).as("nw"))
+    val w = Window.partitionBy("doc_id").orderBy("win_idx")
+    en.join(tot, "doc_id")
+      .filter(col("energy") * col("nw") > col("tot"))
+      .withColumn("grp", col("win_idx") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("win_idx").as("seg_start"), max("win_idx").as("seg_end"),
+        count(lit(1)).as("n_windows"), sum("energy").as("seg_energy"))
+      .drop("grp")
+  }
+
   /** Scene-cut detection over the frame stream: per-frame byte-sum energy
     * ([[graft.functions.BytesSum]] on the frame slice, the same stubbed
     * stand-in for decoded luma the other media ops use), frame-to-frame

@@ -802,6 +802,12 @@ object TrainingOps extends OpsModule {
       Multimodal.audioEnergy(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy("doc_id", "win_idx")),
 
+    // VAD-style active segments: above-mean energy gate (integer compare)
+    // merged by gaps-and-islands — the speech-segmentation pipeline step
+    "mm_vad_segments" -> ((s, d) =>
+      Multimodal.vadSegments(Multimodal.mediaFromDocuments(docs(s, d)))
+        .orderBy("doc_id", "seg_start")),
+
     "mm_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizeBatched(
@@ -1436,6 +1442,24 @@ object TrainingOps extends OpsModule {
   private val MmrK = 5
   private val MmrPool = 20
   private val MmrLamTenths = 7 // λ = 7/10
+
+  /** Windowed byte-sum energy stream — the oracle twin of
+    * Multimodal.audioEnergy (hex-pair fold over 32-byte windows),
+    * shared by mm_audio_energy and mm_vad_segments. */
+  private val duckAudioEnergy =
+    """SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+              CAST(coalesce(list_sum(list_transform(
+                generate_series(1, len(h) // 2),
+                i -> CAST(concat('0x', substr(h, i * 2 - 1, 2)) AS BIGINT))), 0)
+                AS BIGINT) AS energy
+       FROM (SELECT doc_id, win_idx,
+                    substr(hex(encode(text)), win_idx * 64 + 1, 64) AS h
+             FROM (SELECT doc_id, text,
+                          unnest(generate_series(0,
+                            greatest(CAST(ceil(octet_length(encode(text)) / 32.0)
+                                          AS INT) - 1, 0)))
+                            AS win_idx
+                   FROM documents))"""
 
   /** Unrolled greedy-MMR chain, the oracle twin of Embeddings.mmrSelect:
     * step i scores every remaining pool member on EXACT INTEGER 1e-7
@@ -3153,20 +3177,26 @@ object TrainingOps extends OpsModule {
          ORDER BY doc_id_a, doc_id_b""",
 
     "mm_audio_energy" ->
-      """SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
-                CAST(coalesce(list_sum(list_transform(
-                  generate_series(1, len(h) // 2),
-                  i -> CAST(concat('0x', substr(h, i * 2 - 1, 2)) AS BIGINT))), 0)
-                  AS BIGINT) AS energy
-         FROM (SELECT doc_id, win_idx,
-                      substr(hex(encode(text)), win_idx * 64 + 1, 64) AS h
-               FROM (SELECT doc_id, text,
-                            unnest(generate_series(0,
-                              greatest(CAST(ceil(octet_length(encode(text)) / 32.0)
-                                            AS INT) - 1, 0)))
-                              AS win_idx
-                     FROM documents))
-         ORDER BY doc_id, win_idx""",
+      s"""WITH en AS ($duckAudioEnergy)
+          SELECT doc_id, win_idx, energy FROM en ORDER BY doc_id, win_idx""",
+
+    // VAD segments: integer above-mean gate + gaps-and-islands merge over
+    // the same windowed-energy stream the mm_audio_energy oracle defines
+    "mm_vad_segments" ->
+      s"""WITH en AS ($duckAudioEnergy),
+          tot AS (SELECT doc_id, sum(energy) AS tot, count(*) AS nw
+                  FROM en GROUP BY doc_id),
+          act AS (SELECT e.doc_id, e.win_idx, e.energy
+                  FROM en e JOIN tot t USING (doc_id)
+                  WHERE e.energy * t.nw > t.tot),
+          seg AS (SELECT doc_id, win_idx, energy,
+                         win_idx - CAST(row_number() OVER (PARTITION BY doc_id
+                           ORDER BY win_idx) AS INT) AS grp
+                  FROM act)
+          SELECT doc_id, min(win_idx) AS seg_start, max(win_idx) AS seg_end,
+                 CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(sum(energy) AS BIGINT) AS seg_energy
+          FROM seg GROUP BY doc_id, grp ORDER BY doc_id, seg_start""",
     "mm_resize" ->
       """SELECT doc_id,
                 CAST(((n_chars % 64) * 10 + 64) // 2 AS INT) AS new_width,

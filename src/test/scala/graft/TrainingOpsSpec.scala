@@ -397,6 +397,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("vad segments: above-mean runs merge into islands with exact bounds") {
+    import spark.implicits._
+    // content = 32 low-energy bytes ('a'=97), 64 high ('z'=122), 32 low,
+    // 32 high → windows [low, high, high, low, high]; mean sits between,
+    // so segments are [1,2] and [4,4]
+    val media = Seq((1L, ("a" * 32 + "z" * 64 + "a" * 32 + "z" * 32).getBytes))
+      .toDF("doc_id", "content")
+    val segs = Multimodal.vadSegments(media).orderBy("seg_start").collect()
+    assert(segs.map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq ==
+      Seq((1, 2, 2L), (4, 4, 1L)))
+    // every active window is a full 'z' block: energy 122 * 32 per window
+    assert(segs.map(_.getLong(4)).toSeq == Seq(2 * 122L * 32, 122L * 32))
+  }
+
   test("snm: sorted neighbors pair within the window; distant duplicates of distinct text don't") {
     // identical docs → identical sigs → adjacent ranks → gap 1, jw 1.0
     val docs = docDF(
