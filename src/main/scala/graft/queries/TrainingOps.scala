@@ -167,6 +167,11 @@ object TrainingOps extends OpsModule {
     "td_snm_pairs" -> ((s, d) =>
       TextOps.snmPairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
 
+    // entity resolution end-to-end: SNM pairs → connected components →
+    // survivorship merge to one golden record per entity
+    "td_golden_record" -> ((s, d) =>
+      TextOps.goldenRecords(docs(s, d)).orderBy("canonical_id")),
+
     "td_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(docs(s, d)).orderBy("doc_id")),
 
@@ -1443,6 +1448,24 @@ object TrainingOps extends OpsModule {
   private val MmrPool = 20
   private val MmrLamTenths = 7 // λ = 7/10
 
+  /** Sorted-neighborhood pair CTEs (oracle twin of TextOps.snmPairs):
+    * sequential ROW_NUMBER rank over (sig, doc_id), pairs within rank
+    * distance 10, JW-confirmed at the rounded 0.95 threshold. Shared by
+    * td_snm_pairs and td_golden_record. */
+  private val duckSnmCtes =
+    """d AS (SELECT doc_id,
+                    substr(array_to_string(list_sort(list_distinct(
+                      string_split(text, ' '))), ' '), 1, 160) AS sig
+             FROM documents),
+       r AS (SELECT doc_id, sig,
+                    row_number() OVER (ORDER BY sig, doc_id) AS rnk FROM d),
+       snm AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                      b.rnk - a.rnk AS rank_gap,
+                      round(jaro_winkler_similarity(a.sig, b.sig), 6)
+                        AS jw_similarity
+               FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 10
+               WHERE round(jaro_winkler_similarity(a.sig, b.sig), 6) >= 0.95)"""
+
   /** Windowed byte-sum energy stream — the oracle twin of
     * Multimodal.audioEnergy (hex-pair fold over 32-byte windows),
     * shared by mm_audio_energy and mm_vad_segments. */
@@ -1729,18 +1752,38 @@ object TrainingOps extends OpsModule {
     // this sequential ROW_NUMBER because the shard is a prefix of the
     // sort key; the banded pair join is exact for gaps <= w
     "td_snm_pairs" ->
-      """WITH d AS (SELECT doc_id,
-                           substr(array_to_string(list_sort(list_distinct(
-                             string_split(text, ' '))), ' '), 1, 160) AS sig
-                    FROM documents),
-         r AS (SELECT doc_id, sig,
-                      row_number() OVER (ORDER BY sig, doc_id) AS rnk FROM d)
-         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                b.rnk - a.rnk AS rank_gap,
-                round(jaro_winkler_similarity(a.sig, b.sig), 6) AS jw_similarity
-         FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 10
-         WHERE round(jaro_winkler_similarity(a.sig, b.sig), 6) >= 0.95
+      s"""WITH $duckSnmCtes
+         SELECT doc_id_a, doc_id_b, rank_gap, jw_similarity FROM snm
          ORDER BY doc_id_a, doc_id_b""",
+
+    // ER survivorship: SNM pairs → recursive-CTE components → windowed
+    // representative (longest, ties to smallest id) + provenance counters
+    "td_golden_record" ->
+      s"""WITH RECURSIVE $duckSnmCtes,
+          nd AS (SELECT doc_id_a, doc_id_b FROM snm),
+          edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM nd
+                    UNION SELECT doc_id_b, doc_id_a FROM nd),
+          cc AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node),
+          canon AS (SELECT node AS doc_id, min(label) AS canonical_id
+                    FROM cc GROUP BY node),
+          m AS (SELECT dd.doc_id, coalesce(c.canonical_id, dd.doc_id)
+                         AS canonical_id, dd.n_chars
+                FROM documents dd LEFT JOIN canon c USING (doc_id)),
+          rep AS (SELECT canonical_id, doc_id AS rep_doc_id,
+                         n_chars AS rep_chars FROM (
+                    SELECT *, row_number() OVER (PARTITION BY canonical_id
+                      ORDER BY n_chars DESC, doc_id ASC) AS rk FROM m)
+                  WHERE rk = 1),
+          g AS (SELECT canonical_id, count(*) AS n_members,
+                       min(doc_id) AS min_doc_id,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars
+                FROM m GROUP BY canonical_id)
+          SELECT g.canonical_id, g.n_members, g.min_doc_id,
+                 rep.rep_doc_id, rep.rep_chars, g.total_chars
+          FROM g JOIN rep USING (canonical_id) ORDER BY canonical_id""",
 
     "td_fuzzy_blocked" ->
       """WITH d AS (SELECT doc_id, source,

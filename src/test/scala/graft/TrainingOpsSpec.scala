@@ -397,6 +397,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("golden record: clusters merge to one survivor row, singletons survive themselves") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docDF(
+      (1L, dup, "s"), (2L, dup + " iota", "s"), // near-identical sigs
+      (9L, "utterly different content goes right here now", "s"))
+    val out = TextOps.goldenRecords(docs).orderBy("canonical_id").collect()
+    assert(out.length == 2, s"2 entities expected: ${out.mkString(";")}")
+    val ent = out.head
+    assert(ent.getLong(0) == 1L && ent.getLong(1) == 2L) // canonical, members
+    assert(ent.getLong(3) == 2L, "representative = the LONGER member (doc 2)")
+    assert(ent.getLong(5) == docs.filter(col("doc_id") =!= 9L)
+      .agg(sum("n_chars")).first().getLong(0))
+    val single = out.last
+    assert(single.getLong(0) == 9L && single.getLong(1) == 1L &&
+      single.getLong(3) == 9L)
+  }
+
   test("vad segments: above-mean runs merge into islands with exact bounds") {
     import spark.implicits._
     // content = 32 low-energy bytes ('a'=97), 64 high ('z'=122), 32 low,
