@@ -305,6 +305,11 @@ object TrainingOps extends OpsModule {
     "td_doremi" -> ((s, d) =>
       TextOps.doremiWeights(docs(s, d)).orderBy("source")),
 
+    // epoch materialization: mixture epoch factors → reproducible per-doc
+    // copy counts (floor + hash-fraction), E[n_copies] = rep
+    "td_epoch_plan" -> ((s, d) =>
+      TextOps.epochMaterialize(docs(s, d)).orderBy("doc_id")),
+
     // winnowing fingerprints (MOSS scheme) summarized per doc
     "td_winnow" -> ((s, d) =>
       TextOps.winnowFingerprints(docs(s, d)).orderBy("doc_id")),
@@ -2142,6 +2147,29 @@ object TrainingOps extends OpsModule {
                  round(pow(CAST(n_tokens AS DOUBLE), 0.5) / sum_pow * sum_tokens / n_tokens, 6)
                    AS epochs
           FROM s, t ORDER BY source""",
+
+    // rep is the ROUNDED mixture factor; fractional admission compares
+    // integer micro-units, so no float compare crosses engines
+    "td_epoch_plan" ->
+      s"""WITH s AS (SELECT source,
+                            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                              AS n_tokens
+                     FROM documents GROUP BY source),
+          t AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS sum_pow,
+                       CAST(sum(n_tokens) AS DOUBLE) AS sum_tokens FROM s),
+          mix AS (SELECT source,
+                         round(pow(CAST(n_tokens AS DOUBLE), 0.5) / sum_pow
+                               * sum_tokens / n_tokens, 6) AS rep
+                  FROM s, t)
+          SELECT d.doc_id, d.source, m.rep,
+                 CAST(floor(m.rep) AS BIGINT)
+                   + CASE WHEN ${dHash("concat('epoch:', CAST(doc_id AS VARCHAR))")}
+                               % 1000000
+                               < CAST(round((m.rep - floor(m.rep)) * 1000000.0)
+                                      AS BIGINT)
+                          THEN 1 ELSE 0 END AS n_copies
+          FROM documents d JOIN mix m USING (source)
+          ORDER BY d.doc_id""",
 
     "td_kneser_ney" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -1657,6 +1657,32 @@ object TextOps {
       .select("source", "n_tokens", "weight", "epochs")
   }
 
+  /** Epoch materialization: turn [[temperatureMixture]]'s per-source
+    * epoch factor into the ACTUAL per-document copy counts one training
+    * epoch uses — `floor(rep)` guaranteed copies plus one more with
+    * probability `frac(rep)`, decided by a salted doc hash so the
+    * realized epoch is reproducible (and unbiased: E[n_copies] = rep).
+    * This is the step between "the mix says 1.7 epochs of this source"
+    * and a concrete training list; downstream a sampler explodes
+    * n_copies (never materialized here — the per-doc counter is the
+    * scalable artifact, the exploded list is corpus×rep).
+    *
+    * Determinism: rep is the ROUNDED mixture factor, the fractional
+    * admission compares integer micro-units of it against the hash
+    * bucket — no float compare crosses engines. */
+  def epochMaterialize(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val mix = temperatureMixture(docs, tau).select(col("source"),
+      col("epochs").as("rep"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(mix), "source")
+      .withColumn("n_copies", floor(col("rep")) +
+        when(md5Long(concat(lit("epoch:"), col("doc_id").cast("string")))
+          % 1000000L <
+          round((col("rep") - floor(col("rep"))) * 1000000.0, 0).cast("long"),
+          1L).otherwise(0L))
+      .select("doc_id", "source", "rep", "n_copies")
+  }
+
   /** Kneser-Ney-smoothed bigram scoring — the serious LM rung above
     * Jelinek-Mercer ([[bigramLogProb]]): absolute discounting plus a
     * CONTINUATION-count back-off,

@@ -64,6 +64,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row broadcast totals: sum_pow/sum_tokens, the bigram type count,
     // and the two distribution totals — same literal-attach shape
     "td_temperature_mix", "td_kneser_ney", "td_dsir",
+    // composes temperatureMixture, inheriting its 1-row totals attach
+    "td_epoch_plan",
     // 1-row corpus-total attach, same shape as td_unigram_logprob
     "td_lm_holdout",
     // composes lmHoldout + three 1-row attaches (global loss, token

@@ -397,6 +397,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("epoch plan: copies bracket the mixture factor and are unbiased in expectation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextOps.epochMaterialize(docs).collect()
+      .map(r => (r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // every doc's copies are floor(rep) or ceil(rep)
+    assert(out.forall { case (rep, n) =>
+      n == math.floor(rep).toLong || n == math.ceil(rep).toLong })
+    // hash-fraction admission is unbiased: realized total ≈ Σ rep
+    val (sumRep, sumN) = (out.map(_._1).sum, out.map(_._2).sum.toDouble)
+    assert(math.abs(sumN - sumRep) / sumRep < 0.1,
+      s"realized $sumN vs expected $sumRep")
+  }
+
   test("doremi: weights sum to ~1 and order by excess loss; hardest source up-weighted") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextOps.doremiWeights(docs).collect()
