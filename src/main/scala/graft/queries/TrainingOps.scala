@@ -391,6 +391,11 @@ object TrainingOps extends OpsModule {
     "td_bm25" -> ((s, d) =>
       TextOps.bm25TopK(docs(s, d), Bm25Terms)),
 
+    // late-interaction (ColBERT maxsim) retrieval: per-term sims computed
+    // once at VOCABULARY grain, docs only join and max
+    "td_late_interaction" -> ((s, d) =>
+      TextOps.lateInteraction(docs(s, d), Bm25Terms)),
+
     // per-source token-budget sampler: admit in salted-hash order until
     // the stratum's cumulative token count hits the budget
     "td_budget_sample" -> ((s, d) =>
@@ -1476,6 +1481,13 @@ object TrainingOps extends OpsModule {
                FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 10
                WHERE round(jaro_winkler_similarity(a.sig, b.sig), 6) >= 0.95)"""
 
+  /** Late-interaction oracle pieces: md5-derived 8-dim term vector as a
+    * DuckDB list expression, and the per-query-term cosine column. */
+  private def dLiVec(termExpr: String) =
+    s"""list_transform(generate_series(0, 7), j ->
+        (${dHash(s"concat('li:', CAST(j AS VARCHAR), ':', $termExpr)")}
+         % 2001 - 1000) / 1000.0)"""
+
   /** Windowed byte-sum energy stream — the oracle twin of
     * Multimodal.audioEnergy (hex-pair fold over 32-byte windows),
     * shared by mm_audio_energy and mm_vad_segments. */
@@ -2395,6 +2407,31 @@ object TrainingOps extends OpsModule {
                      (dl / (sum_dl / n_docs))))) AS score
             FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
           GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""",
+
+    // late interaction: vocab-grain cosines, per-doc max per query term,
+    // FIXED-ORDER column sum (m_0 + m_1 + …) — no float aggregate
+    "td_late_interaction" -> {
+      val simCols = Bm25Terms.zipWithIndex.map { case (q, i) =>
+        val qv = dLiVec(s"'$q'")
+        s"""round(list_dot_product(v, $qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product($qv, $qv))),
+             6) AS s_$i"""
+      }.mkString(",\n ")
+      val maxCols = Bm25Terms.indices.map(i => s"max(s.s_$i) AS m_$i").mkString(", ")
+      val mList = Bm25Terms.indices.map(i => s"m_$i").mkString(", ")
+      val sumExpr = Bm25Terms.indices.map(i => s"m_$i").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id,
+                               unnest(list_distinct(string_split(text, ' ')))
+                                 AS term
+                        FROM documents),
+          vocab AS (SELECT DISTINCT term FROM toks),
+          tv AS (SELECT term, ${dLiVec("term")} AS v FROM vocab),
+          sims AS (SELECT term, $simCols FROM tv),
+          per AS (SELECT t.doc_id, $maxCols
+                  FROM toks t JOIN sims s USING (term) GROUP BY t.doc_id)
+          SELECT doc_id, $mList, round($sumExpr, 6) AS li_score
+          FROM per ORDER BY li_score DESC, doc_id LIMIT 10"""
+    },
 
     // window cumsum over integers → engine-exact; hash order via dHash
     "td_budget_sample" ->

@@ -1657,6 +1657,54 @@ object TextOps {
       .select("source", "n_tokens", "weight", "epochs")
   }
 
+  /** Late-interaction retrieval (the ColBERT maxsim family): score(d) =
+    * Σ_{q ∈ query} max_{t ∈ d} cos(E(q), E(t)) — each query term finds
+    * its best-matching document term, so partial/semantic matches score
+    * where exact-term BM25 sees nothing. Term embeddings here are the
+    * engine's deterministic stand-in (md5-derived projections, the
+    * [[graft.sim.Embeddings.hyperplanes]] trick at term grain); a real
+    * build swaps in model embeddings with the SAME plan.
+    *
+    * The scale insight: cos(E(q), E(t)) depends only on the TERM PAIR,
+    * so similarities are computed once at VOCABULARY grain (|vocab| ×
+    * |query| rows, broadcast) and documents only join and max — no
+    * per-document vector math, no embedding materialized per token
+    * occurrence. The per-doc score sums the per-query-term maxes as
+    * FIXED-ORDER column arithmetic (m1+m2+…), not a float aggregate, so
+    * the result is engine-exact. */
+  def lateInteraction(docs: DataFrame, queryTerms: Seq[String],
+                      dims: Int = 8, topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty)
+    def vecOf(term: String): Array[Double] = Array.tabulate(dims) { j =>
+      (graft.functions.Md5Prefix64.hash(s"li:$j:$term".getBytes) % 2001 - 1000) / 1000.0
+    }
+    def tvExpr(t: Column): Column = array((0 until dims).map(j =>
+      (md5Long(concat(lit(s"li:$j:"), t)) % 2001 - 1000) / 1000.0): _*)
+    val vocab = tokenized(docs)
+      .select(explode(array_distinct(col("toks"))).as("term")).distinct()
+      .withColumn("tv", tvExpr(col("term")))
+    val simCols = queryTerms.zipWithIndex.map { case (q, i) =>
+      val qv = vecOf(q)
+      val qLit = array(qv.map(lit).toIndexedSeq: _*)
+      val qNorm = math.sqrt(qv.map(x => x * x).sum)
+      round(graft.sim.Embeddings.dot(col("tv"), qLit) /
+        (graft.sim.Embeddings.norm(col("tv")) * lit(qNorm)), 6).as(s"s_$i")
+    }
+    val sims = vocab.select(col("term") +: simCols: _*)
+    val perDoc = tokenized(docs)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      .join(graft.ops.AutoBroadcast.sizeGate(sims), "term")
+      .groupBy("doc_id")
+      .agg(queryTerms.indices.map(i => max(col(s"s_$i")).as(s"m_$i")).head,
+        queryTerms.indices.map(i => max(col(s"s_$i")).as(s"m_$i")).tail: _*)
+    val score = queryTerms.indices.map(i => col(s"m_$i")).reduce(_ + _)
+    perDoc.withColumn("li_score", round(score, 6))
+      .orderBy(col("li_score").desc, col("doc_id").asc)
+      .limit(topK)
+      .select(col("doc_id") +: queryTerms.indices.map(i => col(s"m_$i")) :+
+        col("li_score"): _*)
+  }
+
   /** Epoch materialization: turn [[temperatureMixture]]'s per-source
     * epoch factor into the ACTUAL per-document copy counts one training
     * epoch uses — `floor(rep)` guaranteed copies plus one more with

@@ -397,6 +397,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rMulti >= rSingle)
   }
 
+  test("late interaction: per-term maxsim bounds the score; exact term match maxes its slot") {
+    val docs = docDF(
+      (1L, "dup vector key query extras here", "s"), // contains all 4 terms
+      (2L, "totally unrelated words appear only", "s"))
+    val out = TextOps.lateInteraction(docs, Seq("dup", "vector", "key", "query"))
+      .collect().map(r => r.getLong(0) ->
+        (0 to 3).map(i => r.getDouble(1 + i)).toSeq).toMap
+    // doc 1 holds every query term verbatim: each maxsim slot is exactly 1
+    assert(out(1L).forall(_ == 1.0), s"exact matches must score 1.0: ${out(1L)}")
+    // doc 2 has no exact match: every slot strictly below 1
+    assert(out(2L).forall(m => m < 1.0 && m >= -1.0))
+  }
+
   test("epoch plan: copies bracket the mixture factor and are unbiased in expectation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextOps.epochMaterialize(docs).collect()
