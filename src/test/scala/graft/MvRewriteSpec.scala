@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.MvRewrite
+
+/** The materialized-aggregate rewrite must be TRANSPARENT (same answers,
+  * different scan) and CONSERVATIVE (anything it cannot prove, it leaves
+  * alone). Sessions are isolated: the rule is registered on a newSession
+  * so the global query surface never sees it. */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val baseDir = "/root/testdata/sf0.001/documents.parquet"
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }
+
+  test("matching aggregates reroute to the summary; answers identical; guards hold") {
+    val session = spark.newSession()
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    try {
+      val base = session.read.parquet(baseDir)
+      val mvDir = Files.createTempDirectory("mv_docs").toString
+      base.groupBy("source", "lang")
+        .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(mvDir)
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = "documents.parquet", groupCols = Seq("source", "lang"),
+        sumCols = Map("n_chars" -> "sum_chars"), countCol = Some("n_rows"))
+
+      // exact-grouping match — and a projection ON TOP of the aggregate,
+      // proving rewritten aliases keep their exprIds
+      val q = base.groupBy("source", "lang")
+        .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"))
+        .select("source", "total", "cnt")
+      assert(scanPaths(q).exists(_.contains(mvDir)),
+        s"expected the summary scan, got ${scanPaths(q)}")
+      val plain = spark.read.parquet(baseDir).groupBy("source", "lang")
+        .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"))
+        .select("source", "total", "cnt")
+      assert(q.collect().toSet == plain.collect().toSet && q.count() > 0)
+
+      // subset rollup: group by source only → SUM of partial SUMs
+      val roll = base.groupBy("source").agg(sum("n_chars").as("total"))
+      assert(scanPaths(roll).exists(_.contains(mvDir)))
+      val rollPlain = spark.read.parquet(baseDir)
+        .groupBy("source").agg(sum("n_chars").as("total"))
+      assert(roll.collect().toSet == rollPlain.collect().toSet)
+
+      // global rollup (no grouping)
+      val glob = base.agg(count(lit(1)).as("cnt"), sum("n_chars").as("s"))
+      assert(scanPaths(glob).exists(_.contains(mvDir)))
+      assert(glob.first() ==
+        spark.read.parquet(baseDir).agg(count(lit(1)).as("cnt"),
+          sum("n_chars").as("s")).first())
+
+      // guard: a FILTTERED base cannot be served from unfiltered partials
+      val filtered = base.filter(col("lang") === "en")
+        .groupBy("source").agg(sum("n_chars").as("total"))
+      assert(!scanPaths(filtered).exists(_.contains(mvDir)),
+        "filtered aggregate must NOT rewrite")
+
+      // guard: a non-algebraic measure (avg needs sum AND count pairing)
+      val avgQ = base.groupBy("source").agg(avg("n_chars").as("a"))
+      assert(!scanPaths(avgQ).exists(_.contains(mvDir)),
+        "avg must NOT rewrite against a sum-only registration")
+
+      // guard: an unregistered measure column
+      val other = base.groupBy("source").agg(sum("doc_id").as("s"))
+      assert(!scanPaths(other).exists(_.contains(mvDir)))
+    } finally MvRewrite.clear()
+  }
+
+  test("rule is inert with an empty registry and on other sessions") {
+    MvRewrite.clear()
+    val session = spark.newSession()
+    MvRewrite.ensureRegistered(session)
+    val q = session.read.parquet(baseDir)
+      .groupBy("source").agg(sum("n_chars").as("t"))
+    assert(scanPaths(q).forall(_.contains("documents.parquet")))
+    // the GLOBAL session never had the rule installed at all
+    assert(!spark.experimental.extraOptimizations.contains(MvRewrite.RewriteRule))
+  }
+}
