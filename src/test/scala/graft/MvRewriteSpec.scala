@@ -81,6 +81,45 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRewrite.clear()
   }
 
+  test("AggSink-maintained mart is served by the rewrite and tracks the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val session = spark.newSession()
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    try {
+      val mart = Files.createTempDirectory("mv_mart").toString
+      val ckpt = Files.createTempDirectory("mv_ckpt").toString
+      // feed the BASE table through the stream in two micro-batches, so
+      // the exactly-once mart ends holding exactly the base's partials
+      val rows = session.read.parquet(baseDir)
+        .select("source", "doc_id", "n_chars").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      implicit val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+      val input = MemoryStream[(String, Long, Long)](session)
+      val q = graft.streaming.AggSink.aggStream(
+        input.toDF().toDF("source", "doc_id", "n_chars"), mart,
+        keys = Seq("source"), sums = Seq("n_chars"), checkpointDir = ckpt)
+      try {
+        input.addData(b1.toIndexedSeq); q.processAllAvailable()
+        input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      MvRewrite.register(graft.streaming.AggSink.read(session, mart),
+        baseTag = "documents.parquet", groupCols = Seq("source"),
+        sumCols = Map("n_chars" -> "sum_n_chars"), countCol = Some("n_rows"))
+      val served = session.read.parquet(baseDir).groupBy("source")
+        .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"))
+      assert(!scanPaths(served).exists(_.contains("documents.parquet")),
+        s"must read the mart, not the base: ${scanPaths(served)}")
+      val plain = spark.read.parquet(baseDir).groupBy("source")
+        .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"))
+      assert(served.collect().toSet == plain.collect().toSet)
+    } finally MvRewrite.clear()
+  }
+
   test("rule is inert with an empty registry and on other sessions") {
     MvRewrite.clear()
     val session = spark.newSession()
