@@ -50,4 +50,58 @@ object AsOf {
       .drop("__ts", "__side")
       .select((leftCols ++ carryCols).map(col): _*)
   }
+
+  /** Forward as-of: attach the EARLIEST right row with ts >= the left
+    * row's (pandas merge_asof direction='forward'), optionally bounded by
+    * `toleranceSec` — a match farther than the tolerance is nulled, which
+    * is the semantics telemetry wants for "next error after this click,
+    * if within the hour". Same one-shuffle composition as [[joinAsOf]],
+    * mirrored: `first(_, ignoreNulls)` over [current, +∞) with left rows
+    * sorting BEFORE right rows at equal timestamps so ties match. The
+    * right timestamp rides along as a carried column for the tolerance
+    * mask (and is dropped again). Pre-dedup the right side on (keys, ts)
+    * for a deterministic winner. */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      toleranceSec: Option[Long] = None): DataFrame = {
+    val carryCols = right.columns.filterNot(keys.contains).toSeq
+    val leftCols = left.columns.toSeq
+    val rightPlus = right.withColumn("__rts", col(rightTs))
+    val carry = carryCols :+ "__rts"
+
+    val taggedLeft = carry.foldLeft(
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))) {
+      (df, c) =>
+        val dt = if (c == "__rts") right.schema(rightTs).dataType
+                 else right.schema(c).dataType
+        df.withColumn(c, lit(null).cast(dt))
+    }
+    val taggedRight = leftCols.filterNot(keys.contains).foldLeft(
+      rightPlus.withColumn("__ts", col(rightTs)).withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = carry.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, c) => df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }.filter(col("__side") === 0)
+
+    val masked = toleranceSec match {
+      case Some(tol) =>
+        // exact microsecond compare: a seconds-truncating diff admits
+        // matches up to a second beyond the tolerance at the boundary
+        val ok = col("__rts").isNotNull &&
+          unix_micros(col("__rts")) - unix_micros(col("__ts")) <=
+            tol * 1000000L
+        carryCols.foldLeft(carried.withColumn("__ok", ok)) {
+          (df, c) => df.withColumn(c, when(col("__ok"), col(c)))
+        }.drop("__ok")
+      case None => carried
+    }
+    masked.drop("__ts", "__side", "__rts")
+      .select((leftCols ++ carryCols).map(col): _*)
+  }
 }

@@ -897,6 +897,21 @@ object Relational extends OpsModule {
         .orderBy("event_id")
     }),
 
+    // forward as-of with tolerance: next error AFTER each click, nulled
+    // beyond the hour — merge_asof(direction='forward', tolerance) as a
+    // one-shuffle window composition; right side pre-deduped on (key, ts)
+    // so the winner is deterministic in any engine
+    "q68_asof_forward" -> ((s, d) => {
+      val evts = ev(s, d).select("event_id", "user_id", "ts", "event_type")
+      val clicks = evts.filter(col("event_type") === "click").drop("event_type")
+      val errors = evts.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts").as("next_err_ts"))
+        .agg(min("event_id").as("next_error_id"))
+      graft.ops.AsOf.joinAsOfForward(clicks, errors, Seq("user_id"),
+          "ts", "next_err_ts", toleranceSec = Some(3600L))
+        .orderBy("event_id")
+    }),
+
     // SCD type-2 reconstruction from a change log (the dbt `snapshot`
     // materialization's check strategy, one-shot form): collapse runs of
     // equal consecutive states per entity (gaps-and-islands), then close
@@ -1656,6 +1671,25 @@ object Relational extends OpsModule {
          SELECT c.event_id, c.user_id, c.ts, e.err_ts, e.last_error_id
          FROM clicks c ASOF LEFT JOIN errors e
            ON c.user_id = e.user_id AND c.ts >= e.err_ts
+         ORDER BY c.event_id""",
+    // forward direction with a microsecond-exact tolerance mask
+    "q68_asof_forward" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         errs AS (
+           SELECT user_id, ts AS next_err_ts, min(event_id) AS next_error_id
+           FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+         SELECT c.event_id, c.user_id, c.ts,
+                CASE WHEN e.next_err_ts IS NOT NULL
+                          AND epoch_us(e.next_err_ts) - epoch_us(c.ts)
+                              <= 3600000000
+                     THEN e.next_err_ts END AS next_err_ts,
+                CASE WHEN e.next_err_ts IS NOT NULL
+                          AND epoch_us(e.next_err_ts) - epoch_us(c.ts)
+                              <= 3600000000
+                     THEN e.next_error_id END AS next_error_id
+         FROM clicks c ASOF LEFT JOIN errs e
+           ON c.user_id = e.user_id AND c.ts <= e.next_err_ts
          ORDER BY c.event_id""",
     "q19_session_window" ->
       """WITH marked AS (

@@ -152,6 +152,27 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of matches per-row nearest-later scan on random data") {
+    import spark.implicits._
+    val ptsGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 500)))
+    val refGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 500)))
+    for (seed <- 1 to 3) {
+      val pts = sample(ptsGen, seed).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val refs = sample(refGen, seed + 10).distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, t), i) => (k, t, s"v$i") }
+      val got = graft.ops.AsOf.joinAsOfForward(
+        pts.toDF("id", "k", "t"), refs.toDF("k", "rt", "rv"),
+        Seq("k"), "t", "rt")
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("rv"))).toMap
+      val expected = pts.map { case (id, k, t) =>
+        id -> refs.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("append with watermark never duplicates rows on replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("append_prop").toString
