@@ -104,4 +104,56 @@ object AsOf {
     masked.drop("__ts", "__side", "__rts")
       .select((leftCols ++ carryCols).map(col): _*)
   }
+
+  /** Nearest as-of (pandas merge_asof direction='nearest'), completing
+    * the family: each left row takes whichever right row is closer in
+    * time, earlier or later; exact ties go BACKWARD (the earlier row) —
+    * a documented rule both engines apply identically. The plan is the
+    * family's best: ONE union, ONE shuffle, ONE sort, and both
+    * candidates come from two frames over the same window (last-non-null
+    * over (-∞, current], first-non-null over (current+1, +∞)) — the
+    * nearest join costs exactly what one directional join costs. Adds a
+    * `matched_dir` column ('backward'/'forward'/null). Pre-dedup the
+    * right side on (keys, ts) for a deterministic winner. */
+  def joinAsOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String): DataFrame = {
+    val carryCols = right.columns.filterNot(keys.contains).toSeq
+    val leftCols = left.columns.toSeq
+    val rightPlus = right.withColumn("__rts", col(rightTs))
+    val carry = carryCols :+ "__rts"
+
+    val taggedLeft = carry.foldLeft(
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      (df, c) =>
+        val dt = if (c == "__rts") right.schema(rightTs).dataType
+                 else right.schema(c).dataType
+        df.withColumn(c, lit(null).cast(dt))
+    }
+    val taggedRight = leftCols.filterNot(keys.contains).foldLeft(
+      rightPlus.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val w0 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+    val wPrev = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w0.rowsBetween(1, Window.unboundedFollowing)
+
+    val both = carry.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
+      df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wPrev))
+        .withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wNext))
+    }.filter(col("__side") === 1)
+
+    val chooseB = col("__f___rts").isNull ||
+      (col("__b___rts").isNotNull &&
+        (col("__ts") - col("__b___rts")) <= (col("__f___rts") - col("__ts")))
+    val picked = carryCols.foldLeft(both) { (df, c) =>
+      df.withColumn(c, when(chooseB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+    }.withColumn("matched_dir",
+      when(col("__b___rts").isNull && col("__f___rts").isNull,
+        lit(null).cast("string"))
+        .when(chooseB, "backward").otherwise("forward"))
+
+    picked.select((leftCols ++ carryCols :+ "matched_dir").map(col): _*)
+  }
 }

@@ -912,6 +912,19 @@ object Relational extends OpsModule {
         .orderBy("event_id")
     }),
 
+    // nearest as-of: closest error either side of each click, exact ties
+    // backward — both candidates from two frames over ONE sorted window
+    "q69_asof_nearest" -> ((s, d) => {
+      val evts = ev(s, d).select("event_id", "user_id", "ts", "event_type")
+      val clicks = evts.filter(col("event_type") === "click").drop("event_type")
+      val errors = evts.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts").as("near_err_ts"))
+        .agg(min("event_id").as("near_error_id"))
+      graft.ops.AsOf.joinAsOfNearest(clicks, errors, Seq("user_id"),
+          "ts", "near_err_ts")
+        .orderBy("event_id")
+    }),
+
     // SCD type-2 reconstruction from a change log (the dbt `snapshot`
     // materialization's check strategy, one-shot form): collapse runs of
     // equal consecutive states per entity (gaps-and-islands), then close
@@ -1690,6 +1703,32 @@ object Relational extends OpsModule {
                      THEN e.next_error_id END AS next_error_id
          FROM clicks c ASOF LEFT JOIN errs e
            ON c.user_id = e.user_id AND c.ts <= e.next_err_ts
+         ORDER BY c.event_id""",
+    // nearest = choose between the backward and forward ASOF matches by
+    // microsecond distance, exact ties backward — the Spark side's rule
+    "q69_asof_nearest" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         errs AS (
+           SELECT user_id, ts AS ets, min(event_id) AS eid
+           FROM events WHERE event_type = 'error' GROUP BY user_id, ts),
+         b AS (SELECT c.event_id, e.ets AS bts, e.eid AS bid
+               FROM clicks c ASOF LEFT JOIN errs e
+                 ON c.user_id = e.user_id AND c.ts >= e.ets),
+         f AS (SELECT c.event_id, e.ets AS fts, e.eid AS fid
+               FROM clicks c ASOF LEFT JOIN errs e
+                 ON c.user_id = e.user_id AND c.ts <= e.ets)
+         SELECT c.event_id, c.user_id, c.ts,
+                CASE WHEN chooseb THEN bts ELSE fts END AS near_err_ts,
+                CASE WHEN chooseb THEN bid ELSE fid END AS near_error_id,
+                CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                     WHEN chooseb THEN 'backward' ELSE 'forward' END
+                  AS matched_dir
+         FROM (SELECT c.event_id, c.user_id, c.ts, b.bts, b.bid, f.fts, f.fid,
+                      (f.fts IS NULL OR (b.bts IS NOT NULL AND
+                        epoch_us(c.ts) - epoch_us(b.bts)
+                          <= epoch_us(f.fts) - epoch_us(c.ts))) AS chooseb
+               FROM clicks c JOIN b USING (event_id) JOIN f USING (event_id)) c
          ORDER BY c.event_id""",
     "q19_session_window" ->
       """WITH marked AS (

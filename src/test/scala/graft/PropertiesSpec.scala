@@ -173,6 +173,32 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest as-of picks the closer side, ties backward, on random data") {
+    import spark.implicits._
+    val ptsGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 500)))
+    val refGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 500)))
+    for (seed <- 1 to 3) {
+      val pts = sample(ptsGen, seed).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val refs = sample(refGen, seed + 10).distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, t), i) => (k, t, s"v$i") }
+      val got = graft.ops.AsOf.joinAsOfNearest(
+        pts.toDF("id", "k", "t"), refs.toDF("k", "rt", "rv"),
+        Seq("k"), "t", "rt")
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("rv"))).toMap
+      val expected = pts.map { case (id, k, t) =>
+        val cands = refs.filter(_._1 == k)
+        id -> (if (cands.isEmpty) None else {
+          val best = cands.map(r => (math.abs(r._2 - t).toLong,
+            // ties backward: earlier rt wins; encode as secondary key
+            if (r._2 <= t) 0 else 1, r._3)).min
+          Some(best._3)
+        })
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("append with watermark never duplicates rows on replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("append_prop").toString
