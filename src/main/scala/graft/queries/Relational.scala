@@ -912,6 +912,19 @@ object Relational extends OpsModule {
         .orderBy("event_id")
     }),
 
+    // Spark 4 listagg: ORDERED string aggregation (the reporting-surface
+    // op warehouses call LISTAGG/STRING_AGG); the WITHIN GROUP order
+    // makes the concatenation deterministic in any engine
+    "q70_listagg" -> ((s, d) => {
+      graft.SqlSurface.registerTables(s, d)
+      s.sql("""SELECT r.r_name AS region,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                 AS nations,
+               count(*) AS n_nations
+               FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+               GROUP BY r.r_name ORDER BY region""")
+    }),
+
     // nearest as-of: closest error either side of each click, exact ties
     // backward — both candidates from two frames over ONE sorted window
     "q69_asof_nearest" -> ((s, d) => {
@@ -1704,6 +1717,12 @@ object Relational extends OpsModule {
          FROM clicks c ASOF LEFT JOIN errs e
            ON c.user_id = e.user_id AND c.ts <= e.next_err_ts
          ORDER BY c.event_id""",
+    "q70_listagg" ->
+      """SELECT r.r_name AS region,
+                string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+                count(*) AS n_nations
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY region""",
     // nearest = choose between the backward and forward ASOF matches by
     // microsecond distance, exact ties backward — the Spark side's rule
     "q69_asof_nearest" ->
