@@ -172,6 +172,11 @@ object TrainingOps extends OpsModule {
     "td_golden_record" -> ((s, d) =>
       TextOps.goldenRecords(docs(s, d)).orderBy("canonical_id")),
 
+    // cross-geometry dedup agreement: pair counts + intersections across
+    // exact / LSH-Jaccard / SNM-JW — the threshold-tuning observability
+    "td_dedup_report" -> ((s, d) =>
+      TextOps.dedupAgreement(docs(s, d)).orderBy("metric")),
+
     "td_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(docs(s, d)).orderBy("doc_id")),
 
@@ -1827,6 +1832,30 @@ object TrainingOps extends OpsModule {
       s"""WITH $duckSnmCtes
          SELECT doc_id_a, doc_id_b, rank_gap, jw_similarity FROM snm
          ORDER BY doc_id_a, doc_id_b""",
+
+    "td_dedup_report" ->
+      s"""WITH $duckLshCandCtes,
+          $duckSnmCtes,
+          fz AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                 FROM d a JOIN d b ON a.doc_id < b.doc_id
+                          AND substr(a.sig, 1, 8) = substr(b.sig, 1, 8)
+                 JOIN documents da ON da.doc_id = a.doc_id
+                 JOIN documents db ON db.doc_id = b.doc_id
+                 WHERE da.source = db.source
+                   AND round(1.0 - CAST(levenshtein(a.sig, b.sig) AS DOUBLE)
+                             / greatest(len(a.sig), len(b.sig), 1), 6) >= 0.95),
+          lp AS (SELECT doc_id_a, doc_id_b FROM lshcand WHERE jaccard >= 0.5),
+          sp AS (SELECT doc_id_a, doc_id_b FROM snm)
+          SELECT 'fuzzy' AS metric, count(*) AS n_pairs FROM fz
+          UNION ALL SELECT 'fuzzy_and_lsh', count(*)
+            FROM fz JOIN lp USING (doc_id_a, doc_id_b)
+          UNION ALL SELECT 'fuzzy_and_snm', count(*)
+            FROM fz JOIN sp USING (doc_id_a, doc_id_b)
+          UNION ALL SELECT 'lsh', count(*) FROM lp
+          UNION ALL SELECT 'lsh_and_snm', count(*)
+            FROM lp JOIN sp USING (doc_id_a, doc_id_b)
+          UNION ALL SELECT 'snm', count(*) FROM sp
+          ORDER BY metric""",
 
     // ER survivorship: SNM pairs → recursive-CTE components → windowed
     // representative (longest, ties to smallest id) + provenance counters

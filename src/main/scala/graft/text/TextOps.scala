@@ -1173,6 +1173,36 @@ object TextOps {
         (col("rb") - col("ra")).as("rank_gap"), col("jw_similarity"))
   }
 
+  /** Cross-geometry dedup agreement report — the observability artifact
+    * a curation team actually reviews before picking thresholds: pair
+    * counts per geometry (edit-distance [[fuzzyMatches]], banded-LSH
+    * Jaccard, sorted-neighborhood JW) and the pairwise intersections
+    * between them. Where the set-overlap and alignment geometries agree
+    * is the high-confidence core; where they disagree is precisely the
+    * gray zone the thresholds are negotiating. One long-form row per
+    * metric, all counts from id-pair equi-joins on the three (bounded)
+    * pair sets, each pair pipeline materialized once. */
+  def dedupAgreement(docs: DataFrame): DataFrame = {
+    // the SCALE-PATH fuzzy variant: the report composes three whole pair
+    // pipelines, so each leg must be its scalable form (the exhaustive
+    // source-blocked fuzzy is 45.7x at 10x data; the prefix-blocked one
+    // is 7.8x — measured in BENCH_SF1)
+    val fuzzy = fuzzyMatchesPrefixBlocked(docs)
+      .select("doc_id_a", "doc_id_b").localCheckpoint()
+    val lsh = lshCandidatePairs(docs).filter(col("jaccard") >= 0.5)
+      .select("doc_id_a", "doc_id_b").localCheckpoint()
+    val snm = snmPairs(docs).select("doc_id_a", "doc_id_b").localCheckpoint()
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_pairs"))
+        .select(lit(name).as("metric"), col("n_pairs"))
+    def inter(name: String, x: DataFrame, y: DataFrame): DataFrame =
+      cnt(name, x.join(y, Seq("doc_id_a", "doc_id_b")))
+    Seq(cnt("fuzzy", fuzzy), inter("fuzzy_and_lsh", fuzzy, lsh),
+      inter("fuzzy_and_snm", fuzzy, snm), cnt("lsh", lsh),
+      inter("lsh_and_snm", lsh, snm), cnt("snm", snm))
+      .reduce(_ unionByName _)
+  }
+
   /** End-to-end entity resolution to a GOLDEN RECORD: [[snmPairs]]
     * match pairs → [[dedupClusters]] connected components → one merged
     * canonical row per entity. The merge policy is the standard

@@ -129,6 +129,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "td_jw_match", // same (source, sig-prefix) blocking as td_fuzzy_blocked
     "td_snm_pairs", // sorted-neighborhood: exactly N·w pairs, w constant
     "td_golden_record", // composes the SNM pair path end to end
+    "td_dedup_report", // composes exact-digest + LSH + SNM pair paths
     "td_lsh_candidates", "td_lsh_clusters", // banded LSH: band count is the knob
     "td_split_leakage", // composes the banded-LSH pair path end to end
     "td_softdedup", // same banded-LSH pair path, resolved to weights
