@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Expression, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Materialized-aggregate (materialized-view) rewrite — the lakehouse
   * optimizer feature that makes summary marts TRANSPARENT: a query
@@ -18,26 +19,42 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Scope (deliberately conservative — a rewrite must NEVER change
   * answers):
   *  - the aggregate's child must be the registered base relation (bare
-  *    scan or attribute-only Project; any Filter/expression disqualifies
-  *    — a filtered base cannot be answered from unfiltered partials);
+  *    scan or attribute-only Project), optionally under a Filter whose
+  *    condition is deterministic and references ONLY the summary's
+  *    grouping columns — such a filter selects WHOLE groups, so partials
+  *    of the selected groups are exactly the filtered aggregate. A
+  *    filter touching any measure / non-grouping column disqualifies (a
+  *    row-level filter cannot be answered from group-level partials);
   *  - grouping columns must be attribute refs ⊆ the summary's grouping
   *    (subset rollups re-aggregate: SUM of partial SUMs, COUNT(*)
   *    becomes SUM of the partial count — the standard algebraic-measure
   *    contract; AVG/NTILE etc. do not match and fall through);
+  *  - COUNT matches only when every child is non-nullable (COUNT(*) /
+  *    COUNT(1)): the mv partial counts ALL group rows, so
+  *    COUNT(nullable_col) — which skips nulls — must fall through;
+  *  - SUM matches only integral/floating inputs: sum over DecimalType
+  *    widens precision per aggregation, so re-aggregating a decimal
+  *    partial would silently change the output schema;
   *  - every output is either a grouping passthrough or SUM/COUNT over a
-  *    registered measure.
+  *    registered measure;
+  *  - the base relation match is on FULL path components of the scan's
+  *    rootPaths (never substring containment — "documents.parquet" must
+  *    not capture "old_documents.parquet").
   * Rewritten aliases keep the ORIGINAL exprIds, so parent operators
   * resolve unchanged.
   *
   * At 100 TB this is the difference between scanning the corpus and
-  * scanning a |groups|-row mart for every dashboard aggregate; the rule
-  * is a no-op (single registry check) when nothing is registered.
+  * scanning a |groups|-row mart for every dashboard aggregate — and the
+  * grouping-column filter support extends that to the dashboard's WHERE
+  * clause (the filter pushes onto the |groups|-row scan). The rule is a
+  * no-op (single registry check) when nothing is registered.
   */
 object MvRewrite {
 
   /** A registered summary: answers aggregates over the base relation
-    * whose file location contains `baseTag`. `sumCols` maps base column
-    * → mv partial-sum column; `countCol` is the mv row-count partial. */
+    * whose file location contains `baseTag` as a full path component.
+    * `sumCols` maps base column → mv partial-sum column; `countCol` is
+    * the mv row-count partial. */
   case class Mv(baseTag: String, groupCols: Set[String],
                 sumCols: Map[String, String], countCol: Option[String],
                 mvPlan: LogicalPlan)
@@ -46,9 +63,20 @@ object MvRewrite {
 
   def clear(): Unit = registry.synchronized { registry.clear() }
 
+  /** Registers a summary. Fails fast when a registered mv-side name
+    * (grouping column, partial-sum column, count column) is absent from
+    * the summary's schema — a bad registration must be an error HERE,
+    * not a NoSuchElementException inside the optimizer that fails every
+    * matching query. */
   def register(mvDf: DataFrame, baseTag: String, groupCols: Seq[String],
                sumCols: Map[String, String],
                countCol: Option[String]): Unit = registry.synchronized {
+    val have = mvDf.schema.fieldNames.toSet
+    val need = groupCols ++ sumCols.values ++ countCol
+    val missing = need.filterNot(have)
+    require(missing.isEmpty,
+      s"MvRewrite.register: columns ${missing.mkString(", ")} not in " +
+        s"summary schema ${have.mkString("[", ", ", "]")}")
     registry += Mv(baseTag, groupCols.toSet, sumCols, countCol,
       mvDf.queryExecution.analyzed)
   }
@@ -67,19 +95,32 @@ object MvRewrite {
       if (mvs.isEmpty) plan
       else plan.transformUp {
         case agg @ Aggregate(groupings, aggExprs, child, _) =>
-          baseTagOf(child).flatMap { tag =>
-            mvs.find(m => tag.contains(m.baseTag) &&
-                canRewrite(m, groupings, aggExprs))
-              .map(m => rewrite(m, groupings, aggExprs))
-          }.getOrElse(agg)
+          (for {
+            (cond, scan) <- splitChild(child)
+            tag <- baseTagOf(scan)
+            m <- mvs.find(m => tagMatches(tag, m.baseTag) &&
+              canRewrite(m, groupings, aggExprs, cond))
+          } yield rewrite(m, groupings, aggExprs, cond)).getOrElse(agg)
       }
   }
 
-  /** The scan location when the child is the bare relation (or an
-    * attribute-only projection of it); None on anything else. */
-  private def baseTagOf(p: LogicalPlan): Option[String] = p match {
+  /** Splits the aggregate's child into (optional filter condition, scan
+    * plan), seeing through attribute-only Projects above and below the
+    * Filter; chained Filters conjoin. None on any other shape. */
+  private def splitChild(p: LogicalPlan)
+      : Option[(Option[Expression], LogicalPlan)] = p match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      baseTagOf(child)
+      splitChild(child)
+    case Filter(cond, child) =>
+      splitChild(child).map { case (inner, scan) =>
+        (Some(inner.map(And(cond, _)).getOrElse(cond)), scan)
+      }
+    case lr: LogicalRelation => Some((None, lr))
+    case _ => None
+  }
+
+  /** The scan location when the plan is the bare relation; None else. */
+  private def baseTagOf(p: LogicalPlan): Option[String] = p match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => Some(fs.location.rootPaths.mkString(","))
       case _ => None
@@ -87,19 +128,53 @@ object MvRewrite {
     case _ => None
   }
 
+  /** True when `tag` matches a FULL trailing path-component sequence of
+    * one of the scan's root paths (or a whole path). Substring
+    * containment is explicitly NOT enough. */
+  private def tagMatches(scanPaths: String, tag: String): Boolean =
+    scanPaths.split(',').exists { p =>
+      val clean = p.stripSuffix("/")
+      clean == tag || clean.endsWith("/" + tag)
+    }
+
+  /** SUM re-aggregation is type-stable only for integral (partials and
+    * re-sums are both LongType) and floating inputs; DecimalType widens
+    * precision per aggregation pass and must fall through. */
+  private def sumTypeStable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType => true
+    case _ => false
+  }
+
+  /** A filter is servable from group-level partials iff it is
+    * deterministic, subquery-free, and references ONLY the summary's
+    * grouping columns — then it selects whole groups. */
+  private def filterOk(m: Mv, cond: Option[Expression]): Boolean =
+    cond.forall { c =>
+      c.deterministic &&
+        !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        c.references.forall(a => m.groupCols.contains(a.name))
+    }
+
   private def canRewrite(m: Mv, groupings: Seq[Expression],
-                         aggExprs: Seq[NamedExpression]): Boolean = {
+                         aggExprs: Seq[NamedExpression],
+                         cond: Option[Expression]): Boolean = {
+    val mvOut = m.mvPlan.output.map(_.name).toSet
     val groupsOk = groupings.forall {
       case ar: AttributeReference => m.groupCols.contains(ar.name)
       case _ => false
     }
-    groupsOk && aggExprs.forall {
+    groupsOk && filterOk(m, cond) && aggExprs.forall {
       case ar: AttributeReference => m.groupCols.contains(ar.name)
       case Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
           ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Sum(ar: AttributeReference, _) => m.sumCols.contains(ar.name)
-          case _: Count => m.countCol.isDefined
+          case Sum(ar: AttributeReference, _) =>
+            sumTypeStable(ar.dataType) &&
+              m.sumCols.get(ar.name).exists(mvOut.contains)
+          case c: Count =>
+            c.children.forall(!_.nullable) &&
+              m.countCol.exists(mvOut.contains)
           case _ => false
         }
       case _ => false
@@ -107,7 +182,8 @@ object MvRewrite {
   }
 
   private def rewrite(m: Mv, groupings: Seq[Expression],
-                      aggExprs: Seq[NamedExpression]): LogicalPlan = {
+                      aggExprs: Seq[NamedExpression],
+                      cond: Option[Expression]): LogicalPlan = {
     val mvOut = m.mvPlan.output.map(a => a.name -> a).toMap
     val newGroupings = groupings.map {
       case ar: AttributeReference => mvOut(ar.name)
@@ -120,8 +196,21 @@ object MvRewrite {
           case Sum(ar: AttributeReference, _) => mvOut(m.sumCols(ar.name))
           case _: Count => mvOut(m.countCol.get)
         }
-        Alias(Sum(partial).toAggregateExpression(), name)(exprId = al.exprId)
+        // re-summing an integral partial yields LongType = the original
+        // sum/count type; a Cast is inserted defensively and collapses to
+        // a no-op when types already agree
+        Alias(Cast(Sum(partial).toAggregateExpression(), ae.dataType),
+          name)(exprId = al.exprId)
     }
-    Aggregate(newGroupings, newAggExprs, m.mvPlan)
+    // the grouping-column filter moves ONTO the |groups|-row summary
+    // scan, rebased to the summary's attributes
+    val child = cond match {
+      case Some(c) =>
+        Filter(c.transform {
+          case ar: AttributeReference => mvOut(ar.name)
+        }, m.mvPlan)
+      case None => m.mvPlan
+    }
+    Aggregate(newGroupings, newAggExprs, child)
   }
 }

@@ -64,11 +64,47 @@ class MvRewriteSpec extends AnyFunSuite {
         spark.read.parquet(baseDir).agg(count(lit(1)).as("cnt"),
           sum("n_chars").as("s")).first())
 
-      // guard: a FILTTERED base cannot be served from unfiltered partials
+      // a filter on GROUPING columns selects whole groups → SERVED from
+      // the summary, with the predicate pushed onto the |groups|-row scan
       val filtered = base.filter(col("lang") === "en")
         .groupBy("source").agg(sum("n_chars").as("total"))
-      assert(!scanPaths(filtered).exists(_.contains(mvDir)),
-        "filtered aggregate must NOT rewrite")
+      assert(scanPaths(filtered).exists(_.contains(mvDir)),
+        "grouping-column filter must be served from the summary")
+      val filteredPlain = spark.read.parquet(baseDir)
+        .filter(col("lang") === "en")
+        .groupBy("source").agg(sum("n_chars").as("total"))
+      assert(filtered.collect().toSet == filteredPlain.collect().toSet &&
+        filtered.count() > 0)
+
+      // ...including compound predicates over several grouping columns
+      val filtered2 = base
+        .filter(col("lang").isin("en", "de") && col("source") =!= "s03")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      assert(scanPaths(filtered2).exists(_.contains(mvDir)))
+      val filtered2Plain = spark.read.parquet(baseDir)
+        .filter(col("lang").isin("en", "de") && col("source") =!= "s03")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      assert(filtered2.collect().toSet == filtered2Plain.collect().toSet)
+
+      // guard: a filter touching a MEASURE / non-grouping column is a
+      // row-level filter — group partials cannot answer it
+      val rowFiltered = base.filter(col("n_chars") > 100)
+        .groupBy("source").agg(sum("n_chars").as("total"))
+      assert(!scanPaths(rowFiltered).exists(_.contains(mvDir)),
+        "measure-column filter must NOT rewrite")
+
+      // guard: a non-deterministic filter never rewrites (a trivially-
+      // true rand() bound would be constant-folded away upstream, so the
+      // predicate must be a genuine coin flip)
+      val randFiltered = base.filter(rand(7) < lit(0.5))
+        .groupBy("source").agg(sum("n_chars").as("total"))
+      assert(!scanPaths(randFiltered).exists(_.contains(mvDir)))
+
+      // guard: COUNT(nullable_col) skips nulls; the mv partial counts
+      // ALL group rows — must NOT rewrite
+      val cntNullable = base.groupBy("source").agg(count(col("lang")).as("c"))
+      assert(!scanPaths(cntNullable).exists(_.contains(mvDir)),
+        "count(nullable) must NOT rewrite")
 
       // guard: a non-algebraic measure (avg needs sum AND count pairing)
       val avgQ = base.groupBy("source").agg(avg("n_chars").as("a"))
@@ -78,6 +114,54 @@ class MvRewriteSpec extends AnyFunSuite {
       // guard: an unregistered measure column
       val other = base.groupBy("source").agg(sum("doc_id").as("s"))
       assert(!scanPaths(other).exists(_.contains(mvDir)))
+    } finally MvRewrite.clear()
+  }
+
+  test("tag matches full path components only; bad registrations fail fast") {
+    val session = spark.newSession()
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    try {
+      val base = session.read.parquet(baseDir)
+      val mvDir = Files.createTempDirectory("mv_docs2").toString
+      base.groupBy("source")
+        .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(mvDir)
+
+      // fail fast: a registered mv-side name absent from the summary
+      // schema must error at register time, never inside the optimizer
+      intercept[IllegalArgumentException] {
+        MvRewrite.register(session.read.parquet(mvDir),
+          baseTag = "documents.parquet", groupCols = Seq("source"),
+          sumCols = Map("n_chars" -> "no_such_col"), countCol = None)
+      }
+      intercept[IllegalArgumentException] {
+        MvRewrite.register(session.read.parquet(mvDir),
+          baseTag = "documents.parquet", groupCols = Seq("source"),
+          sumCols = Map.empty, countCol = Some("missing_rows"))
+      }
+
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = "documents.parquet", groupCols = Seq("source"),
+        sumCols = Map("n_chars" -> "sum_chars"), countCol = Some("n_rows"))
+
+      // a DIFFERENT table whose filename merely CONTAINS the tag as a
+      // substring must not be captured ("old_documents.parquet" vs
+      // "documents.parquet")
+      val otherDir = Files.createTempDirectory("mv_other").toString
+      val otherPath = s"$otherDir/old_documents.parquet"
+      base.limit(10).write.mode("overwrite").parquet(otherPath)
+      val decoy = session.read.parquet(otherPath)
+        .groupBy("source").agg(sum("n_chars").as("t"))
+      assert(!scanPaths(decoy).exists(_.contains(mvDir)),
+        "substring-containing path must NOT be rerouted to the summary")
+      assert(decoy.collect().toSet ==
+        spark.read.parquet(otherPath).groupBy("source")
+          .agg(sum("n_chars").as("t")).collect().toSet)
+
+      // the genuine base still rewrites under the same registration
+      val served = base.groupBy("source").agg(sum("n_chars").as("t"))
+      assert(scanPaths(served).exists(_.contains(mvDir)))
     } finally MvRewrite.clear()
   }
 
