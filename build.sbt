@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout (no "[info] " prefix): the
+// harness parses graft.Bench's single JSON metric line from the tail of
+// sbt's output, and the LoggedOutput default wrapped it as
+// "[info] {...}" which its parser rejects (BENCH_r04 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -904,9 +904,10 @@ object TrainingOps extends OpsModule {
     "td_doc_embed" -> ((s, d) =>
       TextOps.hashedTf(docs(s, d), dims = HashDims).orderBy("doc_id", "dim")),
 
-    // ANN over the hashed vectors, blocked by the dominant hashed
-    // dimension (single-band LSH over the vector itself) — text-side
-    // similarity search with no external embedder
+    // ANN over the hashed vectors, blocked by the dominant bucket of a
+    // FINER hashed projection whose width derives from corpus size
+    // (max(2·dims, ⌈N/64⌉)) — block count grows ∝ N, so pair work stays
+    // ~64·N at any scale; cosine still scores the dims-wide vectors
     "td_doc_embed_knn" -> ((s, d) =>
       TextOps.hashedKnn(docs(s, d), dims = HashDims, k = HashKnnK)
         .orderBy("doc_id_a", "rk")),
@@ -3465,12 +3466,21 @@ object TrainingOps extends OpsModule {
                  FROM ids i CROSS JOIN dims d
                  LEFT JOIN sp s ON s.doc_id = i.doc_id AND s.dim = d.dim
                  GROUP BY i.doc_id),
-          blk AS (SELECT doc_id, CAST(idx - 1 AS INT) AS block FROM (
-                    SELECT doc_id, idx,
+          bdw AS (SELECT GREATEST(${2 * HashDims},
+                                  CAST(ceil(count(*) / 64.0) AS BIGINT)) AS bd
+                  FROM documents),
+          blk AS (SELECT doc_id, CAST(bdim AS INT) AS block FROM (
+                    SELECT doc_id, bdim,
                            row_number() OVER (PARTITION BY doc_id
-                             ORDER BY v DESC, idx ASC) AS rk
-                    FROM (SELECT doc_id, generate_subscripts(vec, 1) AS idx,
-                                 unnest(vec) AS v FROM dn))
+                             ORDER BY w DESC, bdim ASC) AS rk
+                    FROM (SELECT doc_id,
+                                 ${dHash("concat('dim:', term)")}
+                                   % (SELECT bd FROM bdw) AS bdim,
+                                 count(*) AS w
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS term
+                                FROM documents)
+                          GROUP BY doc_id, bdim))
                   WHERE rk = 1),
           vb AS (SELECT dn.doc_id, b.block, dn.vec FROM dn JOIN blk b USING (doc_id)),
           pr AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,

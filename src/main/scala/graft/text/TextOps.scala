@@ -1970,25 +1970,46 @@ object TextOps {
         sum(when(col("dim") === d, col("val")).otherwise(0.0))): _*).as("vec"))
 
   /** Approximate nearest neighbors over the hashed vectors: candidate
-    * pairs are blocked by each document's DOMINANT hashed dimension (its
-    * argmax bucket — an LSH-style band key derived from the vector
-    * itself), so pair work is Σ|block|² with `dims` as the scale knob,
-    * never corpus². Two near-identical documents share their heaviest
-    * feature bucket with high probability, which is exactly the
-    * single-band sign-LSH argument. Cosine is the fixed-order `vec_dot`
-    * fold over the dense arrays (unit vectors → dot = cosine), rounded
-    * to 6dp BEFORE ranking; ties break on the neighbor id. Both
-    * directions of each pair compete, so every document ranks its own
-    * neighbor list. */
-  def hashedKnn(docs: DataFrame, dims: Int = 16, k: Int = 3): DataFrame = {
+    * pairs are blocked by each document's DOMINANT bucket in a FINER
+    * hashed projection of the same token stream — the argmax term-count
+    * bucket at `blockDims` width (exact integer counts, ties to the
+    * lowest bucket), while cosine is still scored on the `dims`-wide
+    * vectors. Near-identical documents hash to near-identical
+    * projections at ANY width, so they share the argmax with high
+    * probability — the single-band LSH argument — and `blockDims` is
+    * both the recall/cost dial and the SCALE knob: block count grows
+    * with `blockDims`, and the default derives it from a corpus count
+    * as max(2·dims, ⌈N/64⌉), bounding expected pair work at
+    * ~(N/blockDims)·N ≈ 64·N — linear in the corpus. (Blocking on the
+    * `dims`-wide argmax alone froze block count at `dims` forever, so
+    * pair work was N²/dims at every scale — the one plan shape that
+    * could not survive a 100× scale-up.) The derivation count is one
+    * driver-side scalar per call, same posture as the BPE argmax.
+    * Cosine is the fixed-order `vec_dot` fold over the dense arrays
+    * (unit vectors → dot = cosine), rounded to 6dp BEFORE ranking; ties
+    * break on the neighbor id. Both directions of each pair compete, so
+    * every document ranks its own neighbor list. */
+  def hashedKnn(docs: DataFrame, dims: Int = 16, k: Int = 3,
+                blockDims: Int = 0): DataFrame = {
+    val bd: Long =
+      if (blockDims > 0) blockDims.toLong
+      else math.max(2L * dims, math.ceil(docs.count() / 64.0).toLong)
+    // blocking projection: dominant term-count bucket at bd width —
+    // integer counts and a map-side-combinable max(struct), so the
+    // argmax is exact and partitioning-invariant in any engine
+    val blocks = tokenized(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"),
+        pmod(md5Long(concat(lit("dim:"), col("term"))), lit(bd)).as("bdim"))
+      .agg(count(lit(1)).as("w"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("w"), (-col("bdim")).as("nd"))).as("m"))
+      .select(col("doc_id"), (-col("m.nd")).cast("int").as("block"))
     val v = hashedDocVectors(docs, dims)
-      // first index of the max element, 0-based — deterministic because
-      // the elements are already 6dp-rounded on both engines
-      .withColumn("block",
-        (expr("array_position(vec, array_max(vec))") - 1).cast("int"))
+      .join(blocks, "doc_id")
       // materialize once: the vector build (token explode → hashed-dim
-      // aggregation → dense assembly) feeds BOTH sides of the block
-      // self-join and would otherwise execute twice
+      // aggregation → dense assembly) and the block attach feed BOTH
+      // sides of the block self-join and would otherwise execute twice
       .localCheckpoint()
     val a = v.select(col("block"), col("doc_id").as("doc_id_a"), col("vec").as("vec_a"))
     val b = v.select(col("block"), col("doc_id").as("doc_id_b"), col("vec").as("vec_b"))

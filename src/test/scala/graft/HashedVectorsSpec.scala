@@ -75,13 +75,42 @@ class HashedVectorsSpec extends AnyFunSuite {
     assert(knn.groupBy(_._1).values.forall(_.size <= 3))
   }
 
-  test("hashedKnn: all candidate pairs share their dominant dimension (the block)") {
-    val blocks = TextOps.hashedDocVectors(corpus, dims)
-      .withColumn("block", expr("array_position(vec, array_max(vec)) - 1"))
-      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+  /** The block key exactly as the operator derives it: argmax
+    * term-count bucket of the md5-hashed projection at width bd, ties to
+    * the lowest bucket. */
+  private def blockKeys(bd: Long): Map[Long, Long] =
+    TextOps.tokenized(corpus)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"),
+        pmod(TextOps.md5Long(concat(lit("dim:"), col("term"))),
+          lit(bd)).as("bdim"))
+      .agg(count(lit(1)).as("w"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("w"), (-col("bdim")).as("nd"))).as("m"))
+      .select(col("doc_id"), (-col("m.nd")).as("block"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("hashedKnn: candidate pairs share the blocking projection's dominant bucket") {
+    // default width for this 5-doc corpus: max(2·dims, ⌈5/64⌉) = 32
+    val blocks = blockKeys(bd = 2L * dims)
     TextOps.hashedKnn(corpus, dims, k = 3).collect().foreach { r =>
       assert(blocks(r.getLong(0)) == blocks(r.getLong(1)),
         s"pair ${r.getLong(0)}→${r.getLong(1)} crosses blocks")
+    }
+  }
+
+  test("hashedKnn: blockDims is a real knob — identical docs pair at ANY width") {
+    for (bd <- Seq(32, 257)) {
+      val knn = TextOps.hashedKnn(corpus, dims, k = 3, blockDims = bd)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      // identical token streams hash identically at every width, so the
+      // twin pair survives arbitrarily fine blocking in both directions
+      assert(knn.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1),
+        s"twin lost at blockDims=$bd")
+      assert(knn.exists(t => t._1 == 2L && t._2 == 1L && t._3 == 1))
+      // and the explicit width matches the recomputed block partition
+      val blocks = blockKeys(bd.toLong)
+      knn.foreach { case (a, b, _) => assert(blocks(a) == blocks(b)) }
     }
   }
 }

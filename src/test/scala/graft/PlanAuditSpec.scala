@@ -133,7 +133,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "td_lsh_candidates", "td_lsh_clusters", // banded LSH: band count is the knob
     "td_split_leakage", // composes the banded-LSH pair path end to end
     "td_softdedup", // same banded-LSH pair path, resolved to weights
-    "td_doc_embed_knn", // knob: hash dims — dominant-dim band, Σ|block|²
+    "td_doc_embed_knn", // knob: blockDims = max(2·dims, ⌈N/64⌉), derived
+    // from a corpus count per call — block count grows ∝ N, pair work
+    // ~64·N (the r4 shape froze block count at dims=16 forever)
     "td_segment_dedup", // segment-frequency join, digest-keyed at scale
     // exact-Jaccard calibration side: term-keyed pair join bounded by
     // |groups|² per term (the KMV sketch path is what replaces it at
