@@ -2204,6 +2204,18 @@ object TextOps {
     * paths ([[lshCandidatePairs]], [[fuzzyMatchesPrefixBlocked]]) and
     * the unblocked answer to [[nearDupPairs]]' per-source blocking.
     *
+    * The POSITIONAL filter (the first "P" in PPJoin — WWW'08 §3.2) cuts
+    * the verify set further, still with zero false dismissals: a shared
+    * prefix token at 1-based frequency ranks (pa, pb) bounds the overlap
+    * at min(pa,pb)−1 (both lists share the global order, so common
+    * tokens before the match sit before it in BOTH) plus 1 (the match)
+    * plus min(sa−pa, sb−pb) (what remains after it). Jaccard ≥ t needs
+    * overlap ≥ t·(sa+sb)/(1+t), so any pair whose TIGHTEST shared-token
+    * bound (the min over its shared prefix occurrences) misses that
+    * never reaches the token-array join. The bound is exact integer
+    * arithmetic; the comparison is cross-multiplied
+    * (bound·(1+t) ≥ t·(sa+sb)) so no division rounds it.
+    *
     * `sets` carries (doc_id, items: array<string>) — the per-doc ITEM
     * SET the Jaccard is over. Pass [[shingles]] output for shingle
     * Jaccard (the quantity MinHash-LSH approximates — this join is its
@@ -2220,8 +2232,20 @@ object TextOps {
     // oracle side keeps it engine-exact. Set semantics survive hashing
     // (distinct AFTER hashing, so an improbable collision dedups the
     // same way in both engines).
-    val dsets = sets.select(col("doc_id"),
+    val dsets0 = sets.select(col("doc_id"),
       array_distinct(transform(col("items"), x => md5Long(x))).as("items"))
+    // gate decision from the PRE-checkpoint plan (a checkpointed
+    // LogicalRDD's estimate is not reliably propagated); ×4 inflation
+    // because the estimate derives from the text scan, not the hashed
+    // arrays
+    val verifyBroadcast = {
+      val t = graft.ops.AutoBroadcast.thresholdBytes(dsets0)
+      t > 0 && graft.ops.AutoBroadcast.estimatedBytes(dsets0).toDouble * 4 <= t.toDouble
+    }
+    // materialize the hashed sets once: they feed the prefix path AND
+    // both verify sides — uncheckpointed, the shingle construction +
+    // per-item md5 executes three times
+    val dsets = dsets0.localCheckpoint()
     val tok = dsets
       .select(col("doc_id"), size(col("items")).as("set_size"),
         explode(col("items")).as("tok"))
@@ -2235,22 +2259,36 @@ object TextOps {
     // subtree executes twice
     val prefix = sized.filter(
       col("rk") <= col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
-      .select("tok", "doc_id", "set_size")
+      .select("tok", "doc_id", "set_size", "rk")
       .localCheckpoint()
     val cand = prefix.select(col("tok"), col("doc_id").as("doc_id_a"),
-        col("set_size").as("sz_a"))
+        col("set_size").as("sz_a"), col("rk").as("pa"))
       .join(prefix.select(col("tok"), col("doc_id").as("doc_id_b"),
-        col("set_size").as("sz_b")), Seq("tok"))
+        col("set_size").as("sz_b"), col("rk").as("pb")), Seq("tok"))
       .filter(col("doc_id_a") < col("doc_id_b") &&
         least(col("sz_a"), col("sz_b")) >=
           lit(threshold) * greatest(col("sz_a"), col("sz_b")))
-      .select("doc_id_a", "doc_id_b").distinct()
+      // positional overlap upper bound per shared prefix token; the MIN
+      // over a pair's occurrences is still a true upper bound, and the
+      // groupBy replaces the former pair-distinct — same shuffle, the
+      // aggregate rides it for free
+      .groupBy("doc_id_a", "doc_id_b", "sz_a", "sz_b")
+      .agg(min(least(col("pa"), col("pb")) +
+        least(col("sz_a") - col("pa"), col("sz_b") - col("pb"))).as("ubound"))
+      .filter(col("ubound").cast("double") * (1.0 + threshold) >=
+        lit(threshold) * (col("sz_a") + col("sz_b")))
+      .select("doc_id_a", "doc_id_b")
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
+    // verify sides broadcast when the hashed-set frame fits the session
+    // threshold: the candidate pairs (two longs/row) then never shuffle
+    // the token ARRAYS — at scale the gate declines and both joins plan
+    // as shuffles on the pair keys
+    def vSide(df: DataFrame) = if (verifyBroadcast) broadcast(df) else df
     cand
-      .join(dsets.select(col("doc_id").as("doc_id_a"), col("items").as("toks_a")),
+      .join(vSide(dsets.select(col("doc_id").as("doc_id_a"), col("items").as("toks_a"))),
         "doc_id_a")
-      .join(dsets.select(col("doc_id").as("doc_id_b"), col("items").as("toks_b")),
+      .join(vSide(dsets.select(col("doc_id").as("doc_id_b"), col("items").as("toks_b"))),
         "doc_id_b")
       .withColumn("jaccard",
         round(inter.cast("double") / union.cast("double"), 6))

@@ -51,6 +51,24 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(got.toSet == Set((1L, 2L)))
   }
 
+  test("positional filter never drops a true pair: random-corpus parity at 3 thresholds") {
+    // 60 docs over a 24-token vocabulary, sizes 3..10 — dense enough that
+    // prefixes collide constantly and the positional bound does real
+    // pruning; brute force is the ground truth. Any false dismissal from
+    // the min-over-occurrences upper bound shows up as a missing pair.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 24).map(i => s"t$i")
+    val rows: Seq[(Long, String)] = (1L to 60L).map { id =>
+      val n = 3 + rnd.nextInt(8)
+      id -> rnd.shuffle(vocab).take(n).mkString(" ")
+    }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = TextOps.prefixJaccardPairs(setDF(rows: _*), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == bruteJaccard(rows, t), s"mismatch at threshold $t")
+    }
+  }
+
   test("prefix filter prunes: candidate pairs < all pairs on disjoint docs") {
     // 20 docs sharing only one very frequent token would all collide in
     // a naive token join; rarest-first prefixes keep them apart when the
