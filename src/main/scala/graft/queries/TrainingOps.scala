@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.TextOps
+import graft.text.{CurationGates, TextOps}
 import graft.sim.Embeddings
 import graft.mm.Multimodal
 
@@ -27,7 +27,9 @@ object TrainingOps extends OpsModule {
       .withColumn("is_canonical",
         (col("doc_id") === col("canonical_doc_id")).cast("int"))
       .withColumn("keep",
-        (col("quality_bucket") =!= "low" && col("lang_match") === 1 &&
+        // gate predicates = the shared CurationGates definitions, the
+        // same expressions CurationPipeline filters on (no drift)
+        (CurationGates.quality && CurationGates.lang &&
           col("is_canonical") === 1).cast("int"))
       .select("doc_id", "quality_bucket", "lang_match", "canonical_doc_id",
         "is_canonical", "keep")
@@ -693,8 +695,8 @@ object TrainingOps extends OpsModule {
       val f = filterFlags(s, d)
       f.agg(
         count(lit(1)).as("n_input"),
-        sum(col("lang_match").cast("long")).as("n_lang"),
-        sum(when(col("lang_match") === 1 && col("quality_bucket") =!= "low", 1L)
+        sum(CurationGates.lang.cast("long")).as("n_lang"),
+        sum(when(CurationGates.lang && CurationGates.quality, 1L)
           .otherwise(0L)).as("n_quality"),
         sum(col("keep").cast("long")).as("n_keep"))
         .select(explode(array(

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** The operators composed into the actual corpus-curation workflow — the
   * end-to-end shape a 100 TB training-data build runs, stage by stage:
   *
-  *   normalize → signals (quality × language × repetition) → exact dedup →
+  *   normalize → signals (quality × language × repetition × Gopher ×
+  *   C4, predicates = [[CurationGates]]) → exact dedup →
   *   near-dedup (MinHash-LSH candidates → verified clusters) →
   *   decontaminate vs an eval set → split assignment → audit counts
   *
@@ -43,7 +44,13 @@ object CurationPipeline {
     import spark.implicits._
 
     // stage 1: normalize + row-local signals; keep docs that pass the
-    // cheap gates before any pair work happens.
+    // cheap gates before any pair work happens. The gate PREDICATES are
+    // the shared [[CurationGates]] definitions — the same expressions
+    // the registered funnel queries audit, so pipeline and
+    // observability cannot drift (VERDICT r4 item 4). Gopher and C4
+    // document-grain rules joined in alongside the original three
+    // signals; all five are narrow row-local expressions, so the gate
+    // stays scan-speed.
     // Every stage frame is persisted for the duration of run(): each is
     // consumed at least twice (the next stage + its audit count, and
     // `exact` three times), so without the caches the audit counts
@@ -55,11 +62,21 @@ object CurationPipeline {
       .join(TextOps.langId(docs).select("doc_id", "lang_match"), "doc_id")
       .join(TextOps.repetitionSignals(docs)
         .select(col("doc_id"), col("top_token_fraction")), "doc_id")
+      .join(TextOps.gopherRules(docs).drop("n_req_stopwords"), "doc_id")
+      .join(TextOps.c4Rules(docs)
+        .select("doc_id", "has_lorem_ipsum", "has_brace", "pass_c4"), "doc_id")
+      .persist()
     val gated = docs.join(signals, "doc_id")
-      .filter(col("quality_bucket") =!= "low" && col("lang_match") === 1 &&
-        col("top_token_fraction") < 0.5)
+      .filter(CurationGates.all)
       .select(docs.columns.map(col): _*)
       .persist()
+    // per-gate rejection counts off the cached signal frame: one
+    // |gates|-column aggregation, each count independent (a doc failing
+    // two gates appears in both rows — the audit answers "what would
+    // this gate alone reject", which is what threshold tuning needs)
+    val rejectCols = CurationGates.ordered.map { case (n, p) =>
+      sum(when(!p, 1L).otherwise(0L)).as(n) }
+    val rejects = signals.agg(rejectCols.head, rejectCols.tail: _*).collect()(0)
 
     // stage 2: exact dedup — canonical doc per content hash
     val exact = gated
@@ -93,13 +110,16 @@ object CurationPipeline {
     // audit counts in stage order: each materializes its stage's cache
     // exactly once and reuses every earlier one. docs.count() is a
     // zero-column parquet metadata scan — no caching needed.
-    val audit = Seq(
+    val audit = (Seq(
       ("0_input", docs.count()),
-      ("1_gated", gated.count()),
+      ("1_gated", gated.count())) ++
+      CurationGates.ordered.zipWithIndex.map { case ((n, _), i) =>
+        (s"1_reject_$n", rejects.getLong(i)) } ++ Seq(
       ("2_exact_dedup", exact.count()),
       ("3_near_dedup", nearDeduped.count()),
-      ("4_decontaminated", curated.count()))
+      ("4_decontaminated", curated.count())))
       .toDF("stage", "n_docs")
-    Result(withSplit, audit, cached = Seq(gated, exact, nearDeduped, curated))
+    Result(withSplit, audit,
+      cached = Seq(signals, gated, exact, nearDeduped, curated))
   }
 }

@@ -20,6 +20,17 @@ class CurationPipelineSpec extends AnyFunSuite {
       assert(audit(a) >= audit(b), s"$b grew past $a")
     }
     assert(audit("4_decontaminated") > 0)
+    // stage-1 per-gate rejection rows exist for every registered gate,
+    // and the gated count is consistent with them: at least
+    // input − Σrejects survive (counts are non-exclusive), and no
+    // single gate alone rejects more than the total gated away
+    val gateNames = Seq("quality", "lang", "repetition", "gopher", "c4")
+    val rejects = gateNames.map(g => audit(s"1_reject_$g"))
+    assert(audit("1_gated") >= audit("0_input") - rejects.sum)
+    rejects.zip(gateNames).foreach { case (n, g) =>
+      assert(n <= audit("0_input") - audit("1_gated"),
+        s"gate $g rejects more than the stage total")
+    }
 
     val curated = r.curated.cache()
     try {
@@ -38,5 +49,42 @@ class CurationPipelineSpec extends AnyFunSuite {
       // against the benchmark finds nothing
       assert(TextOps.contaminationHits(curated, bench, k = 8).count() == 0)
     } finally { curated.unpersist(); r.unpersist() }
+  }
+
+  test("gopher and c4 gates reject planted documents the original three gates pass") {
+    import spark.implicits._
+    val sfDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // a survivor of the full sf pipeline: its (text, lang) pass every
+    // stage-1 gate, so it anchors planted variants that fail exactly one
+    val base = CurationPipeline.run(sfDocs, sfDocs.limit(0))
+    val ok = base.curated.select("text", "lang", "source")
+      .as[(String, String, String)].head()
+    base.unpersist()
+    // gopher-only failure: one 40-hash token pushes hash_ratio (substring
+    // count / n_words) past 0.1 while leaving quality (n_tokens),
+    // lang (marker votes), repetition (no token run), and c4 (no brace,
+    // kept lines unchanged) untouched.
+    // c4-only failure: a curly brace — the code filter — touches no
+    // other signal.
+    val hashed = ok._1 + " " + ("#" * 40)
+    val braced = ok._1 + " {x"
+    val corpus = Seq(
+      (900001L, ok._1), (900002L, hashed), (900003L, braced))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit(ok._2).as("lang"),
+        lit(ok._3).as("source"), length(col("text")).cast("long").as("n_chars"))
+    val r = CurationPipeline.run(corpus, corpus.limit(0))
+    val audit = r.audit.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val kept = r.curated.select("doc_id").as[Long].collect().toSet
+    r.unpersist()
+    assert(kept.contains(900001L), "control doc should survive")
+    assert(!kept.contains(900002L), "hash-heavy doc must fail the gopher gate")
+    assert(!kept.contains(900003L), "braced doc must fail the c4 gate")
+    assert(audit("1_reject_gopher") >= 1)
+    assert(audit("1_reject_c4") >= 1)
+    // and they fail ONLY their own gate
+    assert(audit("1_reject_quality") == 0)
+    assert(audit("1_reject_lang") == 0)
+    assert(audit("1_reject_repetition") == 0)
   }
 }
