@@ -152,6 +152,39 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("salted as-of matches joinAsOf on random data at several bucket counts") {
+    import spark.implicits._
+    val ptsGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 500)))
+    val refGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 500)))
+    for (seed <- 1 to 3; buckets <- Seq(1, 5, 64)) {
+      val pts = sample(ptsGen, seed).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val refs = sample(refGen, seed + 10).distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, t), i) => (k, t, s"v$i") }
+      val plain = graft.ops.AsOf.joinAsOf(
+        pts.toDF("id", "k", "t"), refs.toDF("k", "rt", "rv"),
+        Seq("k"), "t", "rt")
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("rv"))).toMap
+      val salted = graft.ops.AsOf.joinAsOfSalted(
+        pts.toDF("id", "k", "t"), refs.toDF("k", "rt", "rv"),
+        Seq("k"), "t", "rt", buckets = buckets)
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("rv"))).toMap
+      assert(salted == plain, s"seed=$seed buckets=$buckets")
+    }
+  }
+
+  test("forward as-of tolerance works on integer timestamps (column-unit tolerance)") {
+    import spark.implicits._
+    val pts = Seq((1L, 0L, 100), (2L, 0L, 200)).toDF("id", "k", "t")
+    val refs = Seq((0L, 150, "near"), (0L, 900, "far")).toDF("k", "rt", "rv")
+    // tolerance 60 in the ts column's own units: id=1 matches rt=150
+    // (gap 50), id=2's nearest-later is rt=900 (gap 700) -> nulled
+    val got = graft.ops.AsOf.joinAsOfForward(
+      pts, refs, Seq("k"), "t", "rt", toleranceSec = Some(60L))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("rv"))).toMap
+    assert(got == Map(1L -> Some("near"), 2L -> None))
+  }
+
   test("forward as-of matches per-row nearest-later scan on random data") {
     import spark.implicits._
     val ptsGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 500)))
