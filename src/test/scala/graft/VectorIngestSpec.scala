@@ -108,4 +108,67 @@ class VectorIngestSpec extends AnyFunSuite {
       .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(a == b)
   }
+
+  test("maintained ingest: planted shift triggers exactly one refresh; search follows; replay idempotent") {
+    // larger index base than freshIndex(): stable per-cell affinity
+    // baselines need more than a handful of vectors per centroid
+    val dir = java.nio.file.Files.createTempDirectory("vec_maint").toString + "/ivf"
+    val all = Tables.embeddings(spark, sf)
+    Embeddings.buildIvfIndex(all.filter(col("vec_id") < 300), dir)
+    import spark.implicits._
+
+    // batch 1 — stationary: held-out vectors from the same distribution.
+    // Their routing affinity sits at/above the cells' own baseline
+    // (measured ratio ~1.07), so the 0.9 relative threshold passes them.
+    val b1 = all.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .select("vec_id", "embedding")
+    assert(!VectorIngest.applyBatchMaintained(b1, 1L, dir, driftThreshold = 0.9),
+      "stationary batch must not refresh")
+    assert(!new java.io.File(s"$dir/refresh").exists())
+    val d1 = spark.read.parquet(s"$dir/drift")
+      .select(col("batch_id").cast("long"), col("cell"), col("n_batch"),
+        col("batch_affinity"), col("index_affinity"))
+    assert(d1.filter(col("batch_id") === 1L).count() > 0,
+      "per-batch drift telemetry missing")
+
+    // batch 2 — planted distribution shift: a tight cluster pointing in
+    // a direction no stored centroid points (axis 0 dominant; measured
+    // affinity ratio ~0.69, well under the 0.9 trigger)
+    def shiftedRows(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        if (d == 0) 10.0 else 0.001 * ((i + d) % 7)))
+    }
+    val b2 = shiftedRows(1000 until 1040).toDF("vec_id", "embedding")
+    assert(VectorIngest.applyBatchMaintained(b2, 2L, dir, driftThreshold = 0.9),
+      "shifted batch must trigger the refresh")
+    val refreshed = spark.read.parquet(s"$dir/refresh")
+      .select(col("batch_id").cast("long")).distinct().collect().map(_.getLong(0))
+    assert(refreshed.toSeq == Seq(2L), s"exactly one refresh expected: ${refreshed.toSeq}")
+
+    // search reflects the rebuilt centroids: a shifted query's neighbors
+    // are the other shifted vectors (they now own a cell of their own)
+    def topNeighbors() = Embeddings
+      .searchIvfIndex(spark, dir, col("vec_id") === 1000L, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(2), r.getInt(4))).sortBy(_._2).toSeq
+    val res = topNeighbors()
+    assert(res.size == 5)
+    assert(res.forall(_._1 >= 1000L),
+      s"shifted query should retrieve shifted vectors, got $res")
+
+    // replay of the triggering batch: postings, refresh log, and search
+    // results all unchanged
+    val beforeIds = postingIds(dir).sorted
+    VectorIngest.applyBatchMaintained(b2, 2L, dir, driftThreshold = 0.9)
+    assert(postingIds(dir).sorted == beforeIds, "replay changed the postings")
+    val refreshed2 = spark.read.parquet(s"$dir/refresh")
+      .select(col("batch_id").cast("long")).distinct().collect().map(_.getLong(0))
+    assert(refreshed2.toSeq == Seq(2L), "replay created a second refresh entry")
+    assert(topNeighbors() == res, "replay changed search results")
+
+    // batch 3 — more of the (now absorbed) shifted population: the
+    // rebuilt centroids represent it, so no second refresh fires
+    val b3 = shiftedRows(1100 until 1120).toDF("vec_id", "embedding")
+    assert(!VectorIngest.applyBatchMaintained(b3, 3L, dir, driftThreshold = 0.9),
+      "post-refresh batch from the shifted population must not re-trigger")
+  }
 }
