@@ -359,6 +359,34 @@ object TrainingOps extends OpsModule {
     "td_lsh_candidates" -> ((s, d) =>
       TextOps.lshCandidatePairs(docs(s, d)).orderBy("doc_id_a", "doc_id_b")),
 
+    // nightly-ingest dedup: banded-LSH candidates between the new slice
+    // (doc_id % 10 == 0 stands in for "tonight's batch") and the settled
+    // corpus — old×old pairs excluded by construction, so ingest cost
+    // tracks the delta, not a full-corpus dedup restart
+    "td_delta_dedup" -> ((s, d) =>
+      TextOps.deltaNearDupPairs(docs(s, d), pmod(col("doc_id"), lit(10L)) === 0L)
+        .orderBy("doc_id_new", "doc_id_old")),
+
+    // snapshot delta audit: per-source added/removed/changed/unchanged
+    // between a simulated previous corpus version (1-in-7 rows absent =
+    // added since; 1-in-5 texts suffixed = changed since; 1-in-11 ghost
+    // rows under shifted ids = removed since) and the current table
+    "td_corpus_diff" -> ((s, d) => {
+      val cur = docs(s, d)
+      val prev = cur.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5L)) === 0L,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(cur.filter(pmod(col("doc_id"), lit(11L)) === 0L)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      TextOps.snapshotDiff(prev, cur).orderBy("source")
+    }),
+
+    // the banding planner: the (bands, rows/band) S-curve table that
+    // picks the LSH deployment point for a target Jaccard threshold
+    "td_lsh_plan" -> ((s, _) =>
+      TextOps.lshBandingPlan(s).orderBy("bands", "jaccard")),
+
     "td_simhash" -> ((s, d) =>
       TextOps.simhash16(docs(s, d)).orderBy("doc_id")),
 
@@ -1403,6 +1431,57 @@ object TrainingOps extends OpsModule {
 
   /** banded-LSH candidate pairs with verified shingle-Jaccard — shared by
     * the td_lsh_candidates oracle and the td_lsh_clusters oracle. */
+  /** Delta variant of [[duckLshCandCtes]]: bands carry the new-slice
+    * flag (doc_id % 10 = 0) and the candidate join takes NEW × OLD pairs
+    * only — the oracle twin of [[TextOps.deltaNearDupPairs]]. */
+  private val duckDeltaLshCtes = {
+    val mins = (0 until 4).map(i =>
+      s"min(${dHash(s"concat('$i:', shingle)")}) AS mh_$i").mkString(", ")
+    s"""$duckShingles,
+        mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, (doc_id % 10 = 0) AS isnew, 0 AS band_idx,
+                 md5(concat_ws('_', 0, mh_0, mh_1)) AS band_key
+          FROM mh WHERE mh_0 IS NOT NULL
+          UNION ALL
+          SELECT doc_id, (doc_id % 10 = 0) AS isnew, 1 AS band_idx,
+                 md5(concat_ws('_', 1, mh_2, mh_3)) AS band_key
+          FROM mh WHERE mh_0 IS NOT NULL),
+        cand AS (
+          SELECT x.doc_id AS doc_id_new, y.doc_id AS doc_id_old,
+                 count(*) AS n_shared_bands
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+           AND x.isnew AND NOT y.isnew
+          GROUP BY 1, 2),
+        ss AS (SELECT doc_id, list(shingle) AS shset FROM sh GROUP BY doc_id),
+        deltacand AS (
+          SELECT c.doc_id_new, c.doc_id_old, c.n_shared_bands,
+                 round(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) /
+                       (len(sa.shset) + len(sb.shset)
+                        - len(list_intersect(sa.shset, sb.shset))), 6) AS jaccard
+          FROM cand c
+          JOIN ss sa ON sa.doc_id = c.doc_id_new
+          JOIN ss sb ON sb.doc_id = c.doc_id_old)"""
+  }
+
+  /** Oracle twin of [[TextOps.lshBandingPlan]]: the same divisor splits
+    * and j grid, powers expanded to the same explicit multiplication
+    * chains (correctly-rounded IEEE products — engine-exact). */
+  private val duckLshPlanSql = {
+    val parts = (1 to 16).filter(16 % _ == 0).map { b =>
+      val r = 16 / b
+      val jr = (1 to r).map(_ => "j").mkString(" * ")
+      val miss = (1 to b).map(_ => s"(1.0 - ($jr))").mkString(" * ")
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+             round(j, 6) AS jaccard,
+             round(1.0 - ($miss), 6) AS p_candidate,
+             round(pow(1.0 / $b, 1.0 / $r), 6) AS threshold_50pct
+          FROM (SELECT i / 20.0 AS j FROM generate_series(1, 19) AS t(i))"""
+    }
+    parts.mkString("\nUNION ALL\n") + "\nORDER BY bands, jaccard"
+  }
+
   private val duckLshCandCtes = {
     val mins = (0 until 4).map(i =>
       s"min(${dHash(s"concat('$i:', shingle)")}) AS mh_$i").mkString(", ")
@@ -2727,6 +2806,38 @@ object TrainingOps extends OpsModule {
       s"""WITH $duckLshCandCtes
           SELECT doc_id_a, doc_id_b, n_shared_bands, jaccard FROM lshcand
           ORDER BY doc_id_a, doc_id_b""",
+
+    // (delta form of the banded-LSH chain: bands carry the new-slice
+    // flag and candidates join new×old only)
+    "td_delta_dedup" ->
+      s"""WITH $duckDeltaLshCtes
+          SELECT doc_id_new, doc_id_old, n_shared_bands, jaccard
+          FROM deltacand ORDER BY doc_id_new, doc_id_old""",
+
+    "td_corpus_diff" ->
+      """WITH cur AS (SELECT doc_id, source, text FROM documents),
+         prev AS (
+           SELECT doc_id, source,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 7 != 0
+           UNION ALL
+           SELECT doc_id + 1000000, source, text FROM documents
+           WHERE doc_id % 11 = 0),
+         j AS (
+           SELECT coalesce(b.source, a.source) AS source,
+                  CASE WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN md5(a.text) != md5(b.text) THEN 'changed'
+                       ELSE 'unchanged' END AS status
+           FROM prev a FULL OUTER JOIN cur b ON a.doc_id = b.doc_id)
+         SELECT source,
+                CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+         FROM j GROUP BY source ORDER BY source""",
+
+    "td_lsh_plan" -> duckLshPlanSql,
 
     "td_lsh_clusters" ->
       s"""WITH RECURSIVE $duckLshCandCtes,

@@ -188,6 +188,108 @@ object TextOps {
         round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
   }
 
+  /** Incremental (delta) near-dup — the NIGHTLY-INGEST form of
+    * [[lshCandidatePairs]]: banded-LSH candidates restricted to CROSS
+    * pairs between a new slice (`isNew` rows) and the existing corpus,
+    * verified by exact shingle Jaccard. A production pipeline never
+    * re-deduplicates the settled corpus against itself on every ingest;
+    * it asks "which INCOMING documents near-duplicate something we
+    * already hold" — old×old pairs are excluded by construction, so a
+    * delta of d docs against a corpus of N costs the d-side band build
+    * plus bucket joins whose fan-in the banding already bounds,
+    * NOT the (N+d)² restart. The band/bucket machinery, shingle
+    * materialization, and verify arithmetic are byte-identical to the
+    * full-corpus operator, so thresholds tuned on [[lshCandidatePairs]]
+    * transfer unchanged. At 100 TB the old side's band table is a
+    * precomputed index (the same banded signatures, staged once);
+    * here it derives inline, same plan shape. */
+  def deltaNearDupPairs(docs: DataFrame, isNew: Column, k: Int = 4): DataFrame = {
+    val nBands = k / 2
+    val shingleSets = tokenized(docs.withColumn("__new", isNew))
+      .select(col("doc_id"), col("__new"), shingles(col("toks")).as("shset"))
+      .persist()
+    val sig = shingleSets.select(
+      col("doc_id") +: col("__new") +:
+        (0 until k).map(i => minhash(col("shset"), i).as(s"mh_$i")): _*)
+    val bandsExploded = sig
+      .filter(col("mh_0").isNotNull)
+      .select(col("doc_id"), col("__new"),
+        explode(array((0 until nBands).map(bd =>
+          struct(lit(bd).as("band_idx"),
+            md5(concat_ws("_", lit(bd), col(s"mh_${2 * bd}"), col(s"mh_${2 * bd + 1}")))
+              .as("band_key"))): _*)).as("b"))
+      .select(col("doc_id"), col("__new"), col("b.band_idx"), col("b.band_key"))
+    val candidates = bandsExploded.filter(col("__new")).as("x")
+      .join(bandsExploded.filter(!col("__new")).as("y"), Seq("band_idx", "band_key"))
+      .groupBy(col("x.doc_id").as("doc_id_new"), col("y.doc_id").as("doc_id_old"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val inter = size(array_intersect(col("shset_a"), col("shset_b")))
+    val union = size(col("shset_a")) + size(col("shset_b")) - inter
+    candidates
+      .join(shingleSets.select(col("doc_id").as("doc_id_new"), col("shset").as("shset_a")),
+        "doc_id_new")
+      .join(shingleSets.select(col("doc_id").as("doc_id_old"), col("shset").as("shset_b")),
+        "doc_id_old")
+      .select(col("doc_id_new"), col("doc_id_old"), col("n_shared_bands"),
+        round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
+  }
+
+  /** Snapshot delta audit — what changed between two corpus versions,
+    * per source: rows only in `cur` (added), only in `prev` (removed),
+    * in both with different content digests (changed), or identical
+    * (unchanged). The observability half of incremental curation: every
+    * nightly build should publish this next to its output so a
+    * surprising delta (a source suddenly churning 40% of its documents)
+    * is caught before training, not after. One full-outer join on the
+    * id carrying 16-byte digests — never document text — then a
+    * |sources|-row aggregate. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), col("source").as("source_a"),
+      md5(col("text")).as("h_a"))
+    val b = cur.select(col("doc_id"), col("source").as("source_b"),
+      md5(col("text")).as("h_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source_b"), col("source_a")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
+  /** LSH banding planner — the operational question behind every banded
+    * operator here: given a hash budget, which (bands, rows-per-band)
+    * split do you deploy? For each divisor split b·r = `totalHashes` and
+    * each Jaccard level j ∈ {0.05..0.95}, the candidate probability
+    * 1 − (1 − j^r)^b (the S-curve), plus the split's characteristic
+    * threshold (1/b)^(1/r) where the curve crosses ~50%. Model-sized
+    * driver arithmetic — no corpus involved; powers expand to explicit
+    * multiplication chains so every value is a correctly-rounded IEEE
+    * product sequence, bit-reproducible in any engine. */
+  def lshBandingPlan(spark: org.apache.spark.sql.SparkSession,
+                     totalHashes: Int = 16): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      b <- (1 to totalHashes).filter(totalHashes % _ == 0)
+      r = totalHashes / b
+      i <- 1 to 19
+    } yield {
+      val j = i / 20.0
+      val jr = (1 to r).foldLeft(1.0)((acc, _) => acc * j)
+      val miss = (1 to b).foldLeft(1.0)((acc, _) => acc * (1.0 - jr))
+      (b, r, math.rint(j * 1e6) / 1e6,
+        math.rint((1.0 - miss) * 1e6) / 1e6,
+        math.rint(math.pow(1.0 / b, 1.0 / r) * 1e6) / 1e6)
+    }
+    rows.toDF("bands", "rows_per_band", "jaccard", "p_candidate",
+      "threshold_50pct")
+  }
+
   /** Order-sensitive polynomial rolling hash over the token sequence
     * (Rabin–Karp shape): h ← (h·31 + tokenHash) mod 2^40. The left fold via
     * `aggregate` is sequential per row — deterministic and engine-portable.
