@@ -165,6 +165,18 @@ object TextOps {
     val shingleSets = tokenized(docs)
       .select(col("doc_id"), shingles(col("toks")).as("shset"))
       .persist()
+    // verify sides broadcast when the shingle frame fits the session
+    // threshold (estimate from the un-persisted plan, ×4 inflation for
+    // the array-of-strings row width): the candidate pairs then never
+    // shuffle shingle ARRAYS — the same gated pattern as
+    // prefixJaccardPairs' verify. At scale the gate declines and the
+    // verify joins shuffle on the pair keys.
+    val verifyBroadcast = {
+      val t = graft.ops.AutoBroadcast.thresholdBytes(shingleSets)
+      t > 0 &&
+        graft.ops.AutoBroadcast.estimatedBytes(shingleSets).toDouble * 4 <= t.toDouble
+    }
+    def vSide(df: DataFrame) = if (verifyBroadcast) broadcast(df) else df
     val sig = shingleSets.select(
       col("doc_id") +: (0 until k).map(i => minhash(col("shset"), i).as(s"mh_$i")): _*)
     val bandsExploded = sig
@@ -182,8 +194,8 @@ object TextOps {
     val inter = size(array_intersect(col("shset_a"), col("shset_b")))
     val union = size(col("shset_a")) + size(col("shset_b")) - inter
     candidates
-      .join(shingleSets.select(col("doc_id").as("doc_id_a"), col("shset").as("shset_a")), "doc_id_a")
-      .join(shingleSets.select(col("doc_id").as("doc_id_b"), col("shset").as("shset_b")), "doc_id_b")
+      .join(vSide(shingleSets.select(col("doc_id").as("doc_id_a"), col("shset").as("shset_a"))), "doc_id_a")
+      .join(vSide(shingleSets.select(col("doc_id").as("doc_id_b"), col("shset").as("shset_b"))), "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"), col("n_shared_bands"),
         round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
   }
@@ -208,6 +220,13 @@ object TextOps {
     val shingleSets = tokenized(docs.withColumn("__new", isNew))
       .select(col("doc_id"), col("__new"), shingles(col("toks")).as("shset"))
       .persist()
+    // same gated-broadcast verify as lshCandidatePairs
+    val verifyBroadcast = {
+      val t = graft.ops.AutoBroadcast.thresholdBytes(shingleSets)
+      t > 0 &&
+        graft.ops.AutoBroadcast.estimatedBytes(shingleSets).toDouble * 4 <= t.toDouble
+    }
+    def vSide(df: DataFrame) = if (verifyBroadcast) broadcast(df) else df
     val sig = shingleSets.select(
       col("doc_id") +: col("__new") +:
         (0 until k).map(i => minhash(col("shset"), i).as(s"mh_$i")): _*)
@@ -226,9 +245,9 @@ object TextOps {
     val inter = size(array_intersect(col("shset_a"), col("shset_b")))
     val union = size(col("shset_a")) + size(col("shset_b")) - inter
     candidates
-      .join(shingleSets.select(col("doc_id").as("doc_id_new"), col("shset").as("shset_a")),
+      .join(vSide(shingleSets.select(col("doc_id").as("doc_id_new"), col("shset").as("shset_a"))),
         "doc_id_new")
-      .join(shingleSets.select(col("doc_id").as("doc_id_old"), col("shset").as("shset_b")),
+      .join(vSide(shingleSets.select(col("doc_id").as("doc_id_old"), col("shset").as("shset_b"))),
         "doc_id_old")
       .select(col("doc_id_new"), col("doc_id_old"), col("n_shared_bands"),
         round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
