@@ -387,6 +387,21 @@ object TrainingOps extends OpsModule {
     "td_lsh_plan" -> ((s, _) =>
       TextOps.lshBandingPlan(s).orderBy("bands", "jaccard")),
 
+    // the COMPOSED curation pipeline, hash-checked end to end: runs
+    // CurationPipeline.run (5 gates → exact dedup → LSH near-dedup →
+    // decontamination) on the 97-split and returns its audit frame;
+    // the oracle re-derives every stage count in one DuckDB CTE chain
+    "td_curation_audit" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bench = dd.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      val corpus = dd.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      val r = graft.text.CurationPipeline.run(corpus, bench)
+      // the audit frame is a local relation of already-collected counts,
+      // so releasing the stage caches first is safe
+      r.unpersist()
+      r.audit.orderBy("stage")
+    }),
+
     "td_simhash" -> ((s, d) =>
       TextOps.simhash16(docs(s, d)).orderBy("doc_id")),
 
@@ -1508,6 +1523,118 @@ object TrainingOps extends OpsModule {
           FROM cand c
           JOIN ss sa ON sa.doc_id = c.doc_id_a
           JOIN ss sb ON sb.doc_id = c.doc_id_b)"""
+  }
+
+  /** End-to-end oracle for [[graft.text.CurationPipeline]]'s audit: the
+    * COMPOSED pipeline — five stage-1 gates, exact dedup on normalized
+    * hashes, LSH near-dedup to clusters, 8-shingle decontamination —
+    * re-derived as one DuckDB CTE chain so the pipeline's audit frame
+    * is hash-checked stage by stage, not just its member operators.
+    * Every fragment is the registered oracle of its operator (quality
+    * bucket, lang vote, repetition fraction, Gopher/C4 portable rules,
+    * td_normalize's hash, duckLshCandCtes with `documents` rebased to
+    * the exact-dedup survivors, td_lsh_clusters' recursive components,
+    * 8-gram contamination hits). */
+  private def duckCurationAuditSql: String = {
+    val sh8 = (1 to 8).map(j => s"toks[i+$j]").mkString(", ")
+    val lshBase = duckLshCandCtes.replace("FROM documents", "FROM base_docs")
+    s"""WITH RECURSIVE
+        corpus AS (SELECT * FROM documents WHERE doc_id % 97 != 0),
+        tok AS (SELECT doc_id, n_chars, text, lang,
+                       string_split(text, ' ') AS toks,
+                       string_split(text, chr(10)) AS lns
+                FROM corpus),
+        qg AS (SELECT doc_id, (len(toks) >= 30) AS p_quality FROM tok),
+        lgs AS (SELECT doc_id, lang, $langScoreCols FROM corpus),
+        lg AS (SELECT doc_id, (lang = $langCase) AS p_lang FROM lgs),
+        tfm AS (SELECT doc_id, max(c) AS max_tok FROM (
+                  SELECT doc_id, tt, count(*) AS c FROM (
+                    SELECT doc_id, unnest(toks) AS tt FROM tok)
+                  GROUP BY doc_id, tt)
+                GROUP BY doc_id),
+        rep AS (SELECT t.doc_id,
+                       (round(CAST(f.max_tok AS DOUBLE) /
+                              greatest(len(t.toks), 1), 6) < 0.5) AS p_rep
+                FROM tok t JOIN tfm f USING (doc_id)),
+        gop AS (SELECT doc_id,
+                       (n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+                        AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+                        AND frac_alpha_words >= 0.8) AS p_gopher
+                FROM (
+                  SELECT doc_id, n_words,
+                         round((n_chars - (n_words - 1)) / nw, 6) AS mean_word_len,
+                         round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) / nw, 6)
+                           AS frac_alpha_words,
+                         round((length(text) - length(replace(text, '#', ''))) / nw, 6)
+                           AS hash_ratio,
+                         round((length(text) - length(replace(text, '...', ''))) / 3 / nw, 6)
+                           AS ellipsis_ratio,
+                         round(len(list_filter(lns, l -> regexp_matches(l, '^(-|\\*) ')))
+                           / CAST(len(lns) AS DOUBLE), 6) AS frac_bullet_lines,
+                         round(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$$')))
+                           / CAST(len(lns) AS DOUBLE), 6) AS frac_ellipsis_lines
+                  FROM (SELECT doc_id, n_chars, text, toks, lns,
+                               len(toks) AS n_words, CAST(len(toks) AS DOUBLE) AS nw
+                        FROM tok))),
+        c4g AS (SELECT doc_id,
+                       (NOT contains(lower(text), 'lorem ipsum')
+                        AND NOT contains(text, '{')) AS p_c4 FROM tok),
+        gates AS (SELECT doc_id, p_quality, p_lang, p_rep, p_gopher, p_c4,
+                         (p_quality AND p_lang AND p_rep AND p_gopher AND p_c4) AS pass
+                  FROM qg JOIN lg USING (doc_id) JOIN rep USING (doc_id)
+                  JOIN gop USING (doc_id) JOIN c4g USING (doc_id)),
+        gated AS (SELECT c.* FROM corpus c JOIN gates g USING (doc_id) WHERE g.pass),
+        exh AS (SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+                FROM gated),
+        exc AS (SELECT h, min(doc_id) AS canon FROM exh GROUP BY h),
+        base_docs AS (SELECT g.* FROM gated g JOIN exh e USING (doc_id)
+                      JOIN exc c ON e.h = c.h AND g.doc_id = c.canon),
+        $lshBase,
+        nd AS (SELECT doc_id_a, doc_id_b FROM lshcand WHERE jaccard >= 0.5),
+        edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM nd
+                  UNION SELECT doc_id_b, doc_id_a FROM nd),
+        cc AS (SELECT src AS node, src AS label FROM edges
+               UNION
+               SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node),
+        canon3 AS (SELECT node AS doc_id, min(label) AS canonical_id
+                   FROM cc GROUP BY node),
+        near AS (SELECT b.doc_id FROM base_docs b LEFT JOIN canon3 n USING (doc_id)
+                 WHERE n.doc_id IS NULL OR n.canonical_id = b.doc_id),
+        bsh AS (SELECT DISTINCT shingle FROM (
+                 SELECT unnest(list_transform(generate_series(0, len(toks) - 8),
+                        i -> concat_ws(' ', $sh8))) AS shingle
+                 FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                       WHERE doc_id % 97 = 0))),
+        csh AS (SELECT DISTINCT doc_id, shingle FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(generate_series(0, len(toks) - 8),
+                               i -> concat_ws(' ', $sh8))) AS shingle
+                 FROM (SELECT b.doc_id, string_split(b.text, ' ') AS toks
+                       FROM base_docs b JOIN near USING (doc_id)))),
+        hits AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle)),
+        finaldocs AS (SELECT doc_id FROM near
+                      WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+        SELECT stage, n_docs FROM (
+          SELECT '0_input' AS stage, (SELECT count(*) FROM corpus) AS n_docs
+          UNION ALL SELECT '1_gated', (SELECT count(*) FROM gated)
+          UNION ALL SELECT '1_reject_quality',
+            (SELECT count(*) FROM gates WHERE NOT p_quality)
+          UNION ALL SELECT '1_reject_lang',
+            (SELECT count(*) FROM gates WHERE NOT p_lang)
+          UNION ALL SELECT '1_reject_repetition',
+            (SELECT count(*) FROM gates WHERE NOT p_rep)
+          UNION ALL SELECT '1_reject_gopher',
+            (SELECT count(*) FROM gates WHERE NOT p_gopher)
+          UNION ALL SELECT '1_reject_c4',
+            (SELECT count(*) FROM gates WHERE NOT p_c4)
+          UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM base_docs)
+          UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM near)
+          UNION ALL SELECT '4_decontaminated', (SELECT count(*) FROM finaldocs))
+        ORDER BY stage"""
   }
 
   private val langScoreCols = TextOps.langMarkers.map { case (l, ms) =>
@@ -2838,6 +2965,8 @@ object TrainingOps extends OpsModule {
          FROM j GROUP BY source ORDER BY source""",
 
     "td_lsh_plan" -> duckLshPlanSql,
+
+    "td_curation_audit" -> duckCurationAuditSql,
 
     "td_lsh_clusters" ->
       s"""WITH RECURSIVE $duckLshCandCtes,
