@@ -387,6 +387,23 @@ object TrainingOps extends OpsModule {
     "td_lsh_plan" -> ((s, _) =>
       TextOps.lshBandingPlan(s).orderBy("bands", "jaccard")),
 
+    // SentencePiece-style unigram LM tokenizer (Kudo 2018): seed
+    // vocabulary by substring frequency (+ all chars for coverage) ...
+    "td_unigram_vocab" -> ((s, d) =>
+      graft.text.UnigramLm.seedVocab(docs(s, d))
+        .select(col("piece"), col("cnt"), round(col("p"), 6).as("prob"))
+        .orderBy("piece")),
+
+    // ... per-word Viterbi + marginal segmentation log-likelihoods
+    // (prob-space lattice folds, log only at the end) ...
+    "td_unigram_score" -> ((s, d) =>
+      graft.text.UnigramLm.scoreWords(docs(s, d)).orderBy("word")),
+
+    // ... and one full-EM step: forward-backward expected piece counts
+    // renormalized into next-iteration probabilities
+    "td_unigram_em" -> ((s, d) =>
+      graft.text.UnigramLm.emStep(docs(s, d)).orderBy("piece")),
+
     // the COMPOSED curation pipeline, hash-checked end to end: runs
     // CurationPipeline.run (5 gates → exact dedup → LSH near-dedup →
     // decontamination) on the 97-split and returns its audit frame;
@@ -1523,6 +1540,69 @@ object TrainingOps extends OpsModule {
           FROM cand c
           JOIN ss sa ON sa.doc_id = c.doc_id_a
           JOIN ss sb ON sb.doc_id = c.doc_id_b)"""
+  }
+
+  /** Oracle CTE chain for the unigram-LM tokenizer family
+    * ([[graft.text.UnigramLm]]): word counts → candidate piece
+    * occurrences → seed vocabulary → per-word lattice with
+    * forward/backward/Viterbi DP as `list_reduce` folds over the same
+    * sorted [pos, pos, p] encodings Spark folds over — the α/β/Viterbi
+    * chains are pure IEEE ·/+ in identical order, so the lattices are
+    * bit-equal across engines. */
+  private val duckUnigramCtes = {
+    val P = 4; val V = 60
+    s"""wtab AS (
+          SELECT word, count(*) AS wcount FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          GROUP BY word),
+        occ AS (
+          SELECT word, wcount, CAST(o.j AS INT) AS j, CAST(o.i AS INT) AS i,
+                 o.pc AS piece
+          FROM (
+            SELECT word, wcount,
+                   unnest(flatten(list_transform(range(1, len(word) + 1),
+                     i -> list_transform(range(greatest(i - $P, 0), i),
+                       j -> struct_pack(j := j, i := i,
+                              pc := substr(word, j + 1, i - j)))))) AS o
+            FROM wtab)),
+        cnts AS (SELECT piece, sum(wcount) AS cnt FROM occ GROUP BY piece),
+        topp AS (SELECT piece, cnt FROM cnts ORDER BY cnt DESC, piece LIMIT $V),
+        chrs AS (SELECT piece, cnt FROM cnts WHERE len(piece) = 1),
+        sel AS (SELECT piece, max(cnt) AS cnt FROM (
+                  SELECT * FROM topp UNION ALL SELECT * FROM chrs)
+                GROUP BY piece),
+        vocab AS (SELECT piece, cnt,
+                         CAST(cnt AS DOUBLE) /
+                           CAST((SELECT sum(cnt) FROM sel) AS DOUBLE) AS p
+                  FROM sel),
+        svo AS (SELECT o.word, o.wcount, o.j, o.i, o.piece, v.p
+                FROM occ o JOIN vocab v USING (piece)),
+        lat AS (SELECT word, wcount, len(word) AS L,
+                       list_sort(list([CAST(i AS DOUBLE), CAST(j AS DOUBLE), p]))
+                         AS es,
+                       list_reverse(list_sort(
+                         list([CAST(j AS DOUBLE), CAST(i AS DOUBLE), p]))) AS esb
+                FROM svo GROUP BY word, wcount),
+        dp AS (SELECT word, wcount, L,
+          list_reduce(list_prepend(
+              list_concat([1.0], list_transform(range(1, L + 1), x -> 0.0)), es),
+            (acc, e) -> list_transform(acc, (x, k) ->
+               CASE WHEN k = CAST(e[1] AS INT) + 1
+                    THEN x + acc[CAST(e[2] AS INT) + 1] * e[3]
+                    ELSE x END)) AS alpha,
+          list_reduce(list_prepend(
+              list_concat([1.0], list_transform(range(1, L + 1), x -> 0.0)), es),
+            (acc, e) -> list_transform(acc, (x, k) ->
+               CASE WHEN k = CAST(e[1] AS INT) + 1
+                    THEN greatest(x, acc[CAST(e[2] AS INT) + 1] * e[3])
+                    ELSE x END)) AS vit,
+          list_reduce(list_prepend(
+              list_concat(list_transform(range(1, L + 1), x -> 0.0), [1.0]), esb),
+            (acc, e) -> list_transform(acc, (x, k) ->
+               CASE WHEN k = CAST(e[1] AS INT) + 1
+                    THEN x + e[3] * acc[CAST(e[2] AS INT) + 1]
+                    ELSE x END)) AS beta
+          FROM lat)"""
   }
 
   /** End-to-end oracle for [[graft.text.CurationPipeline]]'s audit: the
@@ -2967,6 +3047,31 @@ object TrainingOps extends OpsModule {
     "td_lsh_plan" -> duckLshPlanSql,
 
     "td_curation_audit" -> duckCurationAuditSql,
+
+    "td_unigram_vocab" ->
+      s"""WITH $duckUnigramCtes
+          SELECT piece, CAST(cnt AS BIGINT) AS cnt, round(p, 6) AS prob
+          FROM vocab ORDER BY piece""",
+
+    "td_unigram_score" ->
+      s"""WITH $duckUnigramCtes
+          SELECT word, CAST(wcount AS BIGINT) AS wcount,
+                 round(ln(vit[L + 1]), 6) AS viterbi_logp,
+                 round(ln(alpha[L + 1]), 6) AS marginal_logp
+          FROM dp ORDER BY word""",
+
+    "td_unigram_em" ->
+      s"""WITH $duckUnigramCtes,
+          ec AS (SELECT s.piece, s.p,
+                        CAST(s.wcount AS DOUBLE) * d.alpha[s.j + 1] * s.p *
+                          d.beta[s.i + 1] / d.alpha[d.L + 1] AS ec
+                 FROM svo s JOIN dp d USING (word)),
+          ag AS (SELECT piece, p, round(sum(ec), 6) AS expected_count
+                 FROM ec GROUP BY piece, p)
+          SELECT piece, round(p, 6) AS seed_prob, expected_count,
+                 round(expected_count /
+                   (SELECT round(sum(expected_count), 6) FROM ag), 6) AS new_prob
+          FROM ag ORDER BY piece""",
 
     "td_lsh_clusters" ->
       s"""WITH RECURSIVE $duckLshCandCtes,

@@ -1,0 +1,163 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SentencePiece-style unigram language-model tokenizer (Kudo 2018,
+  * arXiv:1804.10959) — the OTHER real-world subword tokenizer next to
+  * [[TextOps.bpeTrain]]'s BPE: a piece VOCABULARY with unigram
+  * probabilities, scored by segmentation likelihood, trained by EM over
+  * expected piece counts.
+  *
+  * Everything runs at the DISTINCT-WORD grain weighted by corpus counts
+  * (the same sublinear-in-corpus posture as the BPE trainer): the only
+  * corpus-sized pass is the word count. Per word, the lattice DP
+  * (forward α, backward β, Viterbi max-product) is ONE `aggregate` fold
+  * over the word's candidate piece occurrences — a row-local expression,
+  * no shuffle, no UDF — with the state array sized by word length.
+  * Probabilities stay in PROBABILITY space (not log) through the folds:
+  * the chains are then pure correctly-rounded IEEE ·/+ in a fixed fold
+  * order, so α/β/Viterbi are bit-identical in any engine (log only at
+  * the very end, one call, 6dp-rounded — the q50 precedent). Underflow
+  * is structurally bounded: probs ≥ 1/Σcnt and words are tens of chars,
+  * far above double's 1e-308 floor.
+  *
+  * E-step expected counts use the classic forward-backward identity
+  * ec(occurrence j→i) = α[j]·p·β[i]/α[L] — no argmax, no backtracking,
+  * no tie-breaking, which is exactly what makes full EM the
+  * deterministic choice over hard (Viterbi) EM here. The M-step
+  * renormalizes expected counts into new probabilities. Per-piece sums
+  * cross partitions and are rounded to 6dp after aggregation (the
+  * repo-wide float contract, DeterminismSpec-enforced).
+  */
+object UnigramLm {
+
+  /** Distinct corpus words with occurrence counts — the working grain. */
+  private[text] def words(docs: DataFrame): DataFrame =
+    TextOps.tokenized(docs)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+
+  /** One row per candidate piece occurrence: (word, wcount, j, i, piece)
+    * with the piece spanning 0-based char positions [j, i) and
+    * i−j ≤ maxPieceLen. */
+  private def occurrences(w: DataFrame, maxPieceLen: Int): DataFrame =
+    w.select(col("word"), col("wcount"),
+        explode(flatten(transform(
+          sequence(lit(1), length(col("word"))),
+          i => transform(
+            sequence(greatest(i - maxPieceLen, lit(0)), i - 1,
+              lit(1)),
+            j => struct(j.as("j"), i.as("i"),
+              col("word").substr(j + 1, i - j).as("piece")))))).as("o"))
+      .select(col("word"), col("wcount"), col("o.j"), col("o.i"), col("o.piece"))
+
+  /** Seed vocabulary: the `vocabSize` most frequent substrings (≤
+    * maxPieceLen chars, corpus-count-weighted, ties to the lexicographic
+    * piece) UNIONed with every single character — the coverage guarantee
+    * that keeps all words segmentable. `p` = count share over the
+    * selected set. */
+  def seedVocab(docs: DataFrame, maxPieceLen: Int = 4,
+                vocabSize: Int = 60): DataFrame = {
+    val occ = occurrences(words(docs), maxPieceLen)
+    val counts = occ.groupBy("piece").agg(sum(col("wcount")).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+    val chars = counts.filter(length(col("piece")) === 1)
+    val sel = top.unionByName(chars).groupBy("piece").agg(max("cnt").as("cnt"))
+    sel.crossJoin(broadcast(sel.agg(sum("cnt").as("tot"))))
+      .select(col("piece"), col("cnt"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+  }
+
+  /** Forward fold: α[0]=1; each entry [i,j,p] (sorted by (i,j,p)) adds
+    * α[j]·p into α[i]. Returns the α array (length L+1). transform's
+    * index is 0-based, so index k IS position k. */
+  private def alphaFold(es: Column, len: Column): Column =
+    aggregate(es,
+      concat(array(lit(1.0)), transform(sequence(lit(1), len), _ => lit(0.0))),
+      (acc, e) => transform(acc, (x, k) =>
+        when(k === e.getItem(0).cast("int"),
+          x + element_at(acc, e.getItem(1).cast("int") + 1) * e.getItem(2))
+          .otherwise(x)))
+
+  /** Viterbi max-product fold over the same forward entries. */
+  private def viterbiFold(es: Column, len: Column): Column =
+    aggregate(es,
+      concat(array(lit(1.0)), transform(sequence(lit(1), len), _ => lit(0.0))),
+      (acc, e) => transform(acc, (x, k) =>
+        when(k === e.getItem(0).cast("int"),
+          greatest(x,
+            element_at(acc, e.getItem(1).cast("int") + 1) * e.getItem(2)))
+          .otherwise(x)))
+
+  /** Backward fold: β[L]=1; entries [j,i,p] sorted DESC add p·β[i] into
+    * β[j]. */
+  private def betaFold(esBack: Column, len: Column): Column =
+    aggregate(esBack,
+      concat(transform(sequence(lit(1), len), _ => lit(0.0)), array(lit(1.0))),
+      (acc, e) => transform(acc, (x, k) =>
+        when(k === e.getItem(0).cast("int"),
+          x + e.getItem(2) * element_at(acc, e.getItem(1).cast("int") + 1))
+          .otherwise(x)))
+
+  /** Vocab-scored occurrences with per-word sorted entry encodings:
+    * `es` = [i,j,p] ascending (forward/Viterbi order), `esb` = [j,i,p]
+    * descending (backward order). Array-of-double encoding keeps the
+    * sort key identical across engines. */
+  private def wordLattice(occ: DataFrame, vocab: DataFrame): DataFrame =
+    occ.join(broadcast(vocab.select(col("piece"), col("p"))), "piece")
+      .groupBy("word", "wcount")
+      .agg(
+        sort_array(collect_list(array(col("i").cast("double"),
+          col("j").cast("double"), col("p")))).as("es"),
+        reverse(sort_array(collect_list(array(col("j").cast("double"),
+          col("i").cast("double"), col("p"))))).as("esb"))
+
+  /** Per-word segmentation scores under the seed vocabulary: the Viterbi
+    * (single best segmentation) and marginal (all segmentations)
+    * log-likelihoods. The E-step objective surfaced as telemetry — at
+    * scale this is the table that ranks words by how badly the current
+    * vocabulary fits them. */
+  def scoreWords(docs: DataFrame, maxPieceLen: Int = 4,
+                 vocabSize: Int = 60): DataFrame = {
+    val w = words(docs)
+    val vocab = seedVocab(docs, maxPieceLen, vocabSize)
+    val lat = wordLattice(occurrences(w, maxPieceLen), vocab)
+    val len = length(col("word"))
+    lat
+      .withColumn("alpha", alphaFold(col("es"), len))
+      .withColumn("vit", viterbiFold(col("es"), len))
+      .select(col("word"), col("wcount"),
+        round(log(element_at(col("vit"), len + 1)), 6).as("viterbi_logp"),
+        round(log(element_at(col("alpha"), len + 1)), 6).as("marginal_logp"))
+  }
+
+  /** One full-EM step: forward-backward expected piece counts
+    * (corpus-count-weighted) and the renormalized next-iteration
+    * probabilities. Returns one row per vocabulary piece. */
+  def emStep(docs: DataFrame, maxPieceLen: Int = 4,
+             vocabSize: Int = 60): DataFrame = {
+    val w = words(docs)
+    val vocab = seedVocab(docs, maxPieceLen, vocabSize)
+    val occ = occurrences(w, maxPieceLen)
+    val scored = occ.join(broadcast(vocab.select(col("piece"), col("p"))), "piece")
+    val len = length(col("word"))
+    val lat = wordLattice(occ, vocab)
+      .withColumn("alpha", alphaFold(col("es"), len))
+      .withColumn("beta", betaFold(col("esb"), len))
+      .select(col("word"), col("alpha"), col("beta"),
+        element_at(col("alpha"), len + 1).as("z"))
+    val ec = scored.join(lat, "word")
+      .select(col("piece"), col("p"),
+        (col("wcount").cast("double") *
+          element_at(col("alpha"), col("j") + 1) * col("p") *
+          element_at(col("beta"), col("i") + 1) / col("z")).as("ec"))
+    val agg = ec.groupBy("piece", "p")
+      .agg(round(sum(col("ec")), 6).as("expected_count"))
+    agg.crossJoin(broadcast(
+        agg.agg(round(sum("expected_count"), 6).as("tot"))))
+      .select(col("piece"), round(col("p"), 6).as("seed_prob"),
+        col("expected_count"),
+        round(col("expected_count") / col("tot"), 6).as("new_prob"))
+  }
+}
