@@ -32,4 +32,38 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+
+  /** Key-skew diagnostic — the pre-flight check that decides between a
+    * plain join, [[saltedJoin]], and AQE skew handling BEFORE a 100 TB
+    * shuffle is committed: the `topN` heaviest keys with each key's
+    * share of total rows and the running cumulative share. A top key at
+    * 30% share means one task gets 30% of the shuffle — salt it; a flat
+    * top-N means the key is safe. One aggregation on the key plus a
+    * window over `topN` rows (WindowGroupLimit keeps per-task state at
+    * topN); output is topN rows regardless of corpus size.
+    * Multi-column keys report as a '|'-joined string. */
+  def skewReport(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                 topN: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(concat_ws("|", keys.map(k => col(k).cast("string")): _*).as("key"),
+        col("cnt"))
+    val total = counts.agg(sum("cnt").as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("cnt").cast("double") / col("total_rows"), 6))
+      .withColumn("cum_share",
+        round(sum(col("cnt")).over(
+          Window.orderBy(col("rk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("total_rows"), 6))
+      .select("rk", "key", "cnt", "n_keys", "share", "cum_share")
+  }
 }

@@ -915,6 +915,13 @@ object Relational extends OpsModule {
     // Spark 4 listagg: ORDERED string aggregation (the reporting-surface
     // op warehouses call LISTAGG/STRING_AGG); the WITHIN GROUP order
     // makes the concatenation deterministic in any engine
+    // key-skew diagnostic: topN heaviest user_ids with share + cumulative
+    // share - the pre-flight check before committing a 100 TB shuffle on
+    // this key (see graft.ops.Skew.skewReport)
+    "q71_skew_report" -> ((s, d) =>
+      graft.ops.Skew.skewReport(ev(s, d), Seq("user_id"), topN = 10)
+        .orderBy("rk")),
+
     "q70_listagg" -> ((s, d) => {
       graft.SqlSurface.registerTables(s, d)
       s.sql("""SELECT r.r_name AS region,
@@ -1717,6 +1724,20 @@ object Relational extends OpsModule {
          FROM clicks c ASOF LEFT JOIN errs e
            ON c.user_id = e.user_id AND c.ts <= e.next_err_ts
          ORDER BY c.event_id""",
+    "q71_skew_report" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+                    FROM events GROUP BY user_id),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+                      CAST(count(*) AS BIGINT) AS n_keys FROM c),
+         r AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rk
+               FROM c)
+         SELECT r.rk, r.key, CAST(r.cnt AS BIGINT) AS cnt, t.n_keys,
+                round(CAST(r.cnt AS DOUBLE) / t.total_rows, 6) AS share,
+                round(CAST(sum(r.cnt) OVER (ORDER BY r.rk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / t.total_rows, 6) AS cum_share
+         FROM r CROSS JOIN t WHERE r.rk <= 10 ORDER BY r.rk""",
+
     "q70_listagg" ->
       """SELECT r.r_name AS region,
                 string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,

@@ -125,4 +125,21 @@ class SkewSpec extends AnyFunSuite {
     val plan = saltedDf.queryExecution.executedPlan.toString
     assert(plan.contains("__b"), "window is not sub-partitioned by bucket")
   }
+
+  test("skewReport surfaces the hot key with exact share and cumulative share") {
+    import spark.implicits._
+    // 910 of 1000 rows on key 7 (900 planted + 10 from the modulo tail)
+    // — the report must lead with it at 0.91
+    val df = ((1 to 900).map(_ => 7L) ++ (1 to 100).map(i => (i % 10).toLong))
+      .toDF("k")
+    val rows = Skew.skewReport(df, Seq("k"), topN = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.head == ((1, "7", 910L, 0.91, 0.91)))
+    assert(rows.length == 3)
+    // cumulative share nondecreasing and <= 1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5 && b._5 <= 1.0)
+    }
+  }
 }
