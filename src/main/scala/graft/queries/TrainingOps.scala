@@ -404,6 +404,11 @@ object TrainingOps extends OpsModule {
     "td_unigram_em" -> ((s, d) =>
       graft.text.UnigramLm.emStep(docs(s, d)).orderBy("piece")),
 
+    // ... and the full 3-round EM training loop (piece set fixed,
+    // probs 6dp-pinned per round - the bpeTrain unroll pattern)
+    "td_unigram_train" -> ((s, d) =>
+      graft.text.UnigramLm.train(docs(s, d)).orderBy("piece")),
+
     // the COMPOSED curation pipeline, hash-checked end to end: runs
     // CurationPipeline.run (5 gates → exact dedup → LSH near-dedup →
     // decontamination) on the 97-split and returns its audit frame;
@@ -1549,7 +1554,7 @@ object TrainingOps extends OpsModule {
     * sorted [pos, pos, p] encodings Spark folds over — the α/β/Viterbi
     * chains are pure IEEE ·/+ in identical order, so the lattices are
     * bit-equal across engines. */
-  private val duckUnigramCtes = {
+  private val duckUnigramBase = {
     val P = 4; val V = 60
     s"""wtab AS (
           SELECT word, count(*) AS wcount FROM (
@@ -1574,7 +1579,11 @@ object TrainingOps extends OpsModule {
         vocab AS (SELECT piece, cnt,
                          CAST(cnt AS DOUBLE) /
                            CAST((SELECT sum(cnt) FROM sel) AS DOUBLE) AS p
-                  FROM sel),
+                  FROM sel)"""
+  }
+
+  private val duckUnigramCtes = {
+    s"""$duckUnigramBase,
         svo AS (SELECT o.word, o.wcount, o.j, o.i, o.piece, v.p
                 FROM occ o JOIN vocab v USING (piece)),
         lat AS (SELECT word, wcount, len(word) AS L,
@@ -1603,6 +1612,56 @@ object TrainingOps extends OpsModule {
                     THEN x + e[3] * acc[CAST(e[2] AS INT) + 1]
                     ELSE x END)) AS beta
           FROM lat)"""
+  }
+
+  /** Oracle for [[graft.text.UnigramLm.train]]: the EM loop unrolled
+    * into per-round CTE chains (the bpeTrain/kmeansTrain unroll
+    * pattern) — each round re-derives the lattice under the previous
+    * round's 6dp-pinned probabilities. */
+  private val duckUnigramTrainSql = {
+    val iters = 3
+    def alphaF(src: String) =
+      s"""list_reduce(list_prepend(
+            list_concat([1.0], list_transform(range(1, L + 1), x -> 0.0)), $src),
+          (acc, e) -> list_transform(acc, (x, k) ->
+             CASE WHEN k = CAST(e[1] AS INT) + 1
+                  THEN x + acc[CAST(e[2] AS INT) + 1] * e[3]
+                  ELSE x END))"""
+    def betaF(src: String) =
+      s"""list_reduce(list_prepend(
+            list_concat(list_transform(range(1, L + 1), x -> 0.0), [1.0]), $src),
+          (acc, e) -> list_transform(acc, (x, k) ->
+             CASE WHEN k = CAST(e[1] AS INT) + 1
+                  THEN x + e[3] * acc[CAST(e[2] AS INT) + 1]
+                  ELSE x END))"""
+    def round_(r: Int): String = {
+      val prev = if (r == 1) "vocab" else s"vocab_${r - 1}"
+      s"""svo_$r AS (SELECT o.word, o.wcount, o.j, o.i, o.piece, v.p
+                     FROM occ o JOIN $prev v USING (piece)),
+          lat_$r AS (SELECT word, wcount, len(word) AS L,
+                       list_sort(list([CAST(i AS DOUBLE), CAST(j AS DOUBLE), p]))
+                         AS es,
+                       list_reverse(list_sort(
+                         list([CAST(j AS DOUBLE), CAST(i AS DOUBLE), p]))) AS esb
+                     FROM svo_$r GROUP BY word, wcount),
+          dp_$r AS (SELECT word, L, ${alphaF("es")} AS alpha,
+                           ${betaF("esb")} AS beta
+                    FROM lat_$r),
+          ec_$r AS (SELECT s.piece,
+                           CAST(s.wcount AS DOUBLE) * d.alpha[s.j + 1] * s.p *
+                             d.beta[s.i + 1] / d.alpha[d.L + 1] AS ec
+                    FROM svo_$r s JOIN dp_$r d USING (word)),
+          ag_$r AS (SELECT piece, round(sum(ec), 6) AS e FROM ec_$r GROUP BY piece),
+          vocab_$r AS (SELECT piece,
+                              round(e / (SELECT round(sum(e), 6) FROM ag_$r), 6) AS p
+                       FROM ag_$r)"""
+    }
+    val rounds = (1 to iters).map(round_).mkString(",\n")
+    s"""WITH $duckUnigramBase,
+        $rounds
+        SELECT v0.piece, round(v0.p, 6) AS seed_prob, vf.p AS prob
+        FROM vocab v0 JOIN vocab_$iters vf USING (piece)
+        ORDER BY piece"""
   }
 
   /** End-to-end oracle for [[graft.text.CurationPipeline]]'s audit: the
@@ -3059,6 +3118,8 @@ object TrainingOps extends OpsModule {
                  round(ln(vit[L + 1]), 6) AS viterbi_logp,
                  round(ln(alpha[L + 1]), 6) AS marginal_logp
           FROM dp ORDER BY word""",
+
+    "td_unigram_train" -> duckUnigramTrainSql,
 
     "td_unigram_em" ->
       s"""WITH $duckUnigramCtes,

@@ -132,6 +132,58 @@ object UnigramLm {
         round(log(element_at(col("alpha"), len + 1)), 6).as("marginal_logp"))
   }
 
+  /** One EM round over a FIXED piece set: expected counts under `vocab`
+    * probabilities, renormalized and 6dp-rounded into the next round's
+    * (piece, p). The per-round rounding is the same pin the logreg
+    * trainer applies to its weights: cross-partition float sums drift in
+    * the last bits, and unpinned drift would COMPOUND over rounds. */
+  private def emRound(occ: DataFrame, vocab: DataFrame): DataFrame = {
+    val scored = occ.join(broadcast(vocab.select(col("piece"), col("p"))), "piece")
+    val len = length(col("word"))
+    val lat = wordLattice(occ, vocab)
+      .withColumn("alpha", alphaFold(col("es"), len))
+      .withColumn("beta", betaFold(col("esb"), len))
+      .select(col("word"), col("alpha"), col("beta"),
+        element_at(col("alpha"), len + 1).as("z"))
+    val ec = scored.join(lat, "word")
+      .select(col("piece"),
+        (col("wcount").cast("double") *
+          element_at(col("alpha"), col("j") + 1) * col("p") *
+          element_at(col("beta"), col("i") + 1) / col("z")).as("ec"))
+    val agg = ec.groupBy("piece").agg(round(sum(col("ec")), 6).as("e"))
+    agg.crossJoin(broadcast(agg.agg(round(sum("e"), 6).as("tot"))))
+      .select(col("piece"), round(col("e") / col("tot"), 6).as("p"))
+  }
+
+  /** The full EM training loop (the unigram twin of
+    * [[TextOps.bpeTrain]]'s merge loop): `iters` rounds of
+    * [[emRound]] from the seed vocabulary, piece set fixed (SentencePiece
+    * additionally prunes low-probability pieces between rounds — a
+    * filter on this loop's state, omitted so the piece axis stays
+    * comparable across rounds). Per round: one lattice pass at
+    * distinct-word grain and one vocabulary-sized aggregation; the
+    * (piece, p) state carried between rounds is vocab-sized and
+    * localCheckpoint'd — flat lineage, zero per-round driver traffic,
+    * exactly the kmeansTrain/bpeTrain iteration posture. Returns
+    * (piece, seed_prob, prob) — final probabilities next to the seed. */
+  def train(docs: DataFrame, maxPieceLen: Int = 4, vocabSize: Int = 60,
+            iters: Int = 3): DataFrame = {
+    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val counts = occ.groupBy("piece").agg(sum(col("wcount")).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+    val chars = counts.filter(length(col("piece")) === 1)
+    val sel = top.unionByName(chars).groupBy("piece").agg(max("cnt").as("cnt"))
+    val seed = sel.crossJoin(broadcast(sel.agg(sum("cnt").as("tot"))))
+      .select(col("piece"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+      .localCheckpoint()
+    var vocab = seed
+    for (_ <- 0 until iters)
+      vocab = emRound(occ, vocab).localCheckpoint()
+    seed.select(col("piece"), round(col("p"), 6).as("seed_prob"))
+      .join(vocab.withColumnRenamed("p", "prob"), "piece")
+  }
+
   /** One full-EM step: forward-backward expected piece counts
     * (corpus-count-weighted) and the renormalized next-iteration
     * probabilities. Returns one row per vocabulary piece. */
