@@ -2115,22 +2115,39 @@ object TextOps {
     val bd: Long =
       if (blockDims > 0) blockDims.toLong
       else math.max(2L * dims, math.ceil(docs.count() / 64.0).toLong)
+    // ONE tokenize+hash pass feeds BOTH projections: the scoring vectors
+    // (pmod h, dims) and the blocking buckets (pmod h, bd) re-aggregate
+    // the same (doc, term-hash, count) grain — integer two-stage sums
+    // are exact, so the vectors are bit-identical to hashedDocVectors'
+    // single-pass build while the corpus tokenizes once instead of twice
+    val th = tokenized(docs)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("source"),
+        md5Long(concat(lit("dim:"), col("term"))).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dw = th.groupBy(col("doc_id"), col("source"),
+        pmod(col("h"), lit(dims.toLong)).as("dim"))
+      .agg(sum(col("c")).cast("double").as("w"))
+    val nrm = dw.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val vecs = dw.join(nrm, Seq("doc_id"))
+      .select(col("doc_id"), col("dim").cast("int").as("dim"),
+        round(col("w") / col("nrm"), 6).as("val"))
+      .groupBy("doc_id")
+      .agg(array((0 until dims).map(d =>
+        sum(when(col("dim") === d, col("val")).otherwise(0.0))): _*).as("vec"))
     // blocking projection: dominant term-count bucket at bd width —
     // integer counts and a map-side-combinable max(struct), so the
     // argmax is exact and partitioning-invariant in any engine
-    val blocks = tokenized(docs)
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"),
-        pmod(md5Long(concat(lit("dim:"), col("term"))), lit(bd)).as("bdim"))
-      .agg(count(lit(1)).as("w"))
+    val blocks = th
+      .groupBy(col("doc_id"), pmod(col("h"), lit(bd)).as("bdim"))
+      .agg(sum(col("c")).as("w"))
       .groupBy("doc_id")
       .agg(max(struct(col("w"), (-col("bdim")).as("nd"))).as("m"))
       .select(col("doc_id"), (-col("m.nd")).cast("int").as("block"))
-    val v = hashedDocVectors(docs, dims)
-      .join(blocks, "doc_id")
-      // materialize once: the vector build (token explode → hashed-dim
-      // aggregation → dense assembly) and the block attach feed BOTH
-      // sides of the block self-join and would otherwise execute twice
+    val v = vecs.join(blocks, "doc_id")
+      // materialize once: the joined (vec, block) frame feeds BOTH sides
+      // of the block self-join and would otherwise execute twice
       .localCheckpoint()
     val a = v.select(col("block"), col("doc_id").as("doc_id_a"), col("vec").as("vec_a"))
     val b = v.select(col("block"), col("doc_id").as("doc_id_b"), col("vec").as("vec_b"))
