@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Expression, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Divide, Expression, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -27,8 +27,10 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   *    row-level filter cannot be answered from group-level partials);
   *  - grouping columns must be attribute refs ⊆ the summary's grouping
   *    (subset rollups re-aggregate: SUM of partial SUMs, COUNT(*)
-  *    becomes SUM of the partial count — the standard algebraic-measure
-  *    contract; AVG/NTILE etc. do not match and fall through);
+  *    becomes SUM of the partial count, AVG of a NON-NULLABLE measure
+  *    becomes re-summed sum partial / re-summed count partial — the
+  *    standard algebraic-measure contract; holistic measures
+  *    (MEDIAN/NTILE etc.) do not match and fall through);
   *  - COUNT matches only when every child is non-nullable (COUNT(*) /
   *    COUNT(1)): the mv partial counts ALL group rows, so
   *    COUNT(nullable_col) — which skips nulls — must fall through;
@@ -54,9 +56,12 @@ object MvRewrite {
   /** A registered summary: answers aggregates over the base relation
     * whose file location contains `baseTag` as a full path component.
     * `sumCols` maps base column → mv partial-sum column; `countCol` is
-    * the mv row-count partial. */
+    * the mv row-count partial; `valueCountCols` maps base column → mv
+    * NON-NULL-count partial (count(x), not count(*)) — the partial that
+    * makes AVG over a NULLABLE measure exactly answerable. */
   case class Mv(baseTag: String, groupCols: Set[String],
                 sumCols: Map[String, String], countCol: Option[String],
+                valueCountCols: Map[String, String],
                 mvPlan: LogicalPlan)
 
   private val registry = scala.collection.mutable.ArrayBuffer[Mv]()
@@ -70,16 +75,18 @@ object MvRewrite {
     * matching query. */
   def register(mvDf: DataFrame, baseTag: String, groupCols: Seq[String],
                sumCols: Map[String, String],
-               countCol: Option[String]): Unit = registry.synchronized {
-    val have = mvDf.schema.fieldNames.toSet
-    val need = groupCols ++ sumCols.values ++ countCol
-    val missing = need.filterNot(have)
-    require(missing.isEmpty,
-      s"MvRewrite.register: columns ${missing.mkString(", ")} not in " +
-        s"summary schema ${have.mkString("[", ", ", "]")}")
-    registry += Mv(baseTag, groupCols.toSet, sumCols, countCol,
-      mvDf.queryExecution.analyzed)
-  }
+               countCol: Option[String],
+               valueCountCols: Map[String, String] = Map.empty): Unit =
+    registry.synchronized {
+      val have = mvDf.schema.fieldNames.toSet
+      val need = groupCols ++ sumCols.values ++ countCol ++ valueCountCols.values
+      val missing = need.filterNot(have)
+      require(missing.isEmpty,
+        s"MvRewrite.register: columns ${missing.mkString(", ")} not in " +
+          s"summary schema ${have.mkString("[", ", ", "]")}")
+      registry += Mv(baseTag, groupCols.toSet, sumCols, countCol,
+        valueCountCols, mvDf.queryExecution.analyzed)
+    }
 
   private def mvs: Seq[Mv] = registry.synchronized { registry.toSeq }
 
@@ -175,6 +182,17 @@ object MvRewrite {
           case c: Count =>
             c.children.forall(!_.nullable) &&
               m.countCol.exists(mvOut.contains)
+          // AVG = re-summed sum partial / re-summed denominator partial.
+          // The exact denominator is the NON-NULL value count: use the
+          // registered count(x) partial when present (nullable measures
+          // answered exactly — SUM already skips nulls), else fall back
+          // to the row-count partial, sound only for a NON-NULLABLE
+          // measure (avg skips nulls; count(*) does not).
+          case Average(ar: AttributeReference, _) =>
+            sumTypeStable(ar.dataType) &&
+              m.sumCols.get(ar.name).exists(mvOut.contains) &&
+              (m.valueCountCols.get(ar.name).exists(mvOut.contains) ||
+                (!ar.nullable && m.countCol.exists(mvOut.contains)))
           case _ => false
         }
       case _ => false
@@ -192,15 +210,30 @@ object MvRewrite {
       case ar: AttributeReference =>
         Alias(mvOut(ar.name), ar.name)(exprId = ar.exprId)
       case al @ Alias(ae: AggregateExpression, name) =>
-        val partial = ae.aggregateFunction match {
-          case Sum(ar: AttributeReference, _) => mvOut(m.sumCols(ar.name))
-          case _: Count => mvOut(m.countCol.get)
+        ae.aggregateFunction match {
+          case Average(ar: AttributeReference, _) =>
+            // total = re-summed sum partial; denominator = the exact
+            // non-null value count (count(x) partial when registered,
+            // else the row-count partial of a non-nullable measure);
+            // both cast to double exactly as Average's evaluator divides
+            val denomCol = m.valueCountCols.get(ar.name)
+              .getOrElse(m.countCol.get)
+            val s = Cast(Sum(mvOut(m.sumCols(ar.name)))
+              .toAggregateExpression(), DoubleType)
+            val c = Cast(Sum(mvOut(denomCol))
+              .toAggregateExpression(), DoubleType)
+            Alias(Cast(Divide(s, c), ae.dataType), name)(exprId = al.exprId)
+          case other =>
+            val partial = other match {
+              case Sum(ar: AttributeReference, _) => mvOut(m.sumCols(ar.name))
+              case _: Count => mvOut(m.countCol.get)
+            }
+            // re-summing an integral partial yields LongType = the
+            // original sum/count type; a Cast is inserted defensively and
+            // collapses to a no-op when types already agree
+            Alias(Cast(Sum(partial).toAggregateExpression(), ae.dataType),
+              name)(exprId = al.exprId)
         }
-        // re-summing an integral partial yields LongType = the original
-        // sum/count type; a Cast is inserted defensively and collapses to
-        // a no-op when types already agree
-        Alias(Cast(Sum(partial).toAggregateExpression(), ae.dataType),
-          name)(exprId = al.exprId)
     }
     // the grouping-column filter moves ONTO the |groups|-row summary
     // scan, rebased to the summary's attributes

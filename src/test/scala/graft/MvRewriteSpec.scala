@@ -117,6 +117,55 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRewrite.clear()
   }
 
+  test("AVG over a nullable measure is served via the count(x) partial; falls through without it") {
+    val session = spark.newSession()
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    try {
+      import session.implicits._
+      // base with REAL nulls in the measure, incl. one all-null group
+      val baseDir = java.nio.file.Files.createTempDirectory("mv_avg").toString + "/base.parquet"
+      Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)),
+          ("b", Some(5L)), ("c", None), ("c", None))
+        .toDF("grp", "x").write.mode("overwrite").parquet(baseDir)
+      val base = session.read.parquet(baseDir)
+      val mvDir = java.nio.file.Files.createTempDirectory("mv_avg_mv").toString
+      base.groupBy("grp").agg(
+        sum("x").as("sum_x"), count(col("x")).as("cnt_x"),
+        count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(mvDir)
+
+      // registration WITHOUT the value-count partial: avg(nullable) must
+      // fall through (the row count is not avg's denominator)
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = "base.parquet", groupCols = Seq("grp"),
+        sumCols = Map("x" -> "sum_x"), countCol = Some("n_rows"))
+      val q0 = base.groupBy("grp").agg(avg("x").as("a"))
+      assert(!scanPaths(q0).exists(_.contains(mvDir)),
+        "avg(nullable) must not be served without a count(x) partial")
+      MvRewrite.clear()
+
+      // with the count(x) partial: served, answers identical (nulls
+      // skipped in the mean; the all-null group stays null)
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = "base.parquet", groupCols = Seq("grp"),
+        sumCols = Map("x" -> "sum_x"), countCol = Some("n_rows"),
+        valueCountCols = Map("x" -> "cnt_x"))
+      val q = base.groupBy("grp").agg(avg("x").as("a"), sum("x").as("s"))
+      assert(scanPaths(q).exists(_.contains(mvDir)),
+        s"avg should be served from the summary, got: " + scanPaths(q))
+      val got = q.collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(got("a") == ((Some(15.0), Some(30L))))
+      assert(got("b") == ((Some(5.0), Some(5L))))
+      assert(got("c") == ((None, None)), "all-null group must stay null")
+      // global avg rollup also served
+      val g = base.agg(avg("x").as("a"))
+      assert(scanPaths(g).exists(_.contains(mvDir)))
+      assert(g.first().getDouble(0) == 35.0 / 3) // 3 non-null values
+    } finally { MvRewrite.clear() }
+  }
+
   test("tag matches full path components only; bad registrations fail fast") {
     val session = spark.newSession()
     MvRewrite.ensureRegistered(session)
