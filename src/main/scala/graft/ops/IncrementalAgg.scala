@@ -22,35 +22,41 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   private[graft] def partials(batch: DataFrame, keys: Seq[String], sums: Seq[String],
-                       mins: Seq[String], maxs: Seq[String]): DataFrame = {
+                       mins: Seq[String], maxs: Seq[String],
+                       counts: Seq[String] = Nil): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       (sums.map(c => sum(col(c)).as(s"sum_$c")) ++
         mins.map(c => min(col(c)).as(s"min_$c")) ++
-        maxs.map(c => max(col(c)).as(s"max_$c")))
+        maxs.map(c => max(col(c)).as(s"max_$c")) ++
+        // NON-NULL value count — the partial that makes AVG over a
+        // nullable measure exactly answerable (MvRewrite valueCountCols)
+        counts.map(c => count(col(c)).as(s"cnt_$c")))
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private[graft] def combine(a: DataFrame, b: DataFrame, keys: Seq[String],
                       sums: Seq[String], mins: Seq[String],
-                      maxs: Seq[String]): DataFrame = {
+                      maxs: Seq[String], counts: Seq[String] = Nil): DataFrame = {
     val aggs = sum(col("n_rows")).as("n_rows") +:
       (sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
         mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
-        maxs.map(c => max(col(s"max_$c")).as(s"max_$c")))
+        maxs.map(c => max(col(s"max_$c")).as(s"max_$c")) ++
+        counts.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")))
     a.unionByName(b).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Fold one batch into the stored partial-aggregate table. */
   def update(spark: SparkSession, storeDir: String, batch: DataFrame,
              keys: Seq[String], sums: Seq[String] = Nil,
-             mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Unit = {
-    val p = partials(batch, keys, sums, mins, maxs)
+             mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+             counts: Seq[String] = Nil): Unit = {
+    val p = partials(batch, keys, sums, mins, maxs, counts)
     val path = new Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) {
       p.write.mode(SaveMode.Overwrite).parquet(storeDir)
     } else {
-      val merged = combine(spark.read.parquet(storeDir), p, keys, sums, mins, maxs)
+      val merged = combine(spark.read.parquet(storeDir), p, keys, sums, mins, maxs, counts)
       val tmp = storeDir + ".tmp_swap"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       fs.delete(path, true)
@@ -84,7 +90,8 @@ object IncrementalAgg {
   def applyChanges(spark: SparkSession, storeDir: String, changes: DataFrame,
                    keys: Seq[String], sums: Seq[String] = Nil,
                    mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
-                   current: Option[DataFrame] = None): Unit = {
+                   current: Option[DataFrame] = None,
+                   counts: Seq[String] = Nil): Unit = {
     val path = new Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path), s"no aggregate store at $storeDir — seed with update()")
@@ -95,14 +102,23 @@ object IncrementalAgg {
         // pure retraction: one pass over the (change-sized) feed
         val deltaAggs = sum(when(ct === "insert", 1)
           .when(ct === "delete", -1).otherwise(0)).as("n_rows") +:
-          sums.map { c =>
+          (sums.map { c =>
             sum(coalesce(when(ct =!= "delete", col(s"_after.$c")), lit(0)) -
               coalesce(when(ct =!= "insert", col(s"_before.$c")), lit(0)))
               .as(s"sum_$c")
-          }
+          } ++
+          // value counts retract like sums: +1 per surviving non-null
+          // after-image, -1 per replaced non-null before-image
+          counts.map { c =>
+            sum(coalesce(when(ct =!= "delete" &&
+                  col(s"_after.$c").isNotNull, 1), lit(0)) -
+                coalesce(when(ct =!= "insert" &&
+                  col(s"_before.$c").isNotNull, 1), lit(0)))
+              .as(s"cnt_$c")
+          })
         val delta = changes.groupBy(keys.map(col): _*)
           .agg(deltaAggs.head, deltaAggs.tail: _*)
-        combine(stored, delta, keys, sums, Nil, Nil)
+        combine(stored, delta, keys, sums, Nil, Nil, counts)
           .filter(col("n_rows") > 0)
       } else {
         // affected-group recompute: min/max need the surviving values
@@ -112,7 +128,7 @@ object IncrementalAgg {
         stored.join(AutoBroadcast.sizeGate(affected), keys, "left_anti")
           .unionByName(
             partials(cur.join(AutoBroadcast.sizeGate(affected), keys, "left_semi"),
-              keys, sums, mins, maxs))
+              keys, sums, mins, maxs, counts))
       }
     val tmp = storeDir + ".tmp_swap"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -120,12 +136,16 @@ object IncrementalAgg {
     fs.rename(new Path(tmp), path)
   }
 
-  /** Read the maintained mart, deriving avg_X = sum_X / n_rows. */
+  /** Read the maintained mart, deriving avg_X = sum_X / cnt_X when the
+    * non-null value-count partial is maintained (exact for nullable
+    * measures), else sum_X / n_rows (exact only when X is never null). */
   def read(spark: SparkSession, storeDir: String,
            avgsOf: Seq[String] = Nil): DataFrame = {
     val base = spark.read.parquet(storeDir)
     avgsOf.foldLeft(base) { (df, c) =>
-      df.withColumn(s"avg_$c", col(s"sum_$c") / col("n_rows"))
+      val denom = if (df.columns.contains(s"cnt_$c")) col(s"cnt_$c")
+                  else col("n_rows")
+      df.withColumn(s"avg_$c", col(s"sum_$c") / denom)
     }
   }
 }

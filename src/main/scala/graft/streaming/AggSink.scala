@@ -32,15 +32,16 @@ object AggSink {
     * Returns false when this id was already committed. */
   def applyBatch(batch: DataFrame, batchId: Long, target: String,
                  keys: Seq[String], sums: Seq[String] = Nil,
-                 mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Boolean = {
+                 mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+                 counts: Seq[String] = Nil): Boolean = {
     val spark = batch.sparkSession
     if (batchId <= SnapshotSink.lastBatchId(spark, target)) false
     else {
-      val p = IncrementalAgg.partials(batch, keys, sums, mins, maxs)
+      val p = IncrementalAgg.partials(batch, keys, sums, mins, maxs, counts)
       val merged =
         if (!Incremental.exists(spark, target)) p
         else IncrementalAgg.combine(
-          Incremental.read(spark, target), p, keys, sums, mins, maxs)
+          Incremental.read(spark, target), p, keys, sums, mins, maxs, counts)
       Incremental.writeSnapshot(spark, target, merged, Nil,
         meta = Map(SnapshotSink.BatchIdKey -> batchId.toString))
       true
@@ -52,18 +53,22 @@ object AggSink {
   def aggStream(source: DataFrame, target: String, keys: Seq[String],
                 sums: Seq[String] = Nil, mins: Seq[String] = Nil,
                 maxs: Seq[String] = Nil,
-                checkpointDir: String): StreamingQuery =
+                checkpointDir: String,
+                counts: Seq[String] = Nil): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, target, keys, sums, mins, maxs); ()
+        applyBatch(b, id, target, keys, sums, mins, maxs, counts); ()
       }
       .start()
 
-  /** Read the maintained mart, deriving avg_X = sum_X / n_rows. */
+  /** Read the maintained mart, deriving avg_X = sum_X / cnt_X when the
+    * value-count partial is maintained, else sum_X / n_rows. */
   def read(spark: SparkSession, target: String,
            avgsOf: Seq[String] = Nil): DataFrame =
     avgsOf.foldLeft(Incremental.read(spark, target)) { (df, c) =>
-      df.withColumn(s"avg_$c", col(s"sum_$c") / col("n_rows"))
+      val denom = if (df.columns.contains(s"cnt_$c")) col(s"cnt_$c")
+                  else col("n_rows")
+      df.withColumn(s"avg_$c", col(s"sum_$c") / denom)
     }
 }

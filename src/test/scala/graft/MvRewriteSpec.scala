@@ -235,20 +235,24 @@ class MvRewriteSpec extends AnyFunSuite {
       val input = MemoryStream[(String, Long, Long)](session)
       val q = graft.streaming.AggSink.aggStream(
         input.toDF().toDF("source", "doc_id", "n_chars"), mart,
-        keys = Seq("source"), sums = Seq("n_chars"), checkpointDir = ckpt)
+        keys = Seq("source"), sums = Seq("n_chars"), checkpointDir = ckpt,
+        counts = Seq("n_chars"))
       try {
         input.addData(b1.toIndexedSeq); q.processAllAvailable()
         input.addData(b2.toIndexedSeq); q.processAllAvailable()
       } finally q.stop()
       MvRewrite.register(graft.streaming.AggSink.read(session, mart),
         baseTag = "documents.parquet", groupCols = Seq("source"),
-        sumCols = Map("n_chars" -> "sum_n_chars"), countCol = Some("n_rows"))
+        sumCols = Map("n_chars" -> "sum_n_chars"), countCol = Some("n_rows"),
+        valueCountCols = Map("n_chars" -> "cnt_n_chars"))
       val served = session.read.parquet(baseDir).groupBy("source")
-        .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"))
+        .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"),
+          avg("n_chars").as("mean"))
       assert(!scanPaths(served).exists(_.contains("documents.parquet")),
         s"must read the mart, not the base: ${scanPaths(served)}")
       val plain = spark.read.parquet(baseDir).groupBy("source")
-        .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"))
+        .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"),
+          avg("n_chars").as("mean"))
       assert(served.collect().toSet == plain.collect().toSet)
     } finally MvRewrite.clear()
   }
