@@ -58,14 +58,7 @@ object CurationPipeline {
     // ~3× (ADVICE r2). With them, each stage computes ONCE; the audit
     // counts and the returned frame are cache scans. Result.unpersist()
     // releases them when the caller is done.
-    val signals = TextOps.qualityScores(docs).select("doc_id", "quality_bucket")
-      .join(TextOps.langId(docs).select("doc_id", "lang_match"), "doc_id")
-      .join(TextOps.repetitionSignals(docs)
-        .select(col("doc_id"), col("top_token_fraction")), "doc_id")
-      .join(TextOps.gopherRules(docs).drop("n_req_stopwords"), "doc_id")
-      .join(TextOps.c4Rules(docs)
-        .select("doc_id", "has_lorem_ipsum", "has_brace", "pass_c4"), "doc_id")
-      .persist()
+    val signals = CurationGates.signalsOf(docs).persist()
     val gated = docs.join(signals, "doc_id")
       .filter(CurationGates.all)
       .select(docs.columns.map(col): _*)

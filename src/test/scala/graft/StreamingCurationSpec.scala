@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingCuration
+import graft.text.{CurationGates, CurationPipeline}
+
+/** StreamingCuration — the per-micro-batch face of the batch pipeline:
+  * shared stage-1 gates, then near-dup admission against the persisted
+  * band store, with batch-keyed audit rows and replay idempotence.
+  */
+class StreamingCurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("stream_cur").toString
+
+  // two independent full-pipeline survivors: their (text, lang, source)
+  // pass every stage-1 gate by construction
+  private lazy val (okA, okB) = {
+    val sfDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = CurationPipeline.run(sfDocs, sfDocs.limit(0))
+    val rows = base.curated.select("text", "lang", "source")
+      .as[(String, String, String)].head(50)
+    base.unpersist()
+    // pick two survivors that are NOT near-dups of each other: different
+    // first tokens is a cheap sufficient filter on this corpus
+    val a = rows.head
+    val b = rows.find(_._1.split(" ").head != a._1.split(" ").head).get
+    (a, b)
+  }
+
+  private def doc(id: Long, text: String, meta: (String, String, String)) =
+    (id, text, meta._2, meta._3, text.length.toLong)
+
+  private def df(rows: (Long, String, String, String, Long)*) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  /** One interior long token swapped — still gate-passing, but a shingle
+    * near-dup of the original. */
+  private def nearDupOf(text: String): String = {
+    val toks = text.split(" ")
+    val idx = toks.indexWhere(_.length >= 7) match {
+      case -1 => toks.length / 2
+      case i => i
+    }
+    toks.updated(idx, "zzzzzzz").mkString(" ")
+  }
+
+  test("gates + near-dup admission compose; replay is a no-op; audit persists") {
+    val corpus = tmp(); val store = tmp()
+    // fixture sanity: the survivors and the near-dup variant pass the
+    // gates; the braced variant fails (c4 code filter)
+    val probe = df(doc(1L, okA._1, okA), doc(2L, okA._1 + " {x", okA),
+      doc(3L, nearDupOf(okA._1), okA), doc(4L, okB._1, okB))
+    val gatedIds = CurationGates.gate(probe)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gatedIds == Set(1L, 3L, 4L), s"fixture gates: $gatedIds")
+
+    // batch 0: one clean doc + one braced doc — the braced one is gated
+    // out BEFORE admission ever sees it
+    val b0 = df(doc(1L, okA._1, okA), doc(2L, okA._1 + " {x", okA))
+    assert(StreamingCuration.applyBatch(b0, 0L, corpus, store) == ((1L, 1L, 0L)))
+    val kept0 = spark.read.parquet(s"$corpus/documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept0 == Set(1L))
+
+    // batch 1: a near-dup of the ADMITTED doc is vetoed by the persisted
+    // store; an unrelated gate-passing doc is admitted
+    val b1 = df(doc(10L, nearDupOf(okA._1), okA), doc(11L, okB._1, okB))
+    assert(StreamingCuration.applyBatch(b1, 1L, corpus, store) == ((2L, 1L, 1L)))
+    val kept1 = spark.read.parquet(s"$corpus/documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(1L, 11L))
+
+    // audit rows: one per batch, batch-path-keyed
+    val audit = spark.read.parquet(s"$store/audit")
+      .select(col("batch_id").cast("long"), col("n_input"), col("n_gated"),
+        col("n_admitted"), col("n_rejected_near_dup"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(audit(0L) == ((2L, 1L, 1L, 0L)))
+    assert(audit(1L) == ((2L, 2L, 1L, 1L)))
+
+    // replay of batch 1: marker short-circuits BEFORE gating; corpus and
+    // audit rows unchanged
+    assert(StreamingCuration.applyBatch(b1, 1L, corpus, store) == ((0L, 0L, 0L)))
+    assert(spark.read.parquet(s"$corpus/documents").count() == 2)
+    val audit2 = spark.read.parquet(s"$store/audit")
+      .filter(col("batch_id") === 1).select("n_admitted")
+      .as[Long].collect().toSeq
+    assert(audit2 == Seq(1L), "replay must not rewrite the audit row")
+  }
+}
