@@ -409,6 +409,11 @@ object TrainingOps extends OpsModule {
     "td_unigram_train" -> ((s, d) =>
       graft.text.UnigramLm.train(docs(s, d)).orderBy("piece")),
 
+    // ... plus the user-facing ENCODE: each word's Viterbi segmentation
+    // with deterministic backtracking (ties to the lowest start)
+    "td_unigram_segment" -> ((s, d) =>
+      graft.text.UnigramLm.segmentWords(docs(s, d)).orderBy("word")),
+
     // the COMPOSED curation pipeline, hash-checked end to end: runs
     // CurationPipeline.run (5 gates → exact dedup → LSH near-dedup →
     // decontamination) on the 97-split and returns its audit frame;
@@ -1612,6 +1617,39 @@ object TrainingOps extends OpsModule {
                     THEN x + e[3] * acc[CAST(e[2] AS INT) + 1]
                     ELSE x END)) AS beta
           FROM lat)"""
+  }
+
+  /** Oracle for [[graft.text.UnigramLm.segmentWords]]: Viterbi
+    * backtracking as a best-predecessor table (argmax with ties to the
+    * lowest start — candidate products are bit-identical chains in both
+    * engines) and a recursive-CTE reconstruction walk. */
+  private val duckUnigramSegmentSql = {
+    // argmax as sort-last over [v, -j] pairs — max v, ties to the LOWEST
+    // start j, the exact rule Spark's fold applies. (A list_reduce over
+    // list_prepend(init, list_filter(..)) NESTED in list_transform with
+    // correlated columns mis-evaluates in DuckDB 1.0 — candidates leak
+    // past the filter — so the argmax deliberately avoids reduce here.)
+    s"""WITH RECURSIVE $duckUnigramCtes,
+        bpt AS (SELECT d.word, d.wcount, d.L, d.vit,
+                  list_transform(range(1, d.L + 1), i ->
+                    CAST(-(list_sort(list_transform(
+                        list_filter(l.es, e -> CAST(e[1] AS INT) = i),
+                        e -> [d.vit[CAST(e[2] AS INT) + 1] * e[3],
+                              -e[2]]))[-1])[2] AS INT)) AS bp
+                FROM dp d JOIN lat l USING (word)),
+        walk AS (
+          SELECT word, L AS pos, CAST([] AS VARCHAR[]) AS pieces FROM bpt
+          UNION ALL
+          SELECT w.word, b.bp[w.pos] AS pos,
+                 list_prepend(substr(w.word, b.bp[w.pos] + 1,
+                   w.pos - b.bp[w.pos]), w.pieces) AS pieces
+          FROM walk w JOIN bpt b USING (word) WHERE w.pos > 0),
+        seg AS (SELECT word, pieces FROM walk WHERE pos = 0)
+        SELECT s.word, CAST(b.wcount AS BIGINT) AS wcount,
+               array_to_string(s.pieces, '|') AS segmentation,
+               CAST(len(s.pieces) AS INT) AS n_pieces,
+               round(ln(b.vit[b.L + 1]), 6) AS viterbi_logp
+        FROM seg s JOIN bpt b USING (word) ORDER BY s.word"""
   }
 
   /** Oracle for [[graft.text.UnigramLm.train]]: the EM loop unrolled
@@ -3120,6 +3158,8 @@ object TrainingOps extends OpsModule {
           FROM dp ORDER BY word""",
 
     "td_unigram_train" -> duckUnigramTrainSql,
+
+    "td_unigram_segment" -> duckUnigramSegmentSql,
 
     "td_unigram_em" ->
       s"""WITH $duckUnigramCtes,

@@ -132,6 +132,59 @@ object UnigramLm {
         round(log(element_at(col("alpha"), len + 1)), 6).as("marginal_logp"))
   }
 
+  /** Viterbi ENCODE — the user-facing tokenize: each distinct word's
+    * single best segmentation under the seed vocabulary, as a
+    * '|'-joined piece string plus piece count and score. Backtracking
+    * is deterministic: the best-predecessor of position i is the entry
+    * maximizing (vit[j]·p) with ties to the LOWEST start j (longest
+    * piece) — candidate values are identical bit-chains in any engine,
+    * so the tie-break is engine-stable. The reconstruction walk is a
+    * ≤L-step fold per word — row-local like the lattice itself. */
+  def segmentWords(docs: DataFrame, maxPieceLen: Int = 4,
+                   vocabSize: Int = 60): DataFrame = {
+    val w = words(docs)
+    val vocab = seedVocab(docs, maxPieceLen, vocabSize)
+    val lat = wordLattice(occurrences(w, maxPieceLen), vocab)
+    val len = length(col("word"))
+    val withVit = lat.withColumn("vit", viterbiFold(col("es"), len))
+    // bp[i] (1-based over positions 1..L): best predecessor start j
+    val bp = transform(sequence(lit(1), len), i =>
+      aggregate(
+        filter(col("es"), e => e.getItem(0).cast("int") === i),
+        struct(lit(-1.0).as("v"), lit(-1).as("j")),
+        (acc, e) => {
+          val cv = element_at(col("vit"), e.getItem(1).cast("int") + 1) *
+            e.getItem(2)
+          val cj = e.getItem(1).cast("int")
+          when(cv > acc.getField("v") ||
+            (cv === acc.getField("v") && cj < acc.getField("j")),
+            struct(cv.as("v"), cj.as("j"))).otherwise(acc)
+        },
+        acc => acc.getField("j")))
+    // backward walk: state (pos, pieces); each of the ≤L steps consumes
+    // the piece ending at pos and jumps to its start
+    val walk = aggregate(
+      sequence(lit(1), len),
+      struct(len.as("pos"), array().cast("array<string>").as("pieces")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val j = element_at(col("bp"), pos)
+        when(pos > 0,
+          struct(j.as("pos"),
+            concat(array(col("word").substr(j + 1, pos - j)),
+              acc.getField("pieces")).as("pieces")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("pieces"))
+    withVit
+      .withColumn("bp", bp)
+      .withColumn("pieces", walk)
+      .select(col("word"), col("wcount"),
+        concat_ws("|", col("pieces")).as("segmentation"),
+        size(col("pieces")).as("n_pieces"),
+        round(log(element_at(col("vit"), len + 1)), 6).as("viterbi_logp"))
+  }
+
   /** One EM round over a FIXED piece set: expected counts under `vocab`
     * probabilities, renormalized and 6dp-rounded into the next round's
     * (piece, p). The per-round rounding is the same pin the logreg

@@ -78,4 +78,29 @@ class UnigramLmSpec extends AnyFunSuite {
     val totalExpected = expCounts.values.sum
     assert(math.abs(got.values.sum - totalExpected) < 1e-5)
   }
+
+  test("segmentWords returns the max-probability segmentation (ties to longest first piece)") {
+    val corpus = docsDF((1L, "abcab cab ab abcab ba"), (2L, "cab ba abcab"))
+    val vocab = UnigramLm.seedVocab(corpus, P, vocabSize = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val got = UnigramLm.segmentWords(corpus, P, vocabSize = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), r.getInt(3), r.getDouble(4))).toMap
+    Seq("abcab", "cab", "ab", "ba").foreach { w =>
+      val segs = segmentations(w, vocab)
+      val best = segs.map(seg => (seg.map(vocab).product, seg)).maxBy(_._1)
+      val (segStr, n, lp) = got(w)
+      val gotPieces = segStr.split("\\|").toSeq
+      // the returned segmentation must BE a valid segmentation achieving
+      // the optimum product (the exact piece choice at ties is pinned by
+      // the lowest-start rule; probability must match the brute optimum)
+      assert(gotPieces.mkString("") == w, s"$w: pieces do not respell the word")
+      assert(gotPieces.forall(vocab.contains), s"$w: piece outside vocab")
+      val gotProd = gotPieces.map(vocab).product
+      assert(math.abs(math.log(gotProd) - math.log(best._1)) < 1e-9,
+        s"$w: got $gotPieces (${math.log(gotProd)}), best ${best._2}")
+      assert(n == gotPieces.length)
+      assert(math.abs(lp - math.rint(math.log(best._1) * 1e6) / 1e6) < 2e-6)
+    }
+  }
 }
