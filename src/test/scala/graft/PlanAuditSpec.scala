@@ -61,7 +61,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // a ONE-ROW broadcast aggregate cross join (map-side literal attach),
     // same pattern as the corpus-size rows above (r5)
     "td_unigram_vocab", "td_unigram_score", "td_unigram_em",
-    "td_unigram_train", "q71_skew_report",
+    "td_unigram_train", "td_unigram_segment", "q71_skew_report",
     // two 1-row literal attaches: the mean array and the normalizer
     "emb_pca_power",
     // three 1-row count frames folded into one row
