@@ -88,6 +88,12 @@ object TrainingOps extends OpsModule {
     "txt_gopher" -> ((s, d) =>
       TextOps.gopherRules(docs(s, d)).orderBy("doc_id")),
 
+    // the full Gopher REPETITION battery (ibid. "repetitious text"):
+    // top n-gram char fractions (n=2..4) + duplicated n-gram char
+    // fractions (n=5..10), each a row-local sorted-run fold
+    "txt_gopher_rep" -> ((s, d) =>
+      TextOps.gopherRepetition(docs(s, d)).orderBy("doc_id")),
+
     // C4 line-grain cleaning rules (Raffel et al. 2020 §2.2) — the
     // retained-line / lorem-ipsum / brace gate; span dedup is td_segment_dedup
     "txt_c4" -> ((s, d) =>
@@ -1550,6 +1556,56 @@ object TrainingOps extends OpsModule {
           FROM cand c
           JOIN ss sa ON sa.doc_id = c.doc_id_a
           JOIN ss sb ON sb.doc_id = c.doc_id_b)"""
+  }
+
+  /** Oracle for [[TextOps.gopherRepetition]]: per-(doc, gram) SQL
+    * aggregation computing the same integers as the Spark sorted-run
+    * folds — top = max-count gram's count×len (count ties to the
+    * lexicographically smallest gram), dup = Σ count×len over grams with
+    * count ≥ 2 — then one rounded division per signal. */
+  private val duckGopherRepSql = {
+    val tops = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dups = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val ns = tops.map(_._1) ++ dups.map(_._1)
+    def gramCtes(n: Int) = {
+      val parts = (1 to n).map(j => s"toks[i+$j]").mkString(", ")
+      s"""g_$n AS (SELECT doc_id, g, count(*) AS cnt FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(0, len(toks) - $n),
+              i -> concat_ws(' ', $parts))) AS g
+            FROM tok WHERE len(toks) >= $n)
+          GROUP BY doc_id, g),
+          tm_$n AS (SELECT doc_id, max(cnt) AS mc FROM g_$n GROUP BY doc_id),
+          tc_$n AS (SELECT t.doc_id,
+                           CAST(t.mc * len(min(g.g)) AS BIGINT) AS topc
+                    FROM tm_$n t JOIN g_$n g
+                      ON g.doc_id = t.doc_id AND g.cnt = t.mc
+                    GROUP BY t.doc_id, t.mc),
+          dc_$n AS (SELECT doc_id,
+                           CAST(sum(CASE WHEN cnt >= 2 THEN cnt * len(g)
+                                    ELSE 0 END) AS BIGINT) AS dupc
+                    FROM g_$n GROUP BY doc_id)"""
+    }
+    val fracCols =
+      tops.map { case (n, _) =>
+        s"round(coalesce(tc_$n.topc, 0) / CAST(d.n_chars AS DOUBLE), 6) AS top_${n}gram_char_frac"
+      } ++ dups.map { case (n, _) =>
+        s"round(coalesce(dc_$n.dupc, 0) / CAST(d.n_chars AS DOUBLE), 6) AS dup_${n}gram_char_frac"
+      }
+    val joins =
+      tops.map { case (n, _) => s"LEFT JOIN tc_$n ON tc_$n.doc_id = d.doc_id" } ++
+        dups.map { case (n, _) => s"LEFT JOIN dc_$n ON dc_$n.doc_id = d.doc_id" }
+    val pass = (tops.map { case (n, t) => s"top_${n}gram_char_frac <= $t" } ++
+      dups.map { case (n, t) => s"dup_${n}gram_char_frac <= $t" })
+      .mkString(" AND ")
+    s"""WITH tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+                     FROM documents),
+        ${ns.map(gramCtes).mkString(",\n")}
+        SELECT *, CAST($pass AS INT) AS pass_gopher_rep FROM (
+          SELECT d.doc_id, d.n_chars, ${fracCols.mkString(",\n                 ")}
+          FROM documents d
+          ${joins.mkString("\n          ")})
+        ORDER BY doc_id"""
   }
 
   /** Oracle CTE chain for the unigram-LM tokenizer family
@@ -3160,6 +3216,8 @@ object TrainingOps extends OpsModule {
     "td_unigram_train" -> duckUnigramTrainSql,
 
     "td_unigram_segment" -> duckUnigramSegmentSql,
+
+    "txt_gopher_rep" -> duckGopherRepSql,
 
     "td_unigram_em" ->
       s"""WITH $duckUnigramCtes,

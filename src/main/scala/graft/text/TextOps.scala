@@ -1593,6 +1593,86 @@ object TextOps {
       },
       acc => acc.getField("best"))
 
+  /** The FULL Gopher repetition battery (Rae et al. 2021 App. A.1.1,
+    * "repetitious text" rules, applied verbatim): per document, the
+    * fraction of CHARACTERS covered by
+    *  - the most frequent n-gram, for n ∈ {2, 3, 4} (thresholds 0.20 /
+    *    0.18 / 0.16), and
+    *  - all DUPLICATED n-grams (count ≥ 2, each occurrence's characters
+    *    counted), for n ∈ {5..10} (thresholds 0.15 / 0.14 / 0.13 /
+    *    0.12 / 0.11 / 0.10),
+    * plus `pass_gopher_rep` = all nine rules. Grams are contiguous
+    * token n-grams joined by single spaces; their character length
+    * includes the joining spaces; the denominator is the document's
+    * `n_chars`. Ties for "most frequent" break to the lexicographically
+    * smallest gram — deterministic in any engine.
+    *
+    * Scale shape: each of the nine signals is ONE row-local fold over
+    * the doc's SORTED gram array (the [[maxRunCount]] run-length
+    * pattern, extended to carry top-gram identity and duplicated-run
+    * character mass) — no explode, no shuffle, scan-speed at 100 TB.
+    * The oracle computes the identical integers via per-(doc, gram) SQL
+    * aggregation; both reduce to the same counts, so the single final
+    * division is engine-exact. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    // one sorted-run fold: returns struct(top, dup) where top = count×len
+    // of the MOST FREQUENT gram (picked by count; a strict '>' keeps the
+    // first — lexicographically smallest — gram on count ties) and
+    // dup = Σ over runs of length ≥ 2 of run×len(gram)
+    def runStats(grams: Column): Column = {
+      val z = struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("topCnt"), lit(0L).as("top"), lit(0L).as("dup"))
+      def flush(acc: Column) = {
+        val contrib = acc.getField("run") * length(acc.getField("prev"))
+        val isTop = acc.getField("run") > acc.getField("topCnt")
+        struct(
+          when(isTop, acc.getField("run")).otherwise(acc.getField("topCnt"))
+            .as("topCnt"),
+          when(isTop, contrib).otherwise(acc.getField("top")).as("top"),
+          (acc.getField("dup") +
+            when(acc.getField("run") >= 2, contrib).otherwise(0L)).as("dup"))
+      }
+      aggregate(sort_array(grams), z,
+        (acc, g) => when(acc.getField("prev") === g,
+          struct(acc.getField("prev").as("prev"),
+            (acc.getField("run") + 1).as("run"),
+            acc.getField("topCnt").as("topCnt"),
+            acc.getField("top").as("top"), acc.getField("dup").as("dup")))
+          .otherwise {
+            val f = flush(acc)
+            struct(g.as("prev"), lit(1L).as("run"),
+              f.getField("topCnt").as("topCnt"),
+              f.getField("top").as("top"), f.getField("dup").as("dup"))
+          },
+        acc => {
+          val f = flush(acc)
+          struct(f.getField("top").as("top"), f.getField("dup").as("dup"))
+        })
+    }
+    val tops = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dups = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val withStats = (tops.map(_._1) ++ dups.map(_._1)).foldLeft(
+      docs.select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))) {
+      (df, n) => df.withColumn(s"_rs_$n", runStats(rawGrams(col("toks"), n)))
+    }
+    val cols =
+      tops.map { case (n, _) =>
+        round(col(s"_rs_$n").getField("top").cast("double") /
+          col("n_chars"), 6).as(s"top_${n}gram_char_frac")
+      } ++ dups.map { case (n, _) =>
+        round(col(s"_rs_$n").getField("dup").cast("double") /
+          col("n_chars"), 6).as(s"dup_${n}gram_char_frac")
+      }
+    val pass = (tops.map { case (n, t) =>
+      col(s"top_${n}gram_char_frac") <= t
+    } ++ dups.map { case (n, t) =>
+      col(s"dup_${n}gram_char_frac") <= t
+    }).reduce(_ && _)
+    withStats.select(col("doc_id") +: col("n_chars") +: cols: _*)
+      .withColumn("pass_gopher_rep", pass.cast("int"))
+  }
+
   /** Gopher-style repetition signals: fraction of distinct tokens, the
     * most-frequent token's share, the most-frequent bigram's share. High
     * top-fractions / low distinct-ratio mark boilerplate and degenerate

@@ -74,4 +74,44 @@ class CurationDiagnosticsSpec extends AnyFunSuite {
     assert(h.values.map(_._1).sum == 4L)
     assert(math.abs(h.values.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  test("gopherRepetition: hand-computed top/dup n-gram character fractions") {
+    // "a b a b a b c" — 2-grams: "a b"x3, "b a"x2, "b c"x1.
+    // top 2-gram = "a b" (3 occurrences, 3 chars) -> 9/13 chars.
+    // 3-grams: "a b a"x2, "b a b"x2, "a b c"x1 -> top = 2*5 = 10 chars
+    // ("a b a" wins the count tie as the smaller gram, same length).
+    val d = docDF((1L, "a b a b a b c", "s1"))
+    val r = TextOps.gopherRepetition(d).collect()(0)
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    def f(n: String) = r.getDouble(byName(n))
+    val nChars = 13.0
+    assert(f("top_2gram_char_frac") == math.rint(9 / nChars * 1e6) / 1e6)
+    assert(f("top_3gram_char_frac") == math.rint(10 / nChars * 1e6) / 1e6)
+    // repetitious doc: fails the battery (top 2-gram frac 0.69 >> 0.20)
+    assert(r.getInt(byName("pass_gopher_rep")) == 0)
+
+    // planted duplicated 5-grams: "x y z w v" cycled 3x (15 tokens,
+    // 29 chars). 5-gram rotations: rotation 0 occurs 3x, rotations 1-4
+    // occur 2x, every gram is 9 chars ->
+    // dup = 3*9 + 4*(2*9) = 99 (overlapping occurrences each counted,
+    // exactly as the rule defines — fractions may exceed 1)
+    val d5 = docDF((3L, "x y z w v x y z w v x y z w v", "s1"))
+    val r5 = TextOps.gopherRepetition(d5).collect()(0)
+    val b5 = r5.schema.fieldNames.zipWithIndex.toMap
+    assert(r5.getDouble(b5("dup_5gram_char_frac")) ==
+      math.rint(99 / 29.0 * 1e6) / 1e6)
+    assert(r5.getInt(b5("pass_gopher_rep")) == 0)
+
+    // a non-repetitious doc passes: all grams unique -> dup = 0, and the
+    // doc is long enough that a single n-gram covers < 16% of its chars
+    // (the rule legitimately fails very short documents)
+    val clean = docDF((2L,
+      (1 to 30).map(i => f"tok$i%02d").mkString(" "), "s1"))
+    val c = TextOps.gopherRepetition(clean).collect()(0)
+    val cn = c.schema.fieldNames.zipWithIndex.toMap
+    Seq(5, 6, 7, 8, 9, 10).foreach { n =>
+      assert(c.getDouble(cn(s"dup_${n}gram_char_frac")) == 0.0)
+    }
+    assert(c.getInt(cn("pass_gopher_rep")) == 1)
+  }
 }
