@@ -94,6 +94,18 @@ object TrainingOps extends OpsModule {
     "txt_gopher_rep" -> ((s, d) =>
       TextOps.gopherRepetition(docs(s, d)).orderBy("doc_id")),
 
+    // the COMPLETE verbatim Gopher gate: word-shape/symbol/stopword
+    // rules AND the repetition battery, one keep/drop flag per doc
+    "txt_gopher_full" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.gopherRules(dd).select(col("doc_id"), col("pass_gopher"))
+        .join(TextOps.gopherRepetition(dd)
+          .select(col("doc_id"), col("pass_gopher_rep")), "doc_id")
+        .withColumn("pass_gopher_full",
+          (col("pass_gopher") === 1 && col("pass_gopher_rep") === 1).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // C4 line-grain cleaning rules (Raffel et al. 2020 §2.2) — the
     // retained-line / lorem-ipsum / brace gate; span dedup is td_segment_dedup
     "txt_c4" -> ((s, d) =>
@@ -1558,6 +1570,42 @@ object TrainingOps extends OpsModule {
           JOIN ss sb ON sb.doc_id = c.doc_id_b)"""
   }
 
+  /** txt_gopher oracle body, hoisted so txt_gopher_full can reuse it. */
+  private val duckGopherRulesSql: String = {
+      val reqList = TextOps.GopherReqStopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH g AS (
+            SELECT doc_id, n_chars, text,
+                   string_split(text, ' ') AS toks,
+                   string_split(text, chr(10)) AS lns,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw
+            FROM documents),
+          r AS (
+            SELECT doc_id, n_words,
+                   round((n_chars - (n_words - 1)) / nw, 6) AS mean_word_len,
+                   round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) / nw, 6)
+                     AS frac_alpha_words,
+                   len(list_filter([$reqList], w -> list_contains(toks, w)))
+                     AS n_req_stopwords,
+                   round((length(text) - length(replace(text, '#', ''))) / nw, 6)
+                     AS hash_ratio,
+                   round((length(text) - length(replace(text, '...', ''))) / 3 / nw, 6)
+                     AS ellipsis_ratio,
+                   round(len(list_filter(lns, l -> regexp_matches(l, '^(-|\\*) ')))
+                     / CAST(len(lns) AS DOUBLE), 6) AS frac_bullet_lines,
+                   round(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$$')))
+                     / CAST(len(lns) AS DOUBLE), 6) AS frac_ellipsis_lines
+            FROM g)
+          SELECT *,
+                 CAST(n_words >= 50 AND n_words <= 100000
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+                      AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+                      AND frac_alpha_words >= 0.8 AND n_req_stopwords >= 2
+                   AS INT) AS pass_gopher
+          FROM r ORDER BY doc_id"""
+    }
+
   /** Oracle for [[TextOps.gopherRepetition]]: per-(doc, gram) SQL
     * aggregation computing the same integers as the Spark sorted-run
     * folds — top = max-count gram's count×len (count ties to the
@@ -2463,40 +2511,7 @@ object TrainingOps extends OpsModule {
           ORDER BY strategy"""
     },
 
-    "txt_gopher" -> {
-      val reqList = TextOps.GopherReqStopwords.map(s => s"'$s'").mkString(", ")
-      s"""WITH g AS (
-            SELECT doc_id, n_chars, text,
-                   string_split(text, ' ') AS toks,
-                   string_split(text, chr(10)) AS lns,
-                   len(string_split(text, ' ')) AS n_words,
-                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw
-            FROM documents),
-          r AS (
-            SELECT doc_id, n_words,
-                   round((n_chars - (n_words - 1)) / nw, 6) AS mean_word_len,
-                   round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) / nw, 6)
-                     AS frac_alpha_words,
-                   len(list_filter([$reqList], w -> list_contains(toks, w)))
-                     AS n_req_stopwords,
-                   round((length(text) - length(replace(text, '#', ''))) / nw, 6)
-                     AS hash_ratio,
-                   round((length(text) - length(replace(text, '...', ''))) / 3 / nw, 6)
-                     AS ellipsis_ratio,
-                   round(len(list_filter(lns, l -> regexp_matches(l, '^(-|\\*) ')))
-                     / CAST(len(lns) AS DOUBLE), 6) AS frac_bullet_lines,
-                   round(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$$')))
-                     / CAST(len(lns) AS DOUBLE), 6) AS frac_ellipsis_lines
-            FROM g)
-          SELECT *,
-                 CAST(n_words >= 50 AND n_words <= 100000
-                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                      AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
-                      AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
-                      AND frac_alpha_words >= 0.8 AND n_req_stopwords >= 2
-                   AS INT) AS pass_gopher
-          FROM r ORDER BY doc_id"""
-    },
+    "txt_gopher" -> duckGopherRulesSql,
 
     "txt_c4" ->
       """WITH g AS (
@@ -3218,6 +3233,14 @@ object TrainingOps extends OpsModule {
     "td_unigram_segment" -> duckUnigramSegmentSql,
 
     "txt_gopher_rep" -> duckGopherRepSql,
+
+    "txt_gopher_full" ->
+      s"""SELECT a.doc_id, a.pass_gopher, b.pass_gopher_rep,
+                 CAST(a.pass_gopher = 1 AND b.pass_gopher_rep = 1 AS INT)
+                   AS pass_gopher_full
+          FROM ($duckGopherRulesSql) a
+          JOIN ($duckGopherRepSql) b USING (doc_id)
+          ORDER BY a.doc_id""",
 
     "td_unigram_em" ->
       s"""WITH $duckUnigramCtes,
