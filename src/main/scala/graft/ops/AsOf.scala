@@ -126,10 +126,12 @@ object AsOf {
     *     ts order and the per-(key, bucket) window preserves as-of
     *     semantics WITHIN its range.
     *  2. a left row whose latest right predecessor lives in an EARLIER
-    *     bucket needs carry-in: per (key, bucket), the last right row is
-    *     reduced to one struct (max on (ts, values) — deterministic),
-    *     and a second window over the |keys|×|buckets|-row bucket spine
-    *     (previous buckets only) yields each bucket's carry-in state.
+    *     bucket needs carry-in: per (key, bucket), each carry COLUMN
+    *     reduces to its last non-null right value (per-column, matching
+    *     joinAsOf's last-non-null carry — a null in the newest right row
+    *     must not mask an earlier non-null), and a second window over
+    *     the |keys|×|buckets|-row bucket spine (previous buckets only)
+    *     yields each bucket's carry-in per column.
     *  3. in-bucket matches win (their ts is ≥ the bucket start, hence ≥
     *     any earlier bucket's rows); the carry-in fills only windows
     *     with no in-bucket predecessor — a per-row coalesce.
@@ -184,22 +186,32 @@ object AsOf {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
 
-    // bucket spine: each (key, bucket) reduced to its LAST right row (or
-    // null when the bucket holds no right rows), then carry-in = last
-    // non-null state over PREVIOUS buckets
-    val stateStruct = struct(col("__ts").as("__bts") +: carryCols.map(col): _*)
+    // bucket spine: each (key, bucket) reduced PER CARRY COLUMN to its
+    // last NON-NULL right value (joinAsOf's last(_, ignoreNulls) is a
+    // per-column carry, so a null in the latest right row must not mask
+    // an earlier non-null — a row-grain spine would diverge exactly
+    // there); then carry-in = last non-null per column over PREVIOUS
+    // buckets. Ties at equal ts take the larger value — inside the
+    // "pre-dedup the right side for a deterministic winner" contract.
     val spine = withB
       .groupBy((keys :+ "__b").map(col): _*)
-      .agg(max(when(col("__side") === 0, stateStruct)).as("__st"))
+      .agg(
+        max(when(col("__side") === 0 && col(carryCols.head).isNotNull,
+          struct(col("__ts").as("t"), col(carryCols.head).as("v"))))
+          .as(s"__st_${carryCols.head}"),
+        carryCols.tail.map(c =>
+          max(when(col("__side") === 0 && col(c).isNotNull,
+            struct(col("__ts").as("t"), col(c).as("v")))).as(s"__st_$c")): _*)
     val wB = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = spine
-      .withColumn("__ci", last(col("__st"), ignoreNulls = true).over(wB))
-      .drop("__st")
+    val carryIn = carryCols.foldLeft(spine) { (df, c) =>
+      df.withColumn(s"__ci_$c",
+        last(col(s"__st_$c"), ignoreNulls = true).over(wB)("v"))
+    }.select((keys :+ "__b").map(col) ++ carryCols.map(c => col(s"__ci_$c")): _*)
 
     val filled = carryCols.foldLeft(
       inBucket.join(carryIn, keys :+ "__b", "left")) {
-      (df, c) => df.withColumn(c, coalesce(col(c), col("__ci")(c)))
+      (df, c) => df.withColumn(c, coalesce(col(c), col(s"__ci_$c")))
     }
     filled
       .filter(col("__side") === 1)

@@ -42,13 +42,20 @@ object AutoBroadcast {
   def estimatedBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
 
+  /** The gate decision alone, from a separate estimate source — for
+    * sides that get materialized (localCheckpoint) before joining, where
+    * the post-checkpoint plan no longer carries a usable estimate:
+    * decide from the PRE-checkpoint frame, apply to the checkpointed
+    * one. */
+  def decideFrom(estimateFrom: DataFrame, inflation: Double = 1.0): Boolean = {
+    val t = thresholdBytes(estimateFrom)
+    t > 0 && estimatedBytes(estimateFrom).toDouble * inflation <= t.toDouble
+  }
+
   /** `broadcast(df)` iff the measured/estimated size (times `inflation`)
     * fits the session broadcast threshold; otherwise the frame unhinted, so
     * the join plans as shuffle (and AQE may still locally convert it from
     * exact runtime sizes). */
-  def sizeGate(df: DataFrame, inflation: Double = 1.0): DataFrame = {
-    val t = thresholdBytes(df)
-    if (t > 0 && estimatedBytes(df).toDouble * inflation <= t.toDouble) broadcast(df)
-    else df
-  }
+  def sizeGate(df: DataFrame, inflation: Double = 1.0): DataFrame =
+    if (decideFrom(df, inflation)) broadcast(df) else df
 }

@@ -50,6 +50,10 @@ object Skew {
       .agg(count(lit(1)).as("cnt"))
       .select(concat_ws("|", keys.map(k => col(k).cast("string")): _*).as("key"),
         col("cnt"))
+      // the key-grain counts feed BOTH the top-N chain and the totals
+      // aggregate; without a checkpoint the full input scans twice
+      // (measured: no ReusedExchange fires across the two consumers)
+      .localCheckpoint()
     val total = counts.agg(sum("cnt").as("total_rows"),
       count(lit(1)).as("n_keys"))
     val w = Window.orderBy(col("cnt").desc, col("key").asc)

@@ -136,13 +136,18 @@ object MvRewrite {
   }
 
   /** True when `tag` matches a FULL trailing path-component sequence of
-    * one of the scan's root paths (or a whole path). Substring
-    * containment is explicitly NOT enough. */
-  private def tagMatches(scanPaths: String, tag: String): Boolean =
-    scanPaths.split(',').exists { p =>
+    * EVERY root path of the scan (substring containment is explicitly
+    * not enough). Requiring ALL roots — not exists — keeps a multi-root
+    * scan (spark.read.parquet(dirA, dirB)) from being served by a
+    * summary registered for only one of its roots, which would silently
+    * drop the other root's rows from the answer. */
+  private def tagMatches(scanPaths: String, tag: String): Boolean = {
+    val paths = scanPaths.split(',')
+    paths.nonEmpty && paths.forall { p =>
       val clean = p.stripSuffix("/")
       clean == tag || clean.endsWith("/" + tag)
     }
+  }
 
   /** SUM re-aggregation is type-stable only for integral (partials and
     * re-sums are both LongType) and floating inputs; DecimalType widens

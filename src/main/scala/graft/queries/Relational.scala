@@ -912,9 +912,6 @@ object Relational extends OpsModule {
         .orderBy("event_id")
     }),
 
-    // Spark 4 listagg: ORDERED string aggregation (the reporting-surface
-    // op warehouses call LISTAGG/STRING_AGG); the WITHIN GROUP order
-    // makes the concatenation deterministic in any engine
     // key-skew diagnostic: topN heaviest user_ids with share + cumulative
     // share - the pre-flight check before committing a 100 TB shuffle on
     // this key (see graft.ops.Skew.skewReport)
@@ -922,6 +919,9 @@ object Relational extends OpsModule {
       graft.ops.Skew.skewReport(ev(s, d), Seq("user_id"), topN = 10)
         .orderBy("rk")),
 
+    // Spark 4 listagg: ORDERED string aggregation (the reporting-surface
+    // op warehouses call LISTAGG/STRING_AGG); the WITHIN GROUP order
+    // makes the concatenation deterministic in any engine
     "q70_listagg" -> ((s, d) => {
       graft.SqlSurface.registerTables(s, d)
       s.sql("""SELECT r.r_name AS region,

@@ -105,11 +105,20 @@ object VectorIngest {
       .groupBy("cell")
       .agg(count(lit(1)).as("n_batch"), round(avg("c"), 6).as("batch_affinity"))
     val cells = batchAff.select("cell").collect().map(_.get(0))
+    // the baseline EXCLUDES the batch's own vec_ids: measured against a
+    // baseline that already contains the (possibly drifted) batch, the
+    // signal dilutes exactly when a batch dominates its cells — and the
+    // anti-join also makes the telemetry replay-deterministic, since it
+    // reads the same baseline whether or not the crashed attempt's
+    // append landed
     val indexAff = spark.read.parquet(s"$indexDir/postings")
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .join(routed.select("vec_id"), Seq("vec_id"), "left_anti")
       .join(broadcast(stored), "cell")
       .withColumn("c", Embeddings.cosine(col("emb"), col("cemb")))
       .groupBy("cell").agg(round(avg("c"), 6).as("index_affinity"))
+    // inner join: a cell whose postings are ONLY the batch's own vectors
+    // has no baseline to calibrate against and drops from the trigger
     batchAff.join(indexAff, "cell")
       .select("cell", "n_batch", "batch_affinity", "index_affinity")
   }
@@ -152,12 +161,16 @@ object VectorIngest {
       batch.dropDuplicates("vec_id")).persist()
     try {
       Embeddings.appendRoutedToIvf(unseenOf(routed, indexDir), indexDir)
-      // telemetry rows are centroid-bounded: collecting them is the same
-      // driver posture as the routed cell list in unseenOf
+      // telemetry rows are centroid-bounded: collect ONCE (the same
+      // driver posture as the routed cell list in unseenOf) and write
+      // the collected rows back out — running the drift plan twice would
+      // re-scan the pruned postings per micro-batch
       val drift = batchDrift(routed, indexDir)
-      drift.write.mode("overwrite")
-        .parquet(s"$indexDir/drift/batch_id=$batchId")
       val rows = drift.collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), drift.schema)
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/drift/batch_id=$batchId")
       val n = rows.map(_.getLong(1)).sum
       // trigger: batch routing affinity falls below driftThreshold × the
       // touched cells' own baseline (both batch-weighted)

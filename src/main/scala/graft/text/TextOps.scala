@@ -171,11 +171,7 @@ object TextOps {
     // shuffle shingle ARRAYS — the same gated pattern as
     // prefixJaccardPairs' verify. At scale the gate declines and the
     // verify joins shuffle on the pair keys.
-    val verifyBroadcast = {
-      val t = graft.ops.AutoBroadcast.thresholdBytes(shingleSets)
-      t > 0 &&
-        graft.ops.AutoBroadcast.estimatedBytes(shingleSets).toDouble * 4 <= t.toDouble
-    }
+    val verifyBroadcast = graft.ops.AutoBroadcast.decideFrom(shingleSets, 4)
     def vSide(df: DataFrame) = if (verifyBroadcast) broadcast(df) else df
     val sig = shingleSets.select(
       col("doc_id") +: (0 until k).map(i => minhash(col("shset"), i).as(s"mh_$i")): _*)
@@ -221,11 +217,7 @@ object TextOps {
       .select(col("doc_id"), col("__new"), shingles(col("toks")).as("shset"))
       .persist()
     // same gated-broadcast verify as lshCandidatePairs
-    val verifyBroadcast = {
-      val t = graft.ops.AutoBroadcast.thresholdBytes(shingleSets)
-      t > 0 &&
-        graft.ops.AutoBroadcast.estimatedBytes(shingleSets).toDouble * 4 <= t.toDouble
-    }
+    val verifyBroadcast = graft.ops.AutoBroadcast.decideFrom(shingleSets, 4)
     def vSide(df: DataFrame) = if (verifyBroadcast) broadcast(df) else df
     val sig = shingleSets.select(
       col("doc_id") +: col("__new") +:
@@ -2456,10 +2448,7 @@ object TextOps {
     // LogicalRDD's estimate is not reliably propagated); ×4 inflation
     // because the estimate derives from the text scan, not the hashed
     // arrays
-    val verifyBroadcast = {
-      val t = graft.ops.AutoBroadcast.thresholdBytes(dsets0)
-      t > 0 && graft.ops.AutoBroadcast.estimatedBytes(dsets0).toDouble * 4 <= t.toDouble
-    }
+    val verifyBroadcast = graft.ops.AutoBroadcast.decideFrom(dsets0, 4)
     // materialize the hashed sets once: they feed the prefix path AND
     // both verify sides — uncheckpointed, the shingle construction +
     // per-item md5 executes three times

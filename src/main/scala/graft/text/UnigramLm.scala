@@ -58,8 +58,14 @@ object UnigramLm {
     * that keeps all words segmentable. `p` = count share over the
     * selected set. */
   def seedVocab(docs: DataFrame, maxPieceLen: Int = 4,
-                vocabSize: Int = 60): DataFrame = {
-    val occ = occurrences(words(docs), maxPieceLen)
+                vocabSize: Int = 60): DataFrame =
+    seedVocabFrom(occurrences(words(docs), maxPieceLen), vocabSize)
+
+  /** Seed vocabulary from a prebuilt occurrence frame — every public
+    * entry point builds `occurrences` exactly ONCE (the dominant cost of
+    * the family) and derives both the vocabulary and the lattice from
+    * it. */
+  private def seedVocabFrom(occ: DataFrame, vocabSize: Int): DataFrame = {
     val counts = occ.groupBy("piece").agg(sum(col("wcount")).as("cnt"))
     val top = counts.orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
     val chars = counts.filter(length(col("piece")) === 1)
@@ -120,9 +126,9 @@ object UnigramLm {
     * vocabulary fits them. */
   def scoreWords(docs: DataFrame, maxPieceLen: Int = 4,
                  vocabSize: Int = 60): DataFrame = {
-    val w = words(docs)
-    val vocab = seedVocab(docs, maxPieceLen, vocabSize)
-    val lat = wordLattice(occurrences(w, maxPieceLen), vocab)
+    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val vocab = seedVocabFrom(occ, vocabSize)
+    val lat = wordLattice(occ, vocab)
     val len = length(col("word"))
     lat
       .withColumn("alpha", alphaFold(col("es"), len))
@@ -142,9 +148,9 @@ object UnigramLm {
     * ≤L-step fold per word — row-local like the lattice itself. */
   def segmentWords(docs: DataFrame, maxPieceLen: Int = 4,
                    vocabSize: Int = 60): DataFrame = {
-    val w = words(docs)
-    val vocab = seedVocab(docs, maxPieceLen, vocabSize)
-    val lat = wordLattice(occurrences(w, maxPieceLen), vocab)
+    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val vocab = seedVocabFrom(occ, vocabSize)
+    val lat = wordLattice(occ, vocab)
     val len = length(col("word"))
     val withVit = lat.withColumn("vit", viterbiFold(col("es"), len))
     // bp[i] (1-based over positions 1..L): best predecessor start j
@@ -222,13 +228,8 @@ object UnigramLm {
   def train(docs: DataFrame, maxPieceLen: Int = 4, vocabSize: Int = 60,
             iters: Int = 3): DataFrame = {
     val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
-    val counts = occ.groupBy("piece").agg(sum(col("wcount")).as("cnt"))
-    val top = counts.orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
-    val chars = counts.filter(length(col("piece")) === 1)
-    val sel = top.unionByName(chars).groupBy("piece").agg(max("cnt").as("cnt"))
-    val seed = sel.crossJoin(broadcast(sel.agg(sum("cnt").as("tot"))))
-      .select(col("piece"),
-        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+    val seed = seedVocabFrom(occ, vocabSize)
+      .select(col("piece"), col("p"))
       .localCheckpoint()
     var vocab = seed
     for (_ <- 0 until iters)
@@ -242,9 +243,8 @@ object UnigramLm {
     * probabilities. Returns one row per vocabulary piece. */
   def emStep(docs: DataFrame, maxPieceLen: Int = 4,
              vocabSize: Int = 60): DataFrame = {
-    val w = words(docs)
-    val vocab = seedVocab(docs, maxPieceLen, vocabSize)
-    val occ = occurrences(w, maxPieceLen)
+    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val vocab = seedVocabFrom(occ, vocabSize)
     val scored = occ.join(broadcast(vocab.select(col("piece"), col("p"))), "piece")
     val len = length(col("word"))
     val lat = wordLattice(occ, vocab)

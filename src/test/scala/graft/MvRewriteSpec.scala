@@ -114,6 +114,20 @@ class MvRewriteSpec extends AnyFunSuite {
       // guard: an unregistered measure column
       val other = base.groupBy("source").agg(sum("doc_id").as("s"))
       assert(!scanPaths(other).exists(_.contains(mvDir)))
+
+      // guard: a MULTI-ROOT scan (base + a second directory) must not be
+      // served by a summary registered for only one of its roots
+      val extraDir = Files.createTempDirectory("mv_extra").toString + "/extra.parquet"
+      spark.read.parquet(baseDir).limit(7)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .write.mode("overwrite").parquet(extraDir)
+      val multi = session.read.parquet(baseDir, extraDir)
+        .groupBy("source").agg(sum("n_chars").as("total"))
+      assert(!scanPaths(multi).exists(_.contains(mvDir)),
+        "multi-root scan must NOT be served from a single-root summary")
+      val multiPlain = spark.read.parquet(baseDir, extraDir)
+        .groupBy("source").agg(sum("n_chars").as("total"))
+      assert(multi.collect().toSet == multiPlain.collect().toSet)
     } finally MvRewrite.clear()
   }
 
