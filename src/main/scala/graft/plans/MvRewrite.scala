@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Divide, Expression, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -62,6 +62,8 @@ object MvRewrite {
   case class Mv(baseTag: String, groupCols: Set[String],
                 sumCols: Map[String, String], countCol: Option[String],
                 valueCountCols: Map[String, String],
+                minCols: Map[String, String], maxCols: Map[String, String],
+                cdcRetractionOnly: Boolean,
                 mvPlan: LogicalPlan)
 
   private val registry = scala.collection.mutable.ArrayBuffer[Mv]()
@@ -73,19 +75,31 @@ object MvRewrite {
     * the summary's schema — a bad registration must be an error HERE,
     * not a NoSuchElementException inside the optimizer that fails every
     * matching query. */
+  /** `minCols`/`maxCols` map base column → mv min/max partial. Set
+    * `cdcRetractionOnly = true` when the mart is maintained by
+    * pure-retraction CDC ([[graft.ops.IncrementalAgg.applyChanges]]
+    * without `current`): min/max are not invertible, so their partials
+    * can go STALE under deletes on that maintenance path — the rewrite
+    * then refuses to serve MIN/MAX (sum/count stay servable; retraction
+    * maintains them exactly). */
   def register(mvDf: DataFrame, baseTag: String, groupCols: Seq[String],
                sumCols: Map[String, String],
                countCol: Option[String],
-               valueCountCols: Map[String, String] = Map.empty): Unit =
+               valueCountCols: Map[String, String] = Map.empty,
+               minCols: Map[String, String] = Map.empty,
+               maxCols: Map[String, String] = Map.empty,
+               cdcRetractionOnly: Boolean = false): Unit =
     registry.synchronized {
       val have = mvDf.schema.fieldNames.toSet
-      val need = groupCols ++ sumCols.values ++ countCol ++ valueCountCols.values
+      val need = groupCols ++ sumCols.values ++ countCol ++
+        valueCountCols.values ++ minCols.values ++ maxCols.values
       val missing = need.filterNot(have)
       require(missing.isEmpty,
         s"MvRewrite.register: columns ${missing.mkString(", ")} not in " +
           s"summary schema ${have.mkString("[", ", ", "]")}")
       registry += Mv(baseTag, groupCols.toSet, sumCols, countCol,
-        valueCountCols, mvDf.queryExecution.analyzed)
+        valueCountCols, minCols, maxCols, cdcRetractionOnly,
+        mvDf.queryExecution.analyzed)
     }
 
   private def mvs: Seq[Mv] = registry.synchronized { registry.toSeq }
@@ -198,6 +212,16 @@ object MvRewrite {
               m.sumCols.get(ar.name).exists(mvOut.contains) &&
               (m.valueCountCols.get(ar.name).exists(mvOut.contains) ||
                 (!ar.nullable && m.countCol.exists(mvOut.contains)))
+          // MIN/MAX of partial MIN/MAXes: type-stable for every ordered
+          // type (re-aggregation preserves the input type) and null-safe
+          // (an all-null group's partial is null; the re-MIN skips it,
+          // exactly as MIN over the base rows would). Refused when the
+          // mart is maintained by pure-retraction CDC — min/max are not
+          // invertible, so those partials may be stale under deletes.
+          case Min(ar: AttributeReference) =>
+            !m.cdcRetractionOnly && m.minCols.get(ar.name).exists(mvOut.contains)
+          case Max(ar: AttributeReference) =>
+            !m.cdcRetractionOnly && m.maxCols.get(ar.name).exists(mvOut.contains)
           case _ => false
         }
       case _ => false
@@ -228,16 +252,27 @@ object MvRewrite {
             val c = Cast(Sum(mvOut(denomCol))
               .toAggregateExpression(), DoubleType)
             Alias(Cast(Divide(s, c), ae.dataType), name)(exprId = al.exprId)
-          case other =>
-            val partial = other match {
-              case Sum(ar: AttributeReference, _) => mvOut(m.sumCols(ar.name))
-              case _: Count => mvOut(m.countCol.get)
-            }
+          case Min(ar: AttributeReference) =>
+            Alias(Cast(Min(mvOut(m.minCols(ar.name))).toAggregateExpression(),
+              ae.dataType), name)(exprId = al.exprId)
+          case Max(ar: AttributeReference) =>
+            Alias(Cast(Max(mvOut(m.maxCols(ar.name))).toAggregateExpression(),
+              ae.dataType), name)(exprId = al.exprId)
+          case _: Count =>
+            // COUNT over an EMPTY selection (a grouping filter matching
+            // no groups under a global aggregate) is 0, but SUM over zero
+            // rows is NULL — coalesce restores COUNT's never-null contract
+            Alias(Coalesce(Seq(
+              Cast(Sum(mvOut(m.countCol.get)).toAggregateExpression(),
+                ae.dataType),
+              Literal(0L))), name)(exprId = al.exprId)
+          case Sum(ar: AttributeReference, _) =>
             // re-summing an integral partial yields LongType = the
-            // original sum/count type; a Cast is inserted defensively and
-            // collapses to a no-op when types already agree
-            Alias(Cast(Sum(partial).toAggregateExpression(), ae.dataType),
-              name)(exprId = al.exprId)
+            // original sum type; a Cast is inserted defensively and
+            // collapses to a no-op when types already agree. SUM keeps
+            // its null-on-empty semantics — no coalesce.
+            Alias(Cast(Sum(mvOut(m.sumCols(ar.name))).toAggregateExpression(),
+              ae.dataType), name)(exprId = al.exprId)
         }
     }
     // the grouping-column filter moves ONTO the |groups|-row summary

@@ -1795,7 +1795,8 @@ object TrainingOps extends OpsModule {
                     FROM svo_$r s JOIN dp_$r d USING (word)),
           ag_$r AS (SELECT piece, round(sum(ec), 6) AS e FROM ec_$r GROUP BY piece),
           vocab_$r AS (SELECT piece,
-                              round(e / (SELECT round(sum(e), 6) FROM ag_$r), 6) AS p
+                              greatest(round(e / (SELECT round(sum(e), 6)
+                                FROM ag_$r), 6), 0.000001) AS p
                        FROM ag_$r)"""
     }
     val rounds = (1 to iters).map(round_).mkString(",\n")

@@ -37,8 +37,8 @@ object CorpusIngest {
   def applyBatch(batch: DataFrame, batchId: Long,
                  corpusDir: String, storeDir: String): (Long, Long) = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(s"$storeDir/_applied/batch-$batchId")
-    if (marker.exists()) return (0L, 0L)
+    val marker = s"$storeDir/_applied/batch-$batchId"
+    if (StoreFs.exists(spark, marker)) return (0L, 0L)
 
     val hashed = batch
       .withColumn("doc_hash", TextOps.md5Long(col("text")))
@@ -49,10 +49,10 @@ object CorpusIngest {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
 
-    val storePath = new java.io.File(s"$storeDir/fingerprints")
+    val storePath = s"$storeDir/fingerprints"
     val novel =
-      if (storePath.exists()) {
-        val seen = spark.read.parquet(storePath.toString)
+      if (StoreFs.exists(spark, storePath)) {
+        val seen = spark.read.parquet(storePath)
         batchUnique.join(seen, Seq("doc_hash"), "left_anti")
       } else batchUnique
     val novelCached = novel.localCheckpoint(true)
@@ -63,10 +63,9 @@ object CorpusIngest {
       novelCached.drop("doc_hash")
         .write.mode(SaveMode.Append).parquet(s"$corpusDir/documents")
       novelCached.select("doc_hash")
-        .write.mode(SaveMode.Append).parquet(storePath.toString)
+        .write.mode(SaveMode.Append).parquet(storePath)
     }
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    StoreFs.touch(spark, marker)
     (n, total - n)
   }
 

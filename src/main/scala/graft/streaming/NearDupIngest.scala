@@ -46,8 +46,8 @@ object NearDupIngest {
                  storeDir: String, k: Int = 8,
                  threshold: Double = 0.5): (Long, Long) = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(s"$storeDir/_applied/batch-$batchId")
-    if (marker.exists()) return (0L, 0L)
+    val marker = s"$storeDir/_applied/batch-$batchId"
+    if (StoreFs.exists(spark, marker)) return (0L, 0L)
     val nb = k / 2
 
     val sigs = TextOps.minhashSignatures(batch, k).localCheckpoint(true)
@@ -78,12 +78,12 @@ object NearDupIngest {
       Seq("doc_id"), "left_anti")
 
     // 3. store probe: any persisted near-dup vetoes admission
-    val bandStore = new java.io.File(s"$storeDir/bands")
-    val sigStore = new java.io.File(s"$storeDir/sigs")
+    val bandStore = s"$storeDir/bands"
+    val sigStore = s"$storeDir/sigs"
     val admittedSigned =
-      if (bandStore.exists()) {
-        val storedBands = spark.read.parquet(bandStore.toString)
-        val storedSigs = spark.read.parquet(sigStore.toString)
+      if (StoreFs.exists(spark, bandStore)) {
+        val storedBands = spark.read.parquet(bandStore)
+        val storedSigs = spark.read.parquet(sigStore)
         val candidates = bandsOf(localSurvivors)
           .join(storedBands.withColumnRenamed("doc_id", "b_id"), "band")
           .select(col("doc_id").as("a_id"), col("b_id")).distinct()
@@ -109,12 +109,11 @@ object NearDupIngest {
         .write.mode(SaveMode.Append).parquet(s"$corpusDir/documents")
       admittedSigned.select(col("doc_id") +:
           (0 until k).map(i => col(s"mh_$i")): _*)
-        .write.mode(SaveMode.Append).parquet(sigStore.toString)
+        .write.mode(SaveMode.Append).parquet(sigStore)
       bandsOf(admittedSigned)
-        .write.mode(SaveMode.Append).parquet(bandStore.toString)
+        .write.mode(SaveMode.Append).parquet(bandStore)
     }
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    StoreFs.touch(spark, marker)
     (nAdmitted, nTotal - nAdmitted)
   }
 

@@ -35,7 +35,9 @@ object StreamingCuration {
                  storeDir: String, k: Int = 8,
                  threshold: Double = 0.5): (Long, Long, Long) = {
     val spark = batch.sparkSession
-    if (new java.io.File(s"$storeDir/_applied/batch-$batchId").exists())
+    // marker resolved via Hadoop FS (StoreFs) so replay-idempotence
+    // holds on non-local storeDirs too, not just file://
+    if (StoreFs.exists(spark, s"$storeDir/_applied/batch-$batchId"))
       return (0L, 0L, 0L)
     val nIn = batch.count()
     // gates are row-local signal expressions — batch-sized work, and the

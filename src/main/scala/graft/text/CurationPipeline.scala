@@ -67,8 +67,10 @@ object CurationPipeline {
     // |gates|-column aggregation, each count independent (a doc failing
     // two gates appears in both rows — the audit answers "what would
     // this gate alone reject", which is what threshold tuning needs)
+    // coalesce: sum() over an EMPTY corpus is NULL, and rejects.getLong
+    // below would NPE — an empty input must yield a zero-count audit
     val rejectCols = CurationGates.ordered.map { case (n, p) =>
-      sum(when(!p, 1L).otherwise(0L)).as(n) }
+      coalesce(sum(when(!p, 1L).otherwise(0L)), lit(0L)).as(n) }
     val rejects = signals.agg(rejectCols.head, rejectCols.tail: _*).collect()(0)
 
     // stage 2: exact dedup — canonical doc per content hash

@@ -210,8 +210,15 @@ object UnigramLm {
           element_at(col("alpha"), col("j") + 1) * col("p") *
           element_at(col("beta"), col("i") + 1) / col("z")).as("ec"))
     val agg = ec.groupBy("piece").agg(round(sum(col("ec")), 6).as("e"))
+    // floor at 1e-6 AFTER the 6dp rounding: a rare piece whose p rounds
+    // to exactly 0.0 would zero every lattice path through it — and if
+    // that piece is a single character (the coverage guarantee), the
+    // next round's z=0 division poisons the EM with Infinity/NaN. The
+    // floor is mirrored verbatim in the DuckDB train oracle (greatest is
+    // exact, so cross-engine bit-parity is preserved).
     agg.crossJoin(broadcast(agg.agg(round(sum("e"), 6).as("tot"))))
-      .select(col("piece"), round(col("e") / col("tot"), 6).as("p"))
+      .select(col("piece"),
+        greatest(round(col("e") / col("tot"), 6), lit(1e-6)).as("p"))
   }
 
   /** The full EM training loop (the unigram twin of

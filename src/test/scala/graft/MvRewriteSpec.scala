@@ -180,6 +180,85 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally { MvRewrite.clear() }
   }
 
+  test("COUNT over an empty selection stays 0; MIN/MAX served; CDC-retraction mart refuses MIN/MAX") {
+    val session = spark.newSession()
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    try {
+      val base = session.read.parquet(baseDir)
+      val mvDir = Files.createTempDirectory("mv_minmax").toString
+      base.groupBy("source", "lang")
+        .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_rows"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .write.mode("overwrite").parquet(mvDir)
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = "documents.parquet", groupCols = Seq("source", "lang"),
+        sumCols = Map("n_chars" -> "sum_chars"), countCol = Some("n_rows"),
+        minCols = Map("n_chars" -> "min_chars"),
+        maxCols = Map("n_chars" -> "max_chars"))
+
+      // ADVICE r5 high: a grouping filter matching NO groups under a
+      // global COUNT must stay 0 — Sum(countCol) over zero rows is NULL,
+      // and the rewrite must coalesce it back to COUNT's contract
+      val emptyCnt = base.filter(col("lang") === "zz_nonexistent")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("s"))
+      assert(scanPaths(emptyCnt).exists(_.contains(mvDir)),
+        "empty-selection global agg should still be served")
+      val r = emptyCnt.first()
+      assert(r.getLong(0) == 0L, s"COUNT over empty selection must be 0, got $r")
+      assert(r.isNullAt(1), "SUM over empty selection must stay NULL")
+
+      // MIN/MAX served: exact grouping, subset rollup, global — answers
+      // identical to the base scan (incl. re-MIN of partial MINs)
+      for (q <- Seq(
+        (df: org.apache.spark.sql.DataFrame) => df.groupBy("source", "lang")
+          .agg(min("n_chars").as("lo"), max("n_chars").as("hi")),
+        (df: org.apache.spark.sql.DataFrame) => df.groupBy("source")
+          .agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+            sum("n_chars").as("s")),
+        (df: org.apache.spark.sql.DataFrame) =>
+          df.agg(max("n_chars").as("hi"), min("n_chars").as("lo")))) {
+        val served = q(base)
+        assert(scanPaths(served).exists(_.contains(mvDir)),
+          s"min/max should be served, got ${scanPaths(served)}")
+        assert(served.collect().toSet ==
+          q(spark.read.parquet(baseDir)).collect().toSet)
+      }
+      // ...and under a grouping-column filter
+      val fq = base.filter(col("lang") === "en").groupBy("source")
+        .agg(min("n_chars").as("lo"))
+      assert(scanPaths(fq).exists(_.contains(mvDir)))
+      assert(fq.collect().toSet == spark.read.parquet(baseDir)
+        .filter(col("lang") === "en").groupBy("source")
+        .agg(min("n_chars").as("lo")).collect().toSet)
+
+      // guard: an UNREGISTERED min measure falls through
+      val unreg = base.groupBy("source").agg(min("doc_id").as("m"))
+      assert(!scanPaths(unreg).exists(_.contains(mvDir)))
+
+      // guard: a CDC-retraction-maintained mart must NOT serve MIN/MAX
+      // (non-invertible partials may be stale under deletes) — but its
+      // sum/count partials, which retraction maintains exactly, still serve
+      MvRewrite.clear()
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = "documents.parquet", groupCols = Seq("source", "lang"),
+        sumCols = Map("n_chars" -> "sum_chars"), countCol = Some("n_rows"),
+        minCols = Map("n_chars" -> "min_chars"),
+        maxCols = Map("n_chars" -> "max_chars"),
+        cdcRetractionOnly = true)
+      val mm = base.groupBy("source").agg(min("n_chars").as("lo"))
+      assert(!scanPaths(mm).exists(_.contains(mvDir)),
+        "CDC-retraction mart must not serve MIN/MAX")
+      val sc = base.groupBy("source").agg(sum("n_chars").as("s"),
+        count(lit(1)).as("c"))
+      assert(scanPaths(sc).exists(_.contains(mvDir)),
+        "sum/count remain servable on a CDC-retraction mart")
+      assert(sc.collect().toSet == spark.read.parquet(baseDir)
+        .groupBy("source").agg(sum("n_chars").as("s"),
+          count(lit(1)).as("c")).collect().toSet)
+    } finally MvRewrite.clear()
+  }
+
   test("tag matches full path components only; bad registrations fail fast") {
     val session = spark.newSession()
     MvRewrite.ensureRegistered(session)
