@@ -26,4 +26,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.map(_.oracles).reduce(_ ++ _)
+
+  /** Plan-audit tags declared beside each module's registrations;
+    * PlanAuditSpec consumes these (and fails on stale/dangling tags). */
+  def planTags: Map[String, PlanTag] =
+    modules.map(_.planTags).reduce(_ ++ _)
 }

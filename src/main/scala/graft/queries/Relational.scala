@@ -1930,4 +1930,11 @@ object Relational extends OpsModule {
           SELECT CAST(dur AS INT) AS day, n_events, n_risk, survival
           FROM s WHERE n_events > 0 ORDER BY day"""
   )
+
+  /** Plan-audit tags beside the registrations (see [[PlanTag]]). */
+  override val planTags: Map[String, PlanTag] = Map(
+    "q71_skew_report" -> PlanTag(bnlj = Some(
+      "key-count total rides the plan as a ONE-ROW broadcast aggregate (map-side literal attach)")),
+    "q67_survival" -> PlanTag(bnlj = Some(
+      "1-row corpus-horizon attach (max ts) onto the per-user firsts")))
 }

@@ -4469,4 +4469,128 @@ object TrainingOps extends OpsModule {
                    END, 6) AS kmv_estimate
           FROM kth ORDER BY source"""
   )
+
+  /** Plan-audit tags, declared beside the registrations they excuse
+    * (PlanAuditSpec consumes these and fails on stale or dangling tags).
+    * `bnlj` reasons fall into three bounded-broadcast shapes: a query
+    * set, a centroid table, or a ONE-ROW aggregate attach (the map-side
+    * literal-attach pattern that replaces a separate driver-side
+    * count()/first() job). */
+  override val planTags: Map[String, PlanTag] = {
+    val querySet = "bounded broadcast query set against a non-equi scoring condition"
+    val centroids = "every vector scores against every centroid; broadcast side is the centroid table, bounded by cell count"
+    val oneRow = "corpus-size/total rides the plan as a ONE-ROW broadcast aggregate (map-side literal attach)"
+    Map(
+      "emb_knn_brute" -> PlanTag(bnlj = Some(querySet)),
+      "emb_knn_topk" -> PlanTag(bnlj = Some(querySet)),
+      "emb_ivf_knn" -> PlanTag(bnlj = Some(querySet)),
+      "emb_ivf_nprobe2" -> PlanTag(bnlj = Some(querySet)),
+      "emb_quant_knn" -> PlanTag(bnlj = Some(querySet)),
+      "emb_mrl_rerank" -> PlanTag(bnlj = Some(querySet)),
+      "emb_mrl_recall" -> PlanTag(bnlj = Some(querySet)),
+      "emb_filtered_knn" -> PlanTag(bnlj = Some(querySet)),
+      "emb_kmeans_step" -> PlanTag(bnlj = Some(centroids)),
+      "emb_pq_codes" -> PlanTag(bnlj = Some(centroids)),
+      "emb_pq_knn" -> PlanTag(bnlj = Some(centroids)),
+      "emb_ivfpq_knn" -> PlanTag(bnlj = Some(centroids)),
+      "emb_silhouette" -> PlanTag(bnlj = Some(centroids)),
+      "emb_ann_recall" -> PlanTag(bnlj = Some(
+        "composes knnBruteForce + ivfSearch, inheriting their intentional broadcast-query-set scoring joins")),
+      "emb_recall_curve" -> PlanTag(bnlj = Some(
+        "composes knnBruteForce + ivfSearch, inheriting their intentional broadcast-query-set scoring joins")),
+      "emb_hybrid_rrf" -> PlanTag(bnlj = Some(
+        "the vector leg is knnBruteForce — same bounded broadcast query set")),
+      "emb_nndescent" -> PlanTag(
+        bnlj = Some("sampled brute-force truth leg is knnBruteForce on a 1-in-20 node sample — bounded broadcast query set, corpus streams once"),
+        blockKnob = Some("nPlanes ∝ log N bounds the LSH seed; the NN-descent expansion itself is O(N·k²), not bucket-quadratic")),
+      "emb_mmr" -> PlanTag(
+        blockKnob = Some("pairwise sims are pool² per query — pool is a constant")),
+      "emb_hard_negatives" -> PlanTag(bnlj = Some(
+        "label-mismatch is non-equi by design; broadcast side is the query set")),
+      "emb_triplets" -> PlanTag(bnlj = Some(
+        "one scored scan for positive + hard negative; broadcast query set")),
+      "emb_decontaminate" -> PlanTag(bnlj = Some(
+        "eval-set scoring join: broadcast side is the benchmark, bounded by eval cardinality — the corpus is never shuffled")),
+      "td_tfidf_top_term" -> PlanTag(bnlj = Some(oneRow)),
+      "td_pmi_pairs" -> PlanTag(bnlj = Some(oneRow)),
+      "td_unigram_logprob" -> PlanTag(bnlj = Some(oneRow)),
+      "td_bigram_logprob" -> PlanTag(bnlj = Some(oneRow)),
+      "td_source_kl" -> PlanTag(bnlj = Some(oneRow)),
+      "td_mixture_sample" -> PlanTag(bnlj = Some(oneRow)),
+      "td_bm25" -> PlanTag(bnlj = Some(oneRow)),
+      "td_ppl_buckets" -> PlanTag(bnlj = Some(
+        "composes unigramLogProb, inheriting its 1-row corpus-total attach")),
+      "td_curriculum" -> PlanTag(bnlj = Some(
+        "composes perplexityBuckets, same inherited 1-row attach")),
+      "td_unigram_vocab" -> PlanTag(bnlj = Some(oneRow)),
+      "td_unigram_score" -> PlanTag(bnlj = Some(oneRow)),
+      "td_unigram_em" -> PlanTag(bnlj = Some(oneRow)),
+      // (td_unigram_train carried a bnlj tag in the r5 hand-list; the
+      // staleness gate showed its executed plan has no nested loop —
+      // the per-round totals all broadcast-hash-join. Tag removed.)
+      "td_unigram_segment" -> PlanTag(bnlj = Some(oneRow)),
+      "emb_pca_power" -> PlanTag(bnlj = Some(
+        "two 1-row literal attaches: the mean array and the normalizer")),
+      "td_lsh_recall" -> PlanTag(bnlj = Some(
+        "three 1-row count frames folded into one row")),
+      "td_temperature_mix" -> PlanTag(bnlj = Some(oneRow)),
+      "td_kneser_ney" -> PlanTag(bnlj = Some(oneRow)),
+      "td_dsir" -> PlanTag(bnlj = Some(oneRow)),
+      "td_epoch_plan" -> PlanTag(bnlj = Some(
+        "composes temperatureMixture, inheriting its 1-row totals attach")),
+      "td_lm_holdout" -> PlanTag(bnlj = Some(oneRow)),
+      "td_doremi" -> PlanTag(bnlj = Some(
+        "composes lmHoldout + three 1-row attaches (global loss, token total, weight normalizer) onto the |sources|-row frame")),
+      "td_distinct_sketch" -> PlanTag(bnlj = Some(
+        "1-row exact-distinct calibration attach onto the |ms|-row sketch")),
+      "emb_sim_histogram" -> PlanTag(
+        bnlj = Some("1-row broadcast pair-total attach onto the |bins|-sized histogram"),
+        blockKnob = Some("cell-blocked pair join, |bins|-sized output")),
+      "emb_semdedup" -> PlanTag(bnlj = Some(centroids),
+        blockKnob = Some("kmeansCells(nCells) — pair work Σ|cell|²")),
+      // (emb_kmeans_train / emb_kmeans_quality sat in the r5 bnlj
+      // hand-list; the staleness gate showed neither plans a nested
+      // loop — their centroid attaches broadcast-hash-join. Removed.)
+      "td_waterfill" -> PlanTag(bnlj = Some(
+        "1-row (sum_full, n_full) attach onto the |sources|-row table")),
+      "td_split_leakage" -> PlanTag(
+        bnlj = Some("1-row (leaked_aware, leaked_naive) attach onto the 3-row split table"),
+        blockKnob = Some("composes the banded-LSH pair path end to end")),
+      "td_source_jaccard" -> PlanTag(
+        bnlj = Some("the |groups|² sketch pair matrix: a deliberate cross of two |groups|-row k-min frames — pair work runs on sketches, never the corpus; the corpus-sized side is one shared distinct (ReusedExchange)"),
+        blockKnob = Some("exact-Jaccard calibration side: term-keyed pair join bounded by |groups|² per term (the KMV sketch path replaces it at scale)")),
+      // exhaustive baselines, each naming its registered scale-path sibling
+      "td_fuzzy_match" -> PlanTag(exhaustiveSibling = Some("td_fuzzy_blocked")),
+      "td_near_dup_pairs" -> PlanTag(exhaustiveSibling = Some("td_lsh_candidates")),
+      "td_dedup_clusters" -> PlanTag(exhaustiveSibling = Some("td_lsh_clusters")),
+      // block-scoped quadratics with the knob that bounds them
+      "emb_near_dup" -> PlanTag(blockKnob = Some(
+        "cell count of the blocking label / index")),
+      "emb_dedup_clusters" -> PlanTag(blockKnob = Some(
+        "union-find over emb_near_dup's pair list")),
+      "emb_cluster_stats" -> PlanTag(blockKnob = Some(
+        "within-cell pair distances, Σ|cell|² bound")),
+      "mm_phash_neardup" -> PlanTag(blockKnob = Some(
+        "LSH band width (8-bit bands at sf1)")),
+      "td_fuzzy_blocked" -> PlanTag(blockKnob = Some(
+        "(source, sig-prefix) block count grows with N")),
+      "td_jw_match" -> PlanTag(blockKnob = Some(
+        "same (source, sig-prefix) blocking as td_fuzzy_blocked")),
+      "td_snm_pairs" -> PlanTag(blockKnob = Some(
+        "sorted-neighborhood: exactly N·w pairs, w constant")),
+      "td_golden_record" -> PlanTag(blockKnob = Some(
+        "composes the SNM pair path end to end")),
+      "td_dedup_report" -> PlanTag(blockKnob = Some(
+        "composes exact-digest + LSH + SNM pair paths")),
+      "td_lsh_candidates" -> PlanTag(blockKnob = Some(
+        "banded LSH: band count is the knob")),
+      "td_lsh_clusters" -> PlanTag(blockKnob = Some(
+        "banded LSH: band count is the knob")),
+      "td_softdedup" -> PlanTag(blockKnob = Some(
+        "same banded-LSH pair path, resolved to weights")),
+      "td_doc_embed_knn" -> PlanTag(blockKnob = Some(
+        "blockDims = max(2·dims, ⌈N/64⌉) derived from a corpus count per call — block count grows ∝ N, pair work ~64·N")),
+      "td_segment_dedup" -> PlanTag(blockKnob = Some(
+        "segment-frequency join, digest-keyed at scale")))
+  }
 }

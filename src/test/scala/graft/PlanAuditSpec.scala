@@ -14,138 +14,26 @@ import org.scalatest.funsuite.AnyFunSuite
   * unless the query is a tagged exhaustive baseline with a documented
   * scale-path sibling. A new query that accidentally plans a nested
   * loop or an under-blocked self-join fails here, not at 100 TB.
+  *
+  * The tags themselves live NEXT TO the query registrations
+  * ([[graft.queries.OpsModule.planTags]], [[graft.queries.PlanTag]]) —
+  * not in this spec — so a registration and its excuse are reviewed
+  * together. This spec additionally fails when a tag goes STALE: a
+  * `bnlj` tag on a query whose executed plan no longer contains a
+  * BroadcastNestedLoopJoin is a parked excuse a future real nested loop
+  * could hide under, and a tag naming an unregistered query is dead.
   */
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
-    * a bounded broadcast side (the filtered query vectors / the centroid
-    * table) against a non-equi join condition. The broadcast bound is the
-    * query-set size, not the corpus. */
-  private val bnljAllowed = Set(
-    "emb_knn_brute", "emb_knn_topk", "emb_ivf_knn", "emb_ivf_nprobe2",
-    "emb_quant_knn", "emb_mrl_rerank", "emb_mrl_recall", "emb_filtered_knn",
-    // every vector scores against every centroid by design; the broadcast
-    // side is the centroid table, bounded by cell count
-    "emb_kmeans_step", "emb_pq_codes", "emb_pq_knn", "emb_ivfpq_knn",
-    "emb_silhouette",
-    // composes knnBruteForce + ivfSearch, so it inherits their intentional
-    // broadcast-query-set scoring joins
-    "emb_ann_recall", "emb_recall_curve",
-    // the vector leg is knnBruteForce — same bounded broadcast query set
-    "emb_hybrid_rrf",
-    // sampled brute-force truth leg is knnBruteForce on a 1-in-20 node
-    // sample — bounded broadcast query set, corpus streams once
-    "emb_nndescent",
-    // pool generation is knnBruteForce; the greedy chain is pool-sized
-    "emb_mmr",
-    // label-mismatch is non-equi by design; broadcast side is the query set
-    "emb_hard_negatives",
-    // one scored scan for positive + hard negative; broadcast query set
-    "emb_triplets",
-    // eval-set scoring join: broadcast side is the benchmark, bounded by
-    // eval cardinality — the corpus is never shuffled
-    "emb_decontaminate",
-    // corpus-size N rides the plan as a ONE-ROW broadcast aggregate (the
-    // alternative was a separate driver-side count()/first() job over the
-    // corpus); a 1-row build side makes the nested loop a map-side
-    // literal attach
-    "td_tfidf_top_term", "td_pmi_pairs", "td_unigram_logprob",
-    "td_bigram_logprob", "td_source_kl", "td_mixture_sample", "td_bm25",
-    // composes unigramLogProb, inheriting its 1-row corpus-total attach
-    "td_ppl_buckets",
-    // composes perplexityBuckets, same inherited 1-row attach
-    "td_curriculum",
-    // vocabulary-total / expected-count-total / key-count-total attach:
-    // a ONE-ROW broadcast aggregate cross join (map-side literal attach),
-    // same pattern as the corpus-size rows above (r5)
-    "td_unigram_vocab", "td_unigram_score", "td_unigram_em",
-    "td_unigram_train", "td_unigram_segment", "q71_skew_report",
-    // two 1-row literal attaches: the mean array and the normalizer
-    "emb_pca_power",
-    // three 1-row count frames folded into one row
-    "td_lsh_recall",
-    // 1-row broadcast totals: sum_pow/sum_tokens, the bigram type count,
-    // and the two distribution totals — same literal-attach shape
-    "td_temperature_mix", "td_kneser_ney", "td_dsir",
-    // composes temperatureMixture, inheriting its 1-row totals attach
-    "td_epoch_plan",
-    // 1-row corpus-total attach, same shape as td_unigram_logprob
-    "td_lm_holdout",
-    // composes lmHoldout + three 1-row attaches (global loss, token
-    // total, weight normalizer) onto the |sources|-row frame
-    "td_doremi",
-    // 1-row exact-distinct calibration attach onto the |ms|-row sketch
-    "td_distinct_sketch",
-    // 1-row broadcast pair-total attach onto the |bins|-sized histogram
-    "emb_sim_histogram",
-    // kmeansCells / kmeansTrain: every vector scores against the k
-    // centroids per round — the same bounded-centroid-table broadcast
-    // as emb_kmeans_step
-    "emb_semdedup", "emb_kmeans_train", "emb_kmeans_quality",
-    // 1-row corpus-horizon attach (max ts) onto the per-user firsts —
-    // the same literal-attach shape as td_unigram_logprob
-    "q67_survival",
-    // 1-row (sum_full, n_full) attach onto the |sources|-row table
-    "td_waterfill",
-    // 1-row (leaked_aware, leaked_naive) attach onto the 3-row split table
-    "td_split_leakage",
-    // the |groups|² sketch pair matrix: a deliberate cross of two
-    // |groups|-row k-min frames (20 sources → 190 pairs of k-length
-    // arrays) — THE point of the sketch is that pair work runs on
-    // sketches, never the corpus; the corpus-sized side is one shared
-    // distinct (ReusedExchange)
-    "td_source_jaccard")
-
-  /** Exhaustive baselines: queries that DELIBERATELY materialize a
-    * super-linear candidate set, kept as the correctness yardstick for a
-    * registered scale-path sibling. The gate demands every tagged entry
-    * name a real sibling query, and any UNTAGGED query whose executed
-    * plan shows a join emitting far more rows than its largest input has
-    * no such excuse — it fails the audit. */
-  private val exhaustiveBaselines = Map(
-    // all-pairs-within-source fuzzy compare; blocked sibling measured 7.8×
-    // cheaper at sf1 (BENCH_SF1.json)
-    "td_fuzzy_match" -> "td_fuzzy_blocked",
-    // exhaustive shingle-overlap pair list; the banded-LSH candidate
-    // generator is the linear path
-    "td_near_dup_pairs" -> "td_lsh_candidates",
-    // connected components over the exhaustive pair list; sibling runs
-    // the same union-find over LSH candidates
-    "td_dedup_clusters" -> "td_lsh_clusters")
-
-  /** Block-scoped quadratics: the pair join is deliberately quadratic
-    * WITHIN a block whose count is a scale knob (k-means cells ∝ N, LSH
-    * band width), so at a fixed test SF the join:input ratio is ~N/k and
-    * trips the factor even though the design is the documented scale
-    * path itself. Listed here with the knob that bounds them. */
-  private val blockScopedQuadratic = Set(
-    "emb_semdedup", // knob: kmeansCells(nCells) — pair work Σ|cell|²
-    "emb_near_dup", // knob: cell count of the blocking label / index
-    "emb_dedup_clusters", // union-find over emb_near_dup's pair list
-    "emb_cluster_stats", // within-cell pair distances, same Σ|cell|² bound
-    "emb_sim_histogram", // same cell-blocked pair join, |bins|-sized output
-    "emb_nndescent", // knob: nPlanes ∝ log N bounds the LSH seed; the
-    // NN-descent expansion itself is O(N·k²), not bucket-quadratic
-    "emb_mmr", // pairwise sims are pool² per query — pool is a constant
-    "mm_phash_neardup", // knob: LSH band width (8-bit bands at sf1)
-    "td_fuzzy_blocked", // knob: (source, sig-prefix) block count grows with N
-    "td_jw_match", // same (source, sig-prefix) blocking as td_fuzzy_blocked
-    "td_snm_pairs", // sorted-neighborhood: exactly N·w pairs, w constant
-    "td_golden_record", // composes the SNM pair path end to end
-    "td_dedup_report", // composes exact-digest + LSH + SNM pair paths
-    "td_lsh_candidates", "td_lsh_clusters", // banded LSH: band count is the knob
-    "td_split_leakage", // composes the banded-LSH pair path end to end
-    "td_softdedup", // same banded-LSH pair path, resolved to weights
-    "td_doc_embed_knn", // knob: blockDims = max(2·dims, ⌈N/64⌉), derived
-    // from a corpus count per call — block count grows ∝ N, pair work
-    // ~64·N (the r4 shape froze block count at dims=16 forever)
-    "td_segment_dedup", // segment-frequency join, digest-keyed at scale
-    // exact-Jaccard calibration side: term-keyed pair join bounded by
-    // |groups|² per term (the KMV sketch path is what replaces it at
-    // scale — the knob is "stop running the calibration")
-    "td_source_jaccard")
+  private val planTagMap = SparkEntry.planTags
+  private val bnljAllowed = planTagMap.collect {
+    case (n, t) if t.bnlj.isDefined => n }.toSet
+  private val exhaustiveBaselines = planTagMap.collect {
+    case (n, t) if t.exhaustiveSibling.isDefined => n -> t.exhaustiveSibling.get }
+  private val blockScopedQuadratic = planTagMap.collect {
+    case (n, t) if t.blockKnob.isDefined => n }.toSet
 
   /** A join emitting more than this × its larger INPUT (child output
     * rows, not scan leaves — token/shingle explodes legitimately dwarf
@@ -170,6 +58,12 @@ class PlanAuditSpec extends AnyFunSuite {
     * descendant that reports one (exchanges/stage wrappers don't). */
   private def outRows(p: SparkPlan): Option[Long] =
     allNodes(p).flatMap(_.metrics.get("numOutputRows")).headOption.map(_.value)
+
+  test("every plan tag names a registered query") {
+    val dangling = planTagMap.keySet.diff(SparkEntry.queries.keySet)
+    assert(dangling.isEmpty,
+      s"plan tags for unregistered queries: ${dangling.mkString(", ")}")
+  }
 
   test("every tagged exhaustive baseline names a registered scale-path sibling") {
     exhaustiveBaselines.foreach { case (base, sibling) =>
@@ -196,8 +90,9 @@ class PlanAuditSpec extends AnyFunSuite {
       ss.queryExecution.executedPlan.toString)
   }
 
-  test("no CartesianProduct; BNLJ only where intended; no undocumented quadratic joins") {
+  test("no CartesianProduct; BNLJ only where tagged (and every tag earned); no undocumented quadratic joins") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val bnljSeen = scala.collection.mutable.Set[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       df.collect() // finalize AQE so the audited plan is the executed one
@@ -205,8 +100,11 @@ class PlanAuditSpec extends AnyFunSuite {
       val plan = df.queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
-      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
-        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      if (plan.contains("BroadcastNestedLoopJoin")) {
+        bnljSeen += name
+        if (!bnljAllowed(name))
+          offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      }
       // the quadratic gate: executed-plan METRICS, not plan shape — any
       // join whose output row count dwarfs its larger input is doing
       // super-linear pair work no matter how innocent its keys look.
@@ -223,6 +121,13 @@ class PlanAuditSpec extends AnyFunSuite {
                 "tag or block-scoped registration")
           }
       }
+    }
+    // stale-tag gate: a bnlj tag whose query no longer plans a nested
+    // loop must be REMOVED from its module's planTags, not left parked
+    val stale = bnljAllowed.diff(bnljSeen)
+    stale.foreach { n =>
+      offenders += (s"$n: stale bnlj tag — executed plan contains no " +
+        "BroadcastNestedLoopJoin; remove the tag from its module's planTags")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
