@@ -203,6 +203,25 @@ object TrainingOps extends OpsModule {
     "td_substring_spans" -> ((s, d) =>
       TextOps.substringDupSpans(docs(s, d)).orderBy("doc_id")),
 
+    // the REMOVAL counterpart: rewrite the corpus keeping one canonical
+    // occurrence per duplicated 8-token span (ExactSubstr dedup)
+    "td_substring_dedup" -> ((s, d) =>
+      TextOps.substringDedup(docs(s, d)).orderBy("doc_id")),
+
+    // CCNet-posture boilerplate removal: drop lines whose hash appears
+    // in > 3 distinct documents corpus-wide, rebuild the texts. The
+    // synthetic corpus is single-line, so the query reflows each text
+    // to 10-token lines first (deterministic, mirrored in the oracle);
+    // at sf0.01 that yields 100+ genuinely cross-doc-duplicated lines
+    "td_line_dedup" -> ((s, d) => {
+      val t = TextOps.tokenized(docs(s, d))
+      val reflowed = t.select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / lit(10)).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10))))).as("text"))
+      TextOps.lineDedup(reflowed, maxDocs = 3).orderBy("doc_id")
+    }),
+
     // Count-min-sketch heavy hitters, verified like the other sketches
     // (HLL q20, GK q29): CMS guarantees estimate >= true count and, with
     // probability 1-delta, estimate <= true + eps*N. eps=0.001 on a
@@ -431,6 +450,12 @@ object TrainingOps extends OpsModule {
     // with deterministic backtracking (ties to the lowest start)
     "td_unigram_segment" -> ((s, d) =>
       graft.text.UnigramLm.segmentWords(docs(s, d)).orderBy("word")),
+
+    // ... and the PRUNE step (the other half of Kudo's algorithm):
+    // per-piece likelihood-loss deltas from q-filtered lattice folds,
+    // bottom-15 non-essential multi-char pieces marked pruned
+    "td_unigram_prune" -> ((s, d) =>
+      graft.text.UnigramLm.pruneVocab(docs(s, d)).orderBy("piece")),
 
     // the COMPOSED curation pipeline, hash-checked end to end: runs
     // CurationPipeline.run (5 gates → exact dedup → LSH near-dedup →
@@ -1807,6 +1832,48 @@ object TrainingOps extends OpsModule {
         ORDER BY piece"""
   }
 
+  /** Oracle for [[graft.text.UnigramLm.pruneVocab]]: per (word,
+    * multi-char vocab piece) pairs, the forward fold re-run with the
+    * piece's edges filtered out by span substring — a ROW-grain
+    * list_reduce (not nested in list_transform, the DuckDB-1.0 pattern
+    * that mis-evaluates); loss deltas 6dp-rounded after the sum, prune
+    * rank over (loss_delta, piece). */
+  private val duckUnigramPruneSql = {
+    val nPrune = 15
+    s"""WITH $duckUnigramCtes,
+        wp AS (SELECT DISTINCT o.word, o.piece FROM occ o
+               JOIN vocab v USING (piece) WHERE len(o.piece) >= 2),
+        pair AS (SELECT wp.piece, l.wcount, d.alpha[l.L + 1] AS z,
+                        list_reduce(list_prepend(
+                          list_concat([1.0],
+                            list_transform(range(1, l.L + 1), x -> 0.0)),
+                          list_filter(l.es, e ->
+                            NOT (substr(wp.word, CAST(e[2] AS INT) + 1,
+                                 CAST(e[1] AS INT) - CAST(e[2] AS INT))
+                                 = wp.piece))),
+                          (acc, e) -> list_transform(acc, (x, k) ->
+                            CASE WHEN k = CAST(e[1] AS INT) + 1
+                                 THEN x + acc[CAST(e[2] AS INT) + 1] * e[3]
+                                 ELSE x END))[l.L + 1] AS zq
+                 FROM wp JOIN lat l ON l.word = wp.word
+                 JOIN dp d ON d.word = wp.word),
+        loss AS (SELECT piece,
+                        max(CASE WHEN zq = 0 THEN 1 ELSE 0 END) AS essential_i,
+                        round(sum(CASE WHEN zq > 0
+                          THEN wcount * (ln(z) - ln(zq))
+                          ELSE 0 END), 6) AS loss_delta
+                 FROM pair GROUP BY piece),
+        cand AS (SELECT piece,
+                        row_number() OVER (ORDER BY loss_delta, piece) AS rk
+                 FROM loss WHERE essential_i = 0)
+        SELECT v.piece, round(v.p, 6) AS p, l.loss_delta,
+               (len(v.piece) = 1 OR coalesce(l.essential_i, 1) = 1) AS essential,
+               coalesce(c.rk <= $nPrune, false) AS pruned
+        FROM vocab v LEFT JOIN loss l USING (piece)
+        LEFT JOIN cand c USING (piece)
+        ORDER BY v.piece"""
+  }
+
   /** End-to-end oracle for [[graft.text.CurationPipeline]]'s audit: the
     * COMPOSED pipeline — five stage-1 gates, exact dedup on normalized
     * hashes, LSH near-dedup to clusters, 8-shingle decontamination —
@@ -1867,13 +1934,31 @@ object TrainingOps extends OpsModule {
                          (p_quality AND p_lang AND p_rep AND p_gopher AND p_c4) AS pass
                   FROM qg JOIN lg USING (doc_id) JOIN rep USING (doc_id)
                   JOIN gop USING (doc_id) JOIN c4g USING (doc_id)),
-        gated AS (SELECT c.* FROM corpus c JOIN gates g USING (doc_id) WHERE g.pass),
+        gated AS MATERIALIZED (SELECT c.* FROM corpus c JOIN gates g USING (doc_id) WHERE g.pass),
+        glines AS MATERIALIZED (SELECT doc_id, unnest(lns) AS line,
+                          unnest(range(len(lns))) AS i
+                   FROM (SELECT doc_id, string_split(text, chr(10)) AS lns
+                         FROM gated)),
+        heavyl AS MATERIALIZED (SELECT line FROM (
+                     SELECT line, count(DISTINCT doc_id) AS nd
+                     FROM glines GROUP BY line) WHERE nd > 3),
+        lkept AS MATERIALIZED (SELECT gl.doc_id, gl.line, gl.i
+                  FROM glines gl LEFT JOIN heavyl h ON h.line = gl.line
+                  WHERE h.line IS NULL),
+        lstat AS MATERIALIZED (SELECT doc_id, count(*) AS n_kept,
+                         string_agg(line, chr(10) ORDER BY i) AS new_text
+                  FROM lkept GROUP BY doc_id),
+        ld AS MATERIALIZED (SELECT g.* REPLACE (coalesce(ls.new_text, '') AS text),
+                      len(string_split(g.text, chr(10)))
+                        - coalesce(ls.n_kept, 0) AS n_lines_removed
+               FROM gated g LEFT JOIN lstat ls USING (doc_id)),
         exh AS (SELECT doc_id,
                        md5(trim(regexp_replace(regexp_replace(lower(text),
                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
-                FROM gated),
+                FROM ld),
         exc AS (SELECT h, min(doc_id) AS canon FROM exh GROUP BY h),
-        base_docs AS (SELECT g.* FROM gated g JOIN exh e USING (doc_id)
+        base_docs AS MATERIALIZED (SELECT g.* EXCLUDE (n_lines_removed)
+                      FROM ld g JOIN exh e USING (doc_id)
                       JOIN exc c ON e.h = c.h AND g.doc_id = c.canon),
         $lshBase,
         nd AS (SELECT doc_id_a, doc_id_b FROM lshcand WHERE jaccard >= 0.5),
@@ -1913,6 +1998,8 @@ object TrainingOps extends OpsModule {
             (SELECT count(*) FROM gates WHERE NOT p_gopher)
           UNION ALL SELECT '1_reject_c4',
             (SELECT count(*) FROM gates WHERE NOT p_c4)
+          UNION ALL SELECT '1z_line_dedup_touched',
+            (SELECT count(*) FROM ld WHERE n_lines_removed > 0)
           UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM base_docs)
           UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM near)
           UNION ALL SELECT '4_decontaminated', (SELECT count(*) FROM finaldocs))
@@ -2422,6 +2509,69 @@ object TrainingOps extends OpsModule {
           FROM sp LEFT JOIN sh USING (h)
           GROUP BY doc_id ORDER BY doc_id"""
     },
+
+    // ExactSubstr REMOVAL oracle: same all-position span table; rank
+    // occurrences per identical span ((doc_id, pos) order, rank 1 =
+    // canonical); a token survives iff no removed span covers it; text
+    // rebuilt by position order. The token-grain EXISTS probe is the
+    // oracle-side simplification of Spark's row-local interval sweep.
+    "td_substring_dedup" -> {
+      val spanCat = (0 until 8).map(j => s"toks[i+${j + 1}]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          sp AS (SELECT doc_id, i AS pos,
+                        ${dHash(s"concat_ws(' ', $spanCat)")} AS h
+                 FROM (SELECT doc_id, toks,
+                              unnest(generate_series(0, len(toks) - 8)) AS i
+                       FROM t WHERE len(toks) >= 8)),
+          rem AS (SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY h
+                             ORDER BY doc_id, pos) AS rn
+                    FROM sp) WHERE rn > 1),
+          tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                            unnest(range(len(toks))) AS i
+                     FROM t),
+          kept AS (SELECT tp.doc_id, tp.tok, tp.i FROM tokpos tp
+                   WHERE NOT EXISTS (SELECT 1 FROM rem r
+                     WHERE r.doc_id = tp.doc_id
+                       AND r.pos <= tp.i AND tp.i < r.pos + 8)),
+          outp AS (SELECT doc_id, count(*) AS n_kept,
+                          string_agg(tok, ' ' ORDER BY i) AS dedup_text
+                   FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                 CAST(len(t.toks) - coalesce(o.n_kept, 0) AS BIGINT) AS n_removed,
+                 coalesce(o.dedup_text, '') AS dedup_text
+          FROM t LEFT JOIN outp o USING (doc_id) ORDER BY t.doc_id"""
+    },
+
+    // CCNet line-grain boilerplate oracle: grouping on the line TEXT is
+    // equality-equivalent to Spark's 60-bit hash grouping; same
+    // 10-token reflow as the Spark registration
+    "td_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+                            list_transform(
+                              generate_series(0, (len(toks) - 1) // 10),
+                              i -> array_to_string(
+                                list_slice(toks, i * 10 + 1, i * 10 + 10), ' '))
+                              AS lns
+                     FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                           FROM documents)),
+          lp AS (SELECT doc_id, unnest(lns) AS line,
+                        unnest(range(len(lns))) AS i
+                 FROM t),
+          heavy AS (SELECT line FROM (
+                      SELECT line, count(DISTINCT doc_id) AS nd
+                      FROM lp GROUP BY line) WHERE nd > 3),
+          kept AS (SELECT lp.doc_id, lp.line, lp.i FROM lp
+                   WHERE NOT EXISTS (SELECT 1 FROM heavy h
+                     WHERE h.line = lp.line)),
+          outp AS (SELECT doc_id, count(*) AS n_kept,
+                          string_agg(line, chr(10) ORDER BY i) AS dedup_text
+                   FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.lns) AS BIGINT) AS n_lines,
+                 CAST(len(t.lns) - coalesce(o.n_kept, 0) AS BIGINT) AS n_removed,
+                 coalesce(o.dedup_text, '') AS dedup_text
+          FROM t LEFT JOIN outp o USING (doc_id) ORDER BY t.doc_id""",
 
     "td_split" ->
       s"""SELECT doc_id,
@@ -3232,6 +3382,8 @@ object TrainingOps extends OpsModule {
     "td_unigram_train" -> duckUnigramTrainSql,
 
     "td_unigram_segment" -> duckUnigramSegmentSql,
+
+    "td_unigram_prune" -> duckUnigramPruneSql,
 
     "txt_gopher_rep" -> duckGopherRepSql,
 
@@ -4529,6 +4681,8 @@ object TrainingOps extends OpsModule {
       // staleness gate showed its executed plan has no nested loop —
       // the per-round totals all broadcast-hash-join. Tag removed.)
       "td_unigram_segment" -> PlanTag(bnlj = Some(oneRow)),
+      // (td_unigram_prune needs no tag: its vocab — the one-row-attach
+      // carrier — is localCheckpoint'd before the audited plan)
       "emb_pca_power" -> PlanTag(bnlj = Some(
         "two 1-row literal attaches: the mean array and the normalizer")),
       "td_lsh_recall" -> PlanTag(bnlj = Some(

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * end-to-end shape a 100 TB training-data build runs, stage by stage:
   *
   *   normalize → signals (quality × language × repetition × Gopher ×
-  *   C4, predicates = [[CurationGates]]) → exact dedup →
+  *   C4, predicates = [[CurationGates]]) → line-grain boilerplate
+  *   removal (CCNet, [[TextOps.lineDedup]]) → exact dedup →
   *   near-dedup (MinHash-LSH candidates → verified clusters) →
   *   decontaminate vs an eval set → split assignment → audit counts
   *
@@ -37,9 +38,11 @@ object CurationPipeline {
     * 10× rows in BENCH_SF1) to the exhaustive source-blocked pair search
     * (complete within blocks, but Σ|block|² with the corpus's fixed
     * source cardinality — a small-corpus/audit tool, not the 100 TB
-    * default). */
+    * default). `lineMaxDocs` is stage 1.5's CCNet boilerplate
+    * threshold: a line appearing in more than this many distinct gated
+    * documents is dropped from all of them. */
   def run(docs: DataFrame, benchmark: DataFrame,
-          exhaustivePairs: Boolean = false): Result = {
+          exhaustivePairs: Boolean = false, lineMaxDocs: Int = 3): Result = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -73,8 +76,25 @@ object CurationPipeline {
       coalesce(sum(when(!p, 1L).otherwise(0L)), lit(0L)).as(n) }
     val rejects = signals.agg(rejectCols.head, rejectCols.tail: _*).collect()(0)
 
+    // stage 1.5: line-grain cross-doc boilerplate removal (the CCNet
+    // step, [[TextOps.lineDedup]]) — BEFORE exact dedup, because shared
+    // boilerplate both masks real duplicates (two copies of a page
+    // differing only in nav chrome hash apart) and manufactures false
+    // ones (two unrelated pages that are mostly shared template hash
+    // together once the unique tail is short). Heavy lines are counted
+    // within the GATED corpus (the stage's actual input); documents are
+    // rewritten, never dropped, so the funnel row counts TOUCHED docs.
+    val ld = TextOps.lineDedup(gated, lineMaxDocs)
+    val lineDeduped = gated.drop("text")
+      .join(ld.select(col("doc_id"), col("n_removed"),
+        col("dedup_text").as("text")), "doc_id")
+      .select(docs.columns.map(col) :+ col("n_removed"): _*)
+      .persist()
+    val nLineTouched = lineDeduped.filter(col("n_removed") > 0).count()
+    val cleaned = lineDeduped.select(docs.columns.map(col): _*)
+
     // stage 2: exact dedup — canonical doc per content hash
-    val exact = gated
+    val exact = cleaned
       .withColumn("h", md5(TextOps.normalized(col("text"))))
       .withColumn("canonical",
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
@@ -110,11 +130,14 @@ object CurationPipeline {
       ("1_gated", gated.count())) ++
       CurationGates.ordered.zipWithIndex.map { case ((n, _), i) =>
         (s"1_reject_$n", rejects.getLong(i)) } ++ Seq(
+      // line dedup rewrites rather than drops — the funnel row is the
+      // count of documents that LOST at least one boilerplate line
+      ("1z_line_dedup_touched", nLineTouched),
       ("2_exact_dedup", exact.count()),
       ("3_near_dedup", nearDeduped.count()),
       ("4_decontaminated", curated.count())))
       .toDF("stage", "n_docs")
     Result(withSplit, audit,
-      cached = Seq(signals, gated, exact, nearDeduped, curated))
+      cached = Seq(signals, gated, lineDeduped, exact, nearDeduped, curated))
   }
 }

@@ -1412,6 +1412,114 @@ object TextOps {
         round(col("n_shared_spans") / col("n_spans").cast("double"), 6))
   }
 
+  /** Exact-substring dedup REMOVAL — the rewrite ExactSubstr dedup (Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better") actually ships, where [[substringDupSpans]] only measures:
+    * every duplicated k-token span keeps its CANONICAL occurrence (the
+    * (doc_id, pos)-minimal one) and every other occurrence's tokens are
+    * removed, then each document's text is rebuilt from its surviving
+    * tokens.
+    *
+    * Shape: all-position spans hash to 60-bit longs BEFORE the shuffle
+    * (the exchange carries 8 bytes per span, never span text); ONE
+    * window over the span hash ranks occurrences ((doc_id, pos) order),
+    * rank > 1 marks removal; removal starts fold back to per-doc sorted
+    * arrays; reconstruction is a row-local interval-merge fold over the
+    * doc's removal starts (cursor sweep: O(|removals| + |kept|) per doc,
+    * no token-grain join, no second corpus shuffle). Overlapping removal
+    * spans merge in the sweep, so a token is dropped once no matter how
+    * many duplicated spans cover it.
+    *
+    * At 100 TB: span volume is ~token volume — the window shuffle is the
+    * corpus's one heavy exchange (hash-keyed, combinable by partition);
+    * everything after it is |removals|-sized plus a row-local rebuild.
+    * Output per doc: token count, removed-token count, rewritten text. */
+  def substringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val t = tokenized(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val spans = t.filter(col("n") >= k).select(col("doc_id"),
+      explode(transform(sequence(lit(0), col("n") - k),
+        i => struct(i.as("pos"), md5Long(concat_ws(" ",
+          (0 until k).map(j => element_at(col("toks"), i + lit(j + 1))): _*))
+          .as("h")))).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+    // occurrence rank within each identical span: rank 1 = the canonical
+    // (doc_id, pos)-minimal occurrence, every later rank is removed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id", "pos")
+    val removals = spans.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("pos"))).as("starts"))
+    val withStarts = t.join(removals, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+    // row-local interval merge: sweep the sorted removal starts with a
+    // cursor, emitting the kept [cursor, start) gaps; each removal
+    // advances the cursor to max(cursor, start + k)
+    val emptyRanges = array().cast("array<struct<s:int,e:int>>")
+    val ranges = aggregate(
+      col("starts"),
+      struct(lit(0).as("cur"), emptyRanges.as("kept")),
+      (acc, s) => struct(
+        greatest(acc.getField("cur"), s + k).as("cur"),
+        when(s > acc.getField("cur"),
+          concat(acc.getField("kept"),
+            array(struct(acc.getField("cur").as("s"), s.as("e")))))
+          .otherwise(acc.getField("kept")).as("kept")),
+      acc => concat(acc.getField("kept"),
+        array(struct(acc.getField("cur").as("s"), col("n").as("e")))))
+    withStarts
+      .withColumn("kept_toks", flatten(transform(ranges,
+        r => slice(col("toks"), r.getField("s") + 1,
+          greatest(r.getField("e") - r.getField("s"), lit(0))))))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        (col("n") - size(col("kept_toks"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept_toks")).as("dedup_text"))
+  }
+
+  /** Line-grain cross-document boilerplate removal — the CCNet posture
+    * (Wenzek et al. 2020: dedup at PARAGRAPH/line grain across the
+    * corpus before any document-level work): a line whose hash appears
+    * in MORE than `maxDocs` distinct documents is boilerplate (headers,
+    * nav bars, license blurbs, cookie banners) and is dropped from every
+    * document; each document's text is rebuilt from its surviving lines
+    * in position order. This catches what row-local [[c4Rules]] cannot —
+    * a line is only recognizably boilerplate corpus-wide — and what
+    * document-grain dedup cannot — the documents CONTAINING the
+    * boilerplate are not duplicates of each other.
+    *
+    * Shape: lines hash to 60-bit longs before the one grouping shuffle;
+    * the heavy-hash set (true boilerplate) is tiny relative to the
+    * corpus, so the removal join back is a size-gated broadcast
+    * anti-join — at 100 TB the corpus text never shuffles, only line
+    * hashes do. Reconstruction is a per-doc sorted collect (bounded by
+    * document size). */
+  def lineDedup(docs: DataFrame, maxDocs: Int = 3): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(col("text"), "\n").as("lns"))
+    val lines = base.select(col("doc_id"),
+      posexplode(col("lns")).as(Seq("ln", "line")))
+      .withColumn("h", md5Long(col("line")))
+    val heavy = lines.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") > maxDocs).select("h")
+    val kept = lines.join(graft.ops.AutoBroadcast.sizeGate(heavy),
+        Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("ln"), col("line")))).as("ks"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws("\n", transform(col("ks"), k => k.getField("line")))
+          .as("dedup_text"))
+    base.select(col("doc_id"), size(col("lns")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Shannon entropy of each document's token distribution, in bits:
     * H = log2(n) − (Σ c·log2 c)/n over per-term counts c. Low entropy =
     * repetitive/boilerplate (near 0 for a one-token loop), high = diverse

@@ -191,6 +191,68 @@ object UnigramLm {
         round(log(element_at(col("vit"), len + 1)), 6).as("viterbi_logp"))
   }
 
+  /** Vocabulary PRUNING — the other half of Kudo's algorithm (train()'s
+    * EM optimizes probabilities over a FIXED piece set; real
+    * SentencePiece training alternates EM with dropping the pieces whose
+    * removal least hurts the corpus likelihood until the target size).
+    * This is the prune STEP, composable with [[train]]'s EM rounds the
+    * way [[emStep]] is the EM step.
+    *
+    * Per-piece loss delta from the same lattice folds: for every
+    * multi-char vocabulary piece q and every word containing it,
+    * re-run the forward fold over the word's lattice WITH q's edges
+    * FILTERED OUT (row-local — an edge is q's iff its span substring
+    * equals q, so no extra state rides the lattice); then
+    *   loss(q) = Σ_words wcount · (ln α[L] − ln α^{−q}[L]),
+    * the exact marginal-likelihood drop of removing q. A word with
+    * α^{−q}[L] = 0 has NO segmentation without q — q is ESSENTIAL and
+    * never pruned (the coverage guarantee generalized beyond single
+    * chars). Single characters are never pruned by construction.
+    * The bottom `nPrune` non-essential multi-char pieces by
+    * (loss_delta, piece) are marked pruned.
+    *
+    * Work: one fold per DISTINCT (word, vocab piece in word) pair —
+    * row-local after one broadcast vocab join; the only shuffles are
+    * the word count and the |vocab|-row loss aggregation (6dp-rounded
+    * after the cross-partition sum, the repo float contract). */
+  def pruneVocab(docs: DataFrame, maxPieceLen: Int = 4, vocabSize: Int = 60,
+                 nPrune: Int = 15): DataFrame = {
+    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val vocab = seedVocabFrom(occ, vocabSize).localCheckpoint()
+    val lat = wordLattice(occ, vocab)
+    val len = length(col("word"))
+    val withZ = lat.withColumn("z",
+      element_at(alphaFold(col("es"), len), len + 1))
+    // distinct (word, multi-char vocab piece) pairs — the loss grain
+    val wp = occ.join(broadcast(vocab.select("piece")), "piece")
+      .filter(length(col("piece")) >= 2)
+      .select("word", "piece").distinct()
+    // α without q: same fold, q's edges filtered out by span substring
+    val exclEs = filter(col("es"), e =>
+      !(col("word").substr(e.getItem(1).cast("int") + 1,
+        e.getItem(0).cast("int") - e.getItem(1).cast("int")) === col("piece")))
+    val pair = wp.join(withZ.select(col("word"), col("wcount"),
+        col("es"), col("z")), "word")
+      .select(col("piece"), col("wcount"), col("z"),
+        element_at(alphaFold(exclEs, len), len + 1).as("zq"))
+    val loss = pair.groupBy("piece").agg(
+      max((col("zq") === 0.0).cast("int")).as("essential_i"),
+      round(sum(when(col("zq") > 0.0,
+        col("wcount").cast("double") * (log(col("z")) - log(col("zq"))))
+        .otherwise(lit(0.0))), 6).as("loss_delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("loss_delta").asc, col("piece").asc)
+    val cand = loss.filter(col("essential_i") === 0)
+      .withColumn("rk", row_number().over(w))
+      .select(col("piece"), col("rk"))
+    vocab.join(loss, Seq("piece"), "left").join(cand, Seq("piece"), "left")
+      .select(col("piece"), round(col("p"), 6).as("p"),
+        col("loss_delta"),
+        (length(col("piece")) === 1 ||
+          coalesce(col("essential_i"), lit(1)) === 1).as("essential"),
+        coalesce(col("rk") <= nPrune, lit(false)).as("pruned"))
+  }
+
   /** One EM round over a FIXED piece set: expected counts under `vocab`
     * probabilities, renormalized and 6dp-rounded into the next round's
     * (piece, p). The per-round rounding is the same pin the logreg
