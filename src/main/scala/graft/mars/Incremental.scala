@@ -66,7 +66,7 @@ object Incremental {
     * documents as atomic. Remote filesystems use `create(overwrite =
     * false)`; HDFS signals a lost race with FileAlreadyExistsException,
     * which is a lost claim, not an error. */
-  private def createExclusive(f: FileSystem, p: Path): Boolean = {
+  private[graft] def createExclusive(f: FileSystem, p: Path): Boolean = {
     val q = f.makeQualified(p)
     if (q.toUri.getScheme == "file")
       new java.io.File(q.toUri.getPath).createNewFile()

@@ -1951,7 +1951,8 @@ object TrainingOps extends OpsModule {
         ld AS MATERIALIZED (SELECT g.* REPLACE (coalesce(ls.new_text, '') AS text),
                       len(string_split(g.text, chr(10)))
                         - coalesce(ls.n_kept, 0) AS n_lines_removed
-               FROM gated g LEFT JOIN lstat ls USING (doc_id)),
+               FROM gated g LEFT JOIN lstat ls USING (doc_id)
+               WHERE coalesce(ls.n_kept, 0) > 0),
         exh AS (SELECT doc_id,
                        md5(trim(regexp_replace(regexp_replace(lower(text),
                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h

@@ -716,7 +716,24 @@ object Embeddings {
   def nnDescentRecall(embeddings: DataFrame, k: Int = 5, nPlanes: Int = 4,
                       sampleMod: Int = 20): DataFrame = {
     val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
-    val planes = hyperplanes(nPlanes, dims)
+    // The documented knobs must actually MOVE with N (the r5→r6 sf10
+    // spot-bench caught the defaults frozen: 16 buckets at 200k vectors
+    // → Σ|bucket|² ≈ 2.5e9 seed pairs → OOM at the default heap).
+    //  - nPlanes ∝ log N: hold expected bucket occupancy ≈ 1250 vectors,
+    //    so per-node seed cost stays constant as the corpus grows;
+    //  - the brute-truth sample is a bounded COUNT (~100 queries), not a
+    //    fixed fraction — recall-estimate precision does not grow with N,
+    //    but a 1-in-20 sample of 200k nodes is 10k×N scored pairs.
+    // Both formulas floor at the declared parameter: corpora ≤ sf0.1 —
+    // including the sf0.01 oracle — are bit-unchanged; at sf1 the plane
+    // count still resolves to 4 but the truth sample caps at ~100
+    // queries (the recall estimate's variance changes, not its
+    // expectation).
+    val n = embeddings.count()
+    val effPlanes = math.max(nPlanes,
+      math.ceil(math.log(n / 1250.0) / math.log(2.0)).toInt)
+    val effSampleMod = math.max(sampleMod, (n / 100L).toInt)
+    val planes = hyperplanes(effPlanes, dims)
     // bucket+norm computed once; localCheckpoint truncates lineage so the
     // four consumers (2 seed sides, candidate scoring, brute truth) reuse
     // the materialized frame instead of re-deriving it
@@ -752,13 +769,13 @@ object Embeddings {
       .select("u", "w").filter(col("u") =!= col("w"))
     val refined = topK(seed.select("u", "w").union(non).distinct())
 
-    val nSample = e.filter(col("vec_id") % sampleMod === 0)
+    val nSample = e.filter(col("vec_id") % effSampleMod === 0)
       .agg(count(lit(1)).as("n_nodes")).withColumn("jk", lit(1))
-    val brute = knnBruteForce(embeddings, col("vec_id") % sampleMod === 0, k)
+    val brute = knnBruteForce(embeddings, col("vec_id") % effSampleMod === 0, k)
       .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
 
     def stageMetrics(stage: String, edges: DataFrame): DataFrame =
-      edges.filter(col("u") % sampleMod === 0)
+      edges.filter(col("u") % effSampleMod === 0)
         .join(brute, col("u") === col("bq") && col("w") === col("bn"), "left")
         .agg(
           sum(when(col("bq").isNotNull, 1L).otherwise(0L)).as("hits"),

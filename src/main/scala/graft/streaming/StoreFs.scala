@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Store-path filesystem resolution for the streaming ingest faces
@@ -23,20 +23,18 @@ private[streaming] object StoreFs {
     fs(spark, path).exists(p)
   }
 
-  /** Create an empty marker file (parents included). Local paths go
-    * through `java.io.File.createNewFile` — documented atomic, where
-    * Hadoop's RawLocalFileSystem createNewFile is exists-then-create —
-    * mirroring [[graft.mars.Incremental]]'s exclusive-create primitive;
-    * a lost race (marker already present) is a no-op, not an error,
-    * because a marker is idempotent evidence, not a claim. */
+  /** Create an empty marker file (parents included), via
+    * [[graft.mars.Incremental.createExclusive]] — the ONE
+    * scheme-dispatched atomic-create primitive (local
+    * `java.io.File.createNewFile` where Hadoop's RawLocalFileSystem
+    * lacks O_EXCL; `create(overwrite = false)` elsewhere). A lost race
+    * (marker already present) is a no-op, not an error, because a
+    * marker is idempotent evidence, not a claim. */
   def touch(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
     val q = f.makeQualified(new Path(path))
     f.mkdirs(q.getParent)
-    if (q.toUri.getScheme == "file")
-      new java.io.File(q.toUri.getPath).createNewFile()
-    else
-      try f.create(q, false).close()
-      catch { case _: FileAlreadyExistsException => () }
+    graft.mars.Incremental.createExclusive(f, q)
+    ()
   }
 }

@@ -82,12 +82,24 @@ object CurationPipeline {
     // differing only in nav chrome hash apart) and manufactures false
     // ones (two unrelated pages that are mostly shared template hash
     // together once the unique tail is short). Heavy lines are counted
-    // within the GATED corpus (the stage's actual input); documents are
-    // rewritten, never dropped, so the funnel row counts TOUCHED docs.
+    // within the GATED corpus (the stage's actual input). The funnel
+    // row counts TOUCHED docs; a doc whose EVERY line was boilerplate
+    // (no kept lines) is dropped — an empty rewrite must not ride into
+    // the curated corpus past gates that never saw the empty text.
+    // Text-derived columns are recomputed from the rewritten text
+    // (n_chars here — the only derived doc column in this schema), so
+    // downstream measures never mix pre-rewrite stats with post-rewrite
+    // text.
     val ld = TextOps.lineDedup(gated, lineMaxDocs)
-    val lineDeduped = gated.drop("text")
-      .join(ld.select(col("doc_id"), col("n_removed"),
-        col("dedup_text").as("text")), "doc_id")
+    val rejoined = gated.drop("text")
+      .join(ld.filter(col("n_lines") > col("n_removed"))
+        .select(col("doc_id"), col("n_removed"),
+          col("dedup_text").as("text")), "doc_id")
+    val lineDeduped = (
+      if (docs.columns.contains("n_chars"))
+        rejoined.withColumn("n_chars",
+          length(col("text")).cast(docs.schema("n_chars").dataType))
+      else rejoined)
       .select(docs.columns.map(col) :+ col("n_removed"): _*)
       .persist()
     val nLineTouched = lineDeduped.filter(col("n_removed") > 0).count()

@@ -1415,10 +1415,14 @@ object TextOps {
   /** Exact-substring dedup REMOVAL — the rewrite ExactSubstr dedup (Lee
     * et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better") actually ships, where [[substringDupSpans]] only measures:
-    * every duplicated k-token span keeps its CANONICAL occurrence (the
-    * (doc_id, pos)-minimal one) and every other occurrence's tokens are
-    * removed, then each document's text is rebuilt from its surviving
-    * tokens.
+    * each duplicated k-token span's CANONICAL occurrence (the
+    * (doc_id, pos)-minimal one) is exempt from ITS OWN removal and every
+    * other occurrence's tokens are removed, then each document's text is
+    * rebuilt from its surviving tokens. Note the exemption is per-span,
+    * not a survival guarantee: a DIFFERENT duplicated span's removal
+    * interval can overlap (and clip) a canonical occurrence — the same
+    * property as reference ExactSubstr implementations, which cut each
+    * duplicated byte range independently.
     *
     * Shape: all-position spans hash to 60-bit longs BEFORE the shuffle
     * (the exchange carries 8 bytes per span, never span text); ONE

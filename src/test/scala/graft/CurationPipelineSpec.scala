@@ -51,6 +51,39 @@ class CurationPipelineSpec extends AnyFunSuite {
     } finally { curated.unpersist(); r.unpersist() }
   }
 
+  test("stage 1.5 drops all-boilerplate docs and recomputes n_chars from the rewritten text") {
+    import spark.implicits._
+    val sfDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = CurationPipeline.run(sfDocs, sfDocs.limit(0))
+    val rows = base.curated.select("text", "lang", "source")
+      .as[(String, String, String)].head(50)
+    base.unpersist()
+    val a = rows.head
+    val b = rows.find(_._1.split(" ").head != a._1.split(" ").head).get
+    // four gate-passing docs sharing their (single) line: with
+    // lineMaxDocs = 3 the line is corpus-wide boilerplate, all four
+    // rewrite to EMPTY and must be dropped at stage 1.5 — an empty doc
+    // must never ride into the curated corpus past gates that only saw
+    // the pre-rewrite text
+    val corpus = (Seq.tabulate(4)(i => (800000L + i, a._1, a._2, a._3)) :+
+      ((800010L, b._1, b._2, b._3)))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = CurationPipeline.run(corpus, corpus.limit(0))
+    val audit = r.audit.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val curated = r.curated.collect()
+    r.unpersist()
+    assert(audit("1_gated") == 5, "all five docs pass the gates")
+    assert(curated.map(_.getAs[Long]("doc_id")).toSet == Set(800010L),
+      "all-boilerplate docs must be dropped, the distinct doc kept")
+    // n_chars tracks the REWRITTEN text for every curated doc
+    curated.foreach { row =>
+      assert(row.getAs[Long]("n_chars") ==
+        row.getAs[String]("text").length.toLong,
+        s"n_chars stale for doc ${row.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("gopher and c4 gates reject planted documents the original three gates pass") {
     import spark.implicits._
     val sfDocs = Tables.documents(spark, "/root/testdata/sf0.001")
