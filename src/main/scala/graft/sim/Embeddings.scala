@@ -755,11 +755,27 @@ object Embeddings {
         .select(col("u"), col("w"), col("cos"))
     }
 
-    // seed graph: same-bucket pairs, per-node top-k
-    val seed = topK(
-      e.select(col("vec_id").as("u"), col("bucket"))
-        .join(e.select(col("vec_id").as("w"), col("bucket")), "bucket")
-        .filter(col("u") =!= col("w")).select("u", "w"))
+    // seed graph: same-bucket pairs, per-node top-k. Scored INLINE in the
+    // bucket self-join — the arrays ride the bucket shuffle (N rows per
+    // side) and die at the projection, so only (u, w, cos) longs reach
+    // the window shuffle. Routing the seed through topK instead (join
+    // arrays per PAIR) shuffles |pairs| × two embedding arrays — at sf10
+    // (200k vectors, ~1.6e8 seed pairs) that is hundreds of GB and falls
+    // out of page cache: the r6 second-decade bench measured 96× time for
+    // 6× pair work before this change. Each vector has exactly ONE
+    // bucket, so the pair set (and every cos) is bit-identical to the
+    // fetch-by-pair form — the sf0.01 oracle hash is unchanged.
+    val ebk = e.select(col("bucket"), col("vec_id"), col("emb"), col("vnorm"))
+    val seed = ebk.select(col("bucket"), col("vec_id").as("u"),
+        col("emb").as("uemb"), col("vnorm").as("unorm"))
+      .join(ebk.select(col("bucket"), col("vec_id").as("w"),
+        col("emb").as("wemb"), col("vnorm").as("wnorm")), "bucket")
+      .filter(col("u") =!= col("w"))
+      .withColumn("cos",
+        cosinePre(col("uemb"), col("wemb"), col("unorm"), col("wnorm")))
+      .select(col("u"), col("w"), col("cos"))
+      .withColumn("rk", row_number().over(wU)).filter(col("rk") <= k)
+      .select(col("u"), col("w"), col("cos"))
       .localCheckpoint() // seed feeds 3 consumers (2 expansion sides + metrics)
 
     // one NN-descent round: u→v→w ⇒ candidate (u, w), unioned with the
