@@ -424,6 +424,19 @@ object TrainingOps extends OpsModule {
     "td_lsh_plan" -> ((s, _) =>
       TextOps.lshBandingPlan(s).orderBy("bands", "jaccard")),
 
+    // the scale-knob advisor: every corpus-derived pair-operator knob
+    // (ScaleKnobs — the chooser-table contract made inspectable) as a
+    // row set from the two corpus counts; pure integer arithmetic, so
+    // the DuckDB oracle replays it exactly. Two bounded count() jobs,
+    // result is a LocalRelation — nothing shuffles
+    "td_scale_knobs" -> ((s, d) => {
+      import s.implicits._
+      val nd = docs(s, d).count()
+      val ne = embs(s, d).count()
+      graft.ops.ScaleKnobs.advise(nd, ne)
+        .toDF("knob", "input_n", "value", "holds").orderBy("knob")
+    }),
+
     // SentencePiece-style unigram LM tokenizer (Kudo 2018): seed
     // vocabulary by substring frequency (+ all chars for coverage) ...
     "td_unigram_vocab" -> ((s, d) =>
@@ -702,12 +715,17 @@ object TrainingOps extends OpsModule {
     // SemDeDup: semantic dedup INSIDE k-means cells, survivor = least
     // centroid-similar (most atypical) member — vs emb_near_dup (raw
     // pairs) and emb_dedup_clusters (connected components), this is the
-    // paper's keep/drop decision itself. Cells come from kmeansCells
-    // (configurable k, independent of the data's label) — the knob that
-    // keeps within-cell pair work bounded as N grows
-    "emb_semdedup" -> ((s, d) =>
-      Embeddings.semDedup(embs(s, d), threshold = SemDedupThreshold,
-        nCells = SemDedupCells).orderBy("vec_id")),
+    // paper's keep/drop decision itself. Cells come from kmeansCells —
+    // the knob that keeps within-cell pair work bounded as N grows —
+    // DERIVED from the corpus count (ScaleKnobs contract; the floor
+    // resolves to the declared 16 at every oracle sf, which is what the
+    // static oracle SQL assumes)
+    "emb_semdedup" -> ((s, d) => {
+      val e = embs(s, d)
+      Embeddings.semDedup(e, threshold = SemDedupThreshold,
+        nCells = graft.ops.ScaleKnobs.kmeansCells(e.count(),
+          floor = SemDedupCells)).orderBy("vec_id")
+    }),
 
     "emb_knn_brute" -> ((s, d) =>
       Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5)
@@ -833,17 +851,26 @@ object TrainingOps extends OpsModule {
 
     // full Lloyd's loop from the deterministic seed — the training pass
     // behind every derived cell; fixed iteration count unrolls into the
-    // DuckDB oracle like the BPE/logreg chains
-    "emb_kmeans_train" -> ((s, d) =>
-      Embeddings.kmeansTrain(embs(s, d), nCells = KmeansCells,
-        iters = KmeansIters).orderBy("vec_id")),
+    // DuckDB oracle like the BPE/logreg chains. Cell count derived from
+    // the corpus (ScaleKnobs; floor = declared 16 at oracle sfs)
+    "emb_kmeans_train" -> ((s, d) => {
+      val e = embs(s, d)
+      Embeddings.kmeansTrain(e,
+        nCells = graft.ops.ScaleKnobs.kmeansCells(e.count(),
+          floor = KmeansCells),
+        iters = KmeansIters).orderBy("vec_id")
+    }),
 
     // per-round convergence telemetry of the same loop: mean assigned-
     // centroid cosine rises, moved-vector count falls — the signal that
     // picks the iteration count and schedules index refreshes
-    "emb_kmeans_quality" -> ((s, d) =>
-      Embeddings.kmeansQuality(embs(s, d), nCells = KmeansCells,
-        iters = KmeansIters).orderBy("round")),
+    "emb_kmeans_quality" -> ((s, d) => {
+      val e = embs(s, d)
+      Embeddings.kmeansQuality(e,
+        nCells = graft.ops.ScaleKnobs.kmeansCells(e.count(),
+          floor = KmeansCells),
+        iters = KmeansIters).orderBy("round")
+    }),
 
     "emb_silhouette" -> ((s, d) =>
       Embeddings.silhouette(embs(s, d)).orderBy("cell")),
@@ -3365,6 +3392,35 @@ object TrainingOps extends OpsModule {
          FROM j GROUP BY source ORDER BY source""",
 
     "td_lsh_plan" -> duckLshPlanSql,
+
+    // mirrors ScaleKnobs.advise: same integer arithmetic (ceil-division
+    // as (n+d-1)//d, the plane search as min-p over a shift series), so
+    // the values are engine-exact with no float log2 on either side
+    "td_scale_knobs" ->
+      """WITH n AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                           (SELECT count(*) FROM embeddings) AS ne)
+         SELECT * FROM (
+           SELECT 'hashed_knn_block_dims' AS knob, nd AS input_n,
+                  CAST(greatest(32, (nd + 63) // 64) AS BIGINT) AS value,
+                  'candidate pair work ~64*N (blocks ~ N/64)' AS holds
+           FROM n
+           UNION ALL
+           SELECT 'kmeans_cells', ne,
+                  CAST(greatest(16, (ne + 124) // 125) AS BIGINT),
+                  'semdedup pair work ~125*N (cell occupancy ~125)'
+           FROM n
+           UNION ALL
+           SELECT 'nndescent_lsh_planes', ne,
+                  CAST((SELECT min(g) FROM generate_series(4, 49) t(g)
+                        WHERE (CAST(1250 AS BIGINT) << g) >= ne) AS BIGINT),
+                  'seed pair work ~1250*N (bucket occupancy ~1250)'
+           FROM n
+           UNION ALL
+           SELECT 'nndescent_truth_mod', ne,
+                  CAST(greatest(20, ne // 100) AS BIGINT),
+                  'exact-truth leg ~100*N (sampled queries capped ~100)'
+           FROM n)
+         ORDER BY knob""",
 
     "td_curation_audit" -> duckCurationAuditSql,
 

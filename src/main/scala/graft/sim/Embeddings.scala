@@ -730,9 +730,8 @@ object Embeddings {
     // queries (the recall estimate's variance changes, not its
     // expectation).
     val n = embeddings.count()
-    val effPlanes = math.max(nPlanes,
-      math.ceil(math.log(n / 1250.0) / math.log(2.0)).toInt)
-    val effSampleMod = math.max(sampleMod, (n / 100L).toInt)
+    val effPlanes = graft.ops.ScaleKnobs.lshPlanes(n, floor = nPlanes)
+    val effSampleMod = graft.ops.ScaleKnobs.truthSampleMod(n, floor = sampleMod)
     val planes = hyperplanes(effPlanes, dims)
     // bucket+norm computed once; localCheckpoint truncates lineage so the
     // four consumers (2 seed sides, candidate scoring, brute truth) reuse

@@ -2298,7 +2298,7 @@ object TextOps {
                 blockDims: Int = 0): DataFrame = {
     val bd: Long =
       if (blockDims > 0) blockDims.toLong
-      else math.max(2L * dims, math.ceil(docs.count() / 64.0).toLong)
+      else graft.ops.ScaleKnobs.blockDims(docs.count(), dims)
     // ONE tokenize+hash pass feeds BOTH projections: the scoring vectors
     // (pmod h, dims) and the blocking buckets (pmod h, bd) re-aggregate
     // the same (doc, term-hash, count) grain — integer two-stage sums
