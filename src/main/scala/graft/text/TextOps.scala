@@ -1500,15 +1500,32 @@ object TextOps {
     * anti-join — at 100 TB the corpus text never shuffles, only line
     * hashes do. Reconstruction is a per-doc sorted collect (bounded by
     * document size). */
-  def lineDedup(docs: DataFrame, maxDocs: Int = 3): DataFrame = {
+  def lineDedup(docs: DataFrame, maxDocs: Int = 3): DataFrame =
+    lineRemove(docs,
+      lineHashCounts(docs).filter(col("n_docs") > maxDocs).select("h"))
+
+  /** Per-line-hash distinct document counts over `docs` — the line-grain
+    * document-frequency table [[lineDedup]] thresholds, factored out so
+    * the STREAMING face ([[graft.streaming.StreamingCuration]]) can
+    * accumulate the same counts across micro-batches (one batch alone
+    * cannot see corpus-wide boilerplate). Output: (h, n_docs). */
+  def lineHashCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(col("text"), "\n")).as("line"))
+      .withColumn("h", md5Long(col("line")))
+      .groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
+
+  /** Rebuild every document with the lines in `heavy` (a frame with a
+    * 60-bit `h` column — the boilerplate set, however derived) removed;
+    * surviving lines keep position order. The removal join is the
+    * size-gated broadcast anti-join [[lineDedup]]'s scaladoc describes:
+    * corpus text never shuffles, only line hashes do. */
+  def lineRemove(docs: DataFrame, heavy: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
       split(col("text"), "\n").as("lns"))
     val lines = base.select(col("doc_id"),
       posexplode(col("lns")).as(Seq("ln", "line")))
       .withColumn("h", md5Long(col("line")))
-    val heavy = lines.groupBy("h")
-      .agg(countDistinct("doc_id").as("n_docs"))
-      .filter(col("n_docs") > maxDocs).select("h")
     val kept = lines.join(graft.ops.AutoBroadcast.sizeGate(heavy),
         Seq("h"), "left_anti")
       .groupBy("doc_id")

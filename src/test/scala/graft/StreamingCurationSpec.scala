@@ -93,4 +93,67 @@ class StreamingCurationSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(audit2 == Seq(1L), "replay must not rewrite the audit row")
   }
+
+  test("stage 1.5: cumulative line-df drops boilerplate at admission time") {
+    val corpus = tmp(); val store = tmp()
+    // five gate-passing survivors of ONE (lang, source) family, pairwise
+    // distinct first tokens (the same non-near-dup heuristic as okA/okB)
+    val sfDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = CurationPipeline.run(sfDocs, sfDocs.limit(0))
+    val fam = base.curated.select("text", "lang", "source")
+      .as[(String, String, String)].collect()
+      .filter(r => r._2 == okA._2)
+    base.unpersist()
+    val five = fam.groupBy(_._1.split(" ").head).map(_._2.head).take(5).toSeq
+    assert(five.size == 5, s"fixture needs 5 survivors, got ${five.size}")
+    // the boilerplate line: same-language words, so the combined doc
+    // still passes the lang and word-shape gates
+    val boiler = okA._1.split(" ").take(6).mkString(" ")
+    val texts = five.map(_._1 + "\n" + boiler)
+    def d(i: Int, id: Long) =
+      (id, texts(i), five(i)._2, five(i)._3, texts(i).length.toLong)
+
+    // batches 0 (docs 1,2) and 1 (docs 3,4): the line's cumulative df
+    // crosses maxDocs=3 DURING batch 1, so batch-0 docs keep it (admitted
+    // clean at the time) and batch-1 docs lose it
+    assert(StreamingCuration.applyBatch(df(d(0, 1L), d(1, 2L)), 0L,
+      corpus, store) == ((2L, 2L, 0L)))
+    assert(StreamingCuration.applyBatch(df(d(2, 3L), d(3, 4L)), 1L,
+      corpus, store) == ((2L, 2L, 0L)))
+    val stored = spark.read.parquet(s"$corpus/documents")
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(stored(1L)._2 == texts(0), "batch-0 doc keeps the line")
+    assert(stored(3L)._2 == five(2)._1, "batch-1 doc loses the line")
+    assert(stored(4L)._2 == five(3)._1)
+    assert(stored(3L)._3 == five(2)._1.length.toLong,
+      "n_chars recomputed from the rewritten text")
+
+    // audit funnel columns
+    val audit = spark.read.parquet(s"$store/audit")
+      .select(col("batch_id").cast("long"), col("n_line_touched"),
+        col("n_dropped_empty"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(audit(0L) == ((0L, 0L)))
+    assert(audit(1L) == ((2L, 0L)))
+
+    // batch 2 sees the (now) boilerplate line too
+    assert(StreamingCuration.applyBatch(df(d(4, 5L)), 2L,
+      corpus, store) == ((1L, 1L, 0L)))
+    assert(spark.read.parquet(s"$corpus/documents")
+      .filter(col("doc_id") === 5L).select("text").as[String].head ==
+      five(4)._1)
+
+    // df deltas are batch-path-keyed: replay overwrites, never
+    // double-counts
+    val hB = graft.text.TextOps.lineHashCounts(
+      Seq((9L, boiler)).toDF("doc_id", "text")).select("h").as[Long].head()
+    def dfOfB = spark.read.parquet(s"$store/linedf")
+      .filter(col("h") === hB).agg(sum("n_docs")).as[Long].head()
+    assert(dfOfB == 5L)
+    assert(StreamingCuration.applyBatch(df(d(2, 3L), d(3, 4L)), 1L,
+      corpus, store) == ((0L, 0L, 0L)))
+    assert(dfOfB == 5L, "replayed batch must not double-count line df")
+    assert(spark.read.parquet(s"$corpus/documents").count() == 5)
+  }
 }
