@@ -16,7 +16,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
 
-  private val modules: Seq[OpsModule] = Seq(Relational, MarsOps, TrainingOps)
+  /** Public so PlanAuditSpec can enforce planTags PER MODULE (a tag
+    * declared in one module for another module's query would pass a
+    * global-union check while violating the co-location contract). */
+  val modules: Seq[OpsModule] = Seq(Relational, MarsOps, TrainingOps)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -48,7 +48,11 @@ object ScaleKnobs {
     * The estimate's variance changes with n; its expectation does not.
     * Used by [[graft.sim.Embeddings.nnDescentRecall]]. */
   def truthSampleMod(n: Long, floor: Int = 20, maxQueries: Long = 100): Int =
-    math.max(floor.toLong, n / maxQueries).toInt
+    // clamp before narrowing: at n beyond ~2e11 the Long result passes
+    // Int.MaxValue and a bare .toInt would wrap NEGATIVE — the modulus
+    // filter would then sample ~one row and silently report recall over
+    // a single query. Clamped, the sample just grows past `maxQueries`.
+    math.min(math.max(floor.toLong, n / maxQueries), Int.MaxValue.toLong).toInt
 
   /** Hashed-TF ANN blocking-projection width: blocks ≈ n/64 so candidate
     * pair work stays ~(n/blockDims)·n ≈ 64·n, linear; never below
@@ -67,7 +71,10 @@ object ScaleKnobs {
     * dial up to the scales this library benches (1600 cells at sf10).
     * Used by the emb_semdedup / emb_kmeans_* registrations. */
   def kmeansCells(n: Long, floor: Int = 16, targetOccupancy: Long = 125): Int =
-    math.max(floor.toLong, ceilDiv(n, targetOccupancy)).toInt
+    // same clamp-before-narrow as truthSampleMod: a wrapped negative
+    // cell count would poison kmeansTrain/semDedup without an error
+    math.min(math.max(floor.toLong, ceilDiv(n, targetOccupancy)),
+      Int.MaxValue.toLong).toInt
 
   /** The advisor rows behind the `td_scale_knobs` query: every derived
     * knob with its input count and the bound it holds. Pure function of

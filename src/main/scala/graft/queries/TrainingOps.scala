@@ -2028,6 +2028,8 @@ object TrainingOps extends OpsModule {
             (SELECT count(*) FROM gates WHERE NOT p_c4)
           UNION ALL SELECT '1z_line_dedup_touched',
             (SELECT count(*) FROM ld WHERE n_lines_removed > 0)
+          UNION ALL SELECT '1z_line_dedup_dropped_empty',
+            (SELECT count(*) FROM gated) - (SELECT count(*) FROM ld)
           UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM base_docs)
           UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM near)
           UNION ALL SELECT '4_decontaminated', (SELECT count(*) FROM finaldocs))

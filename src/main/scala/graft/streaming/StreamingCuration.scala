@@ -41,7 +41,12 @@ import graft.text.{CurationGates, TextOps}
   * Per-batch audit rows (n_input, n_gated, n_line_touched,
   * n_dropped_empty, n_admitted, n_rejected_near_dup) land in
   * `storeDir/audit/batch_id=<id>/` — batch-path-keyed overwrite, the
-  * VectorIngest drift-log posture. Replay: [[NearDupIngest.applyBatch]]'s
+  * VectorIngest drift-log posture. Schema note for stores that predate
+  * the line stage: their early audit partitions carry only the original
+  * four columns, so reads across an upgraded store's whole audit
+  * directory must pass `mergeSchema=true` (plain reads infer from one
+  * arbitrary footer; the two line-stage columns surface as NULL for old
+  * batches, which is the honest value — the stage did not run). Replay: [[NearDupIngest.applyBatch]]'s
   * applied-marker makes admission a no-op, and this wrapper checks the
   * same marker BEFORE gating so a replayed batch neither recomputes
   * signals nor rewrites its audit row with no-op zeros. A crash between
@@ -76,17 +81,12 @@ object StreamingCuration {
     val heavy = spark.read.parquet(lineDfDir)
       .groupBy("h").agg(sum("n_docs").as("n_docs"))
       .filter(col("n_docs") > lineMaxDocs).select("h")
-    val ld = TextOps.lineRemove(gated, heavy).localCheckpoint()
-    val rejoined = gated.drop("text")
-      .join(ld.filter(col("n_lines") > col("n_removed"))
-        .select(col("doc_id"), col("n_removed"),
-          col("dedup_text").as("text")), "doc_id")
-    val lineDeduped = (
-      if (batch.columns.contains("n_chars"))
-        rejoined.withColumn("n_chars",
-          length(col("text")).cast(batch.schema("n_chars").dataType))
-      else rejoined)
-      .localCheckpoint()
+    // the SAME rewrite+drop+recompute block the batch pipeline runs —
+    // one helper, so admission-time and re-curation semantics cannot
+    // drift (only the heavy-set derivation differs: cumulative df here,
+    // single-pass df there)
+    val lineDeduped =
+      TextOps.applyLineRemoval(gated, heavy).localCheckpoint()
     val nLineTouched = lineDeduped.filter(col("n_removed") > 0).count()
     val nDroppedEmpty = nGated - lineDeduped.count()
     val cleaned = lineDeduped.select(batch.columns.map(col): _*)

@@ -90,19 +90,13 @@ object CurationPipeline {
     // (n_chars here — the only derived doc column in this schema), so
     // downstream measures never mix pre-rewrite stats with post-rewrite
     // text.
-    val ld = TextOps.lineDedup(gated, lineMaxDocs)
-    val rejoined = gated.drop("text")
-      .join(ld.filter(col("n_lines") > col("n_removed"))
-        .select(col("doc_id"), col("n_removed"),
-          col("dedup_text").as("text")), "doc_id")
-    val lineDeduped = (
-      if (docs.columns.contains("n_chars"))
-        rejoined.withColumn("n_chars",
-          length(col("text")).cast(docs.schema("n_chars").dataType))
-      else rejoined)
-      .select(docs.columns.map(col) :+ col("n_removed"): _*)
+    val nGated = gated.count()
+    val lineDeduped = TextOps.applyLineRemoval(gated,
+        TextOps.lineHashCounts(gated)
+          .filter(col("n_docs") > lineMaxDocs).select("h"))
       .persist()
     val nLineTouched = lineDeduped.filter(col("n_removed") > 0).count()
+    val nDroppedEmpty = nGated - lineDeduped.count()
     val cleaned = lineDeduped.select(docs.columns.map(col): _*)
 
     // stage 2: exact dedup — canonical doc per content hash
@@ -139,12 +133,17 @@ object CurationPipeline {
     // zero-column parquet metadata scan — no caching needed.
     val audit = (Seq(
       ("0_input", docs.count()),
-      ("1_gated", gated.count())) ++
+      ("1_gated", nGated)) ++
       CurationGates.ordered.zipWithIndex.map { case ((n, _), i) =>
         (s"1_reject_$n", rejects.getLong(i)) } ++ Seq(
-      // line dedup rewrites rather than drops — the funnel row is the
-      // count of documents that LOST at least one boilerplate line
+      // line dedup mostly rewrites — 'touched' counts documents that
+      // LOST at least one boilerplate line; 'dropped_empty' counts the
+      // documents it DROPPED outright (every line boilerplate), so the
+      // funnel reconciles: 2_exact_dedup starts from 1_gated −
+      // dropped_empty, and empty-rewrite losses are never misread as
+      // exact-dedup losses
       ("1z_line_dedup_touched", nLineTouched),
+      ("1z_line_dedup_dropped_empty", nDroppedEmpty),
       ("2_exact_dedup", exact.count()),
       ("3_near_dedup", nearDeduped.count()),
       ("4_decontaminated", curated.count())))

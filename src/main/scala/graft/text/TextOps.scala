@@ -1515,6 +1515,29 @@ object TextOps {
       .withColumn("h", md5Long(col("line")))
       .groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
 
+  /** The full stage-1.5 application, shared VERBATIM by the batch
+    * pipeline ([[CurationPipeline]]) and the streaming face
+    * ([[graft.streaming.StreamingCuration]]) so the two admission
+    * semantics cannot drift: rewrite `docs` with `heavy` lines removed,
+    * DROP documents whose every line was boilerplate (an empty rewrite
+    * must not ride past gates that never saw the empty text), and
+    * recompute `n_chars` from the rewritten text when the schema
+    * carries it (derived columns must not mix pre-rewrite stats with
+    * post-rewrite text). Returns `docs`' columns plus `n_removed`. */
+  def applyLineRemoval(docs: DataFrame, heavy: DataFrame): DataFrame = {
+    val ld = lineRemove(docs, heavy)
+    val rejoined = docs.drop("text")
+      .join(ld.filter(col("n_lines") > col("n_removed"))
+        .select(col("doc_id"), col("n_removed"),
+          col("dedup_text").as("text")), "doc_id")
+    val out =
+      if (docs.columns.contains("n_chars"))
+        rejoined.withColumn("n_chars",
+          length(col("text")).cast(docs.schema("n_chars").dataType))
+      else rejoined
+    out.select(docs.columns.map(col) :+ col("n_removed"): _*)
+  }
+
   /** Rebuild every document with the lines in `heavy` (a frame with a
     * 60-bit `h` column — the boilerplate set, however derived) removed;
     * surviving lines keep position order. The removal join is the

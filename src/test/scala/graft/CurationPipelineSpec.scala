@@ -74,6 +74,8 @@ class CurationPipelineSpec extends AnyFunSuite {
     val curated = r.curated.collect()
     r.unpersist()
     assert(audit("1_gated") == 5, "all five docs pass the gates")
+    assert(audit("1z_line_dedup_dropped_empty") == 4,
+      "the four empty rewrites must be accounted for in the funnel")
     assert(curated.map(_.getAs[Long]("doc_id")).toSet == Set(800010L),
       "all-boilerplate docs must be dropped, the distinct doc kept")
     // n_chars tracks the REWRITTEN text for every curated doc

@@ -59,10 +59,17 @@ class PlanAuditSpec extends AnyFunSuite {
   private def outRows(p: SparkPlan): Option[Long] =
     allNodes(p).flatMap(_.metrics.get("numOutputRows")).headOption.map(_.value)
 
-  test("every plan tag names a registered query") {
-    val dangling = planTagMap.keySet.diff(SparkEntry.queries.keySet)
-    assert(dangling.isEmpty,
-      s"plan tags for unregistered queries: ${dangling.mkString(", ")}")
+  test("every plan tag names a registered query — in its OWN module") {
+    // per-module, not global-union: the co-location contract is that a
+    // tag lives beside the registration it excuses, so a tag declared in
+    // module A for module B's query is a violation even though the query
+    // exists somewhere
+    SparkEntry.modules.foreach { m =>
+      val dangling = m.planTags.keySet.diff(m.queries.keySet)
+      assert(dangling.isEmpty,
+        s"${m.getClass.getSimpleName}: plan tags for queries not " +
+          s"registered in this module: ${dangling.mkString(", ")}")
+    }
   }
 
   test("every tagged exhaustive baseline names a registered scale-path sibling") {
