@@ -23,15 +23,47 @@ package graft.ops
   */
 object ScaleKnobs {
 
+  /** The default constants behind every derivation, NAMED so the
+    * `td_scale_knobs` DuckDB oracle SQL is GENERATED from the same
+    * values (TrainingOps.duckScaleKnobsSql interpolates these) — a
+    * change to any default flows into both engines at once instead of
+    * silently diverging from a hardcoded SQL constant. */
+  val LshFloor = 4
+  val LshCap = 49
+  val LshOccupancy = 1250L
+  val TruthFloor = 20
+  val TruthMaxQueries = 100L
+  val BlockOccupancy = 64L
+  val HashedKnnDims = 16
+  val KmeansFloor = 16
+  val KmeansOccupancy = 125L
+  val CoarseFloorCells = 256
+  val SamplePerCell = 32L
+
   /** ceil(n / d) without floats. */
   private def ceilDiv(n: Long, d: Long): Long = (n + d - 1) / d
+
+  /** Integer sqrt: the largest s ≥ 0 with s·s ≤ n. Plain descent from a
+    * float seed with exact integer verification — the float is only a
+    * starting point, the returned value is integer-checked, so the
+    * result is identical on every platform (no libm boundary rounding). */
+  private[graft] def isqrt(n: Long): Long = {
+    if (n <= 0) 0L
+    else {
+      // seed capped at isqrt(Long.MaxValue) so s*s never overflows
+      var s = math.min(3037000499L, math.max(1L, math.sqrt(n.toDouble).toLong + 1L))
+      while (s * s > n) s -= 1
+      s
+    }
+  }
 
   /** Sign-LSH hyperplane count: the smallest p ≥ `floor` with
     * targetOccupancy · 2^p ≥ n, i.e. expected bucket occupancy held at
     * ~`targetOccupancy` as the corpus grows — Σ|bucket|² stays ~n·occ
     * (linear in n) instead of n²/2^floor.
     * Used by [[graft.sim.Embeddings.nnDescentRecall]]. */
-  def lshPlanes(n: Long, floor: Int = 4, targetOccupancy: Long = 1250): Int = {
+  def lshPlanes(n: Long, floor: Int = LshFloor,
+                targetOccupancy: Long = LshOccupancy): Int = {
     // cap 49: targetOccupancy << 49 ≈ 7e17 already exceeds any corpus,
     // and both engines stay comfortably inside signed-64 (the DuckDB
     // mirror evaluates the shift for EVERY series value before
@@ -47,7 +79,8 @@ object ScaleKnobs {
     * 1-in-`floor` fraction makes the exact leg |n/floor| × n, quadratic.
     * The estimate's variance changes with n; its expectation does not.
     * Used by [[graft.sim.Embeddings.nnDescentRecall]]. */
-  def truthSampleMod(n: Long, floor: Int = 20, maxQueries: Long = 100): Int =
+  def truthSampleMod(n: Long, floor: Int = TruthFloor,
+                     maxQueries: Long = TruthMaxQueries): Int =
     // clamp before narrowing: at n beyond ~2e11 the Long result passes
     // Int.MaxValue and a bare .toInt would wrap NEGATIVE — the modulus
     // filter would then sample ~one row and silently report recall over
@@ -59,32 +92,68 @@ object ScaleKnobs {
     * 2·dims so the blocking projection is strictly finer than the
     * scoring one. Used by [[graft.text.TextOps.hashedKnn]]. */
   def blockDims(n: Long, dims: Int): Long =
-    math.max(2L * dims, ceilDiv(n, 64L))
+    math.max(2L * dims, ceilDiv(n, BlockOccupancy))
 
   /** k-means cell count: hold expected cell occupancy at
     * ~`targetOccupancy` (cells ∝ n), so SemDeDup's Σ|cell|² pair work
     * stays ~n·occ. The floor keeps oracle-scale corpora at the declared
-    * 16 cells (sf0.1's 2000 vectors sit exactly at 16 × 125). Caveat the
-    * chooser table documents: the ASSIGN pass costs n·cells per Lloyd
-    * iteration, so at cluster scale one trains on a sample or caps cells
-    * near √n and accepts n^1.5 pair work — occupancy-held is the right
-    * dial up to the scales this library benches (1600 cells at sf10).
+    * 16 cells (sf0.1's 2000 vectors sit exactly at 16 × 125). The assign
+    * pass that occupancy-held cells would make n·cells per Lloyd
+    * iteration (quadratic-class — the r6 decade's one named scale
+    * killer) is bounded by the two companion knobs: [[kmeansCoarse]]
+    * (two-level routing, n·2·√cells) and [[kmeansSampleMod]] (Lloyd
+    * iterations on a ∝ cells sample; one full assign pass total).
     * Used by the emb_semdedup / emb_kmeans_* registrations. */
-  def kmeansCells(n: Long, floor: Int = 16, targetOccupancy: Long = 125): Int =
+  def kmeansCells(n: Long, floor: Int = KmeansFloor,
+                  targetOccupancy: Long = KmeansOccupancy): Int =
     // same clamp-before-narrow as truthSampleMod: a wrapped negative
     // cell count would poison kmeansTrain/semDedup without an error
     math.min(math.max(floor.toLong, ceilDiv(n, targetOccupancy)),
       Int.MaxValue.toLong).toInt
 
+  /** Coarse-quantizer group count for the two-level k-means ASSIGN pass
+    * (the bound on the one quadratic-class path the r6 decade named):
+    * with occupancy-held cells (cells ∝ n) an exhaustive assign is
+    * n·cells per Lloyd iteration; routing every vector through
+    * ~isqrt(cells) coarse centroids first, then scanning only the
+    * winning group's ~cells/isqrt(cells) member cells, makes the assign
+    * n·2·√cells — the n^1.5-class posture IVF builders use. Returns 1
+    * (= exhaustive, BIT-IDENTICAL to the historical single-level plan)
+    * while cells ≤ `floorCells`, which covers every oracle sf and sf0.1
+    * (16 cells) — so every recorded oracle hash is unchanged and the
+    * two-level approximation only engages where the bound matters.
+    * Used by [[graft.sim.Embeddings.assignToCells]] via the
+    * emb_kmeans_train / emb_kmeans_quality / emb_semdedup
+    * registrations. */
+  def kmeansCoarse(cells: Int, floorCells: Int = CoarseFloorCells): Int =
+    if (cells <= floorCells) 1 else isqrt(cells.toLong).toInt
+
+  /** Centroid-training sample modulus: Lloyd ITERATIONS run on the
+    * ~cells·`perCell` deterministic hash-sample (vec_id ≡ 0 mod the
+    * returned value) — sample size ∝ cells, so per-iteration assign
+    * work is (cells·perCell)·√cells under the two-level assign — and
+    * only the final single assign pass touches the full corpus. Returns
+    * 1 (= train on everything, bit-identical to the historical loop)
+    * whenever n ≤ cells·perCell, which covers every oracle sf.
+    * Used by [[graft.sim.Embeddings.kmeansTrainSampled]]. */
+  def kmeansSampleMod(n: Long, cells: Int, perCell: Long = SamplePerCell): Int =
+    math.min(math.max(1L, n / (cells.toLong * perCell)),
+      Int.MaxValue.toLong).toInt
+
   /** The advisor rows behind the `td_scale_knobs` query: every derived
     * knob with its input count and the bound it holds. Pure function of
     * the two corpus counts so the DuckDB oracle replays it exactly. */
-  def advise(nDocs: Long, nVecs: Long, hashedKnnDims: Int = 16)
+  def advise(nDocs: Long, nVecs: Long, hashedKnnDims: Int = HashedKnnDims)
       : Seq[(String, Long, Long, String)] = Seq(
     ("hashed_knn_block_dims", nDocs, blockDims(nDocs, hashedKnnDims),
       "candidate pair work ~64*N (blocks ~ N/64)"),
     ("kmeans_cells", nVecs, kmeansCells(nVecs).toLong,
       "semdedup pair work ~125*N (cell occupancy ~125)"),
+    ("kmeans_coarse", nVecs, kmeansCoarse(kmeansCells(nVecs)).toLong,
+      "lloyd assign work ~2*sqrt(cells)*N (two-level routing)"),
+    ("kmeans_sample_mod", nVecs,
+      kmeansSampleMod(nVecs, kmeansCells(nVecs)).toLong,
+      "centroid training on a ~32*cells sample (iterations off-corpus)"),
     ("nndescent_lsh_planes", nVecs, lshPlanes(nVecs).toLong,
       "seed pair work ~1250*N (bucket occupancy ~1250)"),
     ("nndescent_truth_mod", nVecs, truthSampleMod(nVecs).toLong,

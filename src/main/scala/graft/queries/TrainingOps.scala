@@ -722,9 +722,11 @@ object TrainingOps extends OpsModule {
     // static oracle SQL assumes)
     "emb_semdedup" -> ((s, d) => {
       val e = embs(s, d)
+      val cells = graft.ops.ScaleKnobs.kmeansCells(e.count(),
+        floor = SemDedupCells)
       Embeddings.semDedup(e, threshold = SemDedupThreshold,
-        nCells = graft.ops.ScaleKnobs.kmeansCells(e.count(),
-          floor = SemDedupCells)).orderBy("vec_id")
+        nCells = cells,
+        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells)).orderBy("vec_id")
     }),
 
     "emb_knn_brute" -> ((s, d) =>
@@ -852,24 +854,33 @@ object TrainingOps extends OpsModule {
     // full Lloyd's loop from the deterministic seed — the training pass
     // behind every derived cell; fixed iteration count unrolls into the
     // DuckDB oracle like the BPE/logreg chains. Cell count derived from
-    // the corpus (ScaleKnobs; floor = declared 16 at oracle sfs)
+    // the corpus (ScaleKnobs; floor = declared 16 at oracle sfs); the
+    // assign pass is bounded by the two r6-decade knobs — sampled
+    // training (iterations off-corpus) + two-level coarse routing
+    // (N·2·√cells, not N·cells) — both of which floor to the historical
+    // exhaustive full-corpus loop at oracle sfs, so the static oracle
+    // chain stays bit-exact
     "emb_kmeans_train" -> ((s, d) => {
       val e = embs(s, d)
-      Embeddings.kmeansTrain(e,
-        nCells = graft.ops.ScaleKnobs.kmeansCells(e.count(),
-          floor = KmeansCells),
-        iters = KmeansIters).orderBy("vec_id")
+      val n = e.count()
+      val cells = graft.ops.ScaleKnobs.kmeansCells(n, floor = KmeansCells)
+      Embeddings.kmeansTrainSampled(e, nCells = cells, iters = KmeansIters,
+        sampleMod = graft.ops.ScaleKnobs.kmeansSampleMod(n, cells),
+        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells)).orderBy("vec_id")
     }),
 
     // per-round convergence telemetry of the same loop: mean assigned-
     // centroid cosine rises, moved-vector count falls — the signal that
-    // picks the iteration count and schedules index refreshes
+    // picks the iteration count and schedules index refreshes (under
+    // sampled training the telemetry follows the sample, which is what
+    // the iteration decision is made on)
     "emb_kmeans_quality" -> ((s, d) => {
       val e = embs(s, d)
-      Embeddings.kmeansQuality(e,
-        nCells = graft.ops.ScaleKnobs.kmeansCells(e.count(),
-          floor = KmeansCells),
-        iters = KmeansIters).orderBy("round")
+      val n = e.count()
+      val cells = graft.ops.ScaleKnobs.kmeansCells(n, floor = KmeansCells)
+      Embeddings.kmeansQuality(e, nCells = cells, iters = KmeansIters,
+        sampleMod = graft.ops.ScaleKnobs.kmeansSampleMod(n, cells),
+        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells)).orderBy("round")
     }),
 
     "emb_silhouette" -> ((s, d) =>
@@ -1592,6 +1603,61 @@ object TrainingOps extends OpsModule {
           FROM (SELECT i / 20.0 AS j FROM generate_series(1, 19) AS t(i))"""
     }
     parts.mkString("\nUNION ALL\n") + "\nORDER BY bands, jaccard"
+  }
+
+  /** Oracle twin of [[graft.ops.ScaleKnobs.advise]], GENERATED from the
+    * same named constants (a ScaleKnobs default change flows into both
+    * engines; nothing is hardcoded twice). Integer arithmetic only:
+    * ceil-division as (n+d-1)//d, the plane search as min-g over a
+    * shift series (coalesce-saturated at the cap, matching the Scala
+    * loop's behavior past occupancy<<cap), the coarse count as the
+    * max-g integer sqrt scan (46341² > Int.MaxValue bounds the series). */
+  private val duckScaleKnobsSql = {
+    import graft.ops.ScaleKnobs._
+    s"""WITH n AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                          (SELECT count(*) FROM embeddings) AS ne),
+        k AS (SELECT nd, ne,
+                greatest($KmeansFloor,
+                         (ne + ${KmeansOccupancy - 1}) // $KmeansOccupancy)
+                  AS cells
+              FROM n)
+        SELECT * FROM (
+          SELECT 'hashed_knn_block_dims' AS knob, nd AS input_n,
+                 CAST(greatest(${2 * HashedKnnDims},
+                      (nd + ${BlockOccupancy - 1}) // $BlockOccupancy) AS BIGINT)
+                   AS value,
+                 'candidate pair work ~64*N (blocks ~ N/64)' AS holds
+          FROM k
+          UNION ALL
+          SELECT 'kmeans_cells', ne, CAST(cells AS BIGINT),
+                 'semdedup pair work ~125*N (cell occupancy ~125)'
+          FROM k
+          UNION ALL
+          SELECT 'kmeans_coarse', ne,
+                 CAST(CASE WHEN cells <= $CoarseFloorCells THEN 1
+                      ELSE (SELECT max(g) FROM generate_series(1, 46341) t(g)
+                            WHERE g * g <= cells) END AS BIGINT),
+                 'lloyd assign work ~2*sqrt(cells)*N (two-level routing)'
+          FROM k
+          UNION ALL
+          SELECT 'kmeans_sample_mod', ne,
+                 CAST(greatest(1, ne // (cells * $SamplePerCell)) AS BIGINT),
+                 'centroid training on a ~32*cells sample (iterations off-corpus)'
+          FROM k
+          UNION ALL
+          SELECT 'nndescent_lsh_planes', ne,
+                 CAST(coalesce(
+                        (SELECT min(g) FROM generate_series($LshFloor, $LshCap) t(g)
+                         WHERE (CAST($LshOccupancy AS BIGINT) << g) >= ne),
+                        $LshCap) AS BIGINT),
+                 'seed pair work ~1250*N (bucket occupancy ~1250)'
+          FROM k
+          UNION ALL
+          SELECT 'nndescent_truth_mod', ne,
+                 CAST(greatest($TruthFloor, ne // $TruthMaxQueries) AS BIGINT),
+                 'exact-truth leg ~100*N (sampled queries capped ~100)'
+          FROM k)
+        ORDER BY knob"""
   }
 
   private val duckLshCandCtes = {
@@ -3396,33 +3462,15 @@ object TrainingOps extends OpsModule {
     "td_lsh_plan" -> duckLshPlanSql,
 
     // mirrors ScaleKnobs.advise: same integer arithmetic (ceil-division
-    // as (n+d-1)//d, the plane search as min-p over a shift series), so
-    // the values are engine-exact with no float log2 on either side
-    "td_scale_knobs" ->
-      """WITH n AS (SELECT (SELECT count(*) FROM documents) AS nd,
-                           (SELECT count(*) FROM embeddings) AS ne)
-         SELECT * FROM (
-           SELECT 'hashed_knn_block_dims' AS knob, nd AS input_n,
-                  CAST(greatest(32, (nd + 63) // 64) AS BIGINT) AS value,
-                  'candidate pair work ~64*N (blocks ~ N/64)' AS holds
-           FROM n
-           UNION ALL
-           SELECT 'kmeans_cells', ne,
-                  CAST(greatest(16, (ne + 124) // 125) AS BIGINT),
-                  'semdedup pair work ~125*N (cell occupancy ~125)'
-           FROM n
-           UNION ALL
-           SELECT 'nndescent_lsh_planes', ne,
-                  CAST((SELECT min(g) FROM generate_series(4, 49) t(g)
-                        WHERE (CAST(1250 AS BIGINT) << g) >= ne) AS BIGINT),
-                  'seed pair work ~1250*N (bucket occupancy ~1250)'
-           FROM n
-           UNION ALL
-           SELECT 'nndescent_truth_mod', ne,
-                  CAST(greatest(20, ne // 100) AS BIGINT),
-                  'exact-truth leg ~100*N (sampled queries capped ~100)'
-           FROM n)
-         ORDER BY knob""",
+    // as (n+d-1)//d, the plane search as min-p over a shift series, the
+    // coarse count as an integer-sqrt max-g scan), so the values are
+    // engine-exact with no float log2/sqrt on either side. The SQL is
+    // GENERATED from the same named ScaleKnobs constants the Scala side
+    // uses — a default change flows into both engines at once instead of
+    // silently diverging from a hardcoded literal (r6 ADVICE). The
+    // coalesce saturates the plane search at the cap exactly like the
+    // Scala loop does past ~7e17 vectors (r6 ADVICE)
+    "td_scale_knobs" -> duckScaleKnobsSql,
 
     "td_curation_audit" -> duckCurationAuditSql,
 

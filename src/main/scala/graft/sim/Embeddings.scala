@@ -415,27 +415,84 @@ object Embeddings {
           .as("frac"))
   }
 
+  /** The Lloyd ASSIGN pass, factored once: argmax-assign every vector of
+    * `e` (vec_id, emb) to its nearest (cosine) centroid of `cents`
+    * (cell, cemb), returning (vec_id, cell, ccos) where ccos is the
+    * winning cosine. Always argmax WITHOUT a window (map-side-combined
+    * `max(struct)`, ties to the lowest cell id — see [[kmeansAssign]]).
+    *
+    * `nCoarse <= 1` is the exhaustive single-level scan — N·|cells|
+    * distance evaluations, BIT-IDENTICAL to the historical plan. With
+    * occupancy-held cells (|cells| ∝ N, [[graft.ops.ScaleKnobs.kmeansCells]])
+    * that is quadratic-class, the one scale-killer the sf1→sf10 decade
+    * named; `nCoarse > 1` bounds it the way IVF builders do: the
+    * centroids are THEMSELVES grouped into nCoarse coarse groups (one
+    * [[kmeansCells]] pass over the |cells|-row centroid table — |cells|·
+    * nCoarse work), each vector scans the nCoarse coarse centroids and
+    * then only its winning group's ~|cells|/nCoarse member cells, so
+    * the pass is N·(nCoarse + |cells|/nCoarse) ≈ 2·N·√cells at
+    * nCoarse = isqrt(cells) ([[graft.ops.ScaleKnobs.kmeansCoarse]] —
+    * floored to 1 below 256 cells, which pins every oracle sf to the
+    * exhaustive plan). Two-level routing is the standard coarse-quantizer
+    * APPROXIMATION: a vector whose true nearest cell sits in a losing
+    * coarse group lands in its group-local best instead — acceptable for
+    * a clustering that exists to bound pair work, and off (nCoarse=1)
+    * below the floor. Both candidate tables broadcast at the scales this
+    * library measures (|cells| rows); past broadcast range the stage-2
+    * join keys by coarse_id and stays narrow. */
+  def assignToCells(e: DataFrame, cents: DataFrame, nCoarse: Int = 1): DataFrame = {
+    if (nCoarse <= 1) {
+      e.crossJoin(broadcast(cents))
+        .withColumn("acos", cosine(col("emb"), col("cemb")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
+    } else {
+      // group the centroids themselves: one seed+refine pass over the
+      // |cells|-row table (cells²-free: |cells|·nCoarse work)
+      val cellCoarse = kmeansCells(
+        cents.select(col("cell").as("vec_id"), col("cemb").as("embedding")),
+        nCoarse)
+        .select(col("vec_id"), col("cell")).toDF("cell", "coarse_id")
+      // coarse centroid = mean of member cell centroids; derived FROM the
+      // mapping, so only non-empty coarse groups exist (a vector can
+      // never route to a group with no candidate cells)
+      val coarseCents = centroids(
+        cents.join(cellCoarse, "cell")
+          .select(col("coarse_id").as("label"), col("cemb").as("embedding")))
+        .select(col("cell").as("coarse_id"), col("cemb").as("coarse_emb"))
+      val routed = e.crossJoin(broadcast(coarseCents))
+        .withColumn("rcos", cosine(col("emb"), col("coarse_emb")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("rcos").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("coarse_id"))
+      val cands = cents.join(cellCoarse, "cell")
+      e.join(routed, "vec_id")
+        .join(broadcast(cands), "coarse_id")
+        .withColumn("acos", cosine(col("emb"), col("cemb")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
+    }
+  }
+
   /** Deterministic k-means cell derivation with a CONFIGURABLE cell
     * count — the scale mechanism [[semDedup]] needs. Within-cell pair
     * work is Σ|cell|², so at 100 TB the cell count must grow ∝ N; a cell
     * inherited from a fixed data label pins k at a constant and the pair
     * join degrades toward O(N²/k). Init is deterministic and
     * engine-portable (seed group = vec_id mod k), followed by one Lloyd
-    * assignment step against the seed-group means — the same
-    * argmax-without-a-window shape as [[kmeansAssign]] (map-side-combined
-    * `max(struct(...))`, ties to the lowest cell id). Feed the output
-    * back through [[centroids]] + reassignment for more Lloyd steps when
-    * the partition needs polishing. */
-  def kmeansCells(embeddings: DataFrame, nCells: Int): DataFrame = {
+    * assignment step against the seed-group means via [[assignToCells]]
+    * (map-side-combined `max(struct(...))`, ties to the lowest cell id;
+    * `nCoarse > 1` routes the step two-level). Feed the output back
+    * through [[centroids]] + reassignment for more Lloyd steps when the
+    * partition needs polishing. */
+  def kmeansCells(embeddings: DataFrame, nCells: Int, nCoarse: Int = 1): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val cents = centroids(
       e.select(pmod(col("vec_id"), lit(nCells.toLong)).as("label"),
         col("emb").as("embedding")))
-    e.crossJoin(broadcast(cents))
-      .withColumn("acos", cosine(col("emb"), col("cemb")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+    assignToCells(e, cents, nCoarse).select("vec_id", "cell")
   }
 
   /** Full Lloyd's k-means from the same deterministic seed as
@@ -454,22 +511,54 @@ object Embeddings {
     * [[kmeansCells]]; the registered query unrolls the same loop into a
     * DuckDB CTE chain (TrainingOps.duckKmeansChain) so the trained
     * partition is hash-checked cross-engine. */
-  def kmeansTrain(embeddings: DataFrame, nCells: Int, iters: Int): DataFrame = {
+  def kmeansTrain(embeddings: DataFrame, nCells: Int, iters: Int): DataFrame =
+    kmeansTrainSampled(embeddings, nCells, iters, sampleMod = 1, nCoarse = 1)
+
+  /** [[kmeansTrain]] with the two scale bounds the sf1→sf10 decade
+    * prescribed (occupancy-held cells make the exhaustive assign
+    * N·cells ∝ N² per iteration):
+    *
+    *  - `sampleMod > 1`: the Lloyd ITERATIONS run on the deterministic
+    *    hash-sample `vec_id ≡ 0 (mod sampleMod)` — sized ∝ cells by
+    *    [[graft.ops.ScaleKnobs.kmeansSampleMod]] (~32/cell), the
+    *    standard "train the quantizer on a sample" IVF build — and the
+    *    full corpus is touched by exactly ONE final assign pass against
+    *    the sample-trained centroids (rebuilt from the final sample
+    *    assignment). Iteration cost drops from iters·N·(assign) to
+    *    iters·(32·cells)·(assign) + N·(assign).
+    *  - `nCoarse > 1`: every assign (training and final) routes
+    *    two-level through [[assignToCells]] — N·2·√cells instead of
+    *    N·cells.
+    *
+    * `sampleMod = 1, nCoarse = 1` is plan- and bit-identical to the
+    * historical full Lloyd loop (the sampled branch and its extra final
+    * pass are skipped entirely), which is what the ScaleKnobs floors
+    * resolve to at every oracle sf — recorded hashes unchanged. A seed
+    * cell with no sampled member simply trains no centroid (assign
+    * argmaxes over the cells that exist), the same degeneracy full
+    * Lloyd has when a cell empties between rounds. */
+  def kmeansTrainSampled(embeddings: DataFrame, nCells: Int, iters: Int,
+                         sampleMod: Int = 1, nCoarse: Int = 1): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    var asg = e.select(col("vec_id"),
+    val t = if (sampleMod <= 1) e
+            else e.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+    var asg = t.select(col("vec_id"),
       pmod(col("vec_id"), lit(nCells.toLong)).as("cell"))
     for (_ <- 0 until iters) {
       val cents = centroids(
-        e.join(asg, "vec_id")
+        t.join(asg, "vec_id")
           .select(col("cell").as("label"), col("emb").as("embedding")))
-      asg = e.crossJoin(broadcast(cents))
-        .withColumn("acos", cosine(col("emb"), col("cemb")))
-        .groupBy("vec_id")
-        .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cell"))
+      asg = assignToCells(t, cents, nCoarse)
+        .select("vec_id", "cell")
         .localCheckpoint()
     }
-    asg
+    if (sampleMod <= 1) asg
+    else {
+      val finalCents = centroids(
+        t.join(asg, "vec_id")
+          .select(col("cell").as("label"), col("emb").as("embedding")))
+      assignToCells(e, finalCents, nCoarse).select("vec_id", "cell")
+    }
   }
 
   /** Convergence telemetry for [[kmeansTrain]] — one row per round r:
@@ -485,8 +574,14 @@ object Embeddings {
     * 3-column self-join with the previous assignment — no second scoring
     * pass over the corpus, no window, no driver traffic beyond the
     * iters-row result. */
-  def kmeansQuality(embeddings: DataFrame, nCells: Int, iters: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+  def kmeansQuality(embeddings: DataFrame, nCells: Int, iters: Int,
+                    sampleMod: Int = 1, nCoarse: Int = 1): DataFrame = {
+    val eAll = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    // telemetry follows the TRAINING rounds, so under sampled training
+    // ([[kmeansTrainSampled]]) it measures convergence on the sample —
+    // the thing the iteration-count decision is actually made on
+    val e = if (sampleMod <= 1) eAll
+            else eAll.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
     var asg = e.select(col("vec_id"),
       pmod(col("vec_id"), lit(nCells.toLong)).as("cell"))
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -494,11 +589,7 @@ object Embeddings {
       val cents = centroids(
         e.join(asg, "vec_id")
           .select(col("cell").as("label"), col("emb").as("embedding")))
-      val next = e.crossJoin(broadcast(cents))
-        .withColumn("acos", cosine(col("emb"), col("cemb")))
-        .groupBy("vec_id")
-        .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
+      val next = assignToCells(e, cents, nCoarse)
         .localCheckpoint()
       val prev = asg.select(col("vec_id"), col("cell").as("prev_cell"))
       rounds += next
@@ -535,11 +626,11 @@ object Embeddings {
     * keeps the input's `label` as the cell (the pre-clustered case, e.g.
     * a persisted IVF index's cells). */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
-               nCells: Int = 0): DataFrame = {
+               nCells: Int = 0, nCoarse: Int = 1): DataFrame = {
     val base =
       if (nCells > 0)
         embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-          .join(kmeansCells(embeddings, nCells), "vec_id")
+          .join(kmeansCells(embeddings, nCells, nCoarse), "vec_id")
       else
         embeddings.select(col("label").as("cell"), col("vec_id"),
           asDouble(col("embedding")).as("emb"))

@@ -20,6 +20,14 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(ScaleKnobs.blockDims(60, dims = 16) === 32)
     assert(ScaleKnobs.blockDims(600, dims = 16) === 32)
     assert(ScaleKnobs.blockDims(6000, dims = 16) === 94)
+    // the r7 assign-pass knobs: exhaustive single-level + full-corpus
+    // training at EVERY oracle sf (16 cells ≤ the 256-cell coarse floor;
+    // n ≤ 32·cells up to sf0.01) — recorded oracle hashes unchanged
+    for (n <- Seq(20L, 200L))
+      assert(ScaleKnobs.kmeansSampleMod(n, ScaleKnobs.kmeansCells(n)) === 1,
+        s"kmeansSampleMod($n)")
+    assert(ScaleKnobs.kmeansCoarse(16) === 1)
+    assert(ScaleKnobs.kmeansCoarse(256) === 1)
   }
 
   test("knobs move across the measured decades (sf1 / sf10 corpus counts)") {
@@ -32,6 +40,14 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(ScaleKnobs.truthSampleMod(200000) === 2000)
     assert(ScaleKnobs.blockDims(60000, dims = 16) === 938) // pair work ~64·N
     assert(ScaleKnobs.blockDims(600000, dims = 16) === 9375)
+    // assign-pass knobs engage past the floors: sf1's 160 cells still
+    // route single-level (< 256), sf10's 1600 go two-level at √1600=40,
+    // and training leaves the corpus at sf0.1 (2000 > 32·16)
+    assert(ScaleKnobs.kmeansCoarse(160) === 1)
+    assert(ScaleKnobs.kmeansCoarse(1600) === 40)
+    assert(ScaleKnobs.kmeansSampleMod(2000, 16) === 3)
+    assert(ScaleKnobs.kmeansSampleMod(20000, 160) === 3)
+    assert(ScaleKnobs.kmeansSampleMod(200000, 1600) === 3)
   }
 
   test("exact boundaries — integer arithmetic, no float log on the edge") {
@@ -41,6 +57,14 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(ScaleKnobs.kmeansCells(16 * 125 + 1) === 17)
     assert(ScaleKnobs.truthSampleMod(2099) === 20)
     assert(ScaleKnobs.truthSampleMod(2100) === 21)
+    // integer sqrt at perfect-square boundaries (the exact places a
+    // float sqrt can round either way) and the coarse floor edge
+    assert(ScaleKnobs.kmeansCoarse(257) === 16)        // isqrt(257) = 16
+    assert(ScaleKnobs.kmeansCoarse(289) === 17)        // 17² exactly
+    assert(ScaleKnobs.kmeansCoarse(288) === 16)        // one below 17²
+    assert(ScaleKnobs.kmeansCoarse(Int.MaxValue) === 46340)
+    assert(ScaleKnobs.kmeansSampleMod(16 * 32, 16) === 1)
+    assert(ScaleKnobs.kmeansSampleMod(16 * 32 * 2, 16) === 2)
   }
 
   test("advise emits one row per knob with the operator formulas") {
@@ -50,7 +74,26 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(rows === Seq(
       ("hashed_knn_block_dims", 600L, 32L),
       ("kmeans_cells", 200L, 16L),
+      ("kmeans_coarse", 200L, 1L),
+      ("kmeans_sample_mod", 200L, 1L),
       ("nndescent_lsh_planes", 200L, 4L),
       ("nndescent_truth_mod", 200L, 20L)))
+  }
+
+  test("advise at decade-scale counts matches the hand-replayed oracle arithmetic") {
+    // guards the constant-drift failure the r6 ADVICE named: the DuckDB
+    // oracle SQL is generated from the SAME ScaleKnobs constants, and
+    // this replays its arithmetic at counts where every floor is PASSED
+    // (the sf0.01 gate alone can't catch a drifted constant because the
+    // floors dominate there). nVecs = 200000 = the sf10 decade.
+    val rows = ScaleKnobs.advise(nDocs = 600000, nVecs = 200000).map {
+      case (k, _, v, _) => (k, v)
+    }.toMap
+    assert(rows("hashed_knn_block_dims") === (600000L + 63) / 64)  // 9375
+    assert(rows("kmeans_cells") === (200000L + 124) / 125)         // 1600
+    assert(rows("kmeans_coarse") === 40L)                          // isqrt(1600)
+    assert(rows("kmeans_sample_mod") === 200000L / (1600L * 32))   // 3
+    assert(rows("nndescent_lsh_planes") === 8L)  // min g: 1250·2^g ≥ 200000
+    assert(rows("nndescent_truth_mod") === 2000L)
   }
 }
