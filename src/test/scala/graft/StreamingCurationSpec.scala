@@ -38,6 +38,19 @@ class StreamingCurationSpec extends AnyFunSuite {
   private def df(rows: (Long, String, String, String, Long)*) =
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  /** Gate-passing survivors of okA's language family with pairwise
+    * distinct first tokens (so they are not near-dups of each other) —
+    * the fixture both line-df tests draw from. */
+  private lazy val family: Seq[(String, String, String)] = {
+    val sfDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = CurationPipeline.run(sfDocs, sfDocs.limit(0))
+    val fam = base.curated.select("text", "lang", "source")
+      .as[(String, String, String)].collect()
+      .filter(r => r._2 == okA._2)
+    base.unpersist()
+    fam.groupBy(_._1.split(" ").head).map(_._2.head).toSeq
+  }
+
   /** One interior long token swapped — still gate-passing, but a shingle
     * near-dup of the original. */
   private def nearDupOf(text: String): String = {
@@ -98,13 +111,7 @@ class StreamingCurationSpec extends AnyFunSuite {
     val corpus = tmp(); val store = tmp()
     // five gate-passing survivors of ONE (lang, source) family, pairwise
     // distinct first tokens (the same non-near-dup heuristic as okA/okB)
-    val sfDocs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val base = CurationPipeline.run(sfDocs, sfDocs.limit(0))
-    val fam = base.curated.select("text", "lang", "source")
-      .as[(String, String, String)].collect()
-      .filter(r => r._2 == okA._2)
-    base.unpersist()
-    val five = fam.groupBy(_._1.split(" ").head).map(_._2.head).take(5).toSeq
+    val five = family.take(5)
     assert(five.size == 5, s"fixture needs 5 survivors, got ${five.size}")
     // the boilerplate line: same-language words, so the combined doc
     // still passes the lang and word-shape gates
@@ -144,16 +151,102 @@ class StreamingCurationSpec extends AnyFunSuite {
       .filter(col("doc_id") === 5L).select("text").as[String].head ==
       five(4)._1)
 
-    // df deltas are batch-path-keyed: replay overwrites, never
-    // double-counts
+    // cumulative df lives in the latest VERSIONED snapshot (r7: the
+    // heavy set reads one snapshot, not the delta directory); replay
+    // overwrites, never double-counts
     val hB = graft.text.TextOps.lineHashCounts(
       Seq((9L, boiler)).toDF("doc_id", "text")).select("h").as[Long].head()
-    def dfOfB = spark.read.parquet(s"$store/linedf")
+    def dfOfB = spark.read.parquet(s"$store/linedf_snap/v=2")
       .filter(col("h") === hB).agg(sum("n_docs")).as[Long].head()
     assert(dfOfB == 5L)
     assert(StreamingCuration.applyBatch(df(d(2, 3L), d(3, 4L)), 1L,
       corpus, store) == ((0L, 0L, 0L)))
     assert(dfOfB == 5L, "replayed batch must not double-count line df")
     assert(spark.read.parquet(s"$corpus/documents").count() == 5)
+  }
+
+  test("stage 1.5 line-df maintenance is O(batch): one snapshot version, bounded store") {
+    val corpus = tmp(); val store = tmp()
+    // four batches of one gate-passing doc each (distinct survivors, so
+    // near-dup admission never vetoes), every doc carrying the same
+    // candidate boilerplate line
+    val four = family.slice(5, 9)
+    assert(four.size == 4, s"fixture needs 4 more survivors, got ${four.size}")
+    val boiler = okA._1.split(" ").take(6).mkString(" ")
+    val mkText = (i: Int) => four(i)._1 + "\n" + boiler
+    val hB = graft.text.TextOps.lineHashCounts(
+      Seq((9L, boiler)).toDF("doc_id", "text")).select("h").as[Long].head()
+    for (b <- 0 to 3) {
+      val t = mkText(b)
+      StreamingCuration.applyBatch(
+        df((100L + b, t, four(b)._2, four(b)._3, t.length.toLong)), b.toLong,
+        corpus, store)
+    }
+    val snapDir = new java.io.File(s"$store/linedf_snap")
+    val deltaDir = new java.io.File(s"$store/linedf")
+    val snaps = snapDir.list().filter(_.startsWith("v=")).sorted.toSeq
+    val deltas = deltaDir.list().filter(_.startsWith("batch_id=")).sorted.toSeq
+
+    // bounded store: keepVersions=2 snapshots, deltas ≤ the kept window
+    // — NOT one partition per batch forever
+    assert(snaps == Seq("v=2", "v=3"), s"snapshots: $snaps")
+    assert(deltas == Seq("batch_id=3"), s"deltas: $deltas")
+
+    // the latest snapshot alone carries the full cumulative df — the
+    // heavy-set derivation needs nothing else (the pruned deltas are
+    // gone, and admission still worked every batch)
+    val snapDf = spark.read.parquet(s"$store/linedf_snap/v=3")
+      .filter(col("h") === hB).agg(sum("n_docs")).as[Long].head()
+    assert(snapDf == 4L)
+
+    // byte-identical admission to the legacy all-deltas derivation:
+    // cumulative df crossed lineMaxDocs=3 during batch 3, so batch-3's
+    // doc lost the line and every earlier doc kept it
+    val stored = spark.read.parquet(s"$corpus/documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(stored(100L) == mkText(0))
+    assert(stored(102L) == mkText(2))
+    assert(stored(103L) == four(3)._1,
+      "batch-3 doc must lose the line the moment cumulative df crosses")
+
+    // crash-between-snapshot-and-marker replay: clearing the marker
+    // forces a full re-run, which must fold onto v=2 (strictly below),
+    // rebuild v=3 byte-identically, and not change the corpus
+    val marker = new java.io.File(s"$store/_applied/batch-3")
+    assert(marker.exists); marker.delete()
+    StreamingCuration.applyBatch(
+      df((103L, mkText(3), four(3)._2, four(3)._3, mkText(3).length.toLong)),
+      3L, corpus, store)
+    val snapDf2 = spark.read.parquet(s"$store/linedf_snap/v=3")
+      .filter(col("h") === hB).agg(sum("n_docs")).as[Long].head()
+    assert(snapDf2 == 4L, "replayed fold must not double-count")
+    assert(spark.read.parquet(s"$corpus/documents").count() == 4)
+  }
+
+  test("pre-snapshot stores upgrade on the first fold (legacy deltas collapse once)") {
+    val corpus = tmp(); val store = tmp()
+    val boiler = okA._1.split(" ").take(6).mkString(" ")
+    val mkText = (i: Int) => okB._1 + s" upgtoken$i\n" + boiler
+    // simulate the r6-era store: two delta partitions, NO snapshot
+    for (b <- 0 to 1) {
+      val t = mkText(b)
+      graft.text.TextOps.lineHashCounts(
+        graft.text.CurationGates.gate(
+          df((200L + b, t, okB._2, okB._3, t.length.toLong))))
+        .write.mode("overwrite").parquet(s"$store/linedf/batch_id=$b")
+    }
+    // first post-upgrade batch: the fold must absorb the legacy deltas
+    // (cumulative df = 3 including its own), then prune them
+    val t2 = mkText(2)
+    StreamingCuration.applyBatch(
+      df((202L, t2, okB._2, okB._3, t2.length.toLong)), 2L, corpus, store)
+    val hB = graft.text.TextOps.lineHashCounts(
+      Seq((9L, boiler)).toDF("doc_id", "text")).select("h").as[Long].head()
+    val snapDf = spark.read.parquet(s"$store/linedf_snap/v=2")
+      .filter(col("h") === hB).agg(sum("n_docs")).as[Long].head()
+    assert(snapDf == 3L, "legacy deltas must fold into the first version")
+    val deltas = new java.io.File(s"$store/linedf").list()
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(deltas == Seq("batch_id=2"), s"legacy deltas pruned: $deltas")
   }
 }
