@@ -108,10 +108,38 @@ object GraftFunctions {
         (children: Seq[Expression]) =>
           KMinValues(children(0), children(1)).toAggregateExpression())
     }
+    val kmmIdent = FunctionIdentifier("kmin_merge")
+    if (!registry.functionExists(kmmIdent)) {
+      registry.registerFunction(kmmIdent, KMinMerge.info,
+        (children: Seq[Expression]) =>
+          KMinMerge(children(0), children(1)).toAggregateExpression())
+    }
     val jwIdent = FunctionIdentifier("jaro_winkler")
     if (!registry.functionExists(jwIdent)) {
       registry.registerFunction(jwIdent, JaroWinkler.info,
         (children: Seq[Expression]) => JaroWinkler(children(0), children(1)))
+    }
+    // the pure-JVM media codecs (r7): real WAV/BMP containers in, true
+    // PCM samples / luma pixels out — all inside whole-stage codegen
+    val weIdent = FunctionIdentifier("wav_encode")
+    if (!registry.functionExists(weIdent)) {
+      registry.registerFunction(weIdent, WavEncode.info,
+        (children: Seq[Expression]) => WavEncode(children.head))
+    }
+    val wsIdent = FunctionIdentifier("wav_pcm_samples")
+    if (!registry.functionExists(wsIdent)) {
+      registry.registerFunction(wsIdent, WavPcmSamples.info,
+        (children: Seq[Expression]) => WavPcmSamples(children.head))
+    }
+    val beIdent = FunctionIdentifier("bmp_encode")
+    if (!registry.functionExists(beIdent)) {
+      registry.registerFunction(beIdent, BmpEncode.info,
+        (children: Seq[Expression]) => BmpEncode(children(0), children(1)))
+    }
+    val blIdent = FunctionIdentifier("bmp_luma")
+    if (!registry.functionExists(blIdent)) {
+      registry.registerFunction(blIdent, BmpLuma.info,
+        (children: Seq[Expression]) => BmpLuma(children.head))
     }
     // one call wires the whole custom surface: expressions above, the
     // range-join planner strategy here (idempotent)
@@ -138,8 +166,19 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("kmin_values"), KMinValues.info,
       (children: Seq[Expression]) =>
         KMinValues(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("kmin_merge"), KMinMerge.info,
+      (children: Seq[Expression]) =>
+        KMinMerge(children(0), children(1)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("jaro_winkler"), JaroWinkler.info,
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("wav_encode"), WavEncode.info,
+      (children: Seq[Expression]) => WavEncode(children.head)))
+    ext.injectFunction((FunctionIdentifier("wav_pcm_samples"), WavPcmSamples.info,
+      (children: Seq[Expression]) => WavPcmSamples(children.head)))
+    ext.injectFunction((FunctionIdentifier("bmp_encode"), BmpEncode.info,
+      (children: Seq[Expression]) => BmpEncode(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("bmp_luma"), BmpLuma.info,
+      (children: Seq[Expression]) => BmpLuma(children.head)))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

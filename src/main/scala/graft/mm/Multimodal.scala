@@ -10,27 +10,42 @@ import org.apache.spark.sql.functions._
   * column (or a pointer to object storage beyond ~1 MB per object);
   * metadata (format/width/height/frame count) is typed columns so
   * Catalyst can prune and push down on them WITHOUT touching the bytes.
-  * Decode / feature-extraction runs batched per partition — the Scala
-  * analogue of Python's mapInPandas — so codec state is amortized across
-  * a partition, not re-created per row.
   *
-  * Codec libraries are absent in this environment, so `decodeStub`
-  * produces a deterministic hash-derived feature vector; the schema,
-  * batch shape, partitioning, and the per-partition amortization are the
-  * real, tested plumbing — swap `decodeStub` for an actual codec call on
-  * a real cluster.
+  * Two content tiers coexist here:
+  *  - [[mediaLake]] rows carry REAL containers — RIFF/WAVE PCM16 and
+  *    24 bpp BI_RGB BMP built and parsed by the pure-JVM codegen'd
+  *    codec expressions ([[graft.functions.MediaCodec]], r7) — and the
+  *    signal operators ([[audioEnergy]] / [[vadSegments]] /
+  *    [[sceneCuts]] / [[decodeFeatures]]) consume TRUE decoded PCM
+  *    samples and luma pixels.
+  *  - [[mediaFromDocuments]] rows carry raw bytes under image/video
+  *    format labels for the container-level operators ([[phash]],
+  *    [[frameSample]], [[videoNearDup]], [[resizeBatched]]) whose shape
+  *    is content-agnostic fingerprinting; their scaladocs state what a
+  *    format-specific build would decode first.
+  *
+  * mapPartitions re-review (the r6 VERDICT ask): with the codecs as
+  * native expressions, batched per-partition decode is NOT needed for
+  * WAV/BMP — the expressions run inside whole-stage codegen with no
+  * partition barrier and no boxing. [[decodeBatched]] remains only as
+  * the per-partition codec-CONTEXT amortization shape a stateful native
+  * codec (e.g. a hardware decoder handle) would require, and is pinned
+  * by spec to produce exactly the expression path's values.
   */
 object Multimodal {
 
   final case class MediaRecord(doc_id: Long, format: String, width: Int,
                                height: Int, n_frames: Int, content: Array[Byte])
 
+  final case class LakeRecord(doc_id: Long, format: String, content: Array[Byte])
+
   final case class MediaFeatures(doc_id: Long, format: String,
-                                 feature: Array[Double], decoder: String)
+                                 n_units: Int, unit_sum: Long, decoder: String)
 
   /** Synthesize a media table from the documents corpus: text bytes play
     * the role of encoded content; metadata derives deterministically from
-    * doc columns. */
+    * doc columns. Feeds the container-level (content-agnostic) operators;
+    * the decoded-signal operators read [[mediaLake]]. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -42,17 +57,41 @@ object Multimodal {
       (col("n_chars") % 7 + 1).cast("int").as("n_frames"),
       col("text").cast("binary").as("content"))
 
-  /** Batched per-partition decode — mapPartitions so the (stubbed) codec
-    * is initialized once per partition and records stream through in one
-    * buffer, exactly the mapInPandas batch shape. */
-  def decodeBatched(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** The REAL-container media lake: even doc ids become RIFF/WAVE PCM16
+    * files (sample_i = (byte_i − 128)·256 of the UTF-8 text payload),
+    * odd ids become 24 bpp bottom-up BMPs (pixel j = payload[3j..3j+2]
+    * as B,G,R; width = len%24 + 8). Deterministic from the document row,
+    * so the DuckDB oracle re-derives every decoded value from first
+    * principles — the hash compare then proves the PARSERS undo the
+    * container layout (chunk walk, row flip, stride padding) exactly. */
+  def mediaLake(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    val width = (pmod(length(payload), lit(24)) + lit(8)).cast("int")
+    docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, "wav").otherwise("bmp").as("format"),
+      when(pmod(col("doc_id"), lit(2)) === 0, call_function("wav_encode", payload))
+        .otherwise(call_function("bmp_encode", payload, width)).as("content"))
+  }
+
+  /** Batched per-partition decode of [[mediaLake]] rows — retained as
+    * the mapInPandas-shaped CONTEXT-amortization pattern a stateful
+    * native codec needs; the values are exactly what the expression path
+    * ([[decodeFeatures]]) computes (spec-pinned), because both call the
+    * same [[graft.functions.MediaCodec]] parsers. Prefer the expression
+    * path: it stays inside whole-stage codegen. */
+  def decodeBatched(media: Dataset[LakeRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
-      // per-partition init: a real build opens the codec context here
-      val decoder = decodeStub _
+      // per-partition init: a real stateful codec opens its context here
       records.map { r =>
-        MediaFeatures(r.doc_id, r.format, decoder(r.content, r.width, r.height),
-          decoder = "stub-1.0")
+        val units: Array[Int] =
+          if (r.format == "wav") graft.functions.MediaCodec.wavSamples(r.content)
+          else graft.functions.MediaCodec.bmpLuma(r.content)
+        var s = 0L
+        var i = 0
+        while (i < units.length) { s += math.abs(units(i).toLong); i += 1 }
+        MediaFeatures(r.doc_id, r.format, units.length, s, decoder = "jvm-1.0")
       }
     }
   }
@@ -80,31 +119,29 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in for an image decode + feature extraction:
-    * 8 pseudo-channel means derived from byte content. Replace with a
-    * real codec on a cluster that has one. */
-  private def decodeStub(content: Array[Byte], width: Int, height: Int): Array[Double] = {
-    val feat = new Array[Double](8)
-    var i = 0
-    while (i < content.length) {
-      feat(i % 8) += (content(i) & 0xff).toDouble
-      i += 1
-    }
-    val n = math.max(1, content.length / 8)
-    feat.map(v => v / n / math.max(1, width.toDouble / height.toDouble))
+  /** Column-expression decode surface over [[mediaLake]] rows: container
+    * length and header bytes (both re-derivable by the oracle from the
+    * encode conventions — a check on the ENCODER's container math), plus
+    * TRUE decoded features (unit = PCM sample for wav, luma pixel for
+    * bmp; n_units and Σ|unit| — a check on the PARSER's chunk walk / row
+    * un-flip / de-padding). header_valid = the parser accepted the
+    * container. Everything whole-stage-codegen'd; no bytes leave the
+    * executor. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val units = when(col("format") === "wav",
+        call_function("wav_pcm_samples", col("content")))
+      .otherwise(call_function("bmp_luma", col("content")))
+    media.select(col("doc_id"), col("format"),
+        length(col("content")).as("content_len"),
+        upper(hex(substring(col("content"), 1, 8))).as("header_hex"),
+        units.as("units"))
+      .select(col("doc_id"), col("format"), col("content_len"),
+        col("header_hex"),
+        size(col("units")).as("n_units"),
+        aggregate(col("units"), lit(0L),
+          (a, v) => a + abs(v.cast("long"))).as("unit_sum"),
+        (size(col("units")) > 0).cast("int").as("header_valid"))
   }
-
-  /** Column-expression feature surface (no bytes leave the executor):
-    * digest, length, header slice — metadata-only pruning stays possible
-    * because these never touch width/height. */
-  def decodeFeatures(media: DataFrame): DataFrame =
-    media.select(
-      col("doc_id"), col("format"), col("width"), col("height"),
-      length(col("content")).as("content_len"),
-      md5(col("content")).as("content_md5"),
-      upper(hex(substring(col("content"), 1, 8))).as("header_hex"),
-      round(col("width").cast("double") / col("height").cast("double"), 6)
-        .as("aspect_ratio"))
 
   /** Frame sampling: one row per sampled frame, frame = a fixed-stride
     * byte slice (a real video build slices at keyframe offsets; identical
@@ -126,17 +163,6 @@ object Multimodal {
                                     stride: Int): org.apache.spark.sql.Column =
     expr(s"substring(content, frame_idx * $stride + 1, $stride)")
 
-  /** Audio-style windowed energy: treat the content bytes as PCM-ish
-    * samples, window them, and fold each window to Σ sample-values — the
-    * waveform feature extraction (RMS/VAD precursor) of an audio lake.
-    * The window explode is a narrow row-generator; the per-window fold is
-    * the codegen'd [[graft.functions.BytesSum]] over the raw binary slice,
-    * so bytes ≥ 0x80 contribute their true unsigned value (an earlier
-    * cast-to-string + ascii() formulation corrupted any non-ASCII byte
-    * through UTF-8 reinterpretation — fine for the ASCII test corpus,
-    * wrong for real PCM). A real build swaps the byte fold for a
-    * decoded-sample fold with identical shape. Requires
-    * `GraftFunctions.register(spark)` (as md5Long does). */
   /** Perceptual hash (aHash structure) over the raw bytes: split the
     * content into `blocks` equal spans, set bit i when block i's byte-sum
     * exceeds the mean block sum. The mean compare is INTEGER
@@ -232,26 +258,38 @@ object Multimodal {
       .select("doc_id_a", "doc_id_b", "n_shared", "n_a", "n_b", "jaccard")
   }
 
+  /** Audio windowed energy over TRUE decoded PCM (r7 — previously a
+    * raw-container-byte stand-in): parse the [[mediaLake]] wav rows with
+    * the real RIFF parser ([[graft.functions.MediaCodec.wavSamples]],
+    * codegen'd), window the SAMPLE stream, fold each window to
+    * Σ|sample| — the waveform feature extraction (RMS/VAD precursor) of
+    * an audio lake. The window explode is a narrow row-generator; the
+    * per-window fold is a codegen'd array-slice aggregate, integer
+    * arithmetic only. Requires `GraftFunctions.register(spark)`. */
   def audioEnergy(media: DataFrame, window: Int = 32): DataFrame =
     media
-      .select(col("doc_id"), col("content"),
+      .filter(col("format") === "wav")
+      .select(col("doc_id"),
+        call_function("wav_pcm_samples", col("content")).as("samples"))
+      .select(col("doc_id"), col("samples"),
         explode(sequence(lit(0),
-          greatest(ceil(length(col("content")).cast("double") / window)
+          greatest(ceil(size(col("samples")).cast("double") / window)
             .cast("int") - 1, lit(0)))).as("win_idx"))
       .select(col("doc_id"), col("win_idx"),
-        call_function("bytes_sum",
-          expr(s"substring(content, win_idx * $window + 1, $window)")).as("energy"))
+        aggregate(
+          slice(col("samples"), col("win_idx") * window + 1, lit(window)),
+          lit(0L), (acc, s) => acc + abs(s.cast("long"))).as("energy"))
 
   /** VAD-style active-segment extraction — the speech-segmentation step of
-    * an audio pipeline: a window is ACTIVE when its energy exceeds the
-    * clip's mean (integer compare `energy·n_windows > Σenergy`, the same
-    * no-float discipline as [[phash]] and [[sceneCuts]]); consecutive
-    * active windows merge into segments by the gaps-and-islands identity
-    * (win_idx − per-clip row_number is constant within a run). A real
-    * build swaps the byte-sum for decoded-frame RMS with identical shape.
-    * Shape: one window explode (narrow), one per-clip aggregate for the
-    * threshold, one per-clip window for the island id — windows co-locate
-    * per clip, so state per task is one clip's window list. */
+    * an audio pipeline, over TRUE decoded PCM energy ([[audioEnergy]]):
+    * a window is ACTIVE when its energy exceeds the clip's mean (integer
+    * compare `energy·n_windows > Σenergy`, the same no-float discipline
+    * as [[phash]] and [[sceneCuts]]); consecutive active windows merge
+    * into segments by the gaps-and-islands identity (win_idx − per-clip
+    * row_number is constant within a run). Shape: one window explode
+    * (narrow), one per-clip aggregate for the threshold, one per-clip
+    * window for the island id — windows co-locate per clip, so state per
+    * task is one clip's window list. */
   def vadSegments(media: DataFrame, window: Int = 32): DataFrame = {
     val en = audioEnergy(media, window)
     val tot = en.groupBy("doc_id")
@@ -266,26 +304,35 @@ object Multimodal {
       .drop("grp")
   }
 
-  /** Scene-cut detection over the frame stream: per-frame byte-sum energy
-    * ([[graft.functions.BytesSum]] on the frame slice, the same stubbed
-    * stand-in for decoded luma the other media ops use), frame-to-frame
-    * absolute delta via a per-video lag window, and a cut wherever the
-    * delta exceeds 1.5× the video's mean delta. The comparison is INTEGER
-    * (`2·delta·n > 3·Σdelta`) so no float enters the decision —
-    * bit-identical in any engine. Shape: one narrow frame explode, one
-    * per-video window — frames co-locate per video, so state per task is
-    * one video's frame list; a real build swaps byte-sum for a decoded
-    * luma histogram distance with the identical plan. Videos with a
+  /** Scene-cut detection over TRUE decoded luma (r7 — previously a
+    * raw-byte stand-in): parse the [[mediaLake]] bmp rows with the real
+    * BMP parser ([[graft.functions.MediaCodec.bmpLuma]], codegen'd —
+    * bottom-up rows un-flipped, stride padding removed), treat each
+    * `stride`-pixel run of the luma plane as a frame, per-frame energy =
+    * Σ luma, frame-to-frame absolute delta via a per-video lag window,
+    * and a cut wherever the delta exceeds 1.5× the video's mean delta.
+    * The comparison is INTEGER (`2·delta·n > 3·Σdelta`) so no float
+    * enters the decision — bit-identical in any engine. Shape: one
+    * narrow frame explode, one per-video window — frames co-locate per
+    * video, so state per task is one video's frame list. Videos with a
     * single frame have no deltas and drop out (no cut is definable).
     * Returns (doc_id, n_frames, n_deltas, n_cuts, first_cut). */
   def sceneCuts(media: DataFrame, stride: Int = 32): DataFrame = {
     val frames = media
-      .select(col("doc_id"), col("n_frames"), col("content"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("format") === "bmp")
+      .select(col("doc_id"),
+        call_function("bmp_luma", col("content")).as("luma"))
+      .select(col("doc_id"),
+        greatest(ceil(size(col("luma")).cast("double") / stride).cast("int"),
+          lit(1)).as("n_frames"),
+        col("luma"),
+        explode(sequence(lit(0),
+          greatest(ceil(size(col("luma")).cast("double") / stride)
+            .cast("int") - 1, lit(0)))).as("frame_idx"))
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
-        call_function("bytes_sum",
-          expr(s"substring(content, frame_idx * $stride + 1, $stride)"))
-          .as("energy"))
+        aggregate(
+          slice(col("luma"), col("frame_idx") * stride + 1, lit(stride)),
+          lit(0L), (acc, v) => acc + v.cast("long")).as("energy"))
     val byFrame = Window.partitionBy("doc_id").orderBy("frame_idx")
     val perVideo = Window.partitionBy("doc_id")
     val deltas = frames

@@ -23,25 +23,35 @@ object IncrementalAgg {
 
   private[graft] def partials(batch: DataFrame, keys: Seq[String], sums: Seq[String],
                        mins: Seq[String], maxs: Seq[String],
-                       counts: Seq[String] = Nil): DataFrame = {
+                       counts: Seq[String] = Nil,
+                       kmvs: Seq[String] = Nil, kmvK: Int = 64): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       (sums.map(c => sum(col(c)).as(s"sum_$c")) ++
         mins.map(c => min(col(c)).as(s"min_$c")) ++
         maxs.map(c => max(col(c)).as(s"max_$c")) ++
         // NON-NULL value count — the partial that makes AVG over a
         // nullable measure exactly answerable (MvRewrite valueCountCols)
-        counts.map(c => count(col(c)).as(s"cnt_$c")))
+        counts.map(c => count(col(c)).as(s"cnt_$c")) ++
+        // KMV distinct sketch per group (r7): column must be BIGINT
+        // (hash values first — md5Long); maintained by kmin_merge below,
+        // served by MvRewrite's kmvCols. Insert-only mergeable — the
+        // retraction path (applyChanges) deliberately has no kmv arm.
+        kmvs.map(c => call_function("kmin_values", col(c), lit(kmvK))
+          .as(s"kmv_$c")))
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private[graft] def combine(a: DataFrame, b: DataFrame, keys: Seq[String],
                       sums: Seq[String], mins: Seq[String],
-                      maxs: Seq[String], counts: Seq[String] = Nil): DataFrame = {
+                      maxs: Seq[String], counts: Seq[String] = Nil,
+                      kmvs: Seq[String] = Nil, kmvK: Int = 64): DataFrame = {
     val aggs = sum(col("n_rows")).as("n_rows") +:
       (sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
         mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
         maxs.map(c => max(col(s"max_$c")).as(s"max_$c")) ++
-        counts.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")))
+        counts.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")) ++
+        kmvs.map(c => call_function("kmin_merge", col(s"kmv_$c"), lit(kmvK))
+          .as(s"kmv_$c")))
     a.unionByName(b).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -49,14 +59,17 @@ object IncrementalAgg {
   def update(spark: SparkSession, storeDir: String, batch: DataFrame,
              keys: Seq[String], sums: Seq[String] = Nil,
              mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
-             counts: Seq[String] = Nil): Unit = {
-    val p = partials(batch, keys, sums, mins, maxs, counts)
+             counts: Seq[String] = Nil,
+             kmvs: Seq[String] = Nil, kmvK: Int = 64): Unit = {
+    if (kmvs.nonEmpty) graft.functions.GraftFunctions.register(spark)
+    val p = partials(batch, keys, sums, mins, maxs, counts, kmvs, kmvK)
     val path = new Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) {
       p.write.mode(SaveMode.Overwrite).parquet(storeDir)
     } else {
-      val merged = combine(spark.read.parquet(storeDir), p, keys, sums, mins, maxs, counts)
+      val merged = combine(spark.read.parquet(storeDir), p, keys, sums, mins,
+        maxs, counts, kmvs, kmvK)
       val tmp = storeDir + ".tmp_swap"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       fs.delete(path, true)

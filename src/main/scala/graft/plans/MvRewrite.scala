@@ -63,6 +63,7 @@ object MvRewrite {
                 sumCols: Map[String, String], countCol: Option[String],
                 valueCountCols: Map[String, String],
                 minCols: Map[String, String], maxCols: Map[String, String],
+                kmvCols: Map[String, String], kmvK: Int,
                 cdcRetractionOnly: Boolean,
                 mvPlan: LogicalPlan)
 
@@ -82,23 +83,36 @@ object MvRewrite {
     * can go STALE under deletes on that maintenance path — the rewrite
     * then refuses to serve MIN/MAX (sum/count stay servable; retraction
     * maintains them exactly). */
+  /** `kmvCols` maps base column → mv KMV-sketch partial column (a
+    * [[graft.functions.KMinValues]] array per group, maintained by
+    * [[graft.ops.IncrementalAgg]]'s kmv path); `kmvK` is the k every
+    * registered partial was built with. A `kmin_values(x, k)` aggregate
+    * over the base is served by `kmin_merge` over the partial — EXACTLY
+    * (the KMV union property: per-group k-mins merge to the global
+    * k-min), so the approximate-distinct ESTIMATE derived from the
+    * sketch is identical too. Exact COUNT(DISTINCT x) is REFUSED by
+    * design: the sketch cannot answer it, and the rewrite must never
+    * change an exact answer. */
   def register(mvDf: DataFrame, baseTag: String, groupCols: Seq[String],
                sumCols: Map[String, String],
                countCol: Option[String],
                valueCountCols: Map[String, String] = Map.empty,
                minCols: Map[String, String] = Map.empty,
                maxCols: Map[String, String] = Map.empty,
+               kmvCols: Map[String, String] = Map.empty,
+               kmvK: Int = 64,
                cdcRetractionOnly: Boolean = false): Unit =
     registry.synchronized {
       val have = mvDf.schema.fieldNames.toSet
       val need = groupCols ++ sumCols.values ++ countCol ++
-        valueCountCols.values ++ minCols.values ++ maxCols.values
+        valueCountCols.values ++ minCols.values ++ maxCols.values ++
+        kmvCols.values
       val missing = need.filterNot(have)
       require(missing.isEmpty,
         s"MvRewrite.register: columns ${missing.mkString(", ")} not in " +
           s"summary schema ${have.mkString("[", ", ", "]")}")
       registry += Mv(baseTag, groupCols.toSet, sumCols, countCol,
-        valueCountCols, minCols, maxCols, cdcRetractionOnly,
+        valueCountCols, minCols, maxCols, kmvCols, kmvK, cdcRetractionOnly,
         mvDf.queryExecution.analyzed)
     }
 
@@ -222,6 +236,19 @@ object MvRewrite {
             !m.cdcRetractionOnly && m.minCols.get(ar.name).exists(mvOut.contains)
           case Max(ar: AttributeReference) =>
             !m.cdcRetractionOnly && m.maxCols.get(ar.name).exists(mvOut.contains)
+          // KMV sketch reads: served when the query's k equals the k the
+          // partials were built with (a smaller query-k could be served
+          // by truncation but would silently change the estimate's error
+          // contract; a larger one cannot be served at all). kmv partials
+          // are insert-only mergeable — refused on retraction marts like
+          // min/max. Exact COUNT(DISTINCT x) never reaches here: the
+          // isDistinct guard above rejects it (by design — a sketch must
+          // not answer an exact aggregate).
+          case graft.functions.KMinValues(ar: AttributeReference, kLit, _, _) =>
+            !m.cdcRetractionOnly &&
+              kLit.foldable &&
+              kLit.eval().asInstanceOf[Number].intValue() == m.kmvK &&
+              m.kmvCols.get(ar.name).exists(mvOut.contains)
           case _ => false
         }
       case _ => false
@@ -273,6 +300,12 @@ object MvRewrite {
             // its null-on-empty semantics — no coalesce.
             Alias(Cast(Sum(mvOut(m.sumCols(ar.name))).toAggregateExpression(),
               ae.dataType), name)(exprId = al.exprId)
+          case graft.functions.KMinValues(ar: AttributeReference, kLit, _, _) =>
+            // the KMV union property makes this EXACT: kmin_merge over
+            // the per-group k-min partials IS kmin_values over the base
+            // rows (same dataType, so no cast needed)
+            Alias(graft.functions.KMinMerge(mvOut(m.kmvCols(ar.name)), kLit)
+              .toAggregateExpression(), name)(exprId = al.exprId)
         }
     }
     // the grouping-column filter moves ONTO the |groups|-row summary

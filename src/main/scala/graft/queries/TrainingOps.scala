@@ -208,6 +208,19 @@ object TrainingOps extends OpsModule {
     "td_substring_dedup" -> ((s, d) =>
       TextOps.substringDedup(docs(s, d)).orderBy("doc_id")),
 
+    // the nightly-ingest DELTA form (r7): the doc_id%5==0 slice plays
+    // the new batch, the rest the accumulated store — new docs' spans
+    // dedup against the store's distinct span hashes plus the batch
+    // itself; the accumulated corpus is never re-windowed
+    "td_delta_substring" -> ((s, d) => {
+      val dd = docs(s, d)
+      val store = TextOps.spanHashStore(
+        dd.filter(pmod(col("doc_id"), lit(5L)) =!= 0L))
+      TextOps.deltaSubstringDedup(
+        dd.filter(pmod(col("doc_id"), lit(5L)) === 0L), store)
+        .orderBy("doc_id")
+    }),
+
     // CCNet-posture boilerplate removal: drop lines whose hash appears
     // in > 3 distinct documents corpus-wide, rebuild the texts. The
     // synthetic corpus is single-line, so the query reflows each text
@@ -469,6 +482,16 @@ object TrainingOps extends OpsModule {
     // bottom-15 non-essential multi-char pieces marked pruned
     "td_unigram_prune" -> ((s, d) =>
       graft.text.UnigramLm.pruneVocab(docs(s, d)).orderBy("piece")),
+
+    // ... and the CLOSED Kudo loop (r7): alternate EM with loss-ranked
+    // pruning until the vocabulary reaches the target size — per round
+    // min(pruneStep, |vocab| − target) non-essential pieces drop, so
+    // late rounds no-op at the target; the oracle unrolls EM+prune
+    // blocks per round (the td_unigram_train pattern)
+    "td_unigram_full" -> ((s, d) =>
+      graft.text.UnigramLm.trainPruned(docs(s, d),
+        targetSize = UnigramFullTarget, pruneStep = UnigramFullStep,
+        rounds = UnigramFullRounds).orderBy("piece")),
 
     // the COMPOSED curation pipeline, hash-checked end to end: runs
     // CurationPipeline.run (5 gates → exact dedup → LSH near-dedup →
@@ -968,22 +991,27 @@ object TrainingOps extends OpsModule {
       }.reduce(_ unionByName _).orderBy("nprobe")
     }),
 
+    // decoded-feature surface over the r7 REAL-container lake: container
+    // length/header validate the encoders, decoded n_units/unit_sum
+    // validate the parsers (true PCM samples / luma pixels)
     "mm_decode_features" -> ((s, d) =>
-      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
+      Multimodal.decodeFeatures(Multimodal.mediaLake(docs(s, d)))
         .orderBy("doc_id")),
 
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy("doc_id", "frame_idx")),
 
+    // windowed Σ|sample| over TRUE decoded PCM (real RIFF parse, r7)
     "mm_audio_energy" -> ((s, d) =>
-      Multimodal.audioEnergy(Multimodal.mediaFromDocuments(docs(s, d)))
+      Multimodal.audioEnergy(Multimodal.mediaLake(docs(s, d)))
         .orderBy("doc_id", "win_idx")),
 
     // VAD-style active segments: above-mean energy gate (integer compare)
-    // merged by gaps-and-islands — the speech-segmentation pipeline step
+    // merged by gaps-and-islands — the speech-segmentation pipeline step,
+    // over the decoded-PCM energy stream
     "mm_vad_segments" -> ((s, d) =>
-      Multimodal.vadSegments(Multimodal.mediaFromDocuments(docs(s, d)))
+      Multimodal.vadSegments(Multimodal.mediaLake(docs(s, d)))
         .orderBy("doc_id", "seg_start")),
 
     "mm_resize" -> ((s, d) => {
@@ -1210,8 +1238,9 @@ object TrainingOps extends OpsModule {
 
     // scene-cut detection over the frame stream: per-frame byte-sum
     // energy, lag-window deltas, integer 1.5×-mean threshold
+    // scene cuts over TRUE decoded luma frames (real BMP parse, r7)
     "mm_scene_cuts" -> ((s, d) =>
-      Multimodal.sceneCuts(Multimodal.mediaFromDocuments(docs(s, d)))
+      Multimodal.sceneCuts(Multimodal.mediaLake(docs(s, d)))
         .orderBy("doc_id")),
 
     // max-min-fair (water-filling) token-budget allocation across
@@ -1327,6 +1356,9 @@ object TrainingOps extends OpsModule {
   private val LogregIters = 3
   private val LogregBuckets = 32
   private val LogregLr = 0.5
+  private val UnigramFullTarget = 40
+  private val UnigramFullStep = 8
+  private val UnigramFullRounds = 3
   private val SemDedupCells = 16
   private val SemDedupThreshold = 0.4
   private val KmeansCells = 16
@@ -1878,50 +1910,134 @@ object TrainingOps extends OpsModule {
     * into per-round CTE chains (the bpeTrain/kmeansTrain unroll
     * pattern) — each round re-derives the lattice under the previous
     * round's 6dp-pinned probabilities. */
+  private def duckAlphaF(src: String) =
+    s"""list_reduce(list_prepend(
+          list_concat([1.0], list_transform(range(1, L + 1), x -> 0.0)), $src),
+        (acc, e) -> list_transform(acc, (x, k) ->
+           CASE WHEN k = CAST(e[1] AS INT) + 1
+                THEN x + acc[CAST(e[2] AS INT) + 1] * e[3]
+                ELSE x END))"""
+
+  private def duckBetaF(src: String) =
+    s"""list_reduce(list_prepend(
+          list_concat(list_transform(range(1, L + 1), x -> 0.0), [1.0]), $src),
+        (acc, e) -> list_transform(acc, (x, k) ->
+           CASE WHEN k = CAST(e[1] AS INT) + 1
+                THEN x + e[3] * acc[CAST(e[2] AS INT) + 1]
+                ELSE x END))"""
+
+  /** One EM round as a CTE block: lattice under `prev`'s probabilities,
+    * forward-backward expected counts, 6dp-renormalized (1e-6-floored)
+    * probabilities into `out` — shared by the train and trainPruned
+    * (Kudo-loop) unrolls. */
+  private def duckEmRoundCtes(tag: String, prev: String, out: String,
+                              materialized: Boolean = false): String = {
+    // MATERIALIZED stops DuckDB inlining the round state into every
+    // downstream reference — the trainPruned unroll references each
+    // round's vocab ~4×, and plain-CTE expansion is EXPONENTIAL in the
+    // round count (measured as a too-many-open-files blowup: every
+    // inlined copy re-opens the parquet scan)
+    val m = if (materialized) "MATERIALIZED " else ""
+    s"""svo_$tag AS (SELECT o.word, o.wcount, o.j, o.i, o.piece, v.p
+                   FROM occ o JOIN $prev v USING (piece)),
+        lat_$tag AS (SELECT word, wcount, len(word) AS L,
+                     list_sort(list([CAST(i AS DOUBLE), CAST(j AS DOUBLE), p]))
+                       AS es,
+                     list_reverse(list_sort(
+                       list([CAST(j AS DOUBLE), CAST(i AS DOUBLE), p]))) AS esb
+                   FROM svo_$tag GROUP BY word, wcount),
+        dp_$tag AS (SELECT word, L, ${duckAlphaF("es")} AS alpha,
+                         ${duckBetaF("esb")} AS beta
+                  FROM lat_$tag),
+        ec_$tag AS (SELECT s.piece,
+                         CAST(s.wcount AS DOUBLE) * d.alpha[s.j + 1] * s.p *
+                           d.beta[s.i + 1] / d.alpha[d.L + 1] AS ec
+                  FROM svo_$tag s JOIN dp_$tag d USING (word)),
+        ag_$tag AS (SELECT piece, round(sum(ec), 6) AS e FROM ec_$tag GROUP BY piece),
+        $out AS $m(SELECT piece,
+                        greatest(round(e / (SELECT round(sum(e), 6)
+                          FROM ag_$tag), 6), 0.000001) AS p
+                 FROM ag_$tag)"""
+  }
+
   private val duckUnigramTrainSql = {
     val iters = 3
-    def alphaF(src: String) =
-      s"""list_reduce(list_prepend(
-            list_concat([1.0], list_transform(range(1, L + 1), x -> 0.0)), $src),
-          (acc, e) -> list_transform(acc, (x, k) ->
-             CASE WHEN k = CAST(e[1] AS INT) + 1
-                  THEN x + acc[CAST(e[2] AS INT) + 1] * e[3]
-                  ELSE x END))"""
-    def betaF(src: String) =
-      s"""list_reduce(list_prepend(
-            list_concat(list_transform(range(1, L + 1), x -> 0.0), [1.0]), $src),
-          (acc, e) -> list_transform(acc, (x, k) ->
-             CASE WHEN k = CAST(e[1] AS INT) + 1
-                  THEN x + e[3] * acc[CAST(e[2] AS INT) + 1]
-                  ELSE x END))"""
-    def round_(r: Int): String = {
-      val prev = if (r == 1) "vocab" else s"vocab_${r - 1}"
-      s"""svo_$r AS (SELECT o.word, o.wcount, o.j, o.i, o.piece, v.p
-                     FROM occ o JOIN $prev v USING (piece)),
-          lat_$r AS (SELECT word, wcount, len(word) AS L,
-                       list_sort(list([CAST(i AS DOUBLE), CAST(j AS DOUBLE), p]))
-                         AS es,
-                       list_reverse(list_sort(
-                         list([CAST(j AS DOUBLE), CAST(i AS DOUBLE), p]))) AS esb
-                     FROM svo_$r GROUP BY word, wcount),
-          dp_$r AS (SELECT word, L, ${alphaF("es")} AS alpha,
-                           ${betaF("esb")} AS beta
-                    FROM lat_$r),
-          ec_$r AS (SELECT s.piece,
-                           CAST(s.wcount AS DOUBLE) * d.alpha[s.j + 1] * s.p *
-                             d.beta[s.i + 1] / d.alpha[d.L + 1] AS ec
-                    FROM svo_$r s JOIN dp_$r d USING (word)),
-          ag_$r AS (SELECT piece, round(sum(ec), 6) AS e FROM ec_$r GROUP BY piece),
-          vocab_$r AS (SELECT piece,
-                              greatest(round(e / (SELECT round(sum(e), 6)
-                                FROM ag_$r), 6), 0.000001) AS p
-                       FROM ag_$r)"""
-    }
-    val rounds = (1 to iters).map(round_).mkString(",\n")
+    val rounds = (1 to iters).map { r =>
+      duckEmRoundCtes(r.toString, if (r == 1) "vocab" else s"vocab_${r - 1}",
+        s"vocab_$r")
+    }.mkString(",\n")
     s"""WITH $duckUnigramBase,
         $rounds
         SELECT v0.piece, round(v0.p, 6) AS seed_prob, vf.p AS prob
         FROM vocab v0 JOIN vocab_$iters vf USING (piece)
+        ORDER BY piece"""
+  }
+
+  /** Oracle for [[graft.text.UnigramLm.trainPruned]] — the CLOSED Kudo
+    * loop unrolled: per round, one EM block ([[duckEmRoundCtes]]) then a
+    * prune block (the [[duckUnigramPruneSql]] loss machinery against the
+    * EM'd vocab): per-piece removal loss from the α-fold with the
+    * piece's edges filtered row-local, essential pieces protected, the
+    * bottom min(pruneStep, |vocab| − target) candidates dropped (the
+    * count is a scalar subquery, so late rounds no-op once the target is
+    * reached — exactly the Scala loop's arithmetic), survivors
+    * 6dp-renormalized with the 1e-6 floor. */
+  private val duckUnigramFullSql = {
+    val rounds = UnigramFullRounds
+    def pruneBlock(r: Int): String =
+      s"""wpf_$r AS (SELECT DISTINCT o.word, o.piece FROM occ o
+                   JOIN vem_$r v USING (piece) WHERE len(o.piece) >= 2),
+          svf_$r AS (SELECT o.word, o.wcount, o.j, o.i, o.piece, v.p
+                   FROM occ o JOIN vem_$r v USING (piece)),
+          ltf_$r AS (SELECT word, wcount, len(word) AS L,
+                       list_sort(list([CAST(i AS DOUBLE), CAST(j AS DOUBLE), p]))
+                         AS es
+                     FROM svf_$r GROUP BY word, wcount),
+          dzf_$r AS MATERIALIZED (SELECT word, wcount, L, es,
+                            ${duckAlphaF("es")}[L + 1] AS z
+                     FROM ltf_$r),
+          prf_$r AS (SELECT wpf_$r.piece, l.wcount, l.z,
+                        list_reduce(list_prepend(
+                          list_concat([1.0],
+                            list_transform(range(1, l.L + 1), x -> 0.0)),
+                          list_filter(l.es, e ->
+                            NOT (substr(wpf_$r.word, CAST(e[2] AS INT) + 1,
+                                 CAST(e[1] AS INT) - CAST(e[2] AS INT))
+                                 = wpf_$r.piece))),
+                          (acc, e) -> list_transform(acc, (x, k) ->
+                            CASE WHEN k = CAST(e[1] AS INT) + 1
+                                 THEN x + acc[CAST(e[2] AS INT) + 1] * e[3]
+                                 ELSE x END))[l.L + 1] AS zq
+                 FROM wpf_$r JOIN dzf_$r l ON l.word = wpf_$r.word),
+          lsf_$r AS (SELECT piece,
+                        max(CASE WHEN zq = 0 THEN 1 ELSE 0 END) AS essential_i,
+                        round(sum(CASE WHEN zq > 0
+                          THEN wcount * (ln(z) - ln(zq))
+                          ELSE 0 END), 6) AS loss_delta
+                 FROM prf_$r GROUP BY piece),
+          cdf_$r AS (SELECT piece,
+                        row_number() OVER (ORDER BY loss_delta, piece) AS rk
+                 FROM lsf_$r WHERE essential_i = 0),
+          kpf_$r AS MATERIALIZED (SELECT v.piece, v.p FROM vem_$r v
+                 WHERE v.piece NOT IN (SELECT piece FROM cdf_$r
+                   WHERE rk <= greatest(least($UnigramFullStep,
+                     (SELECT count(*) FROM vem_$r) - $UnigramFullTarget), 0))),
+          pv_$r AS MATERIALIZED (SELECT piece,
+                        greatest(round(p / (SELECT round(sum(p), 6)
+                          FROM kpf_$r), 6), 0.000001) AS p
+                 FROM kpf_$r)"""
+    val chain = (1 to rounds).map { r =>
+      duckEmRoundCtes(s"f$r", if (r == 1) "vocab" else s"pv_${r - 1}",
+        s"vem_$r", materialized = true) + ",\n" + pruneBlock(r)
+    }.mkString(",\n")
+    // materialize the shared bases too: occ is referenced 4× per round
+    val base = duckUnigramBase
+      .replace("occ AS (", "occ AS MATERIALIZED (")
+      .replace("vocab AS (", "vocab AS MATERIALIZED (")
+    s"""WITH $base,
+        $chain
+        SELECT v0.piece, round(v0.p, 6) AS seed_prob, pf.p AS prob
+        FROM vocab v0 JOIN pv_$rounds pf USING (piece)
         ORDER BY piece"""
   }
 
@@ -2167,23 +2283,65 @@ object TrainingOps extends OpsModule {
         (${dHash(s"concat('li:', CAST(j AS VARCHAR), ':', $termExpr)")}
          % 2001 - 1000) / 1000.0)"""
 
-  /** Windowed byte-sum energy stream — the oracle twin of
-    * Multimodal.audioEnergy (hex-pair fold over 32-byte windows),
-    * shared by mm_audio_energy and mm_vad_segments. */
+  /** 0-based byte value at `i` of the doc's UTF-8 text (0 past the end)
+    * — h = hex(encode(text)), L = octet_length. The primitive every
+    * r7 codec oracle derives decoded values from. */
+  private def duckByteAt(i: String) =
+    s"""(CASE WHEN ($i) < L
+         THEN CAST(concat('0x', substr(h, ($i) * 2 + 1, 2)) AS BIGINT)
+         ELSE 0 END)"""
+
+  /** Little-endian 4-byte hex (uppercase) of an int expression — the
+    * header-field encoding the r7 codec oracles validate. */
+  private def duckLe32Hex(v: String) =
+    s"""printf('%02X%02X%02X%02X', ($v) & 255, (($v) >> 8) & 255,
+              (($v) >> 16) & 255, (($v) >> 24) & 255)"""
+
+  /** TRUE-PCM windowed energy stream — the oracle twin of
+    * Multimodal.audioEnergy over the r7 real-container lake: re-derives
+    * the samples the real RIFF parser must produce from first principles
+    * (sample_i = (byte_i − 128)·256, so window energy =
+    * 256·Σ|byte−128|) WITHOUT parsing a container — the hash compare is
+    * therefore a round-trip proof of wav_encode + wav_pcm_samples.
+    * Shared by mm_audio_energy and mm_vad_segments. wav rows = even
+    * doc ids (the mediaLake convention). */
   private val duckAudioEnergy =
     """SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
               CAST(coalesce(list_sum(list_transform(
-                generate_series(1, len(h) // 2),
-                i -> CAST(concat('0x', substr(h, i * 2 - 1, 2)) AS BIGINT))), 0)
+                generate_series(win_idx * 32 + 1, least(win_idx * 32 + 32, L)),
+                i -> 256 * abs(CAST(concat('0x', substr(h, i * 2 - 1, 2))
+                                    AS BIGINT) - 128))), 0)
                 AS BIGINT) AS energy
-       FROM (SELECT doc_id, win_idx,
-                    substr(hex(encode(text)), win_idx * 64 + 1, 64) AS h
-             FROM (SELECT doc_id, text,
-                          unnest(generate_series(0,
-                            greatest(CAST(ceil(octet_length(encode(text)) / 32.0)
-                                          AS INT) - 1, 0)))
-                            AS win_idx
-                   FROM documents))"""
+       FROM (SELECT doc_id, hex(encode(text)) AS h,
+                    octet_length(encode(text)) AS L,
+                    unnest(generate_series(0,
+                      greatest(CAST(ceil(octet_length(encode(text)) / 32.0)
+                                    AS INT) - 1, 0)))
+                      AS win_idx
+             FROM documents WHERE doc_id % 2 = 0)"""
+
+  /** Decoded-luma plane oracle CTE for the bmp rows (odd doc ids):
+    * W = L%24 + 8, pixels = max(1, ceil(L/3)) zero-padded to W·H,
+    * luma_j = (2126·R + 7152·G + 722·B) // 10000 with (B,G,R) =
+    * bytes (3j, 3j+1, 3j+2) — pure integer re-derivation, no container
+    * parse, so the hash compare proves bmp_encode + bmp_luma undo the
+    * bottom-up row flip and the stride padding exactly. */
+  private val duckLumaCte =
+    s"""lmsrc AS (
+          SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS L,
+                 octet_length(encode(text)) % 24 + 8 AS W,
+                 greatest(1, (octet_length(encode(text)) + 2) // 3) AS npx
+          FROM documents WHERE doc_id % 2 = 1),
+        lm AS (
+          SELECT doc_id, W, (npx + W - 1) // W AS H,
+                 CAST(W * ((npx + W - 1) // W) AS BIGINT) AS n_luma,
+                 list_transform(generate_series(0, W * ((npx + W - 1) // W) - 1),
+                   j -> CASE WHEN j < npx THEN
+                          (2126 * ${duckByteAt("3 * j + 2")}
+                           + 7152 * ${duckByteAt("3 * j + 1")}
+                           + 722 * ${duckByteAt("3 * j")}) // 10000
+                        ELSE 0 END) AS luma
+          FROM lmsrc)"""
 
   /** Unrolled greedy-MMR chain, the oracle twin of Embeddings.mmrSelect:
     * step i scores every remaining pool member on EXACT INTEGER 1e-7
@@ -2624,6 +2782,47 @@ object TrainingOps extends OpsModule {
                            row_number() OVER (PARTITION BY h
                              ORDER BY doc_id, pos) AS rn
                     FROM sp) WHERE rn > 1),
+          tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                            unnest(range(len(toks))) AS i
+                     FROM t),
+          kept AS (SELECT tp.doc_id, tp.tok, tp.i FROM tokpos tp
+                   WHERE NOT EXISTS (SELECT 1 FROM rem r
+                     WHERE r.doc_id = tp.doc_id
+                       AND r.pos <= tp.i AND tp.i < r.pos + 8)),
+          outp AS (SELECT doc_id, count(*) AS n_kept,
+                          string_agg(tok, ' ' ORDER BY i) AS dedup_text
+                   FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                 CAST(len(t.toks) - coalesce(o.n_kept, 0) AS BIGINT) AS n_removed,
+                 coalesce(o.dedup_text, '') AS dedup_text
+          FROM t LEFT JOIN outp o USING (doc_id) ORDER BY t.doc_id"""
+    },
+
+    // delta ExactSubstr: the same token-grain EXISTS rebuild over the
+    // NEW slice only, with removal = (hash in the OLD slice's distinct
+    // span hashes) OR (a lexicographically earlier occurrence within
+    // the new slice)
+    "td_delta_substring" -> {
+      val spanCat = (0 until 8).map(j => s"toks[i+${j + 1}]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents WHERE doc_id % 5 = 0),
+          sp AS (SELECT doc_id, i AS pos,
+                        ${dHash(s"concat_ws(' ', $spanCat)")} AS h
+                 FROM (SELECT doc_id, toks,
+                              unnest(generate_series(0, len(toks) - 8)) AS i
+                       FROM t WHERE len(toks) >= 8)),
+          ost AS (SELECT DISTINCT ${dHash(s"concat_ws(' ', $spanCat)")} AS h
+                  FROM (SELECT toks,
+                               unnest(generate_series(0, len(toks) - 8)) AS i
+                        FROM (SELECT string_split(text, ' ') AS toks
+                              FROM documents WHERE doc_id % 5 != 0)
+                        WHERE len(toks) >= 8)),
+          rem AS (SELECT doc_id, pos FROM (
+                    SELECT s.doc_id, s.pos, o.h AS oh,
+                           row_number() OVER (PARTITION BY s.h
+                             ORDER BY s.doc_id, s.pos) AS rn
+                    FROM sp s LEFT JOIN ost o ON o.h = s.h)
+                  WHERE oh IS NOT NULL OR rn > 1),
           tokpos AS (SELECT doc_id, unnest(toks) AS tok,
                             unnest(range(len(toks))) AS i
                      FROM t),
@@ -3492,6 +3691,8 @@ object TrainingOps extends OpsModule {
 
     "td_unigram_prune" -> duckUnigramPruneSql,
 
+    "td_unigram_full" -> duckUnigramFullSql,
+
     "txt_gopher_rep" -> duckGopherRepSql,
 
     "txt_gopher_full" ->
@@ -4104,18 +4305,47 @@ object TrainingOps extends OpsModule {
                  round(sqrt(list_dot_product(cent.cemb, cent.cemb)), 6) AS centroid_norm
           FROM st JOIN cent USING (cell) ORDER BY cell""",
 
+    // re-derived over the r7 REAL containers: container length and
+    // header bytes from the encode conventions (validates wav_encode /
+    // bmp_encode's container math), decoded unit count and Σ|unit| from
+    // first principles (validates the parsers' chunk walk / row un-flip
+    // / de-padding) — no container is ever parsed on the oracle side
     "mm_decode_features" ->
-      """SELECT doc_id,
-                CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
-                     WHEN doc_id % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
-                (n_chars % 64) * 10 + 64 AS width,
-                (n_chars % 48) * 10 + 48 AS height,
-                length(text) AS content_len,
-                md5(text) AS content_md5,
-                upper(hex(CAST(substr(text, 1, 8) AS BLOB))) AS header_hex,
-                round(CAST((n_chars % 64) * 10 + 64 AS DOUBLE) /
-                      ((n_chars % 48) * 10 + 48), 6) AS aspect_ratio
-         FROM documents ORDER BY doc_id""",
+      s"""WITH src AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS L,
+                   octet_length(encode(text)) % 24 + 8 AS W,
+                   greatest(1, (octet_length(encode(text)) + 2) // 3) AS npx
+            FROM documents),
+          geo AS (
+            SELECT doc_id, h, L, W, npx,
+                   (npx + W - 1) // W AS ht,
+                   ((W * 3 + 3) // 4) * 4 AS rs
+            FROM src)
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS format,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 44 + 2 * L
+                      ELSE 54 + rs * ht END AS INT) AS content_len,
+                 CASE WHEN doc_id % 2 = 0
+                   THEN concat('52494646', ${duckLe32Hex("36 + 2 * L")})
+                   ELSE concat('424D', ${duckLe32Hex("54 + rs * ht")}, '0000')
+                 END AS header_hex,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN L ELSE W * ht END AS INT)
+                   AS n_units,
+                 CAST(CASE WHEN doc_id % 2 = 0
+                   THEN coalesce(256 * list_sum(list_transform(
+                     generate_series(1, L),
+                     i -> abs(CAST(concat('0x', substr(h, i * 2 - 1, 2))
+                                   AS BIGINT) - 128))), 0)
+                   ELSE coalesce(list_sum(list_transform(
+                     generate_series(0, npx - 1),
+                     j -> (2126 * ${duckByteAt("3 * j + 2")}
+                           + 7152 * ${duckByteAt("3 * j + 1")}
+                           + 722 * ${duckByteAt("3 * j")}) // 10000)), 0)
+                 END AS BIGINT) AS unit_sum,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN L ELSE W * ht END > 0
+                   AS INT) AS header_valid
+          FROM geo ORDER BY doc_id""",
 
     "mm_phash" ->
       s"""WITH $duckPhash
@@ -4569,21 +4799,24 @@ object TrainingOps extends OpsModule {
                  round(abs(kmv_jaccard - exact_jaccard), 6) AS abs_err
           FROM fin ORDER BY source_a, source_b""",
 
+    // re-derived over TRUE decoded luma (r7): frames are 32-pixel runs
+    // of the first-principles luma plane (duckLumaCte), matching the
+    // Spark side's bmp_luma slices — cut logic unchanged
     "mm_scene_cuts" ->
-      """WITH fr AS (
+      s"""WITH $duckLumaCte,
+         fr AS (
            SELECT doc_id, n_frames, frame_idx,
-                  CAST(coalesce(list_sum(list_transform(
-                    generate_series(1, len(h) // 2),
-                    i -> CAST(concat('0x', substr(h, i * 2 - 1, 2)) AS BIGINT))),
-                    0) AS BIGINT) AS energy
-           FROM (SELECT doc_id, CAST(n_chars % 7 + 1 AS INT) AS n_frames,
-                        frame_idx,
-                        substr(hex(encode(text)),
-                          CAST(frame_idx * 64 + 1 AS INT), 64) AS h
-                 FROM (SELECT doc_id, text, n_chars,
-                              unnest(generate_series(0,
-                                CAST(n_chars % 7 AS INT))) AS frame_idx
-                       FROM documents))),
+                  CAST(coalesce(list_sum(list_slice(luma,
+                    frame_idx * 32 + 1,
+                    least(frame_idx * 32 + 32, CAST(n_luma AS INT)))), 0)
+                    AS BIGINT) AS energy
+           FROM (SELECT doc_id, luma, n_luma,
+                        greatest(CAST(ceil(n_luma / 32.0) AS INT), 1)
+                          AS n_frames,
+                        unnest(generate_series(0,
+                          greatest(CAST(ceil(n_luma / 32.0) AS INT) - 1, 0)))
+                          AS frame_idx
+                 FROM lm)),
          d AS (SELECT doc_id, n_frames, frame_idx,
                  abs(energy - lag(energy) OVER (PARTITION BY doc_id
                    ORDER BY frame_idx)) AS delta

@@ -448,27 +448,42 @@ object Embeddings {
         .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
         .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
     } else {
+      // the centroid table is itself an aggregation over the corpus and
+      // feeds several consumers below (coarse seed, coarse means,
+      // candidate attach) — materialize it once (|cells| rows; without
+      // this the corpus-wide centroid aggregation re-executes per use)
+      val c = cents.localCheckpoint()
       // group the centroids themselves: one seed+refine pass over the
       // |cells|-row table (cells²-free: |cells|·nCoarse work)
       val cellCoarse = kmeansCells(
-        cents.select(col("cell").as("vec_id"), col("cemb").as("embedding")),
+        c.select(col("cell").as("vec_id"), col("cemb").as("embedding")),
         nCoarse)
         .select(col("vec_id"), col("cell")).toDF("cell", "coarse_id")
+        .localCheckpoint()
       // coarse centroid = mean of member cell centroids; derived FROM the
       // mapping, so only non-empty coarse groups exist (a vector can
       // never route to a group with no candidate cells)
       val coarseCents = centroids(
-        cents.join(cellCoarse, "cell")
+        c.join(cellCoarse, "cell")
           .select(col("coarse_id").as("label"), col("cemb").as("embedding")))
         .select(col("cell").as("coarse_id"), col("cemb").as("coarse_emb"))
+      // routing carries the embedding THROUGH the argmax aggregate
+      // (first() — every candidate row of a vector holds the same
+      // array), so the corpus crosses exactly ONE exchange per assign
+      // pass (N narrow-ish rows, map-side pre-reduced) — never a
+      // corpus-side shuffle JOIN (the first formulation paid two array
+      // exchanges + sorts and measured SLOWER than exhaustive at sf10)
       val routed = e.crossJoin(broadcast(coarseCents))
         .withColumn("rcos", cosine(col("emb"), col("coarse_emb")))
         .groupBy("vec_id")
-        .agg(max(struct(col("rcos").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("coarse_id"))
-      val cands = cents.join(cellCoarse, "cell")
-      e.join(routed, "vec_id")
-        .join(broadcast(cands), "coarse_id")
+        .agg(first(col("emb")).as("emb"),
+          max(struct(col("rcos").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), col("emb"), (-col("m.nc")).as("coarse_id"))
+      val cands = c.join(cellCoarse, "cell")
+      // BHJ on the winning group: each vector's row fans out to its
+      // ~cells/nCoarse member cells in place; the argmax then map-side
+      // combines back to one narrow row per vector
+      routed.join(broadcast(cands), "coarse_id")
         .withColumn("acos", cosine(col("emb"), col("cemb")))
         .groupBy("vec_id")
         .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))

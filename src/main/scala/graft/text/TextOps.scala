@@ -1441,18 +1441,37 @@ object TextOps {
   def substringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
     val t = tokenized(docs)
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-    val spans = t.filter(col("n") >= k).select(col("doc_id"),
+    val spans = spanOccurrences(t, k)
+    // occurrence rank within each identical span: rank 1 = the canonical
+    // (doc_id, pos)-minimal occurrence, every later rank is removed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id", "pos")
+    val removed = spans.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select("doc_id", "pos")
+    rebuildFromRemovals(t, removed, k)
+  }
+
+  /** All k-token span occurrences of a tokenized frame `t`
+    * (doc_id, toks, n), hashed to 60-bit longs PRE-shuffle:
+    * (doc_id, pos, h). The shared head of [[substringDedup]] and
+    * [[deltaSubstringDedup]]. */
+  private def spanOccurrences(t: DataFrame, k: Int): DataFrame =
+    t.filter(col("n") >= k).select(col("doc_id"),
       explode(transform(sequence(lit(0), col("n") - k),
         i => struct(i.as("pos"), md5Long(concat_ws(" ",
           (0 until k).map(j => element_at(col("toks"), i + lit(j + 1))): _*))
           .as("h")))).as("sp"))
       .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
-    // occurrence rank within each identical span: rank 1 = the canonical
-    // (doc_id, pos)-minimal occurrence, every later rank is removed
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy("doc_id", "pos")
-    val removals = spans.withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1)
+
+  /** Rebuild each document's text from `t` (doc_id, toks, n) with every
+    * k-token interval starting at a `removed` (doc_id, pos) cut out —
+    * the row-local interval-merge cursor sweep [[substringDedup]]'s
+    * scaladoc describes, factored so the delta form shares it verbatim.
+    * Output: (doc_id, n_tokens, n_removed, dedup_text). */
+  private def rebuildFromRemovals(t: DataFrame, removed: DataFrame,
+                                  k: Int): DataFrame = {
+    val removals = removed
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("pos"))).as("starts"))
     val withStarts = t.join(removals, Seq("doc_id"), "left")
@@ -1481,6 +1500,52 @@ object TextOps {
         col("n").cast("long").as("n_tokens"),
         (col("n") - size(col("kept_toks"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept_toks")).as("dedup_text"))
+  }
+
+  /** The accumulated span-hash STORE for the delta form: the distinct
+    * k-token span hashes of a corpus, one 8-byte long per distinct
+    * span. Persist it partitioned/bucketed by `h` at scale; append each
+    * admitted batch's [[spanHashStore]] and re-distinct on compaction
+    * cadence (or keep it a [[graft.ops.IncrementalAgg]]-maintained key
+    * table — either way the probe side reads matching buckets only). */
+  def spanHashStore(docs: DataFrame, k: Int = 8): DataFrame = {
+    val t = tokenized(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    spanOccurrences(t, k).select("h").distinct()
+  }
+
+  /** Delta ExactSubstr for nightly ingest (r7 — VERDICT r6 ask #6; the
+    * [[deltaNearDupPairs]] posture applied to the rewrite dedup): dedup
+    * only the NEW batch's spans, against the accumulated [[spanHashStore]]
+    * plus the batch itself. A new occurrence is removed when its hash
+    * exists in the store (some accumulated occurrence precedes every new
+    * one) OR an earlier (doc_id, pos) occurrence exists within the batch.
+    *
+    * EXACT equivalence to the full recompute (spec-pinned): when every
+    * accumulated doc_id precedes every new doc_id,
+    * `substringDedup(old ∪ new)` restricted to new docs ≡
+    * `deltaSubstringDedup(new, spanHashStore(old))`, and restricted to
+    * old docs ≡ `substringDedup(old)` — the full window's rank-1
+    * canonical for a hash shared with the store is always an OLD
+    * occurrence, and old docs never lose a canonical to a newer id. So
+    * the nightly loop never rewrites history and never re-shuffles the
+    * accumulated corpus: per night the window runs over the BATCH's
+    * spans only, and the store probe is an equi join of batch-sized span
+    * hashes against the bucketed store (NEW×OLD cost, the delta
+    * contract). */
+  def deltaSubstringDedup(newDocs: DataFrame, store: DataFrame,
+                          k: Int = 8): DataFrame = {
+    val t = tokenized(newDocs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val spans = spanOccurrences(t, k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id", "pos")
+    val removed = spans
+      .join(store.select(col("h"), lit(1).as("in_store")), Seq("h"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("in_store").isNotNull || col("rn") > 1)
+      .select("doc_id", "pos")
+    rebuildFromRemovals(t, removed, k)
   }
 
   /** Line-grain cross-document boilerplate removal — the CCNet posture
@@ -2636,19 +2701,49 @@ object TextOps {
         least(col("sz_a") - col("pa"), col("sz_b") - col("pb"))).as("ubound"))
       .filter(col("ubound").cast("double") * (1.0 + threshold) >=
         lit(threshold) * (col("sz_a") + col("sz_b")))
-      .select("doc_id_a", "doc_id_b")
+      .select("doc_id_a", "doc_id_b", "sz_a", "sz_b")
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
-    // verify sides broadcast when the hashed-set frame fits the session
-    // threshold: the candidate pairs (two longs/row) then never shuffle
-    // the token ARRAYS — at scale the gate declines and both joins plan
-    // as shuffles on the pair keys
-    def vSide(df: DataFrame) = if (verifyBroadcast) broadcast(df) else df
-    cand
-      .join(vSide(dsets.select(col("doc_id").as("doc_id_a"), col("items").as("toks_a"))),
-        "doc_id_a")
-      .join(vSide(dsets.select(col("doc_id").as("doc_id_b"), col("items").as("toks_b"))),
-        "doc_id_b")
+    val dsA = dsets.select(col("doc_id").as("doc_id_a"), col("items").as("toks_a"))
+    val dsB = dsets.select(col("doc_id").as("doc_id_b"), col("items").as("toks_b"))
+    // verify-join strategy ladder (the r6-decade regime step, now with a
+    // middle rung): (1) corpus arrays fit the session threshold →
+    // broadcast them, pairs never shuffle; (2) corpus outgrew broadcast
+    // but the SURVIVING pair set is small (it is length-, positional-
+    // and prefix-filtered — the whole point of PPJoin) → broadcast the
+    // PAIR side instead, so both verify joins probe the corpus arrays
+    // IN PLACE and no array column ever crosses an exchange (this was
+    // the sf10 regime step's entire remaining cost: two SMJs shuffling
+    // 600k hashed-shingle arrays against a few-hundred-row pair list);
+    // (3) the pair set is itself big → shuffle joins on the pair keys,
+    // the only correct plan at that size (AQE re-plans from runtime
+    // sizes). Rung 2's decision comes from the MATERIALIZED pair set
+    // (exact row count + the sz columns the frame already carries — no
+    // Catalyst join-estimate guesswork), priced at one count over a
+    // localCheckpoint the verify would re-execute anyway.
+    val verified =
+      if (verifyBroadcast)
+        cand.select("doc_id_a", "doc_id_b")
+          .join(broadcast(dsA), "doc_id_a")
+          .join(broadcast(dsB), "doc_id_b")
+      else {
+        val candCk = cand.localCheckpoint()
+        val thresholdB = graft.ops.AutoBroadcast.thresholdBytes(sets)
+        // pairs: two ids + two sizes ≈ 48 B/row; the j1 intermediate
+        // additionally carries side-a's array (8 B/item, sz_a items)
+        val est = candCk.agg(
+            coalesce(sum(lit(48L) + col("sz_a") * 8L), lit(0L)))
+          .head.getLong(0)
+        if (thresholdB > 0 && est <= thresholdB) {
+          val j1 = dsA.join(broadcast(candCk.select("doc_id_a", "doc_id_b")),
+              "doc_id_a")
+            .localCheckpoint()
+          dsB.join(broadcast(j1), "doc_id_b")
+        } else
+          candCk.select("doc_id_a", "doc_id_b")
+            .join(dsA, "doc_id_a").join(dsB, "doc_id_b")
+      }
+    verified
       .withColumn("jaccard",
         round(inter.cast("double") / union.cast("double"), 6))
       .filter(col("jaccard") >= threshold)

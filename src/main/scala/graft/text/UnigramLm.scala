@@ -219,27 +219,7 @@ object UnigramLm {
                  nPrune: Int = 15): DataFrame = {
     val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
     val vocab = seedVocabFrom(occ, vocabSize).localCheckpoint()
-    val lat = wordLattice(occ, vocab)
-    val len = length(col("word"))
-    val withZ = lat.withColumn("z",
-      element_at(alphaFold(col("es"), len), len + 1))
-    // distinct (word, multi-char vocab piece) pairs — the loss grain
-    val wp = occ.join(broadcast(vocab.select("piece")), "piece")
-      .filter(length(col("piece")) >= 2)
-      .select("word", "piece").distinct()
-    // α without q: same fold, q's edges filtered out by span substring
-    val exclEs = filter(col("es"), e =>
-      !(col("word").substr(e.getItem(1).cast("int") + 1,
-        e.getItem(0).cast("int") - e.getItem(1).cast("int")) === col("piece")))
-    val pair = wp.join(withZ.select(col("word"), col("wcount"),
-        col("es"), col("z")), "word")
-      .select(col("piece"), col("wcount"), col("z"),
-        element_at(alphaFold(exclEs, len), len + 1).as("zq"))
-    val loss = pair.groupBy("piece").agg(
-      max((col("zq") === 0.0).cast("int")).as("essential_i"),
-      round(sum(when(col("zq") > 0.0,
-        col("wcount").cast("double") * (log(col("z")) - log(col("zq"))))
-        .otherwise(lit(0.0))), 6).as("loss_delta"))
+    val loss = pieceLoss(occ, vocab)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("loss_delta").asc, col("piece").asc)
     val cand = loss.filter(col("essential_i") === 0)
@@ -303,6 +283,95 @@ object UnigramLm {
     var vocab = seed
     for (_ <- 0 until iters)
       vocab = emRound(occ, vocab).localCheckpoint()
+    seed.select(col("piece"), round(col("p"), 6).as("seed_prob"))
+      .join(vocab.withColumnRenamed("p", "prob"), "piece")
+  }
+
+  /** Per-piece removal loss — the shared core of [[pruneVocab]] (the
+    * one-shot report) and [[pruneRound]] (the iterating Kudo loop): for
+    * every multi-char vocab piece q, re-run the forward fold with q's
+    * edges filtered out row-local; loss(q) = Σ wcount·(ln α[L] −
+    * ln α^{−q}[L]), essential_i = 1 when some word has NO segmentation
+    * without q. Returns (piece, essential_i, loss_delta). */
+  private def pieceLoss(occ: DataFrame, vocab: DataFrame): DataFrame = {
+    val lat = wordLattice(occ, vocab)
+    val len = length(col("word"))
+    val withZ = lat.withColumn("z",
+      element_at(alphaFold(col("es"), len), len + 1))
+    // distinct (word, multi-char vocab piece) pairs — the loss grain
+    val wp = occ.join(broadcast(vocab.select("piece")), "piece")
+      .filter(length(col("piece")) >= 2)
+      .select("word", "piece").distinct()
+    // α without q: same fold, q's edges filtered out by span substring
+    val exclEs = filter(col("es"), e =>
+      !(col("word").substr(e.getItem(1).cast("int") + 1,
+        e.getItem(0).cast("int") - e.getItem(1).cast("int")) === col("piece")))
+    val pair = wp.join(withZ.select(col("word"), col("wcount"),
+        col("es"), col("z")), "word")
+      .select(col("piece"), col("wcount"), col("z"),
+        element_at(alphaFold(exclEs, len), len + 1).as("zq"))
+    pair.groupBy("piece").agg(
+      max((col("zq") === 0.0).cast("int")).as("essential_i"),
+      round(sum(when(col("zq") > 0.0,
+        col("wcount").cast("double") * (log(col("z")) - log(col("zq"))))
+        .otherwise(lit(0.0))), 6).as("loss_delta"))
+  }
+
+  /** Loss-ranked prune of one round's vocabulary (the [[pruneVocab]]
+    * core against an ARBITRARY current vocab state, not the seed): per
+    * multi-char piece q, loss(q) = Σ wcount·(ln α[L] − ln α^{−q}[L])
+    * from the same row-local lattice folds; essential pieces (some word
+    * has NO segmentation without q) and single chars never prune. Drops
+    * the bottom `nPrune` candidates by (loss_delta, piece) and
+    * RENORMALIZES the survivors (6dp + 1e-6 floor — [[emRound]]'s
+    * discipline, mirrored in the oracle). `nPrune = 0` returns the
+    * vocab untouched. */
+  private def pruneRound(occ: DataFrame, vocab: DataFrame,
+                         nPrune: Int): DataFrame = {
+    if (nPrune <= 0) return vocab
+    val loss = pieceLoss(occ, vocab)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("loss_delta").asc, col("piece").asc)
+    val toDrop = loss.filter(col("essential_i") === 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nPrune)
+      .select("piece")
+    val kept = vocab.join(toDrop, Seq("piece"), "left_anti")
+    kept.crossJoin(broadcast(kept.agg(round(sum("p"), 6).as("tot"))))
+      .select(col("piece"),
+        greatest(round(col("p") / col("tot"), 6), lit(1e-6)).as("p"))
+  }
+
+  /** The CLOSED Kudo loop (r7 — VERDICT r6 ask #5): alternate EM and
+    * loss-ranked pruning until the vocabulary reaches `targetSize`, the
+    * way real SentencePiece training runs. `rounds` is FIXED (the
+    * bpeTrain/kmeansTrain unroll pattern, so the DuckDB oracle replays
+    * the chain statically); per round the prune count is
+    * min(pruneStep, |vocab| − targetSize) — data-dependent but derived
+    * from the vocab count in BOTH engines, so late rounds no-op once
+    * the target is reached (and [[trainPruned]] with targetSize ≥
+    * |seed| degenerates EXACTLY to [[train]], spec-pinned). Essential
+    * pieces can leave the final size above target — coverage beats the
+    * size target, as in SentencePiece. Per round: one lattice EM pass +
+    * one loss pass, both at distinct-word grain; the (piece, p) state
+    * carried between rounds is vocab-sized and localCheckpoint'd. The
+    * per-round |vocab| count is a driver-side count of a vocab-sized
+    * frame (bounded, the BPE merge-table posture). Returns surviving
+    * (piece, seed_prob, prob). */
+  def trainPruned(docs: DataFrame, maxPieceLen: Int = 4, vocabSize: Int = 60,
+                  targetSize: Int = 40, pruneStep: Int = 8,
+                  rounds: Int = 3): DataFrame = {
+    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val seed = seedVocabFrom(occ, vocabSize)
+      .select(col("piece"), col("p"))
+      .localCheckpoint()
+    var vocab = seed
+    for (_ <- 1 to rounds) {
+      val em = emRound(occ, vocab).localCheckpoint()
+      val nPrune = math.max(0L,
+        math.min(pruneStep.toLong, em.count() - targetSize)).toInt
+      vocab = pruneRound(occ, em, nPrune).localCheckpoint()
+    }
     seed.select(col("piece"), round(col("p"), 6).as("seed_prob"))
       .join(vocab.withColumnRenamed("p", "prob"), "piece")
   }

@@ -45,15 +45,18 @@ class BytesSumSpec extends AnyFunSuite {
     assert(df(1).getLong(0) === 0L)
   }
 
-  test("audioEnergy windows raw PCM-ish bytes correctly") {
-    // 40 bytes: window 32 → two windows; high bytes throughout
+  test("audioEnergy windows TRUE decoded PCM samples (r7 real container)") {
+    // 40 payload bytes → 40 samples (i%0x70 above the 128 midpoint), a
+    // REAL RIFF container around them; window 32 → two windows of
+    // Σ|sample| = Σ 256·(i % 0x70)
     val bytes = Array.tabulate[Byte](40)(i => (0x80 + (i % 0x70)).toByte)
-    val media = Seq((1L, bytes)).toDF("doc_id", "content")
+    val media = Seq((1L, "wav", graft.functions.MediaCodec.wavEncode(bytes)))
+      .toDF("doc_id", "format", "content")
     val rows = graft.mm.Multimodal.audioEnergy(media)
       .orderBy("win_idx").collect()
     assert(rows.map(_.getInt(1) max 0).toSeq === Seq(0, 1))
-    val w0 = (0 until 32).map(i => 0x80L + (i % 0x70)).sum
-    val w1 = (32 until 40).map(i => 0x80L + (i % 0x70)).sum
+    val w0 = (0 until 32).map(i => 256L * (i % 0x70)).sum
+    val w1 = (32 until 40).map(i => 256L * (i % 0x70)).sum
     assert(rows(0).getLong(2) === w0)
     assert(rows(1).getLong(2) === w1)
   }

@@ -191,12 +191,21 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
 
   // ---- scene cuts ----
 
+  /** TRUE-luma fixture (r7): gray pixels (b,b,b) decode to luma exactly
+    * b because 2126+7152+722 = 10000 — so a payload of repeated chars
+    * in 3-byte groups gives hand-predictable frame energies. Widths are
+    * chosen so pixels fill whole rows (no black padding pixels). */
+  private def grayBmp(id: Long, payload: String) =
+    (id, "bmp", graft.functions.MediaCodec.bmpEncode(
+      payload.getBytes("UTF-8"), 8))
+
   test("sceneCuts flags the frame where energy jumps") {
     import spark.implicits._
-    // 3 frames of 32 bytes: 'a'×32, 'a'×32, 'z'×32 — deltas (0, 800);
-    // mean 400, threshold 1.5×mean=600 → exactly one cut at frame 2
-    val content = ("a" * 64 + "z" * 32).getBytes("UTF-8")
-    val media = Seq((1L, 3, content)).toDF("doc_id", "n_frames", "content")
+    // 96 gray pixels = 3 luma frames of 32: 'a'(97)×64px, 'z'(122)×32px
+    // — deltas (0, 25·32=800); mean 400, threshold 1.5×mean=600 →
+    // exactly one cut at frame 2. Real BMP container, real parse.
+    val media = Seq(grayBmp(1L, "a" * 192 + "z" * 96))
+      .toDF("doc_id", "format", "content")
     val row = graft.mm.Multimodal.sceneCuts(media).collect().head
     assert(row.getAs[Int]("n_frames") == 3)
     assert(row.getAs[Long]("n_deltas") == 2L)
@@ -207,9 +216,9 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
   test("sceneCuts: constant frames yield no cuts; 1-frame videos drop") {
     import spark.implicits._
     val flat = Seq(
-      (1L, 4, ("q" * 128).getBytes("UTF-8")),
-      (2L, 1, ("q" * 32).getBytes("UTF-8")))
-      .toDF("doc_id", "n_frames", "content")
+      grayBmp(1L, "q" * 384), // 128 pixels → 4 frames, all luma 113
+      grayBmp(2L, "q" * 96))  // 32 pixels → 1 frame → no deltas, drops
+      .toDF("doc_id", "format", "content")
     val got = graft.mm.Multimodal.sceneCuts(flat).collect()
     assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
     assert(got.head.getAs[Long]("n_cuts") == 0L)

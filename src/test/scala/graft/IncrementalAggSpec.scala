@@ -37,6 +37,33 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got.toSeq == full.toSeq)
   }
 
+  test("kmv partials fold across batches: stored sketch = kmin over all rows (r7)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val store = Files.createTempDirectory("inc_kmv").toString + "/mart"
+    // three batches of (group, hash) longs; k = 4 so the sketch truncates
+    val batches = Seq(
+      Seq(("a", 50L), ("a", 10L), ("b", 7L), ("a", 10L)),
+      Seq(("a", 3L), ("a", 99L), ("b", 2L), ("c", 1L)),
+      Seq(("a", 4L), ("a", 8L), ("b", 7L), ("c", 100L)))
+    batches.foreach { rows =>
+      IncrementalAgg.update(spark, store, rows.toDF("k", "h"),
+        keys = Seq("k"), kmvs = Seq("h"), kmvK = 4)
+    }
+    val got = spark.read.parquet(store).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](r.fieldIndex("kmv_h"))))
+    val full = batches.flatten.toDF("k", "h").groupBy("k")
+      .agg(call_function("kmin_values", col("h"), lit(4)).as("kmv_h"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+    assert(got.toSeq == full.toSeq,
+      "batch-folded sketch must equal the one-shot KMV")
+    // hand-check group a: distinct hashes {50,10,3,99,4,8} → 4-min {3,4,8,10}
+    assert(got.toMap.apply("a") == Seq(3L, 4L, 8L, 10L))
+    // and the k-cap + dedup: group b has {7,2} (7 seen twice, kept once)
+    assert(got.toMap.apply("b") == Seq(2L, 7L))
+  }
+
   test("CDC retraction: updates and deletes maintain sums without history") {
     import spark.implicits._
     val store = Files.createTempDirectory("inc_agg_cdc").toString + "/mart"

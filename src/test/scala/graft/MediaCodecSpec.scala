@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MediaCodec
+
+/** The r7 pure-JVM codecs, pinned against HAND-COMPUTED container bytes
+  * — the guard that encode/decode bugs cannot cancel each other out
+  * (a round-trip test alone would pass if both sides forgot, say, the
+  * BMP row padding). Every expected byte below is written out from the
+  * RIFF / BMP specifications by hand.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // ---- WAV ----
+
+  /** payload [0x00, 0x80, 0xFF] → samples [(0−128)·256, (128−128)·256,
+    * (255−128)·256] = [−32768, 0, 32512]. Hand-assembled container:
+    * RIFF | size 36+6=42 | WAVE | fmt  | 16 | PCM=1 | mono=1 | 8000 |
+    * 16000 | align 2 | bits 16 | data | 6 | 0080 0000 007F (LE). */
+  private val goldenWav = hx(
+    "52494646" + "2A000000" + "57415645" +           // RIFF 42 WAVE
+    "666D7420" + "10000000" + "0100" + "0100" +       // fmt  16 PCM mono
+    "401F0000" + "803E0000" + "0200" + "1000" +       // 8000 16000 2 16
+    "64617461" + "06000000" +                          // data 6
+    "0080" + "0000" + "007F")                          // −32768, 0, 32512
+
+  test("wavEncode produces the hand-assembled container byte-for-byte") {
+    val enc = MediaCodec.wavEncode(Array(0x00.toByte, 0x80.toByte, 0xFF.toByte))
+    assert(enc.toSeq === goldenWav.toSeq)
+  }
+
+  test("wavSamples parses the golden container to the hand-computed samples") {
+    assert(MediaCodec.wavSamples(goldenWav).toSeq === Seq(-32768, 0, 32512))
+  }
+
+  test("wavSamples walks chunks: an extra chunk before data is skipped") {
+    // insert a 4-byte 'junk' chunk between fmt and data; RIFF size 42+12
+    val withJunk = hx(
+      "52494646" + "36000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" +
+      "401F0000" + "803E0000" + "0200" + "1000" +
+      "6A756E6B" + "04000000" + "DEADBEEF" +          // junk chunk
+      "64617461" + "06000000" + "0080" + "0000" + "007F")
+    assert(MediaCodec.wavSamples(withJunk).toSeq === Seq(-32768, 0, 32512))
+  }
+
+  test("wavSamples rejects malformed input with an empty array") {
+    assert(MediaCodec.wavSamples(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.wavSamples("not a riff file at all!!".getBytes).isEmpty)
+    // right magics, truncated data chunk (claims 6 bytes, has 2)
+    val truncated = hx(
+      "52494646" + "2A000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" +
+      "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "06000000" + "0080")
+    assert(MediaCodec.wavSamples(truncated).isEmpty)
+    // stereo (channels=2) is unsupported → empty
+    val stereo = goldenWav.clone(); stereo(22) = 2
+    assert(MediaCodec.wavSamples(stereo).isEmpty)
+  }
+
+  // ---- BMP ----
+
+  /** payload of 10 bytes 1..10, width 2 → npx = ceil(10/3) = 4 pixels,
+    * height 2, rowStride = ((2·3+3)/4)·4 = 8 (2 pad bytes/row).
+    * Pixels (B,G,R): p0=(1,2,3) p1=(4,5,6) p2=(7,8,9) p3=(10,0,0).
+    * File rows BOTTOM-UP: file row 0 = image row 1 (p2 p3), then pad;
+    * file row 1 = image row 0 (p0 p1), then pad.
+    * Header: BM | size 54+16=70 | res 0 | off 54 | hdr 40 | w 2 | h 2 |
+    * planes 1 | bpp 24 | BI_RGB 0 | imgSize 16 | 0 0 0 0. */
+  private val goldenBmp = hx(
+    "424D" + "46000000" + "00000000" + "36000000" +
+    "28000000" + "02000000" + "02000000" + "0100" + "1800" +
+    "00000000" + "10000000" + "00000000" + "00000000" +
+    "00000000" + "00000000" +
+    "070809" + "0A0000" + "0000" +                    // file row 0 = p2 p3 + pad
+    "010203" + "040506" + "0000")                      // file row 1 = p0 p1 + pad
+
+  private val payload10 = (1 to 10).map(_.toByte).toArray
+
+  test("bmpEncode produces the hand-assembled container byte-for-byte") {
+    assert(MediaCodec.bmpEncode(payload10, 2).toSeq === goldenBmp.toSeq)
+  }
+
+  test("bmpLuma parses the golden container to hand-computed top-down luma") {
+    // luma = (2126·R + 7152·G + 722·B) // 10000, TOP-DOWN pixel order:
+    // p0: (2126·3 + 7152·2 + 722·1)//10000 = (6378+14304+722)//10000 = 2
+    // p1: (2126·6 + 7152·5 + 722·4)//10000 = (12756+35760+2888)//10000 = 5
+    // p2: (2126·9 + 7152·8 + 722·7)//10000 = (19134+57216+5054)//10000 = 8
+    // p3: (2126·0 + 7152·0 + 722·10)//10000 = 0
+    assert(MediaCodec.bmpLuma(goldenBmp).toSeq === Seq(2, 5, 8, 0))
+  }
+
+  test("bmpLuma rejects malformed input with an empty array") {
+    assert(MediaCodec.bmpLuma(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.bmpLuma("definitely not a bitmap header".getBytes).isEmpty)
+    // 8 bpp is unsupported → empty
+    val bpp8 = goldenBmp.clone(); bpp8(28) = 8
+    assert(MediaCodec.bmpLuma(bpp8).isEmpty)
+    // pixel array truncated (claims 2 rows, file cut after 1)
+    assert(MediaCodec.bmpLuma(goldenBmp.take(54 + 8)).isEmpty)
+  }
+
+  test("round-trip: decode(encode(payload)) recovers payload-derived values") {
+    val payload = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val samples = MediaCodec.wavSamples(MediaCodec.wavEncode(payload))
+    assert(samples.toSeq === payload.toSeq.map(b => ((b & 0xff) - 128) * 256))
+    val luma = MediaCodec.bmpLuma(MediaCodec.bmpEncode(payload, 7))
+    val npx = (payload.length + 2) / 3
+    def pb(i: Int) = if (i < payload.length) payload(i) & 0xff else 0
+    val expected = (0 until ((npx + 6) / 7) * 7).map { j =>
+      if (j < npx) (2126 * pb(3 * j + 2) + 7152 * pb(3 * j + 1) + 722 * pb(3 * j)) / 10000
+      else 0
+    }
+    assert(luma.toSeq === expected)
+  }
+
+  test("expression path ≡ mapPartitions path (the r6 re-review pin)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val lake = graft.mm.Multimodal.mediaLake(docs)
+    val exprSide = graft.mm.Multimodal.decodeFeatures(lake)
+      .select("doc_id", "n_units", "unit_sum")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val mpSide = graft.mm.Multimodal.decodeBatched(
+        lake.as[graft.mm.Multimodal.LakeRecord])
+      .collect().map(f => (f.doc_id, f.n_units, f.unit_sum)).sortBy(_._1)
+    assert(exprSide.toSeq === mpSide.toSeq)
+    assert(exprSide.nonEmpty)
+  }
+}

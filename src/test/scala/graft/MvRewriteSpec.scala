@@ -350,6 +350,77 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRewrite.clear()
   }
 
+  test("kmv sketch reads serve from the mart; exact COUNT DISTINCT refused (r7)") {
+    val session = spark.newSession()
+    graft.functions.GraftFunctions.register(session)
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    // the un-rewritten reference leg runs on a session WITHOUT the rule
+    val plain = spark.newSession()
+    graft.functions.GraftFunctions.register(plain)
+    try {
+      // a base carrying the hash column (sketch measures are hashed at
+      // write time; the rewrite matches bare-relation columns only)
+      val hDir = Files.createTempDirectory("base_hashed").toString
+      session.read.parquet(baseDir)
+        .withColumn("h",
+          call_function("md5_prefix64", concat(lit("kmv:"), col("doc_id"))))
+        .write.mode("overwrite").parquet(hDir)
+      val hBase = session.read.parquet(hDir)
+      val mvDir = Files.createTempDirectory("mv_kmv").toString
+      hBase.groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          call_function("kmin_values", col("h"), lit(16)).as("kmv_h"))
+        .write.mode("overwrite").parquet(mvDir)
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = new java.io.File(hDir).getName,
+        groupCols = Seq("source"),
+        sumCols = Map.empty, countCol = Some("n_rows"),
+        kmvCols = Map("h" -> "kmv_h"), kmvK = 16)
+
+      def sketchBy(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("source")
+          .agg(call_function("kmin_values", col("h"), lit(16)).as("sketch"))
+
+      // per-group: served by kmin_merge over the partials, EXACTLY equal
+      // to the direct KMV over base rows (the union property)
+      val served = sketchBy(hBase)
+      assert(scanPaths(served).exists(_.contains(mvDir)),
+        s"expected the mart scan, got ${scanPaths(served)}")
+      val servedMap = served.collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val directMap = sketchBy(plain.read.parquet(hDir)).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(servedMap === directMap, "served sketch must EQUAL direct KMV")
+      assert(servedMap.nonEmpty && servedMap.values.exists(_.size == 16))
+
+      // global rollup: merged group partials = the global k-min
+      val glob = hBase.agg(
+        call_function("kmin_values", col("h"), lit(16)).as("sketch"))
+      assert(scanPaths(glob).exists(_.contains(mvDir)))
+      assert(glob.first().getSeq[Long](0) ===
+        plain.read.parquet(hDir)
+          .agg(call_function("kmin_values", col("h"), lit(16)).as("sketch"))
+          .first().getSeq[Long](0))
+
+      // k mismatch falls through to the base (a different k is a
+      // different error contract — truncation would silently change it)
+      val otherK = hBase.groupBy("source")
+        .agg(call_function("kmin_values", col("h"), lit(8)).as("sketch"))
+      assert(!scanPaths(otherK).exists(_.contains(mvDir)))
+
+      // exact COUNT(DISTINCT x) is REFUSED by design — base scan, exact
+      // answer preserved
+      val exact = hBase.groupBy("source").agg(countDistinct("h").as("d"))
+      assert(!scanPaths(exact).exists(_.contains(mvDir)),
+        "a sketch must never serve an exact distinct")
+      assert(exact.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        plain.read.parquet(hDir).groupBy("source")
+          .agg(countDistinct("h").as("d")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet)
+    } finally MvRewrite.clear()
+  }
+
   test("rule is inert with an empty registry and on other sessions") {
     MvRewrite.clear()
     val session = spark.newSession()

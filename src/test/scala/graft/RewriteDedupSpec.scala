@@ -58,6 +58,38 @@ class RewriteDedupSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 0L, "x y")))
   }
 
+  test("deltaSubstringDedup: delta-applied union ≡ full recompute on a fresh store") {
+    // the nightly premise: every accumulated id precedes every new id.
+    // old docs 1–3 carry their own duplicate ("a b c d" canonical in 1,
+    // repeated in 2); new docs 10–11 repeat an OLD span ("a b c d" in 10
+    // → store veto), repeat a span WITHIN the batch ("q r s t" canonical
+    // in 10, repeated in 11), and carry novel text
+    val oldDocs = docsOf(
+      1L -> "a b c d e",
+      2L -> "x a b c d y",
+      3L -> "m n o p q")
+    val newDocs = docsOf(
+      10L -> "u a b c d v q r s t",
+      11L -> "w q r s t z")
+    val full = TextOps.substringDedup(oldDocs.unionByName(newDocs), k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val store = TextOps.spanHashStore(oldDocs, k = 4)
+    val delta = TextOps.deltaSubstringDedup(newDocs, store, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val oldOnly = TextOps.substringDedup(oldDocs, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the delta union IS the full recompute: old rows unchanged by the
+    // new batch, new rows identical to the full window's verdicts
+    assert(oldOnly === full.filter(_._1 < 10L))
+    assert(delta === full.filter(_._1 >= 10L))
+    // and the planted cases land: store veto + within-batch canonical
+    assert(delta(10L)._3 == "u v q r s t", "store span removed, batch canonical kept")
+    assert(delta(11L)._3 == "w z", "within-batch repeat removed")
+  }
+
   test("lineDedup drops corpus-wide boilerplate lines from every document") {
     val d = docsOf(
       1L -> "BOILER\nunique one",

@@ -458,16 +458,20 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   test("vad segments: above-mean runs merge into islands with exact bounds") {
     import spark.implicits._
-    // content = 32 low-energy bytes ('a'=97), 64 high ('z'=122), 32 low,
-    // 32 high → windows [low, high, high, low, high]; mean sits between,
-    // so segments are [1,2] and [4,4]
-    val media = Seq((1L, ("a" * 32 + "z" * 64 + "a" * 32 + "z" * 32).getBytes))
-      .toDF("doc_id", "content")
+    // TRUE decoded PCM (r7): payload bytes 128 decode to silent samples
+    // (|(128−128)·256| = 0), bytes 228 to loud ones (|100·256|). 32
+    // silent, 64 loud, 32 silent, 32 loud → windows [0, hi, hi, 0, hi];
+    // mean sits between, so segments are [1,2] and [4,4]
+    val payload = Array.fill[Byte](32)(128.toByte) ++
+      Array.fill[Byte](64)(228.toByte) ++ Array.fill[Byte](32)(128.toByte) ++
+      Array.fill[Byte](32)(228.toByte)
+    val media = Seq((1L, "wav", graft.functions.MediaCodec.wavEncode(payload)))
+      .toDF("doc_id", "format", "content")
     val segs = Multimodal.vadSegments(media).orderBy("seg_start").collect()
     assert(segs.map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq ==
       Seq((1, 2, 2L), (4, 4, 1L)))
-    // every active window is a full 'z' block: energy 122 * 32 per window
-    assert(segs.map(_.getLong(4)).toSeq == Seq(2 * 122L * 32, 122L * 32))
+    // every active window: 32 samples of |(228−128)·256| = 25600
+    assert(segs.map(_.getLong(4)).toSeq == Seq(2 * 32 * 25600L, 32 * 25600L))
   }
 
   test("snm: sorted neighbors pair within the window; distant duplicates of distinct text don't") {
@@ -586,14 +590,19 @@ class TrainingOpsSpec extends AnyFunSuite {
   }
 
   test("multimodal: batched decode is deterministic and schema-stable") {
-    val docs = docDF((7L, "some media payload bytes here", "s1"))
-    val media = Multimodal.mediaFromDocuments(docs)
+    val docs = docDF((7L, "some media payload bytes here", "s1"),
+      (8L, "another media payload with more bytes", "s1"))
+    val media = Multimodal.mediaLake(docs)
     assert(media.schema("content").dataType.typeName == "binary")
-    val ds = media.as[Multimodal.MediaRecord]
-    val f1 = Multimodal.decodeBatched(ds).collect().head
-    val f2 = Multimodal.decodeBatched(ds).collect().head
-    assert(f1.feature.toSeq == f2.feature.toSeq)
-    assert(f1.feature.length == 8 && f1.decoder == "stub-1.0")
+    val ds = media.as[Multimodal.LakeRecord]
+    val f1 = Multimodal.decodeBatched(ds).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeBatched(ds).collect().sortBy(_.doc_id)
+    assert(f1.map(f => (f.doc_id, f.n_units, f.unit_sum)).toSeq ==
+      f2.map(f => (f.doc_id, f.n_units, f.unit_sum)).toSeq)
+    // doc 7 is odd → bmp; doc 8 even → wav with one sample per byte
+    assert(f1.head.format == "bmp" && f1.last.format == "wav")
+    assert(f1.last.n_units == "another media payload with more bytes".length)
+    assert(f1.forall(_.decoder == "jvm-1.0"))
   }
 
   test("resize: halves dimensions, keeps first half of content") {

@@ -103,4 +103,59 @@ class UnigramLmSpec extends AnyFunSuite {
       assert(math.abs(lp - math.rint(math.log(best._1) * 1e6) / 1e6) < 2e-6)
     }
   }
+
+  test("trainPruned with target ≥ |seed| is exactly train (prune no-ops)") {
+    // the degenerate-knob pin (the kmeansTrainSampled pattern): when no
+    // round ever prunes, the Kudo loop IS the fixed-vocabulary EM loop
+    val corpus = docsDF((1L, "abcab cab ab abcab ba"), (2L, "cab ba abcab"))
+    val full = UnigramLm.train(corpus, P, vocabSize = 8, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val pruned = UnigramLm.trainPruned(corpus, P, vocabSize = 8,
+        targetSize = 1000, pruneStep = 3, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(pruned.toSeq === full.toSeq)
+  }
+
+  test("trainPruned prunes toward the target, never a single char or essential piece") {
+    val corpus = docsDF((1L, "abcab cab ab abcab ba"), (2L, "cab ba abcab"))
+    val seedN = UnigramLm.seedVocab(corpus, P, vocabSize = 8).count()
+    val out = UnigramLm.trainPruned(corpus, P, vocabSize = 8,
+        targetSize = 4, pruneStep = 2, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    // strictly smaller than the seed, every single char still covered
+    // (chars of the corpus words: a, b, c), probabilities a distribution
+    assert(out.length < seedN)
+    val pieces = out.map(_._1).toSet
+    assert(Set("a", "b", "c").subsetOf(pieces),
+      s"single chars must survive any prune: $pieces")
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-4)
+    // the loop prunes min(pruneStep, |vocab|−target) per round: 3 rounds
+    // × 2 from a seed of `seedN` can reach at most seedN−6
+    assert(out.length >= math.max(4, seedN - 6).toInt)
+  }
+
+  test("one round of trainPruned ≡ one emRound + one hand-replayed prune") {
+    // iterative ≡ one-shot on a hand-checkable corpus: with rounds = 1
+    // the loop is exactly EM-once-then-prune-once; replay the prune by
+    // hand from the emStep probabilities and pruneVocab's loss ranking
+    val corpus = docsDF((1L, "abcab cab ab abcab ba"), (2L, "cab ba abcab"))
+    val got = UnigramLm.trainPruned(corpus, P, vocabSize = 8,
+        targetSize = 4, pruneStep = 2, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // the emStep surface exposes exactly round 1's renormalized probs
+    val em = UnigramLm.emStep(corpus, P, vocabSize = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // survivors: |seed| − min(2, |seed|−4) lowest-loss non-essential
+    // multi-char pieces dropped; probs = em probs renormalized over the
+    // survivor set (6dp, 1e-6 floor)
+    assert(got.size === math.max(4, em.size - 2))
+    got.keys.foreach(p => assert(em.contains(p)))
+    val totKept = math.rint(got.keys.map(em).sum * 1e6) / 1e6
+    got.foreach { case (p, prob) =>
+      val expected = math.max(math.rint(em(p) / totKept * 1e6) / 1e6, 1e-6)
+      assert(math.abs(prob - expected) < 2e-6, s"$p: $prob vs $expected")
+    }
+  }
 }
