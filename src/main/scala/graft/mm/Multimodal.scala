@@ -198,10 +198,54 @@ object Multimodal {
     * as maxHamming < bands. (4 bands x 4 bits measured 10x slower at sf1
     * than 4 x 8: sixteen buckets per band is quadratic-in-corpus pair
     * work; 256 divides it by ~16.) */
+  /** aHash over the TRUE decoded luma plane (r7) — the real perceptual
+    * hash [[phash]]'s scaladoc promised ("a real image build computes
+    * the same bits from a decoded, downsampled luma plane"): the
+    * [[mediaLake]] bmp rows parse through the real BMP decoder
+    * ([[graft.functions.MediaCodec.bmpLuma]]), the luma plane splits
+    * into `blocks` equal runs, bit i set when run i's luma sum exceeds
+    * the plane mean — the same INTEGER compare (`run_sum · blocks >
+    * total_sum`) as the byte form, so no float enters the hash.
+    * Entirely row-local; [[phash]] remains the container-fingerprint
+    * tier for formats without a decoder. */
+  def phashLuma(media: DataFrame, blocks: Int = 32): DataFrame = {
+    require(blocks <= 63, "phash packs into one BIGINT")
+    def off(i: String) = s"CAST(floor(($i) * size(luma) / $blocks.0) AS INT)"
+    media.filter(col("format") === "bmp")
+      .select(col("doc_id"), call_function("bmp_luma", col("content")).as("luma"))
+      .select(col("doc_id"), expr(s"""aggregate(sequence(0, ${blocks - 1}),
+          CAST(0 AS BIGINT),
+          (acc, i) -> acc + IF(
+            aggregate(slice(luma, ${off("i")} + 1, ${off("(i+1)")} - ${off("i")}),
+              CAST(0 AS BIGINT), (a, v) -> a + CAST(v AS BIGINT)) * $blocks >
+            aggregate(luma, CAST(0 AS BIGINT), (a, v) -> a + CAST(v AS BIGINT)),
+            shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""").as("phash"))
+  }
+
+  /** Image near-dup over the TRUE-luma perceptual hash — [[phashLuma]]
+    * through the same banded pair search as [[phashNearDup]] (exact for
+    * maxHamming < bands by pigeonhole). */
+  def lumaNearDup(media: DataFrame, maxHamming: Int = 3,
+                  bands: Int = 4, bandBits: Int = 8): DataFrame =
+    phashBandedPairs(phashLuma(media), maxHamming, bands, bandBits)
+
   def phashNearDup(media: DataFrame, maxHamming: Int = 3,
-                   bands: Int = 4, bandBits: Int = 8): DataFrame = {
+                   bands: Int = 4, bandBits: Int = 8): DataFrame =
+    phashBandedPairs(phash(media), maxHamming, bands, bandBits)
+
+  /** The banded pair search over any (doc_id, phash) frame — shared by
+    * the byte-tier [[phashNearDup]] and the decoded-luma
+    * [[lumaNearDup]]. */
+  private def phashBandedPairs(hashed: DataFrame, maxHamming: Int,
+                               bands: Int, bandBits: Int): DataFrame = {
     require(maxHamming < bands, "exactness needs maxHamming < bands")
-    val banded = phash(media)
+    // materialize the (doc_id, phash) frame once: it feeds BOTH self-join
+    // sides (uncheckpointed, the hash derivation executes twice), and the
+    // join's implied isnotnull(bkey) otherwise pushes the WHOLE hash
+    // expression — for the luma tier, a full container decode per block
+    // reference — down into a per-row scan filter
+    val h = hashed.localCheckpoint()
+    val banded = h
       .select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bkey",

@@ -1039,6 +1039,19 @@ object TrainingOps extends OpsModule {
       Multimodal.videoNearDup(Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // REAL perceptual hash (r7): aHash bits from the true decoded luma
+    // plane of the bmp lake rows — the decoded-signal tier above
+    // mm_phash's container-fingerprint tier
+    "mm_luma_phash" -> ((s, d) =>
+      Multimodal.phashLuma(Multimodal.mediaLake(docs(s, d)))
+        .orderBy("doc_id")),
+
+    // image near-dup over the true-luma hash, same banded-LSH pair
+    // search (exact for hamming <= 3 by pigeonhole)
+    "mm_luma_neardup" -> ((s, d) =>
+      Multimodal.lumaNearDup(Multimodal.mediaLake(docs(s, d)))
+        .orderBy("doc_id_a", "doc_id_b")),
+
     // ENCODE half of the tokenizer lifecycle: apply the trained merge
     // table to the corpus (train is td_bpe_train). The oracle reuses the
     // unrolled training chain — its final vocabulary state IS the encoded
@@ -1555,6 +1568,18 @@ object TrainingOps extends OpsModule {
                     > list_sum(bytes)
                THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
              AS BIGINT) AS phash FROM by)"""
+
+  /** aHash bits over the decoded luma plane (the [[duckLumaCte]] `lm`
+    * frame) — block offsets floor(i·n/32), integer mean compare, the
+    * exact rule Multimodal.phashLuma folds. */
+  private val duckLumaPhash =
+    """lp AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), i ->
+         CASE WHEN coalesce(list_sum(list_slice(luma,
+                CAST(floor(i * n_luma / 32.0) AS INT) + 1,
+                CAST(floor((i+1) * n_luma / 32.0) AS INT))), 0) * 32
+              > coalesce(list_sum(luma), 0)
+         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+       AS BIGINT) AS phash FROM lm)"""
 
   private val simhashVotes = (0 until 16).map(j =>
     s"sum(CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END) AS s_$j").mkString(", ")
@@ -4350,6 +4375,23 @@ object TrainingOps extends OpsModule {
     "mm_phash" ->
       s"""WITH $duckPhash
           SELECT doc_id, phash FROM p ORDER BY doc_id""",
+
+    // true-luma aHash: block sums over the first-principles luma plane
+    // (duckLumaCte), the same integer mean-compare bit rule
+    "mm_luma_phash" ->
+      s"""WITH $duckLumaCte, $duckLumaPhash
+          SELECT doc_id, phash FROM lp ORDER BY doc_id""",
+
+    "mm_luma_neardup" ->
+      s"""WITH $duckLumaCte, $duckLumaPhash
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+                 CAST(list_sum(list_transform(generate_series(0, 3), j ->
+                   CASE WHEN (a.phash >> (j*8)) & 255 = (b.phash >> (j*8)) & 255
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_shared_bands
+          FROM lp a JOIN lp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3
+          ORDER BY doc_id_a, doc_id_b""",
 
     "mm_phash_neardup" ->
       s"""WITH $duckPhash

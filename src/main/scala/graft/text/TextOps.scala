@@ -2706,21 +2706,32 @@ object TextOps {
     val union = size(col("toks_a")) + size(col("toks_b")) - inter
     val dsA = dsets.select(col("doc_id").as("doc_id_a"), col("items").as("toks_a"))
     val dsB = dsets.select(col("doc_id").as("doc_id_b"), col("items").as("toks_b"))
-    // verify-join strategy ladder (the r6-decade regime step, now with a
-    // middle rung): (1) corpus arrays fit the session threshold →
-    // broadcast them, pairs never shuffle; (2) corpus outgrew broadcast
-    // but the SURVIVING pair set is small (it is length-, positional-
-    // and prefix-filtered — the whole point of PPJoin) → broadcast the
-    // PAIR side instead, so both verify joins probe the corpus arrays
-    // IN PLACE and no array column ever crosses an exchange (this was
-    // the sf10 regime step's entire remaining cost: two SMJs shuffling
-    // 600k hashed-shingle arrays against a few-hundred-row pair list);
-    // (3) the pair set is itself big → shuffle joins on the pair keys,
-    // the only correct plan at that size (AQE re-plans from runtime
-    // sizes). Rung 2's decision comes from the MATERIALIZED pair set
-    // (exact row count + the sz columns the frame already carries — no
-    // Catalyst join-estimate guesswork), priced at one count over a
-    // localCheckpoint the verify would re-execute anyway.
+    // verify-join strategy ladder (the r6-decade regime step, resolved):
+    //  (1) corpus arrays fit the session threshold → broadcast them,
+    //      pairs never shuffle (the small-scale plan, unchanged);
+    //  (2) corpus outgrew broadcast but the surviving pair list is
+    //      SMALL (a sparse-duplication corpus — the common production
+    //      case at high thresholds) → broadcast the ID-ONLY pair list
+    //      (16 B/pair) and probe the corpus arrays IN PLACE from both
+    //      sides, reducing each side to a |pairs|-row array frame; then
+    //      (2a) if the side-a frame WITH its arrays also fits,
+    //      broadcast it into the final join — zero array exchange —
+    //      else (2b) join the two |pairs|-row frames on the pair key —
+    //      the only array exchange is pairs-sized, never corpus-sized;
+    //  (3) the pair list is itself big → shuffle joins on the pair
+    //      keys, the only correct plan at that size: verify traffic is
+    //      then inherently ∝ pairs × set width, and the candidate
+    //      VOLUME is the bound that matters (Σ|bucket|² — the measured
+    //      sf10 corpus generates 31M surviving candidates for 250
+    //      final pairs, its by-construction duplication density; no
+    //      broadcast trick shrinks 31M array fetches).
+    // Off the rung-1 path the candidate set is ALWAYS materialized
+    // first: it is the verify's input either way, the checkpoint gives
+    // the rung decision exact byte counts instead of Catalyst
+    // join-estimate guesswork, and it gives AQE a measured input size
+    // for the rung-3 exchanges (three clean sf10 boots of the lazy
+    // rung-3 shape measured 100–178 s vs ~77 s checkpointed — the
+    // recomputed-candidate stream plans its verify exchanges blind).
     val verified =
       if (verifyBroadcast)
         cand.select("doc_id_a", "doc_id_b")
@@ -2729,19 +2740,26 @@ object TextOps {
       else {
         val candCk = cand.localCheckpoint()
         val thresholdB = graft.ops.AutoBroadcast.thresholdBytes(sets)
-        // pairs: two ids + two sizes ≈ 48 B/row; the j1 intermediate
-        // additionally carries side-a's array (8 B/item, sz_a items)
-        val est = candCk.agg(
-            coalesce(sum(lit(48L) + col("sz_a") * 8L), lit(0L)))
-          .head.getLong(0)
-        if (thresholdB > 0 && est <= thresholdB) {
-          val j1 = dsA.join(broadcast(candCk.select("doc_id_a", "doc_id_b")),
-              "doc_id_a")
-            .localCheckpoint()
-          dsB.join(broadcast(j1), "doc_id_b")
+        // one stats pass over the checkpointed pairs: the id-only
+        // broadcast size (16 B/pair) and the j1-with-arrays size
+        // (48 B + 8 B/item of side a) the 2a/2b split needs
+        val st = candCk.agg(
+            coalesce(sum(lit(16L)), lit(0L)).as("id_bytes"),
+            coalesce(sum(lit(48L) + col("sz_a") * 8L), lit(0L)).as("j1_bytes"))
+          .head
+        val (idBytes, j1Bytes) = (st.getLong(0), st.getLong(1))
+        val pairIds = candCk.select("doc_id_a", "doc_id_b")
+        if (thresholdB > 0 && idBytes <= thresholdB) {
+          val j1 = dsA.join(broadcast(pairIds), "doc_id_a")
+          if (j1Bytes <= thresholdB)
+            dsB.join(broadcast(j1.localCheckpoint()), "doc_id_b")
+          else {
+            val j2 = dsB.join(broadcast(pairIds), "doc_id_b")
+              .select("doc_id_a", "doc_id_b", "toks_b")
+            j1.join(j2, Seq("doc_id_a", "doc_id_b"))
+          }
         } else
-          candCk.select("doc_id_a", "doc_id_b")
-            .join(dsA, "doc_id_a").join(dsB, "doc_id_b")
+          pairIds.join(dsA, "doc_id_a").join(dsB, "doc_id_b")
       }
     verified
       .withColumn("jaccard",

@@ -130,7 +130,16 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     }
     // stale-tag gate: a bnlj tag whose query no longer plans a nested
-    // loop must be REMOVED from its module's planTags, not left parked
+    // loop must be REMOVED from its module's planTags, not left parked.
+    // SCOPE NOTE (r6 ADVICE): this asserts the tagged BNLJ manifests at
+    // sf0.001 SPECIFICALLY — the sf this suite audits. A legitimately
+    // tagged plan that AQE or a stats change converts to a
+    // broadcast-hash join at this tiny scale would be flagged here (the
+    // correct response is to re-verify and drop or re-justify the tag,
+    // which is exactly the maintenance this gate exists to force); and
+    // conversely, passing at sf0.001 validates the tag's presence, not
+    // the plan's behavior at scale — the scale evidence lives in the
+    // BENCH_SF1/SF10 growth rows, not here.
     val stale = bnljAllowed.diff(bnljSeen)
     stale.foreach { n =>
       offenders += (s"$n: stale bnlj tag — executed plan contains no " +

@@ -69,6 +69,33 @@ class PrefixJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("verify ladder: every rung returns identical pairs (r7)") {
+    // force each rung via the session broadcast threshold on a fresh
+    // session: default → rung 1 (corpus broadcast); 4KB → corpus
+    // declines but the pair list and the j1-with-arrays frame fit
+    // (rung 2a); 600B → only the id-only pair list fits (rung 2b);
+    // 1B → everything declines (rung 3 shuffle joins)
+    val rows = Seq[(Long, String)](
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "completely different words here entirely now"),
+      (4L, "the quick brown fox leaps over the lazy dog"),
+      (5L, "quick brown fox"),
+      (6L, "completely different words here entirely now"))
+    val expected = bruteJaccard(rows, 0.5)
+    for (thr <- Seq("10MB", "4096", "600", "1")) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      graft.functions.GraftFunctions.register(s2)
+      import s2.implicits._
+      val df = rows.toDF("doc_id", "text")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("items"))
+      val got = TextOps.prefixJaccardPairs(df, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"rung mismatch at threshold $thr")
+    }
+  }
+
   test("prefix filter prunes: candidate pairs < all pairs on disjoint docs") {
     // 20 docs sharing only one very frequent token would all collide in
     // a naive token join; rarest-first prefixes keep them apart when the
