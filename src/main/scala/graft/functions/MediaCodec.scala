@@ -103,7 +103,11 @@ object MediaCodec {
     var dataLen = 0
     while (off + 8 <= content.length) {
       val sz = le32(content, off + 4)
-      if (sz < 0 || off + 8 + sz > content.length) return Array.emptyIntArray
+      // Long arithmetic: a crafted ~2^31 chunk size must resolve to
+      // "malformed → empty", not wrap negative past the bound check and
+      // index out of range (the decoder runs over untrusted binary)
+      if (sz < 0 || off.toLong + 8L + sz > content.length)
+        return Array.emptyIntArray
       if (tag4(content, off, "fmt ") && sz >= 16)
         fmtOk = le16(content, off + 8) == 1 &&   // PCM
           le16(content, off + 10) == 1 &&         // mono
@@ -132,8 +136,13 @@ object MediaCodec {
     if (width <= 0) return Array.emptyByteArray
     val nPx = math.max(1, (payload.length + 2) / 3)
     val height = (nPx + width - 1) / width
-    val rowStride = ((width * 3 + 3) / 4) * 4
-    val imgSize = rowStride * height
+    // Long sizing: bmp_encode is a registered SQL function, so width is
+    // caller-controlled — a huge width must resolve to "unencodable →
+    // empty", not an Int-overflowed negative allocation size
+    val imgSizeL = ((width.toLong * 3 + 3) / 4) * 4 * height
+    if (54L + imgSizeL > Int.MaxValue) return Array.emptyByteArray
+    val rowStride = (((width.toLong * 3 + 3) / 4) * 4).toInt
+    val imgSize = imgSizeL.toInt
     val out = new Array[Byte](54 + imgSize)
     out(0) = 'B'; out(1) = 'M'
     wle32(out, 2, 54 + imgSize)
@@ -180,10 +189,15 @@ object MediaCodec {
         le16(content, 28) != 24 ||    // bpp
         le32(content, 30) != 0)       // BI_RGB only
       return Array.emptyIntArray
-    val rowStride = ((width * 3 + 3) / 4) * 4
+    // stride in LONG: a crafted width near 2^30 overflows width*3 in Int,
+    // turning the stride negative and defeating the size guard below —
+    // the path to a multi-GB allocation or negative-offset read on
+    // untrusted binary
+    val rowStrideL = ((width.toLong * 3 + 3) / 4) * 4
     if (offBits < 54 || width.toLong * height > Int.MaxValue ||
-        offBits.toLong + rowStride.toLong * height > content.length)
+        offBits.toLong + rowStrideL * height > content.length)
       return Array.emptyIntArray
+    val rowStride = rowStrideL.toInt // ≤ content.length after the guard
     val res = new Array[Int](width * height)
     var y = 0
     while (y < height) {

@@ -174,8 +174,10 @@ object Multimodal {
     * Requires `GraftFunctions.register(spark)`. */
   def phash(media: DataFrame, blocks: Int = 32): DataFrame = {
     require(blocks <= 63, "phash packs into one BIGINT")
+    // BIGINT multiply for the same ~2^31/blocks overflow reason as
+    // phashLuma's offsets (r7 review fix)
     def off(i: String) =
-      s"CAST(floor($i * length(content) / $blocks.0) AS INT)"
+      s"CAST(floor(CAST($i AS BIGINT) * length(content) / $blocks.0) AS INT)"
     media.select(col("doc_id"),
       expr(s"""aggregate(sequence(0, ${blocks - 1}), CAST(0 AS BIGINT),
         (acc, i) -> acc + IF(
@@ -210,7 +212,12 @@ object Multimodal {
     * tier for formats without a decoder. */
   def phashLuma(media: DataFrame, blocks: Int = 32): DataFrame = {
     require(blocks <= 63, "phash packs into one BIGINT")
-    def off(i: String) = s"CAST(floor(($i) * size(luma) / $blocks.0) AS INT)"
+    // offsets multiply in BIGINT: i * size(luma) wraps Int past ~69M
+    // pixels (well inside the decoder's limits) and a negative slice
+    // start reads from the array END — wrong bits, and divergence from
+    // the BIGINT-armed oracle
+    def off(i: String) =
+      s"CAST(floor(CAST(($i) AS BIGINT) * size(luma) / $blocks.0) AS INT)"
     media.filter(col("format") === "bmp")
       .select(col("doc_id"), call_function("bmp_luma", col("content")).as("luma"))
       .select(col("doc_id"), expr(s"""aggregate(sequence(0, ${blocks - 1}),

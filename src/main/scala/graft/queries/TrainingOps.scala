@@ -2043,13 +2043,21 @@ object TrainingOps extends OpsModule {
           cdf_$r AS (SELECT piece,
                         row_number() OVER (ORDER BY loss_delta, piece) AS rk
                  FROM lsf_$r WHERE essential_i = 0),
+          np_$r AS (SELECT greatest(least($UnigramFullStep,
+                     (SELECT count(*) FROM vem_$r) - $UnigramFullTarget), 0)
+                     AS np),
           kpf_$r AS MATERIALIZED (SELECT v.piece, v.p FROM vem_$r v
                  WHERE v.piece NOT IN (SELECT piece FROM cdf_$r
-                   WHERE rk <= greatest(least($UnigramFullStep,
-                     (SELECT count(*) FROM vem_$r) - $UnigramFullTarget), 0))),
+                   WHERE rk <= (SELECT np FROM np_$r))),
           pv_$r AS MATERIALIZED (SELECT piece,
-                        greatest(round(p / (SELECT round(sum(p), 6)
-                          FROM kpf_$r), 6), 0.000001) AS p
+                        -- a no-op round (np = 0) passes the EM probs
+                        -- through UNCHANGED, exactly like the Scala
+                        -- pruneRound early-return — renormalizing here
+                        -- would drift the hash by 1e-6-scale amounts
+                        -- the moment a round reaches the target early
+                        CASE WHEN (SELECT np FROM np_$r) = 0 THEN p
+                             ELSE greatest(round(p / (SELECT round(sum(p), 6)
+                               FROM kpf_$r), 6), 0.000001) END AS p
                  FROM kpf_$r)"""
     val chain = (1 to rounds).map { r =>
       duckEmRoundCtes(s"f$r", if (r == 1) "vocab" else s"pv_${r - 1}",

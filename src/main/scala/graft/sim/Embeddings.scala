@@ -551,14 +551,25 @@ object Embeddings {
     * resolve to at every oracle sf — recorded hashes unchanged. A seed
     * cell with no sampled member simply trains no centroid (assign
     * argmaxes over the cells that exist), the same degeneracy full
-    * Lloyd has when a cell empties between rounds. */
+    * Lloyd has when a cell empties between rounds.
+    *
+    * Sampled-branch seeding uses `(vec_id / sampleMod) mod nCells`, NOT
+    * `vec_id mod nCells`: the sample is `vec_id ≡ 0 (mod sampleMod)`,
+    * so the plain residue only reaches nCells/gcd(sampleMod, nCells)
+    * seed cells — at gcd > 1 (e.g. sampleMod 2, cells 16) the trained
+    * clustering would silently collapse by that factor and the
+    * occupancy bound the cells knob holds would quietly multiply.
+    * Dividing first makes the sampled ids consecutive, covering every
+    * residue whenever the sample has ≥ nCells members. */
   def kmeansTrainSampled(embeddings: DataFrame, nCells: Int, iters: Int,
                          sampleMod: Int = 1, nCoarse: Int = 1): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val t = if (sampleMod <= 1) e
             else e.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+    val seedId = if (sampleMod <= 1) col("vec_id")
+                 else expr(s"vec_id div ${sampleMod}L")
     var asg = t.select(col("vec_id"),
-      pmod(col("vec_id"), lit(nCells.toLong)).as("cell"))
+      pmod(seedId, lit(nCells.toLong)).as("cell"))
     for (_ <- 0 until iters) {
       val cents = centroids(
         t.join(asg, "vec_id")
@@ -594,11 +605,14 @@ object Embeddings {
     val eAll = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     // telemetry follows the TRAINING rounds, so under sampled training
     // ([[kmeansTrainSampled]]) it measures convergence on the sample —
-    // the thing the iteration-count decision is actually made on
+    // the thing the iteration-count decision is actually made on; the
+    // seed divides by sampleMod first for the same gcd-coverage reason
     val e = if (sampleMod <= 1) eAll
             else eAll.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+    val seedId = if (sampleMod <= 1) col("vec_id")
+                 else expr(s"vec_id div ${sampleMod}L")
     var asg = e.select(col("vec_id"),
-      pmod(col("vec_id"), lit(nCells.toLong)).as("cell"))
+      pmod(seedId, lit(nCells.toLong)).as("cell"))
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (r <- 1 to iters) {
       val cents = centroids(

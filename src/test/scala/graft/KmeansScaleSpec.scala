@@ -86,6 +86,30 @@ class KmeansScaleSpec extends AnyFunSuite {
     assert(one.toSeq === two.toSeq)
   }
 
+  test("sampled seeding covers every cell at gcd(sampleMod, nCells) > 1 (r7 review)") {
+    // the sample is vec_id ≡ 0 (mod 2); a plain vec_id-mod-4 seed would
+    // reach only cells {0, 2} (gcd 2) and the trained clustering would
+    // silently collapse to 2 cells. Dividing by sampleMod first makes
+    // the sampled ids consecutive, so all 4 cells seed. Corpus: cluster
+    // = (id div 2) mod 4, so under the FIXED seed every sampled seed
+    // cell is a pure cluster (seed(2k) = k mod 4 = cluster(2k)) and
+    // Lloyd recovers the exact 4-way partition — while the unfixed seed
+    // structurally cannot express more than 2 cells.
+    val rows = (0L until 80L).map { i =>
+      val c = ((i / 2) % 4).toInt
+      (i, Array.tabulate(4)(d => if (d == c) 1.0f else 0.0f), c)
+    }
+    import spark.implicits._
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val out = asMap(Embeddings.kmeansTrainSampled(
+      corpus, nCells = 4, iters = 3, sampleMod = 2, nCoarse = 1))
+    assert(out.size === 80)
+    assert(out.values.toSet.size === 4,
+      s"gcd collapse: only cells ${out.values.toSet} trained")
+    // and the partition is the true one
+    out.foreach { case (id, cell) => assert(cell === ((id / 2) % 4).toInt) }
+  }
+
   test("kmeansQuality telemetry shape is preserved under the bounded path") {
     val q = Embeddings.kmeansQuality(orthoCorpus, nCells = 4, iters = 2,
       sampleMod = 5, nCoarse = 2).orderBy("round").collect()

@@ -105,6 +105,27 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.bmpLuma(goldenBmp.take(54 + 8)).isEmpty)
   }
 
+  test("crafted overflow inputs resolve to empty, never a crash (r7 review)") {
+    // RIFF container whose single chunk claims size 0x7FFFFFF0: the
+    // bound check must not wrap Int-negative and walk out of range
+    val hugeChunk = hx(
+      "52494646" + "24000000" + "57415645" +
+      "666D7420" + "F0FFFF7F" + "0100" + "0100" +
+      "401F0000" + "803E0000" + "0200" + "1000")
+    assert(MediaCodec.wavSamples(hugeChunk).isEmpty)
+    // BM header claiming width 2^30 × height 1: width·3 must not wrap
+    // the stride negative past the size guard into a 4 GB allocation
+    val hugeWidth = hx(
+      "424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "00000040" + "01000000" + "0100" + "1800" +
+      "00000000" + "10000000" + "00000000" + "00000000" +
+      "00000000" + "00000000" + "0000000000000000")
+    assert(MediaCodec.bmpLuma(hugeWidth).isEmpty)
+    // encoder with a caller-controlled huge width: unencodable → empty
+    assert(MediaCodec.bmpEncode(Array[Byte](1, 2, 3), 0x40000000).isEmpty)
+    assert(MediaCodec.bmpEncode(Array[Byte](1, 2, 3), Int.MaxValue).isEmpty)
+  }
+
   test("round-trip: decode(encode(payload)) recovers payload-derived values") {
     val payload = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
     val samples = MediaCodec.wavSamples(MediaCodec.wavEncode(payload))
