@@ -169,10 +169,13 @@ case class KMinMerge(
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       var i = 0
       while (i < arr.numElements()) {
-        val h = arr.getLong(i)
-        if (buf.size < k || h < buf.last()) {
-          buf.add(h)
-          if (buf.size > k) buf.pollLast()
+        // containsNull inputs: a null slot must not enter the sketch as 0L
+        if (!arr.isNullAt(i)) {
+          val h = arr.getLong(i)
+          if (buf.size < k || h < buf.last()) {
+            buf.add(h)
+            if (buf.size > k) buf.pollLast()
+          }
         }
         i += 1
       }

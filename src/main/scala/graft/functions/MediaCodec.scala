@@ -67,6 +67,9 @@ object MediaCodec {
     * samples. 44 + 2·len bytes. */
   def wavEncode(payload: Array[Byte]): Array[Byte] = {
     val n = payload.length
+    // same Long-guard posture as bmpEncode: a >1 GiB payload would wrap
+    // n*2 negative and throw instead of honoring the total contract
+    if (44L + 2L * n > Int.MaxValue) return Array.emptyByteArray
     val dataSize = n * 2
     val out = new Array[Byte](44 + dataSize)
     out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'

@@ -40,6 +40,21 @@ object ScaleKnobs {
   val CoarseFloorCells = 256
   val SamplePerCell = 32L
 
+  /** Cap on [[kmeansCells]] (2^20). Occupancy-held cells (∝ N) make the
+    * one full two-level assign pass N·2·√cells ∝ N^1.5 — the r7
+    * residual. The cap converts it to a LINEAR bound past the
+    * engagement point N > cap·occupancy (≈131M vectors): assign ≤
+    * N·2·√cap = N·2048 forever. The traded consequence is occupancy:
+    * past engagement, occupancy grows ∝ N and SemDeDup's within-cell
+    * pair work Σ|cell|² ≈ N·(N/cap) leaves the ~125·N class — the
+    * quadratic pressure moves from the assign (paid by every Lloyd
+    * iteration plus the final pass) to the ONE semdedup pair pass,
+    * where it engages ~60× later than the old assign did and where
+    * raising the cap (or a third routing level, N·3·cells^(1/3)) is
+    * the documented relief valve. Every measured sf sits far below
+    * engagement, so the cap changes no recorded hash or plan. */
+  val KmeansCellsCap = 1 << 20
+
   /** ceil(n / d) without floats. */
   private def ceilDiv(n: Long, d: Long): Long = (n + d - 1) / d
 
@@ -105,11 +120,13 @@ object ScaleKnobs {
     * iterations on a ∝ cells sample; one full assign pass total).
     * Used by the emb_semdedup / emb_kmeans_* registrations. */
   def kmeansCells(n: Long, floor: Int = KmeansFloor,
-                  targetOccupancy: Long = KmeansOccupancy): Int =
-    // same clamp-before-narrow as truthSampleMod: a wrapped negative
-    // cell count would poison kmeansTrain/semDedup without an error
+                  targetOccupancy: Long = KmeansOccupancy,
+                  cap: Int = KmeansCellsCap): Int =
+    // the cap (subsuming the old Int.MaxValue clamp-before-narrow)
+    // bounds the assign pass linearly — see [[KmeansCellsCap]] for the
+    // occupancy trade it buys that with
     math.min(math.max(floor.toLong, ceilDiv(n, targetOccupancy)),
-      Int.MaxValue.toLong).toInt
+      cap.toLong).toInt
 
   /** Coarse-quantizer group count for the two-level k-means ASSIGN pass
     * (the bound on the one quadratic-class path the r6 decade named):
@@ -148,7 +165,7 @@ object ScaleKnobs {
     ("hashed_knn_block_dims", nDocs, blockDims(nDocs, hashedKnnDims),
       "candidate pair work ~64*N (blocks ~ N/64)"),
     ("kmeans_cells", nVecs, kmeansCells(nVecs).toLong,
-      "semdedup pair work ~125*N (cell occupancy ~125)"),
+      s"semdedup pair work ~125*N (cell occupancy ~125; $KmeansCellsCap-cell cap bounds assign <= 2048*N)"),
     ("kmeans_coarse", nVecs, kmeansCoarse(kmeansCells(nVecs)).toLong,
       "lloyd assign work ~2*sqrt(cells)*N (two-level routing)"),
     ("kmeans_sample_mod", nVecs,

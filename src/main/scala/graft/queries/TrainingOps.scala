@@ -1674,8 +1674,9 @@ object TrainingOps extends OpsModule {
     s"""WITH n AS (SELECT (SELECT count(*) FROM documents) AS nd,
                           (SELECT count(*) FROM embeddings) AS ne),
         k AS (SELECT nd, ne,
-                greatest($KmeansFloor,
-                         (ne + ${KmeansOccupancy - 1}) // $KmeansOccupancy)
+                least(greatest($KmeansFloor,
+                         (ne + ${KmeansOccupancy - 1}) // $KmeansOccupancy),
+                      $KmeansCellsCap)
                   AS cells
               FROM n)
         SELECT * FROM (
@@ -1687,7 +1688,7 @@ object TrainingOps extends OpsModule {
           FROM k
           UNION ALL
           SELECT 'kmeans_cells', ne, CAST(cells AS BIGINT),
-                 'semdedup pair work ~125*N (cell occupancy ~125)'
+                 'semdedup pair work ~125*N (cell occupancy ~125; $KmeansCellsCap-cell cap bounds assign <= 2048*N)'
           FROM k
           UNION ALL
           SELECT 'kmeans_coarse', ne,
@@ -1698,7 +1699,11 @@ object TrainingOps extends OpsModule {
           FROM k
           UNION ALL
           SELECT 'kmeans_sample_mod', ne,
-                 CAST(greatest(1, ne // (cells * $SamplePerCell)) AS BIGINT),
+                 -- least() mirrors the Scala clamp-before-narrow
+                 -- (Int.MaxValue) so generated-from-the-same-constants
+                 -- parity holds even past ~2.7e11 vectors
+                 CAST(least(greatest(1, ne // (cells * $SamplePerCell)),
+                            2147483647) AS BIGINT),
                  'centroid training on a ~32*cells sample (iterations off-corpus)'
           FROM k
           UNION ALL

@@ -33,6 +33,20 @@ class KMinAggSpec extends AnyFunSuite {
     assert(agg == win)
   }
 
+  test("kmin_merge skips null array slots instead of admitting 0L (r8 ADVICE)") {
+    graft.functions.GraftFunctions.register(spark)
+    // arrays carry containsNull slots; before the fix each null entered
+    // the sketch as 0L (the global minimum), poisoning every k-min set
+    val df = Seq(
+      ("a", Seq[java.lang.Long](5L, null, 9L)),
+      ("a", Seq[java.lang.Long](null, 7L))
+    ).toDF("g", "arr")
+    val merged = df.groupBy("g")
+      .agg(call_function("kmin_merge", col("arr"), lit(4)).as("kmin"))
+      .collect().head.getSeq[Long](1)
+    assert(merged === Seq(5L, 7L, 9L))
+  }
+
   test("kmin_values dedups and is partitioning-invariant") {
     val base = (1 to 500).map(i => (s"g${i % 2}", (i % 37).toLong))
       .toDF("g", "h")

@@ -38,6 +38,19 @@ class KmeansScaleSpec extends AnyFunSuite {
     df.select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getAs[Number](1).intValue()).toMap
 
+  test("capped cells derivation ≡ explicit cell count (r8 cap equivalence)") {
+    // force the cap to bind (n=1000 derives ceil(1000/125)=8 cells,
+    // cap=4 clamps it) and assert the pipeline through the capped knob
+    // is bit-identical to naming that cell count directly — the cap
+    // changes WHICH count is derived, never how the partition is
+    // computed for a given count
+    val capped = graft.ops.ScaleKnobs.kmeansCells(1000L, floor = 2, cap = 4)
+    assert(capped === 4)
+    val viaKnob = asMap(Embeddings.kmeansTrain(orthoCorpus, nCells = capped, iters = 3))
+    val explicit = asMap(Embeddings.kmeansTrain(orthoCorpus, nCells = 4, iters = 3))
+    assert(viaKnob === explicit)
+  }
+
   test("degenerate knobs (sampleMod=1, nCoarse=1) are bit-identical to kmeansTrain") {
     val full = asMap(Embeddings.kmeansTrain(orthoCorpus, nCells = 4, iters = 3))
     val sampled = asMap(Embeddings.kmeansTrainSampled(

@@ -124,6 +124,11 @@ class MediaCodecSpec extends AnyFunSuite {
     // encoder with a caller-controlled huge width: unencodable → empty
     assert(MediaCodec.bmpEncode(Array[Byte](1, 2, 3), 0x40000000).isEmpty)
     assert(MediaCodec.bmpEncode(Array[Byte](1, 2, 3), Int.MaxValue).isEmpty)
+    // wavEncode with a payload big enough that 44 + 2n wraps Int: the
+    // r8 ADVICE guard must return empty, not NegativeArraySizeException
+    // (first length past the bound: n = (Int.MaxValue - 44) / 2 + 1)
+    val hugePayload = new Array[Byte]((Int.MaxValue - 44) / 2 + 1)
+    assert(MediaCodec.wavEncode(hugePayload).isEmpty)
   }
 
   test("round-trip: decode(encode(payload)) recovers payload-derived values") {

@@ -67,6 +67,24 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(ScaleKnobs.kmeansSampleMod(16 * 32 * 2, 16) === 2)
   }
 
+  test("cells cap bounds the assign leg linearly (r8) — engagement + decades") {
+    val cap = ScaleKnobs.KmeansCellsCap
+    assert(cap === 1048576)
+    // below engagement the cap is invisible — derivation unchanged from
+    // r7 at every measured scale (incl. a hypothetical sf100 at 2M vecs)
+    assert(ScaleKnobs.kmeansCells(2000000L) === 16000)
+    assert(ScaleKnobs.kmeansCells(cap.toLong * 125) === cap)   // exactly at
+    assert(ScaleKnobs.kmeansCells(cap.toLong * 125 + 1) === cap) // first clamp
+    // a third decade past engagement: cells pinned, assign stays
+    // N·2·√cap = N·2048 (linear), occupancy grows ∝ N (documented trade)
+    assert(ScaleKnobs.kmeansCells(cap.toLong * 1250) === cap)
+    assert(ScaleKnobs.kmeansCoarse(cap) === 1024)              // isqrt(2^20)
+    // the cap subsumes the old Int.MaxValue clamp-before-narrow
+    assert(ScaleKnobs.kmeansCells(Long.MaxValue / 2) === cap)
+    // sample_mod keeps its own clamp (the SQL mirrors it with least())
+    assert(ScaleKnobs.kmeansSampleMod(Long.MaxValue / 2, 16) === Int.MaxValue)
+  }
+
   test("advise emits one row per knob with the operator formulas") {
     val rows = ScaleKnobs.advise(nDocs = 600, nVecs = 200).map {
       case (k, n, v, _) => (k, n, v)
