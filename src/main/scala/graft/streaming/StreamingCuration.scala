@@ -38,24 +38,43 @@ import graft.text.{CurationGates, TextOps}
   * dedup), not from admitted survivors — so a near-dup veto never hides
   * boilerplate evidence.
   *
-  * Line-df maintenance is O(batch + keys), never O(history) — the
-  * [[graft.ops.IncrementalAgg]] contract, closing r6's one streaming
-  * scale gap (the per-batch re-read of EVERY delta partition grew with
-  * corpus lifetime): each batch's (h, n_docs) delta folds into a
-  * VERSIONED cumulative snapshot `storeDir/linedf_snap/v=<batchId>` =
-  * (previous version ∪ delta) re-summed — a shuffle of two key-grain
-  * tables — and the heavy set is derived from that ONE snapshot
-  * version. Versioning gives replay determinism for free: a batch
-  * always folds onto the latest version STRICTLY BELOW its own id, so
-  * a crash between the snapshot write and the applied-marker replays
-  * to a byte-identical v=<batchId> instead of double-counting.
+  * Line-df maintenance is LSM-shaped so the per-batch WRITE is
+  * O(batch), not O(keys) — the r7 residual (rewriting the full
+  * cumulative (h, n_docs) table every micro-batch pays
+  * corpus-line-cardinality per batch at 100 TB) closed the way
+  * log-structured stores close it:
+  *
+  *  - every batch writes ONLY its delta `storeDir/linedf/batch_id=<id>`
+  *    (batch-sized), with a `_nrows_<n>` sidecar so cadence decisions
+  *    are filesystem-listing reads, never data scans;
+  *  - the heavy set is DERIVED per batch from (newest compacted
+  *    snapshot `storeDir/linedf_snap/v=<id>` ∪ deltas since it)
+  *    re-summed — one key-grain shuffle, read-bounded by the cadence
+  *    (deltas accumulate to at most ~compactFactor·|keys| rows before
+  *    they are folded away);
+  *  - COMPACTION runs only when accumulated delta rows reach
+  *    max(compactMinRows, compactFactor·snapshotRows) — the classic
+  *    size-ratio cadence, so snapshot writes are geometrically spaced
+  *    and the total bytes written across the store's lifetime is
+  *    O(total delta rows) — amortized O(batch) per batch.
+  *
+  * Replay determinism: a batch folds onto the newest snapshot STRICTLY
+  * BELOW its own id plus the un-subsumed deltas in between, and
+  * retention runs LAST (after the applied-marker), so a crash anywhere
+  * mid-batch replays against intact inputs to byte-identical state.
   * `keepVersions` (default 2: current + fallback) bounds the snapshot
-  * directory, and delta partitions older than the oldest kept version
-  * are pruned with it — they are subsumed by the fold — so the store
-  * no longer grows a partition per batch forever. A store that
-  * predates the snapshot upgrades itself on its first post-upgrade
-  * batch: with no snapshot present, the whole legacy delta directory
-  * collapses into the first version (one O(history) fold, once).
+  * directory; deltas at-or-below the OLDEST kept snapshot version are
+  * subsumed by it and pruned with it, recorded in a
+  * `_pruned_thru_<v>` tombstone. The tombstone backs the r8 retention
+  * guards: a replayed batch at-or-below the pruned horizon, or a
+  * pre-snapshot fold attempted after pruning has discarded history,
+  * REFUSES with IllegalStateException instead of silently
+  * under-counting df from the post-pruning delta directory (the
+  * doubly-degraded lost-marker + elapsed-retention edge r7 named).
+  * A store that predates the snapshot upgrades itself at its first
+  * compaction: with no snapshot present, the whole legacy delta
+  * directory collapses into the first version (one O(history) fold,
+  * once).
   *
   * Per-batch audit rows (n_input, n_gated, n_line_touched,
   * n_dropped_empty, n_admitted, n_rejected_near_dup) land in
@@ -87,11 +106,56 @@ object StreamingCuration {
       .sorted
   }
 
+  /** Row-count sidecar: an empty `_nrows_<n>` file inside a parquet
+    * partition dir (underscore-prefixed, so readers ignore it). Cadence
+    * decisions read these by LISTING — no data scan per batch. */
+  private def writeNrows(spark: SparkSession, dir: String, n: Long): Unit =
+    StoreFs.touch(spark, s"$dir/_nrows_$n")
+
+  /** Sidecar row count, falling back to a parquet count for legacy
+    * partitions written before the sidecar existed (paid once — the
+    * partition is either folded away or re-marked soon after). */
+  private def readNrows(spark: SparkSession, dir: String): Long =
+    childIds(spark, dir, "_nrows_").headOption
+      .getOrElse(spark.read.parquet(dir).count())
+
+  /** The retention tombstone: all deltas with id ≤ the recorded value
+    * have been pruned (they were subsumed by a kept snapshot). */
+  private def prunedThru(spark: SparkSession, snapDir: String): Option[Long] =
+    childIds(spark, snapDir, "_pruned_thru_").lastOption
+
+  /** The cumulative line-df view (newest snapshot ∪ un-subsumed
+    * deltas, re-summed): what the batch pipeline would count over the
+    * whole corpus, served from the LSM store. Introspection/spec
+    * surface — [[applyBatch]] derives its heavy set from the same fold
+    * pinned to the replaying batch's own horizon. */
+  def lineDf(spark: SparkSession, storeDir: String): DataFrame = {
+    val snapDir = s"$storeDir/linedf_snap"
+    val vStar = childIds(spark, snapDir, "v=").lastOption
+    val deltaIds = childIds(spark, s"$storeDir/linedf", "batch_id=")
+      .filter(id => vStar.forall(id > _))
+    foldLineDf(spark, storeDir, vStar, deltaIds)
+  }
+
+  /** (snapshot vStar ∪ deltas) → groupBy(h).sum(n_docs). */
+  private def foldLineDf(spark: SparkSession, storeDir: String,
+                         vStar: Option[Long], deltaIds: Seq[Long]): DataFrame = {
+    val deltaPaths = deltaIds.map(id => s"$storeDir/linedf/batch_id=$id")
+    val parts = vStar.map(v => s"$storeDir/linedf_snap/v=$v").toSeq ++ deltaPaths
+    if (parts.isEmpty)
+      spark.range(0).select(col("id").as("h"), col("id").as("n_docs"))
+    else
+      spark.read.parquet(parts: _*)
+        .groupBy("h").agg(sum("n_docs").as("n_docs"))
+  }
+
   /** Apply one batch; returns (gated, admitted, rejectedNearDup).
     * Idempotent per batchId. */
   def applyBatch(batch: DataFrame, batchId: Long, corpusDir: String,
                  storeDir: String, k: Int = 8, threshold: Double = 0.5,
-                 lineMaxDocs: Int = 3, keepVersions: Int = 2): (Long, Long, Long) = {
+                 lineMaxDocs: Int = 3, keepVersions: Int = 2,
+                 compactMinRows: Long = 65536L,
+                 compactFactor: Double = 1.0): (Long, Long, Long) = {
     val spark = batch.sparkSession
     // marker resolved via Hadoop FS (StoreFs) so replay-idempotence
     // holds on non-local storeDirs too, not just file://
@@ -108,30 +172,66 @@ object StreamingCuration {
     // participate in its threshold decision exactly once
     val lineDfDir = s"$storeDir/linedf"
     val snapDir = s"$storeDir/linedf_snap"
+    val deltaDir = s"$lineDfDir/batch_id=$batchId"
+    // r8 retention guards (the doubly-degraded edge r7 named): refuse
+    // to fold when the store's history for this batch is GONE, instead
+    // of silently under-counting df from what survives. Any snapshot
+    // ABOVE this batch means later batches already folded — a replay
+    // here can only be a manually cleared marker racing history.
+    // Checked BEFORE the delta write so a refused replay leaves no
+    // stale partition behind
+    val snapIds = childIds(spark, snapDir, "v=")
+    val horizon = prunedThru(spark, snapDir)
+    if (snapIds.exists(_ > batchId))
+      throw new IllegalStateException(
+        s"batch $batchId replay: snapshot v=${snapIds.last} already folded " +
+          "later batches; refusing to rewrite history")
+    if (horizon.exists(batchId <= _))
+      throw new IllegalStateException(
+        s"batch $batchId replay is at-or-below the pruned retention " +
+          s"horizon (deltas <= ${horizon.get} are gone); a fold here " +
+          "would under-count line df")
+    val vStar = snapIds.filter(_ < batchId).lastOption
+    if (vStar.isEmpty && horizon.isDefined)
+      throw new IllegalStateException(
+        s"batch $batchId replay: no snapshot below it but deltas were " +
+          s"pruned thru ${horizon.get}; a pre-snapshot fold would " +
+          "under-count line df")
+
     TextOps.lineHashCounts(gated)
-      .write.mode("overwrite").parquet(s"$lineDfDir/batch_id=$batchId")
-    // fold delta → versioned cumulative snapshot: O(batch + keys) per
-    // batch, and the heavy set below reads ONE version — never the
-    // ever-growing delta directory. prev is the latest version
-    // STRICTLY below this batch id, so a replay (marker lost between
-    // snapshot write and marker touch) re-derives v=<batchId>
-    // byte-identically instead of folding onto its own partial result
-    val prevVersions = childIds(spark, snapDir, "v=").filter(_ < batchId)
-    val cumulative = prevVersions.lastOption match {
-      case Some(v) =>
-        spark.read.parquet(s"$snapDir/v=$v")
-          .unionByName(spark.read.parquet(s"$lineDfDir/batch_id=$batchId"))
-          .groupBy("h").agg(sum("n_docs").as("n_docs"))
-      case None =>
-        // first fold — also the one-time upgrade for pre-snapshot
-        // stores: every legacy delta partition (this batch's included)
-        // collapses into the first version
-        spark.read.parquet(lineDfDir)
-          .groupBy("h").agg(sum("n_docs").as("n_docs"))
-    }
-    cumulative.write.mode("overwrite").parquet(s"$snapDir/v=$batchId")
-    val heavy = spark.read.parquet(s"$snapDir/v=$batchId")
+      .write.mode("overwrite").parquet(deltaDir)
+    writeNrows(spark, deltaDir, spark.read.parquet(deltaDir).count())
+    // fold horizon pinned to THIS batch: newest snapshot STRICTLY
+    // below, plus the un-subsumed deltas up to and including our own —
+    // a replay (marker lost mid-batch) re-derives the same heavy set
+    // byte-identically because retention runs last
+    val deltaIds = childIds(spark, lineDfDir, "batch_id=")
+      .filter(id => vStar.forall(id > _) && id <= batchId)
+    val cumulative = foldLineDf(spark, storeDir, vStar, deltaIds)
+
+    // size-ratio compaction cadence: fold the deltas away only when
+    // they have grown to compactFactor × the snapshot (floored at
+    // compactMinRows) — snapshot writes are geometrically spaced, so
+    // lifetime bytes written stay O(total delta rows), amortized
+    // O(batch) per batch; every other batch writes its delta ONLY.
+    // Counts come from the _nrows_ sidecars: a pure listing, no scan
+    val snapRows = vStar.map(v => readNrows(spark, s"$snapDir/v=$v"))
+      .getOrElse(0L)
+    val deltaRowsSince =
+      deltaIds.map(id => readNrows(spark, s"$lineDfDir/batch_id=$id")).sum
+    val compact = deltaRowsSince >=
+      math.max(compactMinRows, (snapRows * compactFactor).toLong)
+    val heavy = (if (compact) {
+      val vDir = s"$snapDir/v=$batchId"
+      cumulative.write.mode("overwrite").parquet(vDir)
+      writeNrows(spark, vDir, spark.read.parquet(vDir).count())
+      spark.read.parquet(vDir)
+    } else cumulative)
       .filter(col("n_docs") > lineMaxDocs).select("h")
+      // the heavy set feeds the size-gated removal join more than once
+      // (gate probe + anti-join); pin the fold so the snapshot∪delta
+      // shuffle runs once, and the pinned result is heavy-lines-sized
+      .localCheckpoint()
     // the SAME rewrite+drop+recompute block the batch pipeline runs —
     // one helper, so admission-time and re-curation semantics cannot
     // drift (only the heavy-set derivation differs: cumulative df here,
@@ -151,26 +251,33 @@ object StreamingCuration {
         "n_admitted", "n_rejected_near_dup")
       .write.mode("overwrite").parquet(s"$storeDir/audit/batch_id=$batchId")
 
-    // retention: the snapshot fold subsumes every delta at-or-below its
-    // version, so the store stays BOUNDED — keep the newest
+    // retention: runs LAST (after marker + audit), so a crash anywhere
+    // above replays against intact inputs. A kept snapshot subsumes
+    // every delta at-or-below its version; keep the newest
     // `keepVersions` snapshots (current + replay fallback) and prune
-    // every older delta: a replay always REWRITES its own delta and
-    // folds onto the prior snapshot, so no delta is ever read again
-    // after its batch's snapshot exists (the legacy-upgrade whole-dir
-    // read only happens while no snapshot exists, before any pruning).
-    // Pruning runs last (after the audit write): a crash anywhere above
-    // replays against intact state
-    val f = StoreFs.fs(spark, storeDir)
-    val kept = (prevVersions.takeRight(math.max(1, keepVersions) - 1)
-      :+ batchId).toSet
-    // only versions BELOW this batch are prunable — never touch newer
-    // state (a late replay against a manually cleared marker must not
-    // take down snapshots the batches after it already folded onto)
-    childIds(spark, snapDir, "v=")
-      .filter(v => v < batchId && !kept.contains(v))
-      .foreach(v => f.delete(new Path(s"$snapDir/v=$v"), true))
-    childIds(spark, lineDfDir, "batch_id=").filter(_ < batchId)
-      .foreach(b => f.delete(new Path(s"$lineDfDir/batch_id=$b"), true))
+    // deltas at-or-below the OLDEST kept version — the replay of any
+    // reachable batch still finds its fallback snapshot plus every
+    // delta between it and itself. Pruning records its bound in the
+    // `_pruned_thru_` tombstone that backs the guards above
+    if (compact) {
+      val f = StoreFs.fs(spark, storeDir)
+      val allSnaps = childIds(spark, snapDir, "v=")
+      val kept = allSnaps.takeRight(math.max(1, keepVersions)).toSet
+      allSnaps
+        .filter(v => v < batchId && !kept.contains(v))
+        .foreach(v => f.delete(new Path(s"$snapDir/v=$v"), true))
+      val oldestKept = kept.min
+      val prunable = childIds(spark, lineDfDir, "batch_id=")
+        .filter(_ <= oldestKept)
+      if (prunable.nonEmpty) {
+        prunable.foreach(b =>
+          f.delete(new Path(s"$lineDfDir/batch_id=$b"), true))
+        val bound = math.max(oldestKept, prunedThru(spark, snapDir).getOrElse(Long.MinValue))
+        childIds(spark, snapDir, "_pruned_thru_")
+          .foreach(v => f.delete(new Path(s"$snapDir/_pruned_thru_$v"), false))
+        StoreFs.touch(spark, s"$snapDir/_pruned_thru_$bound")
+      }
+    }
     (nGated, admitted, rejected)
   }
 

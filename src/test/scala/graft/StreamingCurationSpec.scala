@@ -151,12 +151,12 @@ class StreamingCurationSpec extends AnyFunSuite {
       .filter(col("doc_id") === 5L).select("text").as[String].head ==
       five(4)._1)
 
-    // cumulative df lives in the latest VERSIONED snapshot (r7: the
-    // heavy set reads one snapshot, not the delta directory); replay
-    // overwrites, never double-counts
+    // cumulative df is served by the LSM fold (snapshot ∪ un-subsumed
+    // deltas — below the compaction floor that is deltas alone); replay
+    // overwrites its delta, never double-counts
     val hB = graft.text.TextOps.lineHashCounts(
       Seq((9L, boiler)).toDF("doc_id", "text")).select("h").as[Long].head()
-    def dfOfB = spark.read.parquet(s"$store/linedf_snap/v=2")
+    def dfOfB = StreamingCuration.lineDf(spark, store)
       .filter(col("h") === hB).agg(sum("n_docs")).as[Long].head()
     assert(dfOfB == 5L)
     assert(StreamingCuration.applyBatch(df(d(2, 3L), d(3, 4L)), 1L,
@@ -165,62 +165,106 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$corpus/documents").count() == 5)
   }
 
-  test("stage 1.5 line-df maintenance is O(batch): one snapshot version, bounded store") {
+  test("stage 1.5 LSM: per-batch writes ∝ batch (amortized), admission unchanged, replay + retention guards (r8)") {
     val corpus = tmp(); val store = tmp()
-    // four batches of one gate-passing doc each (distinct survivors, so
-    // near-dup admission never vetoes), every doc carrying the same
-    // candidate boilerplate line
+    // eight single-doc batches, every doc carrying the same candidate
+    // boilerplate line: b0-b3 are distinct survivors (admitted), b4-b7
+    // REUSE b0-b3's texts (near-dup-vetoed — but line df counts from
+    // the GATED batch, so the store keeps growing either way)
     val four = family.slice(5, 9)
     assert(four.size == 4, s"fixture needs 4 more survivors, got ${four.size}")
     val boiler = okA._1.split(" ").take(6).mkString(" ")
-    val mkText = (i: Int) => four(i)._1 + "\n" + boiler
+    val mkText = (i: Int) => four(i % 4)._1 + "\n" + boiler
     val hB = graft.text.TextOps.lineHashCounts(
       Seq((9L, boiler)).toDF("doc_id", "text")).select("h").as[Long].head()
-    for (b <- 0 to 3) {
+
+    val snapDirF = new java.io.File(s"$store/linedf_snap")
+    def snapsNow: Set[String] =
+      Option(snapDirF.list()).getOrElse(Array.empty)
+        .filter(_.startsWith("v=")).toSet
+    var snapRowsWritten = 0L  // S: rows written to snapshots, at write time
+    var deltaRowsWritten = 0L // D: rows written as deltas
+    var nonCompacting = 0
+    // cadence under test: compactMinRows=1, factor=1.0 (compact when
+    // deltas outgrow the snapshot); final batch forces a compaction
+    // (factor=0) so retention + the tombstone are exercised
+    for (b <- 0 to 7) {
+      val before = snapsNow
       val t = mkText(b)
-      StreamingCuration.applyBatch(
-        df((100L + b, t, four(b)._2, four(b)._3, t.length.toLong)), b.toLong,
-        corpus, store)
+      val meta = four(b % 4)
+      val batchDf = df((100L + b, t, meta._2, meta._3, t.length.toLong))
+      StreamingCuration.applyBatch(batchDf, b.toLong,
+        corpus, store, compactMinRows = 1L,
+        compactFactor = if (b == 7) 0.0 else 1.0)
+      // delta size re-derived independently (the store may prune its
+      // own delta the moment a compaction subsumes it)
+      deltaRowsWritten += graft.text.TextOps.lineHashCounts(
+        CurationGates.gate(batchDf)).count()
+      val created = snapsNow -- before
+      if (created.isEmpty) nonCompacting += 1
+      created.foreach { v =>
+        snapRowsWritten += spark.read.parquet(s"$store/linedf_snap/$v").count()
+      }
     }
-    val snapDir = new java.io.File(s"$store/linedf_snap")
-    val deltaDir = new java.io.File(s"$store/linedf")
-    val snaps = snapDir.list().filter(_.startsWith("v=")).sorted.toSeq
-    val deltas = deltaDir.list().filter(_.startsWith("batch_id=")).sorted.toSeq
+    // the write-side bound (the r7 residual): non-compaction batches
+    // write NOTHING under linedf_snap (counted structurally above), and
+    // total snapshot rows written across the lifetime is amortized-O(D)
+    // — never O(keys) per batch
+    assert(nonCompacting >= 2, s"size-ratio cadence must skip compaction " +
+      s"on some batches (skipped $nonCompacting of 8)")
+    assert(snapRowsWritten <= 3 * deltaRowsWritten,
+      s"amortized write bound: S=$snapRowsWritten D=$deltaRowsWritten")
 
-    // bounded store: keepVersions=2 snapshots, deltas ≤ the kept window
-    // — NOT one partition per batch forever
-    assert(snaps == Seq("v=2", "v=3"), s"snapshots: $snaps")
-    assert(deltas == Seq("batch_id=3"), s"deltas: $deltas")
-
-    // the latest snapshot alone carries the full cumulative df — the
-    // heavy-set derivation needs nothing else (the pruned deltas are
-    // gone, and admission still worked every batch)
-    val snapDf = spark.read.parquet(s"$store/linedf_snap/v=3")
+    // cumulative df is exact through vetoes and compactions
+    def dfOfB = StreamingCuration.lineDf(spark, store)
       .filter(col("h") === hB).agg(sum("n_docs")).as[Long].head()
-    assert(snapDf == 4L)
+    assert(dfOfB == 8L)
 
-    // byte-identical admission to the legacy all-deltas derivation:
+    // admission byte-identical to the eager-fold implementation:
     // cumulative df crossed lineMaxDocs=3 during batch 3, so batch-3's
-    // doc lost the line and every earlier doc kept it
+    // doc lost the line, every earlier doc kept it, and b4-b7 were
+    // vetoed (their originals are already in the corpus)
     val stored = spark.read.parquet(s"$corpus/documents")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(stored.keySet == Set(100L, 101L, 102L, 103L))
     assert(stored(100L) == mkText(0))
     assert(stored(102L) == mkText(2))
     assert(stored(103L) == four(3)._1,
       "batch-3 doc must lose the line the moment cumulative df crosses")
+    val touched = spark.read.parquet(s"$store/audit")
+      .select(col("batch_id").cast("long"), col("n_line_touched"))
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 7L).map(touched) == Seq(0L, 0L, 0L, 1L, 1L, 1L, 1L, 1L))
 
-    // crash-between-snapshot-and-marker replay: clearing the marker
-    // forces a full re-run, which must fold onto v=2 (strictly below),
-    // rebuild v=3 byte-identically, and not change the corpus
-    val marker = new java.io.File(s"$store/_applied/batch-3")
+    // store is BOUNDED: ≤ keepVersions snapshots, deltas only above the
+    // oldest kept version, tombstone records the pruned horizon
+    val snaps = snapsNow.toSeq.sorted
+    assert(snaps.size <= 2, s"snapshots: $snaps")
+    val tomb = Option(snapDirF.list()).get.filter(_.startsWith("_pruned_thru_"))
+    assert(tomb.length == 1, s"tombstone: ${tomb.toSeq}")
+
+    // crash-mid-batch replay: clearing the last marker forces a full
+    // re-run, which folds onto the snapshot strictly below + the kept
+    // deltas and lands byte-identically (no double-count, corpus same)
+    val marker = new java.io.File(s"$store/_applied/batch-7")
     assert(marker.exists); marker.delete()
     StreamingCuration.applyBatch(
-      df((103L, mkText(3), four(3)._2, four(3)._3, mkText(3).length.toLong)),
-      3L, corpus, store)
-    val snapDf2 = spark.read.parquet(s"$store/linedf_snap/v=3")
-      .filter(col("h") === hB).agg(sum("n_docs")).as[Long].head()
-    assert(snapDf2 == 4L, "replayed fold must not double-count")
+      df((107L, mkText(7), four(3)._2, four(3)._3, mkText(7).length.toLong)),
+      7L, corpus, store, compactMinRows = 1L, compactFactor = 0.0)
+    assert(dfOfB == 8L, "replayed fold must not double-count")
     assert(spark.read.parquet(s"$corpus/documents").count() == 4)
+
+    // the doubly-degraded edge (r8 guard): a replay below the pruned
+    // retention horizon REFUSES instead of silently under-counting df
+    new java.io.File(s"$store/_applied/batch-0").delete()
+    val ex = intercept[IllegalStateException] {
+      StreamingCuration.applyBatch(
+        df((100L, mkText(0), four(0)._2, four(0)._3, mkText(0).length.toLong)),
+        0L, corpus, store, compactMinRows = 1L)
+    }
+    assert(ex.getMessage.contains("refusing") ||
+      ex.getMessage.contains("under-count"), ex.getMessage)
+    assert(dfOfB == 8L, "refused replay must not touch the store")
   }
 
   test("pre-snapshot stores upgrade on the first fold (legacy deltas collapse once)") {
@@ -235,11 +279,13 @@ class StreamingCurationSpec extends AnyFunSuite {
           df((200L + b, t, okB._2, okB._3, t.length.toLong))))
         .write.mode("overwrite").parquet(s"$store/linedf/batch_id=$b")
     }
-    // first post-upgrade batch: the fold must absorb the legacy deltas
-    // (cumulative df = 3 including its own), then prune them
+    // first post-upgrade COMPACTION: the fold must absorb the legacy
+    // deltas (cumulative df = 3 including its own), then prune every
+    // delta the new snapshot subsumes — the one O(history) fold, once
     val t2 = mkText(2)
     StreamingCuration.applyBatch(
-      df((202L, t2, okB._2, okB._3, t2.length.toLong)), 2L, corpus, store)
+      df((202L, t2, okB._2, okB._3, t2.length.toLong)), 2L, corpus, store,
+      compactMinRows = 1L)
     val hB = graft.text.TextOps.lineHashCounts(
       Seq((9L, boiler)).toDF("doc_id", "text")).select("h").as[Long].head()
     val snapDf = spark.read.parquet(s"$store/linedf_snap/v=2")
@@ -247,6 +293,16 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(snapDf == 3L, "legacy deltas must fold into the first version")
     val deltas = new java.io.File(s"$store/linedf").list()
       .filter(_.startsWith("batch_id=")).sorted.toSeq
-    assert(deltas == Seq("batch_id=2"), s"legacy deltas pruned: $deltas")
+    assert(deltas.isEmpty, s"legacy deltas pruned (all subsumed): $deltas")
+    // and BELOW the compaction floor the store keeps serving correct
+    // cumulative df from (snapshot ∪ new deltas) without re-compacting
+    val t3 = mkText(3)
+    StreamingCuration.applyBatch(
+      df((203L, t3, okB._2, okB._3, t3.length.toLong)), 3L, corpus, store)
+    val cum = StreamingCuration.lineDf(spark, store)
+      .filter(col("h") === hB).agg(sum("n_docs")).as[Long].head()
+    assert(cum == 4L)
+    assert(!new java.io.File(s"$store/linedf_snap/v=3").exists,
+      "below the floor no snapshot is written")
   }
 }
