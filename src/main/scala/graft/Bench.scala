@@ -13,8 +13,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Optional args: query names to bench (default all) — local iteration
     // aid; the driver invokes with no args.
+    // The CONTROL query is always benched and reported as its own field:
+    // a CPU-bound, shuffle-light query whose time is stable across boots,
+    // so any run's other numbers can be read against the same-boot
+    // control before believing a regression (the r7 prefix-join band was
+    // only diagnosable because a control happened to run in the same
+    // hour — this makes that read protocol self-contained; see PLANS.md)
+    val ControlQuery = "td_token_stats"
     val wanted = if (args.isEmpty) SparkEntry.queries
-                 else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+                 else SparkEntry.queries.filter { case (n, _) =>
+                   args.contains(n) || n == ControlQuery }
     // JVM warm-up: classloader + first janino compile land on whichever
     // query runs first otherwise.
     Seq("q1_agg", "td_fingerprint").foreach { n =>
@@ -95,12 +103,18 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
           "/root/repo/BENCH_DETAIL.json")),
-        s"""{"sf":"$sfName","total_sec":${f2(total)},"queries":$full}""".getBytes)
+        (s"""{"sf":"$sfName","total_sec":${f2(total)},""" +
+          s""""control":{"name":"$ControlQuery","sec":${
+            f2(results.getOrElse(ControlQuery, -1.0))}},""" +
+          s""""queries":$full}""").getBytes)
     } catch { case _: Throwable => () }
     val failedPart =
       if (failures.isEmpty) ""
       else s""","failed":${failures.mkString("[\"", "\",\"", "\"]")}"""
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","reps":$reps,"queries":$qs$failedPart,"sf":"$sfName"}""")
+    val controlPart = results.get(ControlQuery)
+      .map(t => s""","control":{"name":"$ControlQuery","sec":${f2(t)}}""")
+      .getOrElse("")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","reps":$reps,"queries":$qs$failedPart$controlPart,"sf":"$sfName"}""")
     spark.stop()
   }
 }
