@@ -141,6 +141,16 @@ object GraftFunctions {
       registry.registerFunction(blIdent, BmpLuma.info,
         (children: Seq[Expression]) => BmpLuma(children.head))
     }
+    val peIdent = FunctionIdentifier("png_encode")
+    if (!registry.functionExists(peIdent)) {
+      registry.registerFunction(peIdent, PngEncode.info,
+        (children: Seq[Expression]) => PngEncode(children(0), children(1)))
+    }
+    val plIdent = FunctionIdentifier("png_luma")
+    if (!registry.functionExists(plIdent)) {
+      registry.registerFunction(plIdent, PngLuma.info,
+        (children: Seq[Expression]) => PngLuma(children.head))
+    }
     // one call wires the whole custom surface: expressions above, the
     // range-join planner strategy here (idempotent)
     graft.plans.NativeRangeJoin.ensureRegistered(spark)
@@ -179,6 +189,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => BmpEncode(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("bmp_luma"), BmpLuma.info,
       (children: Seq[Expression]) => BmpLuma(children.head)))
+    ext.injectFunction((FunctionIdentifier("png_encode"), PngEncode.info,
+      (children: Seq[Expression]) => PngEncode(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("png_luma"), PngLuma.info,
+      (children: Seq[Expression]) => PngLuma(children.head)))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

@@ -218,12 +218,241 @@ object MediaCodec {
     res
   }
 
+  // ---------------------------------------------------------------- PNG
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def wbe32(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = ((v >>> 24) & 0xff).toByte
+    out(off + 1) = ((v >>> 16) & 0xff).toByte
+    out(off + 2) = ((v >>> 8) & 0xff).toByte
+    out(off + 3) = (v & 0xff).toByte
+  }
+
+  /** The PNG Paeth predictor (RFC 2083 §6.6), shared by encode filter
+    * and decode reconstruction so the two stay inverse by construction. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Real PNG: signature + IHDR (8-bit truecolor RGB, no interlace) +
+    * one zlib-deflated IDAT + IEND, CRC32 on every chunk. Pixel j =
+    * payload[3j..3j+2] as (R, G, B), zero-padded to W·H, row-major
+    * TOP-DOWN (PNG native order). Row y is written with filter type
+    * y % 5 — every PNG filter (None/Sub/Up/Average/Paeth) appears in
+    * any image of ≥ 5 rows, so a luma round-trip through [[pngLuma]]
+    * proves the WHOLE unfilter matrix, not just the trivial row. */
+  def pngEncode(payload: Array[Byte], width: Int): Array[Byte] = {
+    if (width <= 0) return Array.emptyByteArray
+    val nPx = math.max(1, (payload.length + 2) / 3)
+    val height = (nPx + width - 1) / width
+    val rowBytesL = 3L * width
+    val rawL = height.toLong * (1L + rowBytesL)
+    // Long guard (the wavEncode/bmpEncode posture): width is
+    // caller-controlled SQL input — unencodable sizes → empty, never a
+    // wrapped negative allocation
+    if (rawL > Int.MaxValue - 4096) return Array.emptyByteArray
+    val rowBytes = rowBytesL.toInt
+    // unfiltered plane, top-down
+    val plane = new Array[Byte](height * rowBytes)
+    var i = 0
+    val lim = math.min(payload.length, plane.length)
+    while (i < lim) { plane(i) = payload(i); i += 1 }
+    // filtered scanlines: 1 filter byte + filtered row bytes per row
+    val raw = new Array[Byte](rawL.toInt)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      val ro = y * (rowBytes + 1)
+      raw(ro) = f.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val v = plane(y * rowBytes + x) & 0xff
+        val a = if (x >= 3) plane(y * rowBytes + x - 3) & 0xff else 0
+        val b = if (y > 0) plane((y - 1) * rowBytes + x) & 0xff else 0
+        val c = if (y > 0 && x >= 3) plane((y - 1) * rowBytes + x - 3) & 0xff else 0
+        val filt = f match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - ((a + b) >> 1)
+          case 4 => v - paeth(a, b, c)
+        }
+        raw(ro + 1 + x) = (filt & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // zlib stream (deflate + adler32 — what IDAT carries)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val idat = buf.toByteArray
+    val totalL = 8L + (12L + 13L) + (12L + idat.length) + 12L
+    if (totalL > Int.MaxValue) return Array.emptyByteArray
+    val out = new Array[Byte](totalL.toInt)
+    System.arraycopy(PngSig, 0, out, 0, 8)
+    var off = 8
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      wbe32(out, off, data.length)
+      var k = 0
+      while (k < 4) { out(off + 4 + k) = tag.charAt(k).toByte; k += 1 }
+      System.arraycopy(data, 0, out, off + 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, off + 4, 4 + data.length)
+      wbe32(out, off + 8 + data.length, crc.getValue.toInt)
+      off += 12 + data.length
+    }
+    val ihdr = new Array[Byte](13)
+    wbe32(ihdr, 0, width); wbe32(ihdr, 4, height)
+    ihdr(8) = 8    // bit depth
+    ihdr(9) = 2    // color type: truecolor RGB
+    // compression 0, filter 0, interlace 0 already zero
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out
+  }
+
+  /** Real PNG parser → integer luma plane, row-major top-down (PNG's
+    * native order — the work here is the FILTER matrix, not a flip):
+    * validate the signature, walk the chunk list verifying each CRC32,
+    * require an 8-bit non-interlaced gray (0) or RGB (2) IHDR,
+    * concatenate the IDAT stream, inflate it to EXACTLY the expected
+    * scanline bytes, reconstruct every row through the
+    * None/Sub/Up/Average/Paeth inverse, then fold RGB to the same
+    * Rec.709 integer luma as [[bmpLuma]]. Empty array on anything
+    * malformed: bad magic/CRC, unsupported depth/color/interlace, a
+    * filter byte > 4, an inflate error, or a stream that is shorter or
+    * longer than the plane the header promises. All size arithmetic in
+    * Long — width/height are untrusted u32s, and the inflate target is
+    * allocated from the HEADER (never the stream), so a deflate bomb
+    * caps out at the header-promised plane or dies on the guard. */
+  def pngLuma(content: Array[Byte]): Array[Int] = {
+    if (content.length < 8) return Array.emptyIntArray
+    var k = 0
+    while (k < 8) {
+      if (content(k) != PngSig(k)) return Array.emptyIntArray
+      k += 1
+    }
+    var off = 8
+    var w = -1; var h = -1; var colorType = -1
+    var headerOk = false; var sawEnd = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off + 12 <= content.length && !sawEnd) {
+      val len = be32(content, off)
+      // Long bound: a crafted ~2^31 length must resolve to malformed,
+      // not wrap past the check into an out-of-range read
+      if (len < 0 || off.toLong + 12L + len > content.length)
+        return Array.emptyIntArray
+      val crc = new java.util.zip.CRC32()
+      crc.update(content, off + 4, 4 + len)
+      if (crc.getValue.toInt != be32(content, off + 8 + len))
+        return Array.emptyIntArray
+      if (tag4(content, off + 4, "IHDR")) {
+        if (len != 13 || headerOk) return Array.emptyIntArray
+        w = be32(content, off + 8); h = be32(content, off + 12)
+        colorType = content(off + 17) & 0xff
+        if (w <= 0 || h <= 0 || (content(off + 16) & 0xff) != 8 ||
+            (colorType != 0 && colorType != 2) ||
+            content(off + 18) != 0 || content(off + 19) != 0 ||
+            content(off + 20) != 0) return Array.emptyIntArray
+        headerOk = true
+      } else if (tag4(content, off + 4, "IDAT")) {
+        if (!headerOk) return Array.emptyIntArray
+        idat.write(content, off + 8, len)
+      } else if (tag4(content, off + 4, "IEND")) {
+        if (len != 0) return Array.emptyIntArray
+        sawEnd = true
+      }
+      off += 12 + len
+    }
+    if (!headerOk || !sawEnd) return Array.emptyIntArray
+    val bpp = if (colorType == 2) 3 else 1
+    if (w.toLong * h > Int.MaxValue) return Array.emptyIntArray
+    val rowBytesL = w.toLong * bpp
+    val rawL = h.toLong * (1L + rowBytesL)
+    if (rawL > Int.MaxValue - 8) return Array.emptyIntArray
+    val raw = new Array[Byte](rawL.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var total = 0
+    try {
+      var stalled = false
+      while (total < raw.length && !inf.finished() && !stalled) {
+        val n = inf.inflate(raw, total, raw.length - total)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+        total += n
+      }
+      // exact-plane contract: truncated (total < expected) and oversized
+      // (stream continues past the plane) streams are both malformed
+      if (total < raw.length) return Array.emptyIntArray
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0)
+        return Array.emptyIntArray
+    } catch {
+      case _: java.util.zip.DataFormatException => return Array.emptyIntArray
+    } finally inf.end()
+    val rowBytes = rowBytesL.toInt
+    val res = new Array[Int](w * h)
+    val prev = new Array[Byte](rowBytes)
+    val cur = new Array[Byte](rowBytes)
+    var y = 0
+    while (y < h) {
+      val ro = y * (rowBytes + 1)
+      val f = raw(ro) & 0xff
+      if (f > 4) return Array.emptyIntArray
+      var x = 0
+      while (x < rowBytes) {
+        val v = raw(ro + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
+        val b = prev(x) & 0xff
+        val c = if (x >= bpp) prev(x - bpp) & 0xff else 0
+        val rec = f match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + b
+          case 3 => v + ((a + b) >> 1)
+          case 4 => v + paeth(a, b, c)
+        }
+        cur(x) = (rec & 0xff).toByte
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        res(y * w + px) =
+          if (bpp == 3) {
+            val r = cur(3 * px) & 0xff
+            val g = cur(3 * px + 1) & 0xff
+            val bl = cur(3 * px + 2) & 0xff
+            (2126 * r + 7152 * g + 722 * bl) / 10000
+          } else cur(px) & 0xff
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    res
+  }
+
   // ArrayData bridges for codegen (UnsafeArrayData: no per-element boxing)
   def wavSamplesData(content: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(wavSamples(content))
 
   def bmpLumaData(content: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(bmpLuma(content))
+
+  def pngLumaData(content: Array[Byte]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(pngLuma(content))
 }
 
 /** `wav_encode(payload BINARY) → BINARY` — see [[MediaCodec.wavEncode]]. */
@@ -313,4 +542,52 @@ case class BmpLuma(child: Expression) extends UnaryExpression {
 
 object BmpLuma {
   val info = new ExpressionInfo(classOf[BmpLuma].getName, "bmp_luma")
+}
+
+/** `png_encode(payload BINARY, width INT) → BINARY` — see
+  * [[MediaCodec.pngEncode]]. */
+case class PngEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_encode requires (BINARY, INT), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_encode"
+  override protected def nullSafeEval(payload: Any, width: Any): Any =
+    MediaCodec.pngEncode(payload.asInstanceOf[Array[Byte]],
+      width.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, w) => s"graft.functions.MediaCodec.pngEncode($p, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PngEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+object PngEncode {
+  val info = new ExpressionInfo(classOf[PngEncode].getName, "png_encode")
+}
+
+/** `png_luma(content BINARY) → ARRAY<INT>` — see [[MediaCodec.pngLuma]];
+  * empty array on malformed input. */
+case class PngLuma(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_luma requires BINARY input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "png_luma"
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodec.pngLumaData(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaCodec.pngLumaData($c)")
+  override protected def withNewChildInternal(newChild: Expression): PngLuma =
+    copy(child = newChild)
+}
+
+object PngLuma {
+  val info = new ExpressionInfo(classOf[PngLuma].getName, "png_luma")
 }

@@ -37,6 +37,15 @@ object Multimodal {
   final case class MediaRecord(doc_id: Long, format: String, width: Int,
                                height: Int, n_frames: Int, content: Array[Byte])
 
+  /** Format-dispatched TRUE-luma decode — the image-container matrix the
+    * decoded-signal operators share (bmp from [[mediaLake]], png from
+    * [[pngLake]]); other formats decode to no pixels (empty array), the
+    * codecs' own malformed-input value. */
+  private def lumaOf: org.apache.spark.sql.Column =
+    when(col("format") === "bmp", call_function("bmp_luma", col("content")))
+      .when(col("format") === "png", call_function("png_luma", col("content")))
+      .otherwise(call_function("bmp_luma", lit(Array.emptyByteArray)))
+
   final case class LakeRecord(doc_id: Long, format: String, content: Array[Byte])
 
   final case class MediaFeatures(doc_id: Long, format: String,
@@ -72,6 +81,25 @@ object Multimodal {
       when(pmod(col("doc_id"), lit(2)) === 0, "wav").otherwise("bmp").as("format"),
       when(pmod(col("doc_id"), lit(2)) === 0, call_function("wav_encode", payload))
         .otherwise(call_function("bmp_encode", payload, width)).as("content"))
+  }
+
+  /** The png-labeled third of [[mediaFromDocuments]] upgraded from
+    * byte-tier to DECODED-LUMA tier (r8): those docs (doc_id % 3 = 1)
+    * re-materialize as REAL PNGs — 8-bit truecolor, zlib IDAT, the
+    * filter matrix cycling None/Sub/Up/Average/Paeth by row
+    * ([[graft.functions.MediaCodec.pngEncode]]) — with pixel j =
+    * payload[3j..3j+2] as (R,G,B) and the same width rule as the bmp
+    * lake. Deterministic from the document row, so the DuckDB oracle
+    * re-derives every decoded luma from first principles and the hash
+    * compare round-trip-proves inflate + the whole unfilter matrix.
+    * [[phashLuma]] / [[sceneCuts]] / [[lumaNearDup]] accept these rows
+    * directly — the second real container behind the same operators. */
+  def pngLake(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    val width = (pmod(length(payload), lit(24)) + lit(8)).cast("int")
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), lit("png").as("format"),
+        call_function("png_encode", payload, width).as("content"))
   }
 
   /** Batched per-partition decode of [[mediaLake]] rows — retained as
@@ -218,8 +246,8 @@ object Multimodal {
     // the BIGINT-armed oracle
     def off(i: String) =
       s"CAST(floor(CAST(($i) AS BIGINT) * size(luma) / $blocks.0) AS INT)"
-    media.filter(col("format") === "bmp")
-      .select(col("doc_id"), call_function("bmp_luma", col("content")).as("luma"))
+    media.filter(col("format").isin("bmp", "png"))
+      .select(col("doc_id"), lumaOf.as("luma"))
       .select(col("doc_id"), expr(s"""aggregate(sequence(0, ${blocks - 1}),
           CAST(0 AS BIGINT),
           (acc, i) -> acc + IF(
@@ -370,9 +398,8 @@ object Multimodal {
     * Returns (doc_id, n_frames, n_deltas, n_cuts, first_cut). */
   def sceneCuts(media: DataFrame, stride: Int = 32): DataFrame = {
     val frames = media
-      .filter(col("format") === "bmp")
-      .select(col("doc_id"),
-        call_function("bmp_luma", col("content")).as("luma"))
+      .filter(col("format").isin("bmp", "png"))
+      .select(col("doc_id"), lumaOf.as("luma"))
       .select(col("doc_id"),
         greatest(ceil(size(col("luma")).cast("double") / stride).cast("int"),
           lit(1)).as("n_frames"),

@@ -1052,6 +1052,39 @@ object TrainingOps extends OpsModule {
       Multimodal.lumaNearDup(Multimodal.mediaLake(docs(s, d)))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // PNG tier (r8): the png-labeled third of the docs as REAL PNGs —
+    // zlib IDAT, filter matrix cycling by row — decoded by the pure-JVM
+    // png_luma expression; the oracle re-derives every pixel from the
+    // payload, so hash equality round-trip-proves inflate + unfilter
+    "mm_png_luma" -> ((s, d) =>
+      Multimodal.pngLake(docs(s, d))
+        .select(col("doc_id"),
+          call_function("png_luma", col("content")).as("luma"))
+        .select(col("doc_id"),
+          size(col("luma")).as("n_px"),
+          aggregate(col("luma"), lit(0L),
+            (a, v) => a + v.cast("long")).as("luma_sum"),
+          (size(col("luma")) > 0).cast("int").as("header_valid"))
+        .orderBy("doc_id")),
+
+    // true-luma aHash over the SECOND real image container — the same
+    // phashLuma operator, dispatched by format
+    "mm_png_phash" -> ((s, d) =>
+      Multimodal.phashLuma(Multimodal.pngLake(docs(s, d)))
+        .orderBy("doc_id")),
+
+    // image near-dup over the png luma hash (banded-LSH, exact by
+    // pigeonhole for hamming <= 3)
+    "mm_png_neardup" -> ((s, d) =>
+      Multimodal.lumaNearDup(Multimodal.pngLake(docs(s, d)))
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // scene cuts over png frames — sceneCuts' luma decode gains the
+    // second container, cut logic untouched
+    "mm_png_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(Multimodal.pngLake(docs(s, d)))
+        .orderBy("doc_id")),
+
     // ENCODE half of the tokenizer lifecycle: apply the trained merge
     // table to the corpus (train is td_bpe_train). The oracle reuses the
     // unrolled training chain — its final vocabulary state IS the encoded
@@ -2378,6 +2411,67 @@ object TrainingOps extends OpsModule {
                           (2126 * ${duckByteAt("3 * j + 2")}
                            + 7152 * ${duckByteAt("3 * j + 1")}
                            + 722 * ${duckByteAt("3 * j")}) // 10000
+                        ELSE 0 END) AS luma
+          FROM lmsrc)"""
+
+  /** Scene-cut oracle fragment over any `lm` luma CTE (32-pixel frame
+    * runs, lag-delta, integer mean-compare cut rule) — shared by the
+    * bmp ([[duckLumaCte]]) and png ([[duckPngLumaCte]]) tiers. */
+  private val duckSceneFromLm =
+    """fr AS (
+           SELECT doc_id, n_frames, frame_idx,
+                  CAST(coalesce(list_sum(list_slice(luma,
+                    frame_idx * 32 + 1,
+                    least(frame_idx * 32 + 32, CAST(n_luma AS INT)))), 0)
+                    AS BIGINT) AS energy
+           FROM (SELECT doc_id, luma, n_luma,
+                        greatest(CAST(ceil(n_luma / 32.0) AS INT), 1)
+                          AS n_frames,
+                        unnest(generate_series(0,
+                          greatest(CAST(ceil(n_luma / 32.0) AS INT) - 1, 0)))
+                          AS frame_idx
+                 FROM lm)),
+         d AS (SELECT doc_id, n_frames, frame_idx,
+                 abs(energy - lag(energy) OVER (PARTITION BY doc_id
+                   ORDER BY frame_idx)) AS delta
+               FROM fr QUALIFY delta IS NOT NULL),
+         f AS (SELECT doc_id, n_frames, frame_idx, delta,
+                 sum(delta) OVER (PARTITION BY doc_id) AS total_delta,
+                 count(*) OVER (PARTITION BY doc_id) AS n_deltas
+               FROM d)
+         SELECT doc_id, max(n_frames) AS n_frames,
+                CAST(max(n_deltas) AS BIGINT) AS n_deltas,
+                CAST(sum(CASE WHEN delta * n_deltas * 2 > total_delta * 3
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                CAST(min(CASE WHEN delta * n_deltas * 2 > total_delta * 3
+                  THEN frame_idx END) AS INT) AS first_cut
+         FROM f GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Decoded-luma plane oracle CTE for the PNG tier (docs with
+    * doc_id % 3 = 1, [[graft.mm.Multimodal.pngLake]]): same geometry
+    * rule as the bmp lake (W = L%24+8, npx = max(1, ceil(L/3)),
+    * zero-padded to W·H) but pixel j = bytes (3j, 3j+1, 3j+2) as
+    * (R, G, B) — PNG channel order, no row flip, no stride padding.
+    * Pure integer re-derivation with NO container parse and no inflate,
+    * so the hash compare proves png_encode (deflate + the per-row
+    * filter cycle) and png_luma (chunk walk + CRC + inflate + the full
+    * None/Sub/Up/Average/Paeth unfilter matrix) compose to identity.
+    * Emits the same (lmsrc, lm) CTE names as [[duckLumaCte]], so the
+    * phash / scene fragments downstream compose with either. */
+  private val duckPngLumaCte =
+    s"""lmsrc AS (
+          SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS L,
+                 octet_length(encode(text)) % 24 + 8 AS W,
+                 greatest(1, (octet_length(encode(text)) + 2) // 3) AS npx
+          FROM documents WHERE doc_id % 3 = 1),
+        lm AS (
+          SELECT doc_id, W, (npx + W - 1) // W AS H,
+                 CAST(W * ((npx + W - 1) // W) AS BIGINT) AS n_luma,
+                 list_transform(generate_series(0, W * ((npx + W - 1) // W) - 1),
+                   j -> CASE WHEN j < npx THEN
+                          (2126 * ${duckByteAt("3 * j")}
+                           + 7152 * ${duckByteAt("3 * j + 1")}
+                           + 722 * ${duckByteAt("3 * j + 2")}) // 10000
                         ELSE 0 END) AS luma
           FROM lmsrc)"""
 
@@ -4406,6 +4500,31 @@ object TrainingOps extends OpsModule {
           WHERE bit_count(xor(a.phash, b.phash)) <= 3
           ORDER BY doc_id_a, doc_id_b""",
 
+    // PNG tier (r8): first-principles luma re-derivation — no inflate,
+    // no container parse — so hash equality proves the deflate + filter
+    // cycle + CRC'd chunk walk + unfilter matrix compose to identity
+    "mm_png_luma" ->
+      s"""WITH $duckPngLumaCte
+          SELECT doc_id, CAST(n_luma AS INT) AS n_px,
+                 CAST(coalesce(list_sum(luma), 0) AS BIGINT) AS luma_sum,
+                 CAST(n_luma > 0 AS INT) AS header_valid
+          FROM lm ORDER BY doc_id""",
+
+    "mm_png_phash" ->
+      s"""WITH $duckPngLumaCte, $duckLumaPhash
+          SELECT doc_id, phash FROM lp ORDER BY doc_id""",
+
+    "mm_png_neardup" ->
+      s"""WITH $duckPngLumaCte, $duckLumaPhash
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+                 CAST(list_sum(list_transform(generate_series(0, 3), j ->
+                   CASE WHEN (a.phash >> (j*8)) & 255 = (b.phash >> (j*8)) & 255
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_shared_bands
+          FROM lp a JOIN lp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3
+          ORDER BY doc_id_a, doc_id_b""",
+
     "mm_phash_neardup" ->
       s"""WITH $duckPhash
           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -4859,34 +4978,12 @@ object TrainingOps extends OpsModule {
     // Spark side's bmp_luma slices — cut logic unchanged
     "mm_scene_cuts" ->
       s"""WITH $duckLumaCte,
-         fr AS (
-           SELECT doc_id, n_frames, frame_idx,
-                  CAST(coalesce(list_sum(list_slice(luma,
-                    frame_idx * 32 + 1,
-                    least(frame_idx * 32 + 32, CAST(n_luma AS INT)))), 0)
-                    AS BIGINT) AS energy
-           FROM (SELECT doc_id, luma, n_luma,
-                        greatest(CAST(ceil(n_luma / 32.0) AS INT), 1)
-                          AS n_frames,
-                        unnest(generate_series(0,
-                          greatest(CAST(ceil(n_luma / 32.0) AS INT) - 1, 0)))
-                          AS frame_idx
-                 FROM lm)),
-         d AS (SELECT doc_id, n_frames, frame_idx,
-                 abs(energy - lag(energy) OVER (PARTITION BY doc_id
-                   ORDER BY frame_idx)) AS delta
-               FROM fr QUALIFY delta IS NOT NULL),
-         f AS (SELECT doc_id, n_frames, frame_idx, delta,
-                 sum(delta) OVER (PARTITION BY doc_id) AS total_delta,
-                 count(*) OVER (PARTITION BY doc_id) AS n_deltas
-               FROM d)
-         SELECT doc_id, max(n_frames) AS n_frames,
-                CAST(max(n_deltas) AS BIGINT) AS n_deltas,
-                CAST(sum(CASE WHEN delta * n_deltas * 2 > total_delta * 3
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
-                CAST(min(CASE WHEN delta * n_deltas * 2 > total_delta * 3
-                  THEN frame_idx END) AS INT) AS first_cut
-         FROM f GROUP BY doc_id ORDER BY doc_id""",
+         $duckSceneFromLm""",
+
+    // same cut logic over the PNG tier's first-principles luma plane
+    "mm_png_scene_cuts" ->
+      s"""WITH $duckPngLumaCte,
+         $duckSceneFromLm""",
 
     "td_waterfill" ->
       """WITH counts AS (SELECT source,

@@ -105,6 +105,151 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.bmpLuma(goldenBmp.take(54 + 8)).isEmpty)
   }
 
+  // ---- PNG ----
+
+  /** Chunk assembler for hand-built containers: length/type/data plus
+    * the real CRC32 (the checksum is computed, the STRUCTURE is hand-
+    * written — including the zlib stored-block framing, so no deflate
+    * implementation participates in the golden bytes). */
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+    val len = Array[Byte]((data.length >>> 24).toByte, (data.length >>> 16).toByte,
+      (data.length >>> 8).toByte, data.length.toByte)
+    val c = crc.getValue
+    len ++ tag.getBytes("US-ASCII") ++ data ++
+      Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte)
+  }
+
+  private val pngSig = hx("89504E470D0A1A0A")
+
+  private def ihdr(w: Int, h: Int, bitDepth: Int, colorType: Int): Array[Byte] =
+    Array[Byte]((w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+      (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+      bitDepth.toByte, colorType.toByte, 0, 0, 0)
+
+  /** zlib wrapper with ONE stored (uncompressed) deflate block — fully
+    * hand-derivable framing: 78 01 | 01 len nlen | raw | adler32(raw). */
+  private def zlibStored(raw: Array[Byte]): Array[Byte] = {
+    var s1 = 1L; var s2 = 0L
+    raw.foreach { b => s1 = (s1 + (b & 0xff)) % 65521; s2 = (s2 + s1) % 65521 }
+    val n = raw.length
+    hx("7801") ++ Array[Byte](0x01, (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      (~n & 0xff).toByte, ((~n >> 8) & 0xff).toByte) ++ raw ++
+      Array[Byte]((s2 >>> 8).toByte, s2.toByte, (s1 >>> 8).toByte, s1.toByte)
+  }
+
+  /** 2×2 RGB, stored-block IDAT, row 0 filter None, row 1 filter Up.
+    * Pixels (R,G,B): p0=(1,2,3) p1=(4,5,6) / p2=(7,8,9) p3=(10,11,12);
+    * scanline 1 filtered Up = orig − above = six 0x06 bytes. */
+  private val goldenPng: Array[Byte] =
+    pngSig ++ pngChunk("IHDR", ihdr(2, 2, 8, 2)) ++
+      pngChunk("IDAT", zlibStored(hx("00 010203 040506  02 060606 060606"))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+
+  test("pngLuma parses the hand-assembled stored-block container (None+Up rows)") {
+    // luma (2126R+7152G+722B)//10000 top-down:
+    // p0 (1,2,3)→18596//10000=1; p1 (4,5,6)→48596→4;
+    // p2 (7,8,9)→78596→7; p3 (10,11,12)→108596→10
+    assert(MediaCodec.pngLuma(goldenPng).toSeq === Seq(1, 4, 7, 10))
+  }
+
+  test("pngLuma reconstructs Sub and Average rows on a grayscale container") {
+    // 2×2 gray plane rows (10,20)/(30,40); scan0 = Sub: 0A,0A;
+    // scan1 = Average: 30−(0+10)/2=0x19, 40−(30+20)/2=0x0F
+    val gray = pngSig ++ pngChunk("IHDR", ihdr(2, 2, 8, 0)) ++
+      pngChunk("IDAT", zlibStored(hx("01 0A0A 03 190F"))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(MediaCodec.pngLuma(gray).toSeq === Seq(10, 20, 30, 40))
+  }
+
+  test("pngEncode round-trips through the full filter matrix (rows cycle 0-4)") {
+    // width 2 → 10 pixels over 5 rows: filters None,Sub,Up,Average,Paeth
+    // all appear; the decode must invert every one to recover the plane
+    val payload = (1 to 30).map(_.toByte).toArray
+    val enc = MediaCodec.pngEncode(payload, 2)
+    assert(enc.take(8).toSeq === pngSig.toSeq)
+    val expected = (0 until 10).map { j =>
+      def pb(i: Int) = if (i < payload.length) payload(i) & 0xff else 0
+      (2126 * pb(3 * j) + 7152 * pb(3 * j + 1) + 722 * pb(3 * j + 2)) / 10000
+    }
+    assert(MediaCodec.pngLuma(enc).toSeq === expected)
+    // IEND-terminated, CRC-valid, parseable by construction — and the
+    // raw filter bytes in the stream genuinely cycle (whitebox: inflate
+    // and look at the scanline heads)
+    val idat = {
+      // walk chunks collecting IDAT payload
+      var off = 8; val buf = new java.io.ByteArrayOutputStream()
+      while (off + 12 <= enc.length) {
+        val len = ((enc(off) & 0xff) << 24) | ((enc(off + 1) & 0xff) << 16) |
+          ((enc(off + 2) & 0xff) << 8) | (enc(off + 3) & 0xff)
+        if (new String(enc.slice(off + 4, off + 8), "US-ASCII") == "IDAT")
+          buf.write(enc, off + 8, len)
+        off += 12 + len
+      }
+      buf.toByteArray
+    }
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat)
+    val raw = new Array[Byte](5 * 7)
+    var t = 0
+    while (t < raw.length && !inf.finished()) t += inf.inflate(raw, t, raw.length - t)
+    inf.end()
+    assert((0 until 5).map(y => raw(y * 7).toInt) === Seq(0, 1, 2, 3, 4))
+  }
+
+  test("pngLuma rejects malformed containers with an empty array") {
+    assert(MediaCodec.pngLuma(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.pngLuma("definitely not a png".getBytes).isEmpty)
+    // flipped CRC byte → empty (the chunk walk VERIFIES checksums)
+    val badCrc = goldenPng.clone()
+    badCrc(goldenPng.length - 1) = (badCrc(goldenPng.length - 1) ^ 0x55).toByte
+    assert(MediaCodec.pngLuma(badCrc).isEmpty)
+    // unsupported bit depth (16) with a VALID crc → empty
+    val bd16 = pngSig ++ pngChunk("IHDR", ihdr(2, 2, 16, 2)) ++
+      pngChunk("IDAT", zlibStored(new Array[Byte](14))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(MediaCodec.pngLuma(bd16).isEmpty)
+    // filter byte 5 in an otherwise valid stream → empty
+    val f5 = pngSig ++ pngChunk("IHDR", ihdr(2, 2, 8, 2)) ++
+      pngChunk("IDAT", zlibStored(hx("05 010203 040506  00 060606 060606"))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(MediaCodec.pngLuma(f5).isEmpty)
+    // inflated stream SHORTER than the header-promised plane → empty
+    val short = pngSig ++ pngChunk("IHDR", ihdr(2, 2, 8, 2)) ++
+      pngChunk("IDAT", zlibStored(hx("00 010203"))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(MediaCodec.pngLuma(short).isEmpty)
+    // inflated stream LONGER than the plane → empty (exact-plane rule)
+    val long = pngSig ++ pngChunk("IHDR", ihdr(2, 2, 8, 2)) ++
+      pngChunk("IDAT", zlibStored(
+        hx("00 010203 040506  02 060606 060606 FF"))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(MediaCodec.pngLuma(long).isEmpty)
+    // missing IEND → empty
+    val noEnd = pngSig ++ pngChunk("IHDR", ihdr(2, 2, 8, 2)) ++
+      pngChunk("IDAT", zlibStored(hx("00 010203 040506  02 060606 060606")))
+    assert(MediaCodec.pngLuma(noEnd).isEmpty)
+  }
+
+  test("crafted PNG overflow inputs resolve to empty, never a crash (r8)") {
+    // IHDR claiming 2^30 × 2^30 with VALID crc: w·h and the raw-plane
+    // size must be guarded in Long before any allocation
+    val huge = pngSig ++ pngChunk("IHDR", ihdr(0x40000000, 0x40000000, 8, 2)) ++
+      pngChunk("IDAT", zlibStored(new Array[Byte](8))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(MediaCodec.pngLuma(huge).isEmpty)
+    // chunk length 0x7FFFFFF0 walking out of range must not wrap
+    val badLen = pngSig ++ hx("7FFFFFF0") ++ "IDAT".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(MediaCodec.pngLuma(badLen).isEmpty)
+    // encoder with a caller-controlled huge width: unencodable → empty
+    assert(MediaCodec.pngEncode(Array[Byte](1, 2, 3), 0x40000000).isEmpty)
+    assert(MediaCodec.pngEncode(Array[Byte](1, 2, 3), Int.MaxValue).isEmpty)
+    assert(MediaCodec.pngEncode(Array[Byte](1, 2, 3), 0).isEmpty)
+    assert(MediaCodec.pngEncode(Array[Byte](1, 2, 3), -5).isEmpty)
+  }
+
   test("crafted overflow inputs resolve to empty, never a crash (r7 review)") {
     // RIFF container whose single chunk claims size 0x7FFFFFF0: the
     // bound check must not wrap Int-negative and walk out of range
