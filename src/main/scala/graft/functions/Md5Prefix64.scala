@@ -151,6 +151,34 @@ object GraftFunctions {
       registry.registerFunction(plIdent, PngLuma.info,
         (children: Seq[Expression]) => PngLuma(children.head))
     }
+    // fixed-grid histogram aggregates (r8): the percentile partial and
+    // its maintain/serve halves behind MvRewrite's approx-quantile reads
+    val hcIdent = FunctionIdentifier("hist_cells")
+    if (!registry.functionExists(hcIdent)) {
+      registry.registerFunction(hcIdent, HistCells.info,
+        (children: Seq[Expression]) =>
+          HistCells(children(0), children(1)).toAggregateExpression())
+    }
+    val hmIdent = FunctionIdentifier("hist_merge")
+    if (!registry.functionExists(hmIdent)) {
+      registry.registerFunction(hmIdent, HistMerge.info,
+        (children: Seq[Expression]) =>
+          HistMerge(children.head).toAggregateExpression())
+    }
+    val hqIdent = FunctionIdentifier("hist_quantile")
+    if (!registry.functionExists(hqIdent)) {
+      registry.registerFunction(hqIdent, HistQuantile.info,
+        (children: Seq[Expression]) =>
+          HistQuantile(children(0), children(1), children(2))
+            .toAggregateExpression())
+    }
+    val hqmIdent = FunctionIdentifier("hist_quantile_merge")
+    if (!registry.functionExists(hqmIdent)) {
+      registry.registerFunction(hqmIdent, HistQuantileMerge.info,
+        (children: Seq[Expression]) =>
+          HistQuantileMerge(children(0), children(1), children(2))
+            .toAggregateExpression())
+    }
     // one call wires the whole custom surface: expressions above, the
     // range-join planner strategy here (idempotent)
     graft.plans.NativeRangeJoin.ensureRegistered(spark)
@@ -193,6 +221,21 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => PngEncode(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("png_luma"), PngLuma.info,
       (children: Seq[Expression]) => PngLuma(children.head)))
+    ext.injectFunction((FunctionIdentifier("hist_cells"), HistCells.info,
+      (children: Seq[Expression]) =>
+        HistCells(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("hist_merge"), HistMerge.info,
+      (children: Seq[Expression]) =>
+        HistMerge(children.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("hist_quantile"), HistQuantile.info,
+      (children: Seq[Expression]) =>
+        HistQuantile(children(0), children(1), children(2))
+          .toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("hist_quantile_merge"),
+      HistQuantileMerge.info,
+      (children: Seq[Expression]) =>
+        HistQuantileMerge(children(0), children(1), children(2))
+          .toAggregateExpression()))
     ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

@@ -24,7 +24,8 @@ object IncrementalAgg {
   private[graft] def partials(batch: DataFrame, keys: Seq[String], sums: Seq[String],
                        mins: Seq[String], maxs: Seq[String],
                        counts: Seq[String] = Nil,
-                       kmvs: Seq[String] = Nil, kmvK: Int = 64): DataFrame = {
+                       kmvs: Seq[String] = Nil, kmvK: Int = 64,
+                       hists: Seq[String] = Nil, histWidth: Int = 8): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       (sums.map(c => sum(col(c)).as(s"sum_$c")) ++
         mins.map(c => min(col(c)).as(s"min_$c")) ++
@@ -37,21 +38,29 @@ object IncrementalAgg {
         // served by MvRewrite's kmvCols. Insert-only mergeable — the
         // retraction path (applyChanges) deliberately has no kmv arm.
         kmvs.map(c => call_function("kmin_values", col(c), lit(kmvK))
-          .as(s"kmv_$c")))
+          .as(s"kmv_$c")) ++
+        // fixed-grid histogram cells per group (r8): the percentile
+        // partial — maintained by hist_merge below, served by MvRewrite's
+        // histCols for hist_quantile reads. Insert-only like kmv.
+        hists.map(c => call_function("hist_cells", col(c), lit(histWidth))
+          .as(s"hist_$c")))
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private[graft] def combine(a: DataFrame, b: DataFrame, keys: Seq[String],
                       sums: Seq[String], mins: Seq[String],
                       maxs: Seq[String], counts: Seq[String] = Nil,
-                      kmvs: Seq[String] = Nil, kmvK: Int = 64): DataFrame = {
+                      kmvs: Seq[String] = Nil, kmvK: Int = 64,
+                      hists: Seq[String] = Nil): DataFrame = {
     val aggs = sum(col("n_rows")).as("n_rows") +:
       (sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
         mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
         maxs.map(c => max(col(s"max_$c")).as(s"max_$c")) ++
         counts.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")) ++
         kmvs.map(c => call_function("kmin_merge", col(s"kmv_$c"), lit(kmvK))
-          .as(s"kmv_$c")))
+          .as(s"kmv_$c")) ++
+        hists.map(c => call_function("hist_merge", col(s"hist_$c"))
+          .as(s"hist_$c")))
     a.unionByName(b).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -60,16 +69,19 @@ object IncrementalAgg {
              keys: Seq[String], sums: Seq[String] = Nil,
              mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
              counts: Seq[String] = Nil,
-             kmvs: Seq[String] = Nil, kmvK: Int = 64): Unit = {
-    if (kmvs.nonEmpty) graft.functions.GraftFunctions.register(spark)
-    val p = partials(batch, keys, sums, mins, maxs, counts, kmvs, kmvK)
+             kmvs: Seq[String] = Nil, kmvK: Int = 64,
+             hists: Seq[String] = Nil, histWidth: Int = 8): Unit = {
+    if (kmvs.nonEmpty || hists.nonEmpty)
+      graft.functions.GraftFunctions.register(spark)
+    val p = partials(batch, keys, sums, mins, maxs, counts, kmvs, kmvK,
+      hists, histWidth)
     val path = new Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) {
       p.write.mode(SaveMode.Overwrite).parquet(storeDir)
     } else {
       val merged = combine(spark.read.parquet(storeDir), p, keys, sums, mins,
-        maxs, counts, kmvs, kmvK)
+        maxs, counts, kmvs, kmvK, hists)
       val tmp = storeDir + ".tmp_swap"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       fs.delete(path, true)

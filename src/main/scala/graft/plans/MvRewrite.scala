@@ -64,6 +64,7 @@ object MvRewrite {
                 valueCountCols: Map[String, String],
                 minCols: Map[String, String], maxCols: Map[String, String],
                 kmvCols: Map[String, String], kmvK: Int,
+                histCols: Map[String, String], histWidth: Int,
                 cdcRetractionOnly: Boolean,
                 mvPlan: LogicalPlan)
 
@@ -93,6 +94,19 @@ object MvRewrite {
     * sketch is identical too. Exact COUNT(DISTINCT x) is REFUSED by
     * design: the sketch cannot answer it, and the rewrite must never
     * change an exact answer. */
+  /** `histCols` maps base column → mv fixed-grid histogram-cells partial
+    * column ([[graft.functions.HistCells]] output, maintained by
+    * [[graft.ops.IncrementalAgg]]'s hists path); `histWidth` is the grid
+    * width every registered partial was built with. A
+    * `hist_quantile(x, q, w)` aggregate over the base is served by
+    * `hist_quantile_merge` over the partial — EXACTLY (cells are
+    * OR-mergeable: per-group counts sum across any rollup, so the
+    * interpolated estimate is identical). Served only at matching width
+    * (a different grid cannot be derived from stored cells), and refused
+    * on retraction marts like kmv. Exact `percentile` / Spark's
+    * `approx_percentile` are REFUSED by design: cells cannot answer the
+    * former, and the latter is a different estimator — the rewrite must
+    * never change an answer. */
   def register(mvDf: DataFrame, baseTag: String, groupCols: Seq[String],
                sumCols: Map[String, String],
                countCol: Option[String],
@@ -101,19 +115,21 @@ object MvRewrite {
                maxCols: Map[String, String] = Map.empty,
                kmvCols: Map[String, String] = Map.empty,
                kmvK: Int = 64,
+               histCols: Map[String, String] = Map.empty,
+               histWidth: Int = 8,
                cdcRetractionOnly: Boolean = false): Unit =
     registry.synchronized {
       val have = mvDf.schema.fieldNames.toSet
       val need = groupCols ++ sumCols.values ++ countCol ++
         valueCountCols.values ++ minCols.values ++ maxCols.values ++
-        kmvCols.values
+        kmvCols.values ++ histCols.values
       val missing = need.filterNot(have)
       require(missing.isEmpty,
         s"MvRewrite.register: columns ${missing.mkString(", ")} not in " +
           s"summary schema ${have.mkString("[", ", ", "]")}")
       registry += Mv(baseTag, groupCols.toSet, sumCols, countCol,
-        valueCountCols, minCols, maxCols, kmvCols, kmvK, cdcRetractionOnly,
-        mvDf.queryExecution.analyzed)
+        valueCountCols, minCols, maxCols, kmvCols, kmvK, histCols, histWidth,
+        cdcRetractionOnly, mvDf.queryExecution.analyzed)
     }
 
   private def mvs: Seq[Mv] = registry.synchronized { registry.toSeq }
@@ -249,6 +265,16 @@ object MvRewrite {
               kLit.foldable &&
               kLit.eval().asInstanceOf[Number].intValue() == m.kmvK &&
               m.kmvCols.get(ar.name).exists(mvOut.contains)
+          // histogram-quantile reads: served at matching grid width ONLY
+          // (stored cells cannot be re-bucketed), insert-only marts only.
+          // Exact `percentile` and Spark's `approx_percentile` fall to
+          // the default refusal: the former is holistic, the latter a
+          // DIFFERENT estimator — serving either would change answers.
+          case graft.functions.HistQuantile(ar: AttributeReference, qLit, wLit, _, _) =>
+            !m.cdcRetractionOnly &&
+              qLit.foldable && wLit.foldable &&
+              wLit.eval().asInstanceOf[Number].intValue() == m.histWidth &&
+              m.histCols.get(ar.name).exists(mvOut.contains)
           case _ => false
         }
       case _ => false
@@ -305,6 +331,13 @@ object MvRewrite {
             // the per-group k-min partials IS kmin_values over the base
             // rows (same dataType, so no cast needed)
             Alias(graft.functions.KMinMerge(mvOut(m.kmvCols(ar.name)), kLit)
+              .toAggregateExpression(), name)(exprId = al.exprId)
+          case graft.functions.HistQuantile(ar: AttributeReference, qLit, wLit, _, _) =>
+            // cell-merge exactness: hist_quantile_merge over the stored
+            // cells IS hist_quantile over the base rows (counts sum per
+            // bucket under any rollup; same interpolation)
+            Alias(graft.functions.HistQuantileMerge(
+              mvOut(m.histCols(ar.name)), qLit, wLit)
               .toAggregateExpression(), name)(exprId = al.exprId)
         }
     }

@@ -1196,6 +1196,24 @@ object TrainingOps extends OpsModule {
         .orderBy("source")
     }),
 
+    // the NATIVE-aggregate face of the histogram quantile (r8): cells as
+    // TypedImperativeAggregate state (bounded partials — |buckets| per
+    // group per partition, never row-count), the partial MvRewrite
+    // serves percentile reads from. Same grid, same interpolation as
+    // td_quantile_sketch's DataFrame plan
+    "td_hist_quantile_agg" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          call_function("hist_quantile", col("n_chars"),
+            lit(0.5), lit(QsWidth)).as("est_p50"),
+          call_function("hist_quantile", col("n_chars"),
+            lit(0.9), lit(QsWidth)).as("est_p90"),
+          call_function("hist_quantile", col("n_chars"),
+            lit(0.99), lit(QsWidth)).as("est_p99"))
+        .orderBy("source")
+    }),
+
     // linear-counting distinct sketch over the corpus 3-shingle stream,
     // evaluated at three bitmap sizes in ONE scan — the deterministic
     // (md5-bitmap, oracle-hash-checkable) fixed-memory counterpart to
@@ -4753,6 +4771,44 @@ object TrainingOps extends OpsModule {
                  pv.est_p50, pv.est_p90, pv.est_p99,
                  ex.exact_p50, ex.exact_p90, ex.exact_p99
           FROM pv JOIN ex USING (grp) ORDER BY source"""
+    },
+
+    // native-aggregate histogram quantile: same fixed-grid replay as
+    // td_quantile_sketch (bucket = n_chars // width exactly — n_chars is
+    // non-negative, so floor(double/width) ≡ floorDiv)
+    "td_hist_quantile_agg" -> {
+      val qList = QsQuantiles.map(q => s"${q}e0").mkString("[", ", ", "]")
+      val estCases = QsQuantiles.map(q =>
+        s"max(CASE WHEN q = ${q}e0 THEN est END) AS est_p${(q * 100).toInt}")
+        .mkString(", ")
+      s"""WITH hist AS (
+            SELECT source AS grp,
+                   floor(CAST(n_chars AS DOUBLE) / $QsWidth) AS bucket,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1, 2),
+          cumr AS (
+            SELECT grp, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) - cnt
+                     AS cum_prev
+            FROM hist),
+          tot AS (SELECT grp, sum(cnt) AS n FROM hist GROUP BY 1),
+          tgt AS (SELECT grp, n, unnest($qList) AS q FROM tot),
+          sel AS (
+            SELECT grp, q, n, bucket, cum_prev, cnt FROM (
+              SELECT t.grp, t.q, t.n, c.bucket, c.cum_prev, c.cnt,
+                     row_number() OVER (PARTITION BY t.grp, t.q
+                       ORDER BY c.bucket) AS rk
+              FROM tgt t JOIN cumr c USING (grp)
+              WHERE c.cum >= t.q * t.n) WHERE rk = 1),
+          est AS (
+            SELECT grp, q, n,
+                   round(bucket * $QsWidth +
+                         $QsWidth * (q * n - cum_prev) / cnt, 6) AS est
+            FROM sel)
+          SELECT grp AS source, CAST(any_value(n) AS BIGINT) AS n_rows,
+                 $estCases
+          FROM est GROUP BY grp ORDER BY source"""
     },
 
     "td_distinct_sketch" -> {

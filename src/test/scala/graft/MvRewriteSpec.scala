@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.ops.IncrementalAgg
 import graft.plans.MvRewrite
 
 /** The materialized-aggregate rewrite must be TRANSPARENT (same answers,
@@ -418,6 +419,93 @@ class MvRewriteSpec extends AnyFunSuite {
         plain.read.parquet(hDir).groupBy("source")
           .agg(countDistinct("h").as("d")).collect()
           .map(r => (r.getString(0), r.getLong(1))).toSet)
+    } finally MvRewrite.clear()
+  }
+
+  test("hist-quantile reads serve from the mart; exact percentile refused (r8)") {
+    val session = spark.newSession()
+    graft.functions.GraftFunctions.register(session)
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    val plain = spark.newSession()
+    graft.functions.GraftFunctions.register(plain)
+    try {
+      // the mart is MAINTAINED across batches by IncrementalAgg's hists
+      // path (hist_cells partials folded with hist_merge), not built in
+      // one shot — the maintain half of the loop under test
+      val storeDir = Files.createTempDirectory("mv_hist").toString + "/agg"
+      val base = session.read.parquet(baseDir)
+      IncrementalAgg.update(session, storeDir,
+        base.filter(col("doc_id") % 2 === 0), keys = Seq("source"),
+        hists = Seq("n_chars"), histWidth = 8)
+      IncrementalAgg.update(session, storeDir,
+        base.filter(col("doc_id") % 2 === 1), keys = Seq("source"),
+        hists = Seq("n_chars"), histWidth = 8)
+      MvRewrite.register(session.read.parquet(storeDir),
+        baseTag = "documents.parquet",
+        groupCols = Seq("source"),
+        sumCols = Map.empty, countCol = Some("n_rows"),
+        histCols = Map("n_chars" -> "hist_n_chars"), histWidth = 8)
+
+      def qBy(df: DataFrame) = df.groupBy("source")
+        .agg(call_function("hist_quantile", col("n_chars"), lit(0.5), lit(8))
+          .as("p50"),
+          call_function("hist_quantile", col("n_chars"), lit(0.99), lit(8))
+            .as("p99"))
+
+      // per-group: served by hist_quantile_merge over the maintained
+      // cells, EXACTLY equal to the direct aggregate over base rows
+      val served = qBy(base)
+      assert(scanPaths(served).exists(_.contains(storeDir)),
+        s"expected the mart scan, got ${scanPaths(served)}")
+      val servedMap = served.collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val directMap = qBy(plain.read.parquet(baseDir)).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(servedMap === directMap,
+        "served quantile must EQUAL the direct fixed-grid quantile")
+
+      // global rollup: merged group cells = the global histogram
+      val glob = base.agg(
+        call_function("hist_quantile", col("n_chars"), lit(0.9), lit(8))
+          .as("p90"))
+      assert(scanPaths(glob).exists(_.contains(storeDir)))
+      assert(glob.first().getDouble(0) ===
+        plain.read.parquet(baseDir).agg(
+          call_function("hist_quantile", col("n_chars"), lit(0.9), lit(8))
+            .as("p90")).first().getDouble(0))
+
+      // grid-width mismatch falls through (stored cells cannot be
+      // re-bucketed onto a different grid)
+      val otherW = base.groupBy("source")
+        .agg(call_function("hist_quantile", col("n_chars"), lit(0.5), lit(16))
+          .as("p50"))
+      assert(!scanPaths(otherW).exists(_.contains(storeDir)))
+
+      // exact percentile is REFUSED — base scan, exact answer preserved
+      val exact = base.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("p50"))
+      assert(!scanPaths(exact).exists(_.contains(storeDir)),
+        "cells must never serve an exact percentile")
+      assert(exact.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+        plain.read.parquet(baseDir).groupBy("source")
+          .agg(expr("percentile(n_chars, 0.5)").as("p50")).collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSet)
+
+      // Spark's approx_percentile is a DIFFERENT estimator — refused too
+      val ap = base.groupBy("source")
+        .agg(expr("approx_percentile(n_chars, 0.5)").as("p50"))
+      assert(!scanPaths(ap).exists(_.contains(storeDir)))
+
+      // retraction-maintained marts refuse quantile serving (cells are
+      // insert-only mergeable, like kmv)
+      MvRewrite.clear()
+      MvRewrite.register(session.read.parquet(storeDir),
+        baseTag = "documents.parquet", groupCols = Seq("source"),
+        sumCols = Map.empty, countCol = Some("n_rows"),
+        histCols = Map("n_chars" -> "hist_n_chars"), histWidth = 8,
+        cdcRetractionOnly = true)
+      assert(!scanPaths(qBy(base)).exists(_.contains(storeDir)))
     } finally MvRewrite.clear()
   }
 
