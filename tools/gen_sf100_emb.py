@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Generate the EMBEDDINGS-ONLY third decade (VERDICT r7 'Next round'
+#2): sf100emb = 10x keyed replication of tmp/sf10's embeddings table
+(2M vectors), the dataset that measures the r7-bounded k-means family
+(sampled Lloyd training + two-level assign) across sf10 -> sf100.
+
+Embeddings-only by design — the kmeans queries (emb_kmeans_train /
+emb_kmeans_quality / emb_semdedup) and their ScaleKnobs derivations
+read nothing else. documents.parquet is copied VERBATIM from sf10 so
+the bench harness's control query (td_token_stats) and warm-up keep
+working; it is NOT scaled and must not be read as an sf100 table.
+
+Same replication contract as gen_sf10.py: vec_id shifts per copy,
+embedding values verbatim (so cells/centroid geometry replicates and
+candidate growth isolates the SCALE effect, not a distribution shift).
+"""
+import os
+import shutil
+import duckdb
+
+SRC = "/root/repo/tmp/sf10"
+DST = "/root/repo/tmp/sf100emb"
+COPIES = 10
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+
+V = con.sql(
+    f"SELECT max(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
+).fetchone()[0]
+
+out = f"{DST}/embeddings.parquet"
+con.sql(f"""
+  COPY (
+    SELECT vec_id + cp * {V} AS vec_id, embedding, label
+    FROM read_parquet('{SRC}/embeddings.parquet')
+    CROSS JOIN (SELECT unnest(range({COPIES})) AS cp)
+  ) TO '{out}' (FORMAT PARQUET)""")
+n = con.sql(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+print(f"embeddings: {n} rows", flush=True)
+
+shutil.copyfile(f"{SRC}/documents.parquet", f"{DST}/documents.parquet")
+print("documents: copied verbatim from sf10 (control/warm-up only)")
+print("done:", DST)
