@@ -148,9 +148,13 @@ object HistOps {
     case l: Long => l
   }
 
+  // eval-before-null-check would NPE out of analysis on a foldable NULL
+  // literal (CAST(NULL AS INT)) — return a TypeCheckFailure instead
   private[functions] def checkWidth(wExpr: Expression): TypeCheckResult =
     if (!wExpr.foldable || wExpr.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure("width must be an INTEGER literal")
+    else if (wExpr.eval() == null)
+      TypeCheckResult.TypeCheckFailure("width must be a non-null INTEGER literal")
     else if (wExpr.eval().asInstanceOf[Number].intValue() <= 0)
       TypeCheckResult.TypeCheckFailure("width must be positive")
     else TypeCheckResult.TypeCheckSuccess
@@ -158,6 +162,8 @@ object HistOps {
   private[functions] def checkQ(qExpr: Expression): TypeCheckResult =
     if (!qExpr.foldable || qExpr.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure("q must be a DOUBLE literal")
+    else if (qExpr.eval() == null)
+      TypeCheckResult.TypeCheckFailure("q must be a non-null DOUBLE literal")
     else {
       val q = qExpr.eval().asInstanceOf[Number].doubleValue()
       if (q <= 0.0 || q > 1.0)

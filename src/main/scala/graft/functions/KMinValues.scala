@@ -45,8 +45,10 @@ case class KMinValues(
     if (child.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"kmin_values requires BIGINT input, got ${child.dataType.catalogString}")
-    else if (!kExpr.foldable || kExpr.dataType != IntegerType)
-      TypeCheckResult.TypeCheckFailure("k must be an INTEGER literal")
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType ||
+        kExpr.eval() == null) // null check before eval-narrow: a foldable
+                              // NULL literal must fail typecheck, not NPE
+      TypeCheckResult.TypeCheckFailure("k must be a non-null INTEGER literal")
     else if (kExpr.eval().asInstanceOf[Number].intValue() <= 0)
       TypeCheckResult.TypeCheckFailure("k must be positive")
     else TypeCheckResult.TypeCheckSuccess
@@ -151,6 +153,7 @@ case class KMinMerge(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _)
         if kExpr.foldable && kExpr.dataType == IntegerType &&
+          kExpr.eval() != null &&  // foldable NULL: fail, don't NPE
           kExpr.eval().asInstanceOf[Number].intValue() > 0 =>
       TypeCheckResult.TypeCheckSuccess
     case ArrayType(LongType, _) =>

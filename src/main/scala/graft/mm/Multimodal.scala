@@ -248,6 +248,11 @@ object Multimodal {
       s"CAST(floor(CAST(($i) AS BIGINT) * size(luma) / $blocks.0) AS INT)"
     media.filter(col("format").isin("bmp", "png"))
       .select(col("doc_id"), lumaOf.as("luma"))
+      // no pixels decoded → no hash (r8 review): a row whose container
+      // fails to parse (or a byte-tier row mislabeled with a real
+      // container's format) would otherwise hash to phash=0 and
+      // all-pairs-collide in every band of the near-dup search
+      .filter(size(col("luma")) > 0)
       .select(col("doc_id"), expr(s"""aggregate(sequence(0, ${blocks - 1}),
           CAST(0 AS BIGINT),
           (acc, i) -> acc + IF(

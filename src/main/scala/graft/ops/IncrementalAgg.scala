@@ -41,9 +41,13 @@ object IncrementalAgg {
           .as(s"kmv_$c")) ++
         // fixed-grid histogram cells per group (r8): the percentile
         // partial — maintained by hist_merge below, served by MvRewrite's
-        // histCols for hist_quantile reads. Insert-only like kmv.
+        // histCols for hist_quantile reads. Insert-only like kmv. The
+        // grid WIDTH is part of the column name: cells from different
+        // grids are bucket-incompatible, and the name makes a
+        // mixed-width maintenance call fail LOUDLY in combine's
+        // unionByName instead of silently merging wrong buckets
         hists.map(c => call_function("hist_cells", col(c), lit(histWidth))
-          .as(s"hist_$c")))
+          .as(s"hist_${c}_w$histWidth")))
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -51,7 +55,7 @@ object IncrementalAgg {
                       sums: Seq[String], mins: Seq[String],
                       maxs: Seq[String], counts: Seq[String] = Nil,
                       kmvs: Seq[String] = Nil, kmvK: Int = 64,
-                      hists: Seq[String] = Nil): DataFrame = {
+                      hists: Seq[String] = Nil, histWidth: Int = 8): DataFrame = {
     val aggs = sum(col("n_rows")).as("n_rows") +:
       (sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
         mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
@@ -59,8 +63,8 @@ object IncrementalAgg {
         counts.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")) ++
         kmvs.map(c => call_function("kmin_merge", col(s"kmv_$c"), lit(kmvK))
           .as(s"kmv_$c")) ++
-        hists.map(c => call_function("hist_merge", col(s"hist_$c"))
-          .as(s"hist_$c")))
+        hists.map(c => call_function("hist_merge", col(s"hist_${c}_w$histWidth"))
+          .as(s"hist_${c}_w$histWidth")))
     a.unionByName(b).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -81,7 +85,7 @@ object IncrementalAgg {
       p.write.mode(SaveMode.Overwrite).parquet(storeDir)
     } else {
       val merged = combine(spark.read.parquet(storeDir), p, keys, sums, mins,
-        maxs, counts, kmvs, kmvK, hists)
+        maxs, counts, kmvs, kmvK, hists, histWidth)
       val tmp = storeDir + ".tmp_swap"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       fs.delete(path, true)

@@ -1203,14 +1203,13 @@ object TrainingOps extends OpsModule {
     // td_quantile_sketch's DataFrame plan
     "td_hist_quantile_agg" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // quantile list derived from the SAME named constant as the
+      // oracle SQL (QsQuantiles) — the no-hardcoded-twins doctrine
+      val ests = QsQuantiles.map(q =>
+        call_function("hist_quantile", col("n_chars"), lit(q), lit(QsWidth))
+          .as(s"est_p${(q * 100).toInt}"))
       docs(s, d).groupBy(col("source"))
-        .agg(count(lit(1)).as("n_rows"),
-          call_function("hist_quantile", col("n_chars"),
-            lit(0.5), lit(QsWidth)).as("est_p50"),
-          call_function("hist_quantile", col("n_chars"),
-            lit(0.9), lit(QsWidth)).as("est_p90"),
-          call_function("hist_quantile", col("n_chars"),
-            lit(0.99), lit(QsWidth)).as("est_p99"))
+        .agg(count(lit(1)).as("n_rows"), ests: _*)
         .orderBy("source")
     }),
 
@@ -1767,7 +1766,11 @@ object TrainingOps extends OpsModule {
           FROM k
           UNION ALL
           SELECT 'nndescent_truth_mod', ne,
-                 CAST(greatest($TruthFloor, ne // $TruthMaxQueries) AS BIGINT),
+                 -- least() mirrors the Scala clamp-before-narrow, same
+                 -- as kmeans_sample_mod above (r8 review: the sibling
+                 -- knob had the parity gap the ADVICE fix closed there)
+                 CAST(least(greatest($TruthFloor, ne // $TruthMaxQueries),
+                            2147483647) AS BIGINT),
                  'exact-truth leg ~100*N (sampled queries capped ~100)'
           FROM k)
         ORDER BY knob"""

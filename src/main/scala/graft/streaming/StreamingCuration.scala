@@ -270,12 +270,19 @@ object StreamingCuration {
       val prunable = childIds(spark, lineDfDir, "batch_id=")
         .filter(_ <= oldestKept)
       if (prunable.nonEmpty) {
+        // tombstone FIRST, then prune, then sweep superseded tombstones
+        // (r8 review): a crash mid-retention must leave the guards ARMED
+        // — an early tombstone over not-yet-pruned deltas only makes the
+        // guards stricter (refuse a replay that could have succeeded),
+        // never silent; prunedThru reads lastOption = max, so a lagging
+        // old tombstone alongside the new one is harmless
+        val bound = math.max(oldestKept,
+          prunedThru(spark, snapDir).getOrElse(Long.MinValue))
+        StoreFs.touch(spark, s"$snapDir/_pruned_thru_$bound")
         prunable.foreach(b =>
           f.delete(new Path(s"$lineDfDir/batch_id=$b"), true))
-        val bound = math.max(oldestKept, prunedThru(spark, snapDir).getOrElse(Long.MinValue))
-        childIds(spark, snapDir, "_pruned_thru_")
+        childIds(spark, snapDir, "_pruned_thru_").filter(_ < bound)
           .foreach(v => f.delete(new Path(s"$snapDir/_pruned_thru_$v"), false))
-        StoreFs.touch(spark, s"$snapDir/_pruned_thru_$bound")
       }
     }
     (nGated, admitted, rejected)

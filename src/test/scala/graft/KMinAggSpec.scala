@@ -47,6 +47,21 @@ class KMinAggSpec extends AnyFunSuite {
     assert(merged === Seq(5L, 7L, 9L))
   }
 
+  test("foldable NULL literals fail typecheck instead of NPE-ing analysis (r8 review)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("a", 1L)).toDF("g", "h")
+    df.createOrReplaceTempView("kmin_null_probe")
+    for (q <- Seq(
+      "SELECT kmin_values(h, CAST(NULL AS INT)) FROM kmin_null_probe",
+      "SELECT kmin_merge(array(h), CAST(NULL AS INT)) FROM kmin_null_probe",
+      "SELECT hist_cells(h, CAST(NULL AS INT)) FROM kmin_null_probe",
+      "SELECT hist_quantile(h, CAST(NULL AS DOUBLE), 8) FROM kmin_null_probe",
+      "SELECT hist_quantile(h, 0.5, CAST(NULL AS INT)) FROM kmin_null_probe")) {
+      val e = intercept[Exception](spark.sql(q).collect())
+      assert(!e.isInstanceOf[NullPointerException], s"$q NPE'd")
+    }
+  }
+
   test("kmin_values dedups and is partitioning-invariant") {
     val base = (1 to 500).map(i => (s"g${i % 2}", (i % 37).toLong))
       .toDF("g", "h")

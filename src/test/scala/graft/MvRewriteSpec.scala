@@ -441,11 +441,18 @@ class MvRewriteSpec extends AnyFunSuite {
       IncrementalAgg.update(session, storeDir,
         base.filter(col("doc_id") % 2 === 1), keys = Seq("source"),
         hists = Seq("n_chars"), histWidth = 8)
+      // a mixed-width maintenance call fails LOUDLY (the width is part
+      // of the partial column name — different grids cannot merge)
+      intercept[Exception] {
+        IncrementalAgg.update(session, storeDir,
+          base.limit(5), keys = Seq("source"),
+          hists = Seq("n_chars"), histWidth = 16)
+      }
       MvRewrite.register(session.read.parquet(storeDir),
         baseTag = "documents.parquet",
         groupCols = Seq("source"),
         sumCols = Map.empty, countCol = Some("n_rows"),
-        histCols = Map("n_chars" -> "hist_n_chars"), histWidth = 8)
+        histCols = Map("n_chars" -> "hist_n_chars_w8"), histWidth = 8)
 
       def qBy(df: DataFrame) = df.groupBy("source")
         .agg(call_function("hist_quantile", col("n_chars"), lit(0.5), lit(8))
@@ -503,7 +510,7 @@ class MvRewriteSpec extends AnyFunSuite {
       MvRewrite.register(session.read.parquet(storeDir),
         baseTag = "documents.parquet", groupCols = Seq("source"),
         sumCols = Map.empty, countCol = Some("n_rows"),
-        histCols = Map("n_chars" -> "hist_n_chars"), histWidth = 8,
+        histCols = Map("n_chars" -> "hist_n_chars_w8"), histWidth = 8,
         cdcRetractionOnly = true)
       assert(!scanPaths(qBy(base)).exists(_.contains(storeDir)))
     } finally MvRewrite.clear()
