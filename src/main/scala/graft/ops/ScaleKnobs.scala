@@ -50,10 +50,22 @@ object ScaleKnobs {
     * quadratic pressure moves from the assign (paid by every Lloyd
     * iteration plus the final pass) to the ONE semdedup pair pass,
     * where it engages ~60× later than the old assign did and where
-    * raising the cap (or a third routing level, N·3·cells^(1/3)) is
-    * the documented relief valve. Every measured sf sits far below
-    * engagement, so the cap changes no recorded hash or plan. */
+    * raising the cap is the relief valve. The OTHER relief valve is
+    * implemented (r8): past [[ThreeLevelFloorCells]] the assign routes
+    * THREE-level (N·3·∛cells — see [[kmeansCoarse2]]), so even before
+    * the cap the growth class is N^(4/3), not N^1.5, and occupancy
+    * (SemDeDup's ~125·N bound) is untouched. Every measured sf sits
+    * far below cap engagement, so the cap changes no recorded hash or
+    * plan. */
   val KmeansCellsCap = 1 << 20
+
+  /** Cells threshold where the assign pass adds its THIRD routing level
+    * (r8): below it two-level (N·2·√cells) wins on routing-error and
+    * setup grounds; above it N·3·∛cells is strictly less work (at the
+    * floor: 2·√4096 = 128 vs 3·∛4096 = 48). 4096 keeps sf10's 1600
+    * cells on the recorded two-level plan — the BENCH_SF10 rows stay
+    * valid — while sf100emb's 16000 cells engage the new level. */
+  val ThreeLevelFloorCells = 4096
 
   /** ceil(n / d) without floats. */
   private def ceilDiv(n: Long, d: Long): Long = (n + d - 1) / d
@@ -68,6 +80,18 @@ object ScaleKnobs {
       // seed capped at isqrt(Long.MaxValue) so s*s never overflows
       var s = math.min(3037000499L, math.max(1L, math.sqrt(n.toDouble).toLong + 1L))
       while (s * s > n) s -= 1
+      s
+    }
+  }
+
+  /** Integer cube root: the largest s ≥ 0 with s·s·s ≤ n. Same
+    * float-seed + exact-integer-descent posture as [[isqrt]]. */
+  private[graft] def icbrt(n: Long): Long = {
+    if (n <= 0) 0L
+    else {
+      // seed capped at icbrt(Long.MaxValue) so s*s*s never overflows
+      var s = math.min(2097151L, math.max(1L, math.cbrt(n.toDouble).toLong + 1L))
+      while (s * s * s > n) s -= 1
       s
     }
   }
@@ -142,8 +166,29 @@ object ScaleKnobs {
     * Used by [[graft.sim.Embeddings.assignToCells]] via the
     * emb_kmeans_train / emb_kmeans_quality / emb_semdedup
     * registrations. */
-  def kmeansCoarse(cells: Int, floorCells: Int = CoarseFloorCells): Int =
-    if (cells <= floorCells) 1 else isqrt(cells.toLong).toInt
+  def kmeansCoarse(cells: Int, floorCells: Int = CoarseFloorCells,
+                   threeLevelFloor: Int = ThreeLevelFloorCells): Int =
+    if (cells <= floorCells) 1
+    else if (cells <= threeLevelFloor) isqrt(cells.toLong).toInt
+    else {
+      // three-level regime (r8): this is the MID level count c2 = c1²
+      // (≈ cells^(2/3)), with [[kmeansCoarse2]] supplying c1 = ∛cells —
+      // per-vector assign work c1 + c2/c1 + cells/c2 ≈ 3·∛cells
+      val c1 = icbrt(cells.toLong)
+      (c1 * c1).toInt
+    }
+
+  /** The TOP routing level count for the three-level assign (r8): 1
+    * (= two-level or exhaustive, exactly the r7 plans) while cells ≤
+    * `threeLevelFloor`, else ∛cells — the L1 group count over
+    * [[kmeansCoarse]]'s c2 mid-level groups. Engaging the third level
+    * keeps cell occupancy (and so SemDeDup's ~125·N pair bound)
+    * untouched while the assign drops from N·2·√cells to N·3·∛cells:
+    * at sf100emb's 16000 cells that is 76 vs 252 scored centroids per
+    * vector. Used by [[graft.sim.Embeddings.assignToCells]]. */
+  def kmeansCoarse2(cells: Int,
+                    threeLevelFloor: Int = ThreeLevelFloorCells): Int =
+    if (cells <= threeLevelFloor) 1 else icbrt(cells.toLong).toInt
 
   /** Centroid-training sample modulus: Lloyd ITERATIONS run on the
     * ~cells·`perCell` deterministic hash-sample (vec_id ≡ 0 mod the
@@ -167,7 +212,9 @@ object ScaleKnobs {
     ("kmeans_cells", nVecs, kmeansCells(nVecs).toLong,
       s"semdedup pair work ~125*N (cell occupancy ~125; $KmeansCellsCap-cell cap bounds assign <= 2048*N)"),
     ("kmeans_coarse", nVecs, kmeansCoarse(kmeansCells(nVecs)).toLong,
-      "lloyd assign work ~2*sqrt(cells)*N (two-level routing)"),
+      s"lloyd assign mid routing level (sqrt(cells) two-level; cbrt(cells)^2 past $ThreeLevelFloorCells cells)"),
+    ("kmeans_coarse2", nVecs, kmeansCoarse2(kmeansCells(nVecs)).toLong,
+      s"lloyd assign top routing level (cbrt(cells) past $ThreeLevelFloorCells cells => assign ~3*cbrt(cells)*N)"),
     ("kmeans_sample_mod", nVecs,
       kmeansSampleMod(nVecs, kmeansCells(nVecs)).toLong,
       "centroid training on a ~32*cells sample (iterations off-corpus)"),

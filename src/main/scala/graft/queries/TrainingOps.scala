@@ -749,7 +749,8 @@ object TrainingOps extends OpsModule {
         floor = SemDedupCells)
       Embeddings.semDedup(e, threshold = SemDedupThreshold,
         nCells = cells,
-        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells)).orderBy("vec_id")
+        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells),
+        nCoarse2 = graft.ops.ScaleKnobs.kmeansCoarse2(cells)).orderBy("vec_id")
     }),
 
     "emb_knn_brute" -> ((s, d) =>
@@ -889,7 +890,8 @@ object TrainingOps extends OpsModule {
       val cells = graft.ops.ScaleKnobs.kmeansCells(n, floor = KmeansCells)
       Embeddings.kmeansTrainSampled(e, nCells = cells, iters = KmeansIters,
         sampleMod = graft.ops.ScaleKnobs.kmeansSampleMod(n, cells),
-        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells)).orderBy("vec_id")
+        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells),
+        nCoarse2 = graft.ops.ScaleKnobs.kmeansCoarse2(cells)).orderBy("vec_id")
     }),
 
     // per-round convergence telemetry of the same loop: mean assigned-
@@ -903,7 +905,8 @@ object TrainingOps extends OpsModule {
       val cells = graft.ops.ScaleKnobs.kmeansCells(n, floor = KmeansCells)
       Embeddings.kmeansQuality(e, nCells = cells, iters = KmeansIters,
         sampleMod = graft.ops.ScaleKnobs.kmeansSampleMod(n, cells),
-        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells)).orderBy("round")
+        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells),
+        nCoarse2 = graft.ops.ScaleKnobs.kmeansCoarse2(cells)).orderBy("round")
     }),
 
     "emb_silhouette" -> ((s, d) =>
@@ -1743,9 +1746,20 @@ object TrainingOps extends OpsModule {
           UNION ALL
           SELECT 'kmeans_coarse', ne,
                  CAST(CASE WHEN cells <= $CoarseFloorCells THEN 1
-                      ELSE (SELECT max(g) FROM generate_series(1, 46341) t(g)
-                            WHERE g * g <= cells) END AS BIGINT),
-                 'lloyd assign work ~2*sqrt(cells)*N (two-level routing)'
+                      WHEN cells <= $ThreeLevelFloorCells THEN
+                        (SELECT max(g) FROM generate_series(1, 46341) t(g)
+                         WHERE g * g <= cells)
+                      ELSE (SELECT max(g) * max(g)
+                            FROM generate_series(1, 1290) t(g)
+                            WHERE g * g * g <= cells) END AS BIGINT),
+                 'lloyd assign mid routing level (sqrt(cells) two-level; cbrt(cells)^2 past $ThreeLevelFloorCells cells)'
+          FROM k
+          UNION ALL
+          SELECT 'kmeans_coarse2', ne,
+                 CAST(CASE WHEN cells <= $ThreeLevelFloorCells THEN 1
+                      ELSE (SELECT max(g) FROM generate_series(1, 1290) t(g)
+                            WHERE g * g * g <= cells) END AS BIGINT),
+                 'lloyd assign top routing level (cbrt(cells) past $ThreeLevelFloorCells cells => assign ~3*cbrt(cells)*N)'
           FROM k
           UNION ALL
           SELECT 'kmeans_sample_mod', ne,

@@ -440,24 +440,59 @@ object Embeddings {
     * below the floor. Both candidate tables broadcast at the scales this
     * library measures (|cells| rows); past broadcast range the stage-2
     * join keys by coarse_id and stays narrow. */
-  def assignToCells(e: DataFrame, cents: DataFrame, nCoarse: Int = 1): DataFrame = {
+  def assignToCells(e: DataFrame, cents: DataFrame, nCoarse: Int = 1,
+                    nCoarse2: Int = 1,
+                    coarseFloor: Int = graft.ops.ScaleKnobs.CoarseFloorCells,
+                    threeLevelFloor: Int =
+                      graft.ops.ScaleKnobs.ThreeLevelFloorCells): DataFrame = {
     if (nCoarse <= 1) {
-      e.crossJoin(broadcast(cents))
-        .withColumn("acos", cosine(col("emb"), col("cemb")))
-        .groupBy("vec_id")
-        .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
+      exhaustiveAssign(e, cents)
     } else {
       // the centroid table is itself an aggregation over the corpus and
       // feeds several consumers below (coarse seed, coarse means,
       // candidate attach) — materialize it once (|cells| rows; without
       // this the corpus-wide centroid aggregation re-executes per use)
       val c = cents.localCheckpoint()
+      // re-derive the routing shape from the table ACTUALLY being
+      // routed over, never wider/deeper than the caller's corpus-derived
+      // hint (r8): Lloyd training COLLAPSES cells on low-diversity
+      // corpora (sf100emb: 16000 requested → 938 surviving centroids),
+      // and a hierarchy sized to the REQUEST over-layers the collapsed
+      // table — each routing level is a full-corpus exchange carrying
+      // the embedding, and levels that no longer prune candidates buy
+      // nothing for that price (measured 3-4× slower on the trained
+      // final assign at sf100emb). |c| is deterministic (assignments
+      // are), so plans stay partitioning-invariant; every oracle sf
+      // resolves to nCoarse = 1 before this branch and is untouched.
+      val mi = math.min(c.count(), Int.MaxValue.toLong).toInt
+      val k1 = math.min(nCoarse,
+        graft.ops.ScaleKnobs.kmeansCoarse(mi, coarseFloor, threeLevelFloor))
+      val k2 = math.min(nCoarse2,
+        graft.ops.ScaleKnobs.kmeansCoarse2(mi, threeLevelFloor))
+      if (k1 <= 1) exhaustiveAssign(e, c)
+      else routedAssign(e, c, k1, k2)
+    }
+  }
+
+  private def exhaustiveAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("acos", cosine(col("emb"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
+
+  /** The routed (2- or 3-level) assign over a checkpointed centroid
+    * table `c`, with EFFECTIVE level widths k1 (mid) / k2 (top). */
+  private def routedAssign(e: DataFrame, c: DataFrame,
+                           nCoarse: Int, nCoarse2: Int): DataFrame = {
       // group the centroids themselves: one seed+refine pass over the
-      // |cells|-row table (cells²-free: |cells|·nCoarse work)
+      // |cells|-row table. With a third level on, THIS pass routes
+      // two-level itself (|cells|·2·√nCoarse, not |cells|·nCoarse —
+      // the next quadratic-class path otherwise, since nCoarse grows
+      // to cells^(2/3) in the three-level regime)
       val cellCoarse = kmeansCells(
         c.select(col("cell").as("vec_id"), col("cemb").as("embedding")),
-        nCoarse)
+        nCoarse, nCoarse = if (nCoarse2 > 1) nCoarse2 else 1)
         .select(col("vec_id"), col("cell")).toDF("cell", "coarse_id")
         .localCheckpoint()
       // coarse centroid = mean of member cell centroids; derived FROM the
@@ -469,16 +504,51 @@ object Embeddings {
         .select(col("cell").as("coarse_id"), col("cemb").as("coarse_emb"))
       // routing carries the embedding THROUGH the argmax aggregate
       // (first() — every candidate row of a vector holds the same
-      // array), so the corpus crosses exactly ONE exchange per assign
-      // pass (N narrow-ish rows, map-side pre-reduced) — never a
+      // array), so the corpus crosses exactly ONE exchange per routing
+      // level (N narrow-ish rows, map-side pre-reduced) — never a
       // corpus-side shuffle JOIN (the first formulation paid two array
       // exchanges + sorts and measured SLOWER than exhaustive at sf10)
-      val routed = e.crossJoin(broadcast(coarseCents))
-        .withColumn("rcos", cosine(col("emb"), col("coarse_emb")))
-        .groupBy("vec_id")
-        .agg(first(col("emb")).as("emb"),
-          max(struct(col("rcos").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
-        .select(col("vec_id"), col("emb"), (-col("m.nc")).as("coarse_id"))
+      val routed =
+        if (nCoarse2 <= 1) {
+          // two-level: score all nCoarse mid centroids directly
+          e.crossJoin(broadcast(coarseCents))
+            .withColumn("rcos", cosine(col("emb"), col("coarse_emb")))
+            .groupBy("vec_id")
+            .agg(first(col("emb")).as("emb"),
+              max(struct(col("rcos").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
+            .select(col("vec_id"), col("emb"), (-col("m.nc")).as("coarse_id"))
+        } else {
+          // THREE-level (r8): group the nCoarse mid centroids into
+          // nCoarse2 top groups (exhaustive on the nCoarse-row table —
+          // c2·c1 work, trivial), then route each vector top-first:
+          // score c1 top centroids, then only the winning top group's
+          // ~c2/c1 mid centroids — c1 + c2/c1 ≈ 2·∛cells per vector
+          // for this stage, with the final stage adding cells/c2 ≈
+          // ∛cells. Same argmax/tie rule at every level.
+          val l2 = coarseCents.localCheckpoint()
+          val l2Top = kmeansCells(
+            l2.select(col("coarse_id").as("vec_id"),
+              col("coarse_emb").as("embedding")), nCoarse2)
+            .select(col("vec_id"), col("cell")).toDF("coarse_id", "l1_id")
+            .localCheckpoint()
+          val l1Cents = centroids(
+            l2.join(l2Top, "coarse_id")
+              .select(col("l1_id").as("label"), col("coarse_emb").as("embedding")))
+            .select(col("cell").as("l1_id"), col("cemb").as("l1_emb"))
+          val routedTop = e.crossJoin(broadcast(l1Cents))
+            .withColumn("rcos", cosine(col("emb"), col("l1_emb")))
+            .groupBy("vec_id")
+            .agg(first(col("emb")).as("emb"),
+              max(struct(col("rcos").as("s"), (-col("l1_id")).as("nc"))).as("m"))
+            .select(col("vec_id"), col("emb"), (-col("m.nc")).as("l1_id"))
+          val midCands = l2.join(l2Top, "coarse_id")
+          routedTop.join(broadcast(midCands), "l1_id")
+            .withColumn("rcos", cosine(col("emb"), col("coarse_emb")))
+            .groupBy("vec_id")
+            .agg(first(col("emb")).as("emb"),
+              max(struct(col("rcos").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
+            .select(col("vec_id"), col("emb"), (-col("m.nc")).as("coarse_id"))
+        }
       val cands = c.join(cellCoarse, "cell")
       // BHJ on the winning group: each vector's row fans out to its
       // ~cells/nCoarse member cells in place; the argmax then map-side
@@ -488,7 +558,6 @@ object Embeddings {
         .groupBy("vec_id")
         .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
         .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
-    }
   }
 
   /** Deterministic k-means cell derivation with a CONFIGURABLE cell
@@ -502,12 +571,13 @@ object Embeddings {
     * `nCoarse > 1` routes the step two-level). Feed the output back
     * through [[centroids]] + reassignment for more Lloyd steps when the
     * partition needs polishing. */
-  def kmeansCells(embeddings: DataFrame, nCells: Int, nCoarse: Int = 1): DataFrame = {
+  def kmeansCells(embeddings: DataFrame, nCells: Int, nCoarse: Int = 1,
+                  nCoarse2: Int = 1): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val cents = centroids(
       e.select(pmod(col("vec_id"), lit(nCells.toLong)).as("label"),
         col("emb").as("embedding")))
-    assignToCells(e, cents, nCoarse).select("vec_id", "cell")
+    assignToCells(e, cents, nCoarse, nCoarse2).select("vec_id", "cell")
   }
 
   /** Full Lloyd's k-means from the same deterministic seed as
@@ -562,7 +632,8 @@ object Embeddings {
     * Dividing first makes the sampled ids consecutive, covering every
     * residue whenever the sample has ≥ nCells members. */
   def kmeansTrainSampled(embeddings: DataFrame, nCells: Int, iters: Int,
-                         sampleMod: Int = 1, nCoarse: Int = 1): DataFrame = {
+                         sampleMod: Int = 1, nCoarse: Int = 1,
+                         nCoarse2: Int = 1): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val t = if (sampleMod <= 1) e
             else e.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
@@ -574,7 +645,7 @@ object Embeddings {
       val cents = centroids(
         t.join(asg, "vec_id")
           .select(col("cell").as("label"), col("emb").as("embedding")))
-      asg = assignToCells(t, cents, nCoarse)
+      asg = assignToCells(t, cents, nCoarse, nCoarse2)
         .select("vec_id", "cell")
         .localCheckpoint()
     }
@@ -583,7 +654,7 @@ object Embeddings {
       val finalCents = centroids(
         t.join(asg, "vec_id")
           .select(col("cell").as("label"), col("emb").as("embedding")))
-      assignToCells(e, finalCents, nCoarse).select("vec_id", "cell")
+      assignToCells(e, finalCents, nCoarse, nCoarse2).select("vec_id", "cell")
     }
   }
 
@@ -601,7 +672,8 @@ object Embeddings {
     * pass over the corpus, no window, no driver traffic beyond the
     * iters-row result. */
   def kmeansQuality(embeddings: DataFrame, nCells: Int, iters: Int,
-                    sampleMod: Int = 1, nCoarse: Int = 1): DataFrame = {
+                    sampleMod: Int = 1, nCoarse: Int = 1,
+                    nCoarse2: Int = 1): DataFrame = {
     val eAll = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     // telemetry follows the TRAINING rounds, so under sampled training
     // ([[kmeansTrainSampled]]) it measures convergence on the sample —
@@ -618,7 +690,7 @@ object Embeddings {
       val cents = centroids(
         e.join(asg, "vec_id")
           .select(col("cell").as("label"), col("emb").as("embedding")))
-      val next = assignToCells(e, cents, nCoarse)
+      val next = assignToCells(e, cents, nCoarse, nCoarse2)
         .localCheckpoint()
       val prev = asg.select(col("vec_id"), col("cell").as("prev_cell"))
       rounds += next
@@ -655,11 +727,12 @@ object Embeddings {
     * keeps the input's `label` as the cell (the pre-clustered case, e.g.
     * a persisted IVF index's cells). */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
-               nCells: Int = 0, nCoarse: Int = 1): DataFrame = {
+               nCells: Int = 0, nCoarse: Int = 1,
+               nCoarse2: Int = 1): DataFrame = {
     val base =
       if (nCells > 0)
         embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-          .join(kmeansCells(embeddings, nCells, nCoarse), "vec_id")
+          .join(kmeansCells(embeddings, nCells, nCoarse, nCoarse2), "vec_id")
       else
         embeddings.select(col("label").as("cell"), col("vec_id"),
           asDouble(col("embedding")).as("emb"))

@@ -84,6 +84,52 @@ class KmeansScaleSpec extends AnyFunSuite {
     assert(twoLevel === exhaustive)
   }
 
+  test("THREE-level assign ≡ exhaustive on orthogonal clusters (r8)") {
+    // 8 one-hot clusters (dim 8): with forced floors, kmeansCoarse(8)
+    // = icbrt(8)² = 4 mid groups of 2 basis cells and kmeansCoarse2(8)
+    // = 2 top groups of 2 mids; at every level a vector's cosine to
+    // the group centroid containing its own basis is strictly positive
+    // while every other group's is 0, so three-level routing recovers
+    // the global argmax exactly and the assignment is bit-identical
+    val rows8 = (0L until 80L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(8)(d => if (d == c) 1.0 else 0.0), c)
+    }
+    import spark.implicits._
+    val e8 = rows8.toDF("vec_id", "emb", "label")
+    // every member IS its cluster's basis vector, so the true centroids
+    // are the basis vectors themselves
+    val cents8 = (0 until 8)
+      .map(c => (c, Array.tabulate(8)(d => if (d == c) 1.0 else 0.0)))
+      .toDF("cell", "cemb")
+    def asg(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getAs[Number](1).intValue()).toMap
+    val exhaustive = asg(Embeddings.assignToCells(
+      e8.select("vec_id", "emb"), cents8, nCoarse = 1))
+    val threeLevel = asg(Embeddings.assignToCells(
+      e8.select("vec_id", "emb"), cents8, nCoarse = 4, nCoarse2 = 2,
+      coarseFloor = 1, threeLevelFloor = 2))
+    assert(threeLevel === exhaustive)
+    assert(exhaustive.size === 80)
+    exhaustive.foreach { case (id, cell) => assert(cell === (id % 8).toInt) }
+  }
+
+  test("routing shape re-derives from the ACTUAL centroid table (r8 collapse fix)") {
+    // a caller passing corpus-derived knobs far wider than the (possibly
+    // collapsed) centroid table must get the table-appropriate plan: on
+    // a 4-row centroid table (≤ the 256-cell coarse floor) the routed
+    // path degrades to the exhaustive assign — bit-identical results,
+    // no wasted routing exchanges (measured 3-4× slower at sf100emb
+    // when trained cells collapsed 16000 → 938 under a 625/25 request)
+    val full = asMap(Embeddings.kmeansTrainSampled(
+      orthoCorpus, nCells = 4, iters = 2, sampleMod = 1, nCoarse = 1))
+    val wildKnobs = asMap(Embeddings.kmeansTrainSampled(
+      orthoCorpus, nCells = 4, iters = 2, sampleMod = 1,
+      nCoarse = 625, nCoarse2 = 25))
+    assert(wildKnobs === full)
+  }
+
   test("both knobs together reproduce the full partition") {
     val full = asMap(Embeddings.kmeansTrain(orthoCorpus, nCells = 4, iters = 3))
     val bounded = asMap(Embeddings.kmeansTrainSampled(

@@ -62,7 +62,10 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(ScaleKnobs.kmeansCoarse(257) === 16)        // isqrt(257) = 16
     assert(ScaleKnobs.kmeansCoarse(289) === 17)        // 17² exactly
     assert(ScaleKnobs.kmeansCoarse(288) === 16)        // one below 17²
-    assert(ScaleKnobs.kmeansCoarse(Int.MaxValue) === 46340)
+    // past the r8 three-level floor the mid count is icbrt²: icbrt(2^31)
+    // = 1290 (1290³ ≤ Int.MaxValue < 1291³) — the bound the oracle's
+    // generate_series(1, 1290) scan encodes
+    assert(ScaleKnobs.kmeansCoarse(Int.MaxValue) === 1290 * 1290)
     assert(ScaleKnobs.kmeansSampleMod(16 * 32, 16) === 1)
     assert(ScaleKnobs.kmeansSampleMod(16 * 32 * 2, 16) === 2)
   }
@@ -76,13 +79,34 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(ScaleKnobs.kmeansCells(cap.toLong * 125) === cap)   // exactly at
     assert(ScaleKnobs.kmeansCells(cap.toLong * 125 + 1) === cap) // first clamp
     // a third decade past engagement: cells pinned, assign stays
-    // N·2·√cap = N·2048 (linear), occupancy grows ∝ N (documented trade)
+    // N·3·∛cap ≈ N·303 (linear — three-level at the cap), occupancy
+    // grows ∝ N (documented trade)
     assert(ScaleKnobs.kmeansCells(cap.toLong * 1250) === cap)
-    assert(ScaleKnobs.kmeansCoarse(cap) === 1024)              // isqrt(2^20)
+    assert(ScaleKnobs.kmeansCoarse(cap) === 101 * 101) // icbrt(2^20)² (3-level)
     // the cap subsumes the old Int.MaxValue clamp-before-narrow
     assert(ScaleKnobs.kmeansCells(Long.MaxValue / 2) === cap)
     // sample_mod keeps its own clamp (the SQL mirrors it with least())
     assert(ScaleKnobs.kmeansSampleMod(Long.MaxValue / 2, 16) === Int.MaxValue)
+  }
+
+  test("three-level routing engages past the floor (r8) — exact boundaries") {
+    // at-or-below the floor: the recorded two-level plans are unchanged
+    assert(ScaleKnobs.kmeansCoarse(4096) === 64)   // isqrt — sf10-class
+    assert(ScaleKnobs.kmeansCoarse2(4096) === 1)
+    assert(ScaleKnobs.kmeansCoarse(1600) === 40)   // the sf10 pin itself
+    // first cell count past the floor: c1 = icbrt, mid = c1²
+    assert(ScaleKnobs.kmeansCoarse2(4097) === 16)  // 16³ = 4096 ≤ 4097
+    assert(ScaleKnobs.kmeansCoarse(4097) === 256)
+    // perfect-cube boundaries (where a float cbrt can round either way)
+    assert(ScaleKnobs.kmeansCoarse2(17576) === 26)  // 26³ exactly
+    assert(ScaleKnobs.kmeansCoarse2(17575) === 25)  // one below 26³
+    // the sf100emb decade: 16000 cells → c1 = 25, mid = 625; per-vector
+    // assign = 25 + 625/25 + 16000/625 ≈ 76 vs two-level's 2·126 = 252
+    assert(ScaleKnobs.kmeansCoarse2(16000) === 25)
+    assert(ScaleKnobs.kmeansCoarse(16000) === 625)
+    // at the cells cap: c1 = icbrt(2^20) = 101 (101³ = 1030301 ≤ 2^20)
+    assert(ScaleKnobs.kmeansCoarse2(ScaleKnobs.KmeansCellsCap) === 101)
+    assert(ScaleKnobs.kmeansCoarse(ScaleKnobs.KmeansCellsCap) === 101 * 101)
   }
 
   test("advise emits one row per knob with the operator formulas") {
@@ -93,6 +117,7 @@ class ScaleKnobsSpec extends AnyFunSuite {
       ("hashed_knn_block_dims", 600L, 32L),
       ("kmeans_cells", 200L, 16L),
       ("kmeans_coarse", 200L, 1L),
+      ("kmeans_coarse2", 200L, 1L),
       ("kmeans_sample_mod", 200L, 1L),
       ("nndescent_lsh_planes", 200L, 4L),
       ("nndescent_truth_mod", 200L, 20L)))
@@ -110,6 +135,7 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(rows("hashed_knn_block_dims") === (600000L + 63) / 64)  // 9375
     assert(rows("kmeans_cells") === (200000L + 124) / 125)         // 1600
     assert(rows("kmeans_coarse") === 40L)                          // isqrt(1600)
+    assert(rows("kmeans_coarse2") === 1L)  // 1600 <= 4096: sf10 stays 2-level
     assert(rows("kmeans_sample_mod") === 200000L / (1600L * 32))   // 3
     assert(rows("nndescent_lsh_planes") === 8L)  // min g: 1250·2^g ≥ 200000
     assert(rows("nndescent_truth_mod") === 2000L)
