@@ -83,7 +83,12 @@ object Bench {
       name -> dt
     }
     val failures = results.collect { case (n, d) if d < 0 => n }.toSeq.sorted
-    val total = results.values.filter(_ >= 0).sum
+    // total covers the REQUESTED queries only: in an arg-filtered run the
+    // control is force-added for calibration, and folding its time into
+    // `total` would skew a filtered total against a full run's
+    val requested = if (args.isEmpty) results
+                    else results.filter { case (n, _) => args.contains(n) }
+    val total = requested.values.filter(_ >= 0).sum
     // The harness that collects this line keeps only the last ~2000 chars
     // of output, and sbt appends a "[success]" line after us — a full
     // 70-query map at double precision (~2.9 KB in round 1) pushes the
@@ -106,8 +111,11 @@ object Bench {
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
           "/root/repo/BENCH_DETAIL.json")),
         (s"""{"sf":"$sfName","total_sec":${f2(total)},""" +
-          s""""control":{"name":"$ControlQuery","sec":${
-            f2(results.getOrElse(ControlQuery, -1.0))}},""" +
+          // control object present iff the control ran (same rule as the
+          // stdout line) — never a "sec":-1.0 placeholder for an absent one
+          results.get(ControlQuery).map(t =>
+            s""""control":{"name":"$ControlQuery","sec":${f2(t)}},""")
+            .getOrElse("") +
           s""""queries":$full}""").getBytes)
     } catch { case _: Throwable => () }
     val failedPart =

@@ -383,6 +383,14 @@ object MediaCodec {
     val rowBytesL = w.toLong * bpp
     val rawL = h.toLong * (1L + rowBytesL)
     if (rawL > Int.MaxValue - 8) return Array.emptyIntArray
+    // deflate-bomb guard: deflate expands at most ~1032:1, so a
+    // header-promised plane beyond that ratio of the compressed IDAT
+    // bytes can never be filled — refuse BEFORE allocating it. Without
+    // this a few-hundred-byte crafted PNG with a large-but-in-bounds
+    // IHDR forces a ~2 GiB allocation (overflow was guarded; memory
+    // amplification was not). Additive slack covers tiny planes whose
+    // fixed stream framing dominates the ratio.
+    if (rawL > idat.size().toLong * 1032L + 1024L) return Array.emptyIntArray
     val raw = new Array[Byte](rawL.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)

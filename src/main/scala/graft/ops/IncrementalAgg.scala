@@ -115,17 +115,44 @@ object IncrementalAgg {
     * (delete under the old key, insert under the new) — the shape a
     * grouped projection of [[graft.mars.Incremental.changesBetween]]
     * naturally produces only when the grouping key is immutable, which
-    * is the usual mart contract. */
+    * is the usual mart contract.
+    *
+    * `hists` maintains fixed-grid histogram-cell partials under
+    * retraction (r9): unlike KMV — an order statistic, not invertible,
+    * deliberately absent here — histogram cells ARE exactly invertible:
+    * a delete subtracts 1 from the before-image's bucket, an insert adds
+    * 1 to the after-image's, zero-count cells are dropped, and the
+    * result is identical to recomputing the cells from the surviving
+    * rows. A bucket retracting below zero means the feed removed rows
+    * the mart never absorbed — that raises (raise_error in the cleanup
+    * projection) instead of persisting a corrupt negative histogram. */
   def applyChanges(spark: SparkSession, storeDir: String, changes: DataFrame,
                    keys: Seq[String], sums: Seq[String] = Nil,
                    mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
                    current: Option[DataFrame] = None,
-                   counts: Seq[String] = Nil): Unit = {
+                   counts: Seq[String] = Nil,
+                   hists: Seq[String] = Nil, histWidth: Int = 8): Unit = {
+    if (hists.nonEmpty) graft.functions.GraftFunctions.register(spark)
     val path = new Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path), s"no aggregate store at $storeDir — seed with update()")
     val stored = spark.read.parquet(storeDir)
     val ct = col("change_type")
+    // same floorDiv as HistCells.update: (v - pmod(v, w)) div w is exact
+    // integer floor-division for the positive grid width
+    def bucketOf(img: String, c: String) =
+      s"(CAST($img.$c AS BIGINT) - pmod(CAST($img.$c AS BIGINT), $histWidth)) div $histWidth"
+    // drop zero-count cells after the merge (a stored partial never
+    // carries them, so retraction-maintained cells stay byte-comparable
+    // to recomputed ones); a negative residue is a corrupt feed → raise
+    def cleanHists(df: DataFrame): DataFrame =
+      hists.foldLeft(df) { (d, c) =>
+        val cn = s"hist_${c}_w$histWidth"
+        d.withColumn(cn, expr(
+          s"CASE WHEN assert_true(NOT exists($cn, x -> x.cnt < 0), " +
+            s"'hist retraction underflow on $cn: feed retracted rows the mart never absorbed') IS NULL " +
+            s"THEN filter($cn, x -> x.cnt != 0) END"))
+      }
     val merged =
       if (mins.isEmpty && maxs.isEmpty) {
         // pure retraction: one pass over the (change-sized) feed
@@ -144,11 +171,28 @@ object IncrementalAgg {
                 coalesce(when(ct =!= "insert" &&
                   col(s"_before.$c").isNotNull, 1), lit(0)))
               .as(s"cnt_$c")
+          } ++
+          // histogram cells retract by signed cell deltas: hist_merge
+          // sums counts per bucket, so (+1 after, -1 before) per row
+          // folds to exactly the recomputed histogram of the survivors
+          hists.map { c =>
+            val empty = "CAST(array() AS ARRAY<STRUCT<bucket: BIGINT, cnt: BIGINT>>)"
+            val deltaCells = expr(
+              s"concat(" +
+                s"CASE WHEN change_type != 'delete' AND _after.$c IS NOT NULL " +
+                s"THEN array(named_struct('bucket', ${bucketOf("_after", c)}, 'cnt', 1L)) " +
+                s"ELSE $empty END, " +
+                s"CASE WHEN change_type != 'insert' AND _before.$c IS NOT NULL " +
+                s"THEN array(named_struct('bucket', ${bucketOf("_before", c)}, 'cnt', -1L)) " +
+                s"ELSE $empty END)")
+            call_function("hist_merge", deltaCells).as(s"hist_${c}_w$histWidth")
           })
         val delta = changes.groupBy(keys.map(col): _*)
           .agg(deltaAggs.head, deltaAggs.tail: _*)
-        combine(stored, delta, keys, sums, Nil, Nil, counts)
-          .filter(col("n_rows") > 0)
+        cleanHists(
+          combine(stored, delta, keys, sums, Nil, Nil, counts,
+            hists = hists, histWidth = histWidth)
+            .filter(col("n_rows") > 0))
       } else {
         // affected-group recompute: min/max need the surviving values
         val cur = current.getOrElse(throw new IllegalArgumentException(
@@ -157,7 +201,8 @@ object IncrementalAgg {
         stored.join(AutoBroadcast.sizeGate(affected), keys, "left_anti")
           .unionByName(
             partials(cur.join(AutoBroadcast.sizeGate(affected), keys, "left_semi"),
-              keys, sums, mins, maxs, counts))
+              keys, sums, mins, maxs, counts, hists = hists,
+              histWidth = histWidth))
       }
     val tmp = storeDir + ".tmp_swap"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)

@@ -102,8 +102,8 @@ object MvRewrite {
     * `hist_quantile_merge` over the partial — EXACTLY (cells are
     * OR-mergeable: per-group counts sum across any rollup, so the
     * interpolated estimate is identical). Served only at matching width
-    * (a different grid cannot be derived from stored cells), and refused
-    * on retraction marts like kmv. Exact `percentile` / Spark's
+    * (a different grid cannot be derived from stored cells); served on
+    * retraction marts too, because cells — unlike kmv — retract exactly. Exact `percentile` / Spark's
     * `approx_percentile` are REFUSED by design: cells cannot answer the
     * former, and the latter is a different estimator — the rewrite must
     * never change an answer. */
@@ -127,6 +127,20 @@ object MvRewrite {
       require(missing.isEmpty,
         s"MvRewrite.register: columns ${missing.mkString(", ")} not in " +
           s"summary schema ${have.mkString("[", ", ", "]")}")
+      // the caller-asserted grid width must agree with the width encoded
+      // in the partial's column name ([[graft.ops.IncrementalAgg]] names
+      // hist partials `hist_<col>_w<width>` precisely so incompatible
+      // grids fail loudly) — a mis-registered width would otherwise serve
+      // silently wrong quantiles from bucket-incompatible cells
+      val widthSuffix = "_w(\\d+)$".r
+      histCols.values.foreach { c =>
+        widthSuffix.findFirstMatchIn(c).foreach { m =>
+          require(m.group(1).toInt == histWidth,
+            s"MvRewrite.register: hist partial '$c' encodes grid width " +
+              s"${m.group(1)} but histWidth=$histWidth was registered — " +
+              "cells from different grids are bucket-incompatible")
+        }
+      }
       registry += Mv(baseTag, groupCols.toSet, sumCols, countCol,
         valueCountCols, minCols, maxCols, kmvCols, kmvK, histCols, histWidth,
         cdcRetractionOnly, mvDf.queryExecution.analyzed)
@@ -266,13 +280,17 @@ object MvRewrite {
               kLit.eval().asInstanceOf[Number].intValue() == m.kmvK &&
               m.kmvCols.get(ar.name).exists(mvOut.contains)
           // histogram-quantile reads: served at matching grid width ONLY
-          // (stored cells cannot be re-bucketed), insert-only marts only.
-          // Exact `percentile` and Spark's `approx_percentile` fall to
-          // the default refusal: the former is holistic, the latter a
+          // (stored cells cannot be re-bucketed). UNLIKE kmv/min/max,
+          // hist serving survives pure-retraction CDC maintenance:
+          // histogram cells are exactly invertible (counts subtract;
+          // zero cells drop — IncrementalAgg.applyChanges' hists arm),
+          // so a retraction-maintained partial equals the recomputed
+          // one and no cdcRetractionOnly refusal is needed. Exact
+          // `percentile` and Spark's `approx_percentile` fall to the
+          // default refusal: the former is holistic, the latter a
           // DIFFERENT estimator — serving either would change answers.
           case graft.functions.HistQuantile(ar: AttributeReference, qLit, wLit, _, _) =>
-            !m.cdcRetractionOnly &&
-              qLit.foldable && wLit.foldable &&
+            qLit.foldable && wLit.foldable &&
               wLit.eval().asInstanceOf[Number].intValue() == m.histWidth &&
               m.histCols.get(ar.name).exists(mvOut.contains)
           case _ => false

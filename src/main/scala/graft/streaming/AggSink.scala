@@ -29,19 +29,36 @@ import graft.ops.IncrementalAgg
 object AggSink {
 
   /** Idempotently fold one micro-batch of RAW rows into the mart.
-    * Returns false when this id was already committed. */
+    * Returns false when this id was already committed.
+    *
+    * `kmvs`/`hists` maintain the two SKETCH partials
+    * ([[graft.functions.KMinValues]] distinct sketches,
+    * [[graft.functions.HistCells]] fixed-grid histogram cells) with the
+    * same exactly-once contract as the algebraic columns — both are
+    * insert-only mergeable, so folding a batch is the same
+    * `stored ∪ batch-partials → re-reduce` shape, and a replayed batch
+    * is a no-op via the batch-id-inside-commit watermark. This is the
+    * streaming face of the two maintain-and-serve loops:
+    * [[graft.plans.MvRewrite]] serves `kmin_values`/`hist_quantile`
+    * reads from the mart this stream keeps fresh. */
   def applyBatch(batch: DataFrame, batchId: Long, target: String,
                  keys: Seq[String], sums: Seq[String] = Nil,
                  mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
-                 counts: Seq[String] = Nil): Boolean = {
+                 counts: Seq[String] = Nil,
+                 kmvs: Seq[String] = Nil, kmvK: Int = 64,
+                 hists: Seq[String] = Nil, histWidth: Int = 8): Boolean = {
     val spark = batch.sparkSession
+    if (kmvs.nonEmpty || hists.nonEmpty)
+      graft.functions.GraftFunctions.register(spark)
     if (batchId <= SnapshotSink.lastBatchId(spark, target)) false
     else {
-      val p = IncrementalAgg.partials(batch, keys, sums, mins, maxs, counts)
+      val p = IncrementalAgg.partials(batch, keys, sums, mins, maxs, counts,
+        kmvs, kmvK, hists, histWidth)
       val merged =
         if (!Incremental.exists(spark, target)) p
         else IncrementalAgg.combine(
-          Incremental.read(spark, target), p, keys, sums, mins, maxs, counts)
+          Incremental.read(spark, target), p, keys, sums, mins, maxs, counts,
+          kmvs, kmvK, hists, histWidth)
       Incremental.writeSnapshot(spark, target, merged, Nil,
         meta = Map(SnapshotSink.BatchIdKey -> batchId.toString))
       true
@@ -54,11 +71,14 @@ object AggSink {
                 sums: Seq[String] = Nil, mins: Seq[String] = Nil,
                 maxs: Seq[String] = Nil,
                 checkpointDir: String,
-                counts: Seq[String] = Nil): StreamingQuery =
+                counts: Seq[String] = Nil,
+                kmvs: Seq[String] = Nil, kmvK: Int = 64,
+                hists: Seq[String] = Nil, histWidth: Int = 8): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, target, keys, sums, mins, maxs, counts); ()
+        applyBatch(b, id, target, keys, sums, mins, maxs, counts,
+          kmvs, kmvK, hists, histWidth); ()
       }
       .start()
 

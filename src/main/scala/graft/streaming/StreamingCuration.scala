@@ -113,11 +113,21 @@ object StreamingCuration {
     StoreFs.touch(spark, s"$dir/_nrows_$n")
 
   /** Sidecar row count, falling back to a parquet count for legacy
-    * partitions written before the sidecar existed (paid once — the
-    * partition is either folded away or re-marked soon after). */
-  private def readNrows(spark: SparkSession, dir: String): Long =
-    childIds(spark, dir, "_nrows_").headOption
-      .getOrElse(spark.read.parquet(dir).count())
+    * partitions written before the sidecar existed. The fallback
+    * BACKFILLS the sidecar it just computed, so a legacy partition pays
+    * the data scan exactly once ever — not once per batch until a
+    * compaction folds it away. Should multiple sidecars ever coexist
+    * (a backfill racing a writer), the max wins: counts only grow by
+    * append on a partition dir, so the largest marker is the current one. */
+  private def readNrows(spark: SparkSession, dir: String): Long = {
+    val ids = childIds(spark, dir, "_nrows_")
+    if (ids.nonEmpty) ids.max
+    else {
+      val n = spark.read.parquet(dir).count()
+      writeNrows(spark, dir, n)
+      n
+    }
+  }
 
   /** The retention tombstone: all deltas with id ≤ the recorded value
     * have been pruned (they were subsumed by a kept snapshot). */

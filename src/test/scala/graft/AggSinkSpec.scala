@@ -61,6 +61,46 @@ class AggSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.lastBatchId(spark, target) == 1L)
   }
 
+  test("streamed kmv + hist partials equal the batch one-shot; replay no-ops (r9)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val target = tmp() + "/mart"; val ckpt = tmp()
+    val input = MemoryStream[(String, Long, Long)](spark)
+    // three micro-batches maintaining BOTH sketch partials alongside an
+    // algebraic sum — the streaming face of the two maintain-and-serve
+    // loops (kmv r7, hist r8)
+    val q = AggSink.aggStream(input.toDF().toDF("k", "h", "v"), target,
+      keys = Seq("k"), sums = Seq("v"), checkpointDir = ckpt,
+      kmvs = Seq("h"), kmvK = 4, hists = Seq("v"), histWidth = 8)
+    val all = Seq(
+      Seq(("a", 50L, 3L), ("a", 10L, 17L), ("b", 7L, 40L)),
+      Seq(("a", 3L, 18L), ("a", 99L, 9L), ("b", 2L, 5L)),
+      Seq(("a", 4L, 25L), ("a", 8L, 2L), ("b", 7L, 41L), ("c", 1L, 0L)))
+    try {
+      all.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def shape(r: org.apache.spark.sql.Row) = (
+      r.getString(r.fieldIndex("k")),
+      r.getLong(r.fieldIndex("sum_v")),
+      r.getSeq[Long](r.fieldIndex("kmv_h")),
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("hist_v_w8"))
+        .map(c => (c.getLong(0), c.getLong(1))))
+    val got = AggSink.read(spark, target).orderBy("k").collect().map(shape).toSeq
+    val oneShot = all.flatten.toDF("k", "h", "v").groupBy("k")
+      .agg(sum("v").as("sum_v"),
+        call_function("kmin_values", col("h"), lit(4)).as("kmv_h"),
+        call_function("hist_cells", col("v"), lit(8)).as("hist_v_w8"))
+      .orderBy("k").collect().map(shape).toSeq
+    assert(got == oneShot,
+      "stream-folded sketch partials must equal the batch one-shot")
+    // crash-after-commit replay of the LAST batch is a no-op
+    assert(!AggSink.applyBatch(all.last.toDF("k", "h", "v"), 2L, target,
+      Seq("k"), sums = Seq("v"), kmvs = Seq("h"), kmvK = 4,
+      hists = Seq("v"), histWidth = 8))
+    assert(AggSink.read(spark, target).orderBy("k").collect()
+      .map(shape).toSeq == oneShot)
+  }
+
   test("restart from the checkpoint resumes without duplicating the mart") {
     import org.apache.spark.sql.types._
     val in = tmp(); val target = tmp() + "/mart"; val ckpt = tmp()

@@ -145,4 +145,96 @@ class IncrementalAggSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expect)
   }
+
+  private def cellsOf(r: org.apache.spark.sql.Row, field: String) =
+    r.getSeq[org.apache.spark.sql.Row](r.fieldIndex(field))
+      .map(c => (c.getLong(0), c.getLong(1)))
+
+  test("hist retraction equals recompute, including a group-emptying delete (r9)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val store = Files.createTempDirectory("inc_hist_cdc").toString + "/mart"
+    // widths land values across several w=8 buckets; b holds ONE row so
+    // its delete must retract the whole group away, not leave zero cells
+    val v1 = Seq(("a", 3L), ("a", 17L), ("a", 18L), ("b", 40L), ("c", 9L))
+    IncrementalAgg.update(spark, store, v1.toDF("k", "v"),
+      keys = Seq("k"), hists = Seq("v"), histWidth = 8)
+    // update moves a's 17 into a different bucket (17→2), delete b's only
+    // row, delete one of a's, insert a new c row
+    val changes = Seq(
+      ("a", "update", Some(17L), Some(2L)),
+      ("a", "delete", Some(18L), None),
+      ("b", "delete", Some(40L), None),
+      ("c", "insert", None, Some(25L)))
+      .toDF("k", "change_type", "b_v", "a_v")
+      .select(col("k"), col("change_type"),
+        struct(col("b_v").as("v")).as("_before"),
+        struct(col("a_v").as("v")).as("_after"))
+    IncrementalAgg.applyChanges(spark, store, changes,
+      keys = Seq("k"), hists = Seq("v"), histWidth = 8)
+    val got = spark.read.parquet(store).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("n_rows")),
+        cellsOf(r, "hist_v_w8"))).toSeq
+    // survivors: a={3,2}, c={9,25}; b emptied out entirely
+    val survivors = Seq(("a", 3L), ("a", 2L), ("c", 9L), ("c", 25L))
+    val expect = survivors.toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("hist_cells", col("v"), lit(8)).as("hist_v_w8"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), cellsOf(r, "hist_v_w8"))).toSeq
+    assert(got == expect,
+      "retraction-maintained cells must equal recomputed cells, byte for byte")
+    assert(!got.exists(_._1 == "b"), "the emptied group must vanish")
+    // and no zero-count residue cells survive the cleanup
+    assert(got.forall(_._3.forall(_._2 > 0L)))
+  }
+
+  test("hist retraction of a row the mart never absorbed raises, not corrupts (r9)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val store = Files.createTempDirectory("inc_hist_bad").toString + "/mart"
+    IncrementalAgg.update(spark, store, Seq(("a", 3L)).toDF("k", "v"),
+      keys = Seq("k"), hists = Seq("v"), histWidth = 8)
+    // delete claims a row in bucket 12 that was never inserted — the
+    // bucket would retract below zero
+    val changes = Seq(("a", "delete", Some(100L), Option.empty[Long]),
+        ("a", "insert", Option.empty[Long], Some(5L)))
+      .toDF("k", "change_type", "b_v", "a_v")
+      .select(col("k"), col("change_type"),
+        struct(col("b_v").as("v")).as("_before"),
+        struct(col("a_v").as("v")).as("_after"))
+    val err = intercept[Exception] {
+      IncrementalAgg.applyChanges(spark, store, changes,
+        keys = Seq("k"), hists = Seq("v"), histWidth = 8)
+    }
+    assert(err.getMessage != null &&
+      err.toString.contains("hist retraction underflow") ||
+      Option(err.getCause).exists(_.toString.contains("underflow")))
+    // the store is untouched (the failed swap never replaced it)
+    val got = spark.read.parquet(store).collect()
+      .map(r => (r.getString(r.fieldIndex("k")), cellsOf(r, "hist_v_w8"))).toSeq
+    assert(got == Seq(("a", Seq((0L, 1L)))))
+  }
+
+  test("min/max recompute branch carries hist partials for affected groups (r9)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val store = Files.createTempDirectory("inc_hist_mm").toString + "/mart"
+    val v1 = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
+    IncrementalAgg.update(spark, store, v1, keys = Seq("k"),
+      mins = Seq("v"), hists = Seq("v"), histWidth = 8)
+    val v2 = Seq(("a", 20L), ("b", 5L)).toDF("k", "v")
+    val changes = Seq(("a", "delete", Option(10L), Option.empty[Long]))
+      .toDF("k", "change_type", "b_v", "a_v")
+      .select(col("k"), col("change_type"),
+        struct(col("b_v").as("v")).as("_before"),
+        struct(col("a_v").as("v")).as("_after"))
+    IncrementalAgg.applyChanges(spark, store, changes, Seq("k"),
+      mins = Seq("v"), current = Some(v2),
+      hists = Seq("v"), histWidth = 8)
+    val got = spark.read.parquet(store).orderBy("k").collect()
+      .map(r => (r.getString(r.fieldIndex("k")),
+        r.getLong(r.fieldIndex("min_v")), cellsOf(r, "hist_v_w8"))).toSeq
+    assert(got == Seq(("a", 20L, Seq((2L, 1L))), ("b", 5L, Seq((0L, 1L)))))
+  }
 }

@@ -327,10 +327,14 @@ class MvRewriteSpec extends AnyFunSuite {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong)
       val input = MemoryStream[(String, Long, Long)](session)
+      // r9: the stream also maintains the two SKETCH partials, so the
+      // rewrite serves hist_quantile reads from the stream-kept mart —
+      // the full "stream maintains, rule serves" loop in one test
+      graft.functions.GraftFunctions.register(session)
       val q = graft.streaming.AggSink.aggStream(
         input.toDF().toDF("source", "doc_id", "n_chars"), mart,
         keys = Seq("source"), sums = Seq("n_chars"), checkpointDir = ckpt,
-        counts = Seq("n_chars"))
+        counts = Seq("n_chars"), hists = Seq("n_chars"), histWidth = 8)
       try {
         input.addData(b1.toIndexedSeq); q.processAllAvailable()
         input.addData(b2.toIndexedSeq); q.processAllAvailable()
@@ -338,7 +342,8 @@ class MvRewriteSpec extends AnyFunSuite {
       MvRewrite.register(graft.streaming.AggSink.read(session, mart),
         baseTag = "documents.parquet", groupCols = Seq("source"),
         sumCols = Map("n_chars" -> "sum_n_chars"), countCol = Some("n_rows"),
-        valueCountCols = Map("n_chars" -> "cnt_n_chars"))
+        valueCountCols = Map("n_chars" -> "cnt_n_chars"),
+        histCols = Map("n_chars" -> "hist_n_chars_w8"), histWidth = 8)
       val served = session.read.parquet(baseDir).groupBy("source")
         .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"),
           avg("n_chars").as("mean"))
@@ -348,6 +353,19 @@ class MvRewriteSpec extends AnyFunSuite {
         .agg(sum("n_chars").as("total"), count(lit(1)).as("cnt"),
           avg("n_chars").as("mean"))
       assert(served.collect().toSet == plain.collect().toSet)
+      // hist_quantile over the base reroutes to the stream-maintained
+      // cells and answers IDENTICALLY to the direct fixed-grid quantile
+      val plainSession = spark.newSession()
+      graft.functions.GraftFunctions.register(plainSession)
+      def p50(df: DataFrame) = df.groupBy("source")
+        .agg(call_function("hist_quantile", col("n_chars"), lit(0.5), lit(8))
+          .as("p50"))
+      val servedQ = p50(session.read.parquet(baseDir))
+      assert(!scanPaths(servedQ).exists(_.contains("documents.parquet")),
+        s"hist read must hit the stream-kept mart: ${scanPaths(servedQ)}")
+      assert(servedQ.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        == p50(plainSession.read.parquet(baseDir)).collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toMap)
     } finally MvRewrite.clear()
   }
 
@@ -419,6 +437,19 @@ class MvRewriteSpec extends AnyFunSuite {
         plain.read.parquet(hDir).groupBy("source")
           .agg(countDistinct("h").as("d")).collect()
           .map(r => (r.getString(0), r.getLong(1))).toSet)
+
+      // kmv serving is REFUSED on retraction-maintained marts (r9: the
+      // hist refusal was lifted — cells retract exactly — but a k-min
+      // order statistic cannot be un-taken, so kmv's refusal stands)
+      MvRewrite.clear()
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = new java.io.File(hDir).getName,
+        groupCols = Seq("source"),
+        sumCols = Map.empty, countCol = Some("n_rows"),
+        kmvCols = Map("h" -> "kmv_h"), kmvK = 16,
+        cdcRetractionOnly = true)
+      assert(!scanPaths(sketchBy(hBase)).exists(_.contains(mvDir)),
+        "kmv must stay refused on retraction marts")
     } finally MvRewrite.clear()
   }
 
@@ -504,15 +535,34 @@ class MvRewriteSpec extends AnyFunSuite {
         .agg(expr("approx_percentile(n_chars, 0.5)").as("p50"))
       assert(!scanPaths(ap).exists(_.contains(storeDir)))
 
-      // retraction-maintained marts refuse quantile serving (cells are
-      // insert-only mergeable, like kmv)
+      // retraction-maintained marts STILL serve quantiles (r9): histogram
+      // cells retract exactly (IncrementalAgg.applyChanges' hists arm), so
+      // unlike kmv there is nothing to refuse — and the served answer is
+      // still identical to the direct one
       MvRewrite.clear()
       MvRewrite.register(session.read.parquet(storeDir),
         baseTag = "documents.parquet", groupCols = Seq("source"),
         sumCols = Map.empty, countCol = Some("n_rows"),
         histCols = Map("n_chars" -> "hist_n_chars_w8"), histWidth = 8,
         cdcRetractionOnly = true)
-      assert(!scanPaths(qBy(base)).exists(_.contains(storeDir)))
+      val servedCdc = qBy(base)
+      assert(scanPaths(servedCdc).exists(_.contains(storeDir)),
+        "hist serving must survive cdcRetractionOnly — cells are invertible")
+      assert(servedCdc.collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        === directMap)
+
+      // a mis-registered width that contradicts the _w<N> column-name
+      // suffix fails at REGISTER time, not by silently serving wrong
+      // quantiles from bucket-incompatible cells (r9 ADVICE)
+      MvRewrite.clear()
+      val widthErr = intercept[IllegalArgumentException] {
+        MvRewrite.register(session.read.parquet(storeDir),
+          baseTag = "documents.parquet", groupCols = Seq("source"),
+          sumCols = Map.empty, countCol = Some("n_rows"),
+          histCols = Map("n_chars" -> "hist_n_chars_w8"), histWidth = 16)
+      }
+      assert(widthErr.getMessage.contains("bucket-incompatible"))
     } finally MvRewrite.clear()
   }
 
