@@ -25,7 +25,8 @@ object IncrementalAgg {
                        mins: Seq[String], maxs: Seq[String],
                        counts: Seq[String] = Nil,
                        kmvs: Seq[String] = Nil, kmvK: Int = 64,
-                       hists: Seq[String] = Nil, histWidth: Int = 8): DataFrame = {
+                       hists: Seq[String] = Nil, histWidth: Int = 8,
+                       hlls: Seq[String] = Nil, hllLgK: Int = 12): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       (sums.map(c => sum(col(c)).as(s"sum_$c")) ++
         mins.map(c => min(col(c)).as(s"min_$c")) ++
@@ -47,7 +48,19 @@ object IncrementalAgg {
         // mixed-width maintenance call fail LOUDLY in combine's
         // unionByName instead of silently merging wrong buckets
         hists.map(c => call_function("hist_cells", col(c), lit(histWidth))
-          .as(s"hist_${c}_w$histWidth")))
+          .as(s"hist_${c}_w$histWidth")) ++
+        // HLL sketch per group (r9): Spark-native datasketches partial —
+        // binary, mergeable by register-wise max. The estimate served
+        // from merged partials carries the same lgK error contract as
+        // the direct read and coincides with it exactly at dense
+        // register state; at sparse state BOTH are merge-tree-variant
+        // (the direct read included — see MvRewrite.register's measured
+        // numbers). Insert-only like kmv: an HLL register cannot be
+        // un-maxed, so applyChanges has no hll arm. The lgK is part of
+        // the column name for the same loud-mismatch reason as hist's
+        // grid width
+        hlls.map(c => expr(s"hll_sketch_agg($c, $hllLgK)")
+          .as(s"hll_${c}_k$hllLgK")))
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -55,7 +68,8 @@ object IncrementalAgg {
                       sums: Seq[String], mins: Seq[String],
                       maxs: Seq[String], counts: Seq[String] = Nil,
                       kmvs: Seq[String] = Nil, kmvK: Int = 64,
-                      hists: Seq[String] = Nil, histWidth: Int = 8): DataFrame = {
+                      hists: Seq[String] = Nil, histWidth: Int = 8,
+                      hlls: Seq[String] = Nil, hllLgK: Int = 12): DataFrame = {
     val aggs = sum(col("n_rows")).as("n_rows") +:
       (sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
         mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
@@ -64,7 +78,11 @@ object IncrementalAgg {
         kmvs.map(c => call_function("kmin_merge", col(s"kmv_$c"), lit(kmvK))
           .as(s"kmv_$c")) ++
         hists.map(c => call_function("hist_merge", col(s"hist_${c}_w$histWidth"))
-          .as(s"hist_${c}_w$histWidth")))
+          .as(s"hist_${c}_w$histWidth")) ++
+        // allowDifferentLgConfigK=false: a mixed-lgK fold must fail
+        // loudly (the name suffix already makes it a missing column)
+        hlls.map(c => expr(s"hll_union_agg(hll_${c}_k$hllLgK, false)")
+          .as(s"hll_${c}_k$hllLgK")))
     a.unionByName(b).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -74,18 +92,19 @@ object IncrementalAgg {
              mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
              counts: Seq[String] = Nil,
              kmvs: Seq[String] = Nil, kmvK: Int = 64,
-             hists: Seq[String] = Nil, histWidth: Int = 8): Unit = {
+             hists: Seq[String] = Nil, histWidth: Int = 8,
+             hlls: Seq[String] = Nil, hllLgK: Int = 12): Unit = {
     if (kmvs.nonEmpty || hists.nonEmpty)
       graft.functions.GraftFunctions.register(spark)
     val p = partials(batch, keys, sums, mins, maxs, counts, kmvs, kmvK,
-      hists, histWidth)
+      hists, histWidth, hlls, hllLgK)
     val path = new Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) {
       p.write.mode(SaveMode.Overwrite).parquet(storeDir)
     } else {
       val merged = combine(spark.read.parquet(storeDir), p, keys, sums, mins,
-        maxs, counts, kmvs, kmvK, hists, histWidth)
+        maxs, counts, kmvs, kmvK, hists, histWidth, hlls, hllLgK)
       val tmp = storeDir + ".tmp_swap"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       fs.delete(path, true)

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, Expression, HllSketchEstimate, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -65,6 +65,7 @@ object MvRewrite {
                 minCols: Map[String, String], maxCols: Map[String, String],
                 kmvCols: Map[String, String], kmvK: Int,
                 histCols: Map[String, String], histWidth: Int,
+                hllCols: Map[String, String], hllLgK: Int,
                 cdcRetractionOnly: Boolean,
                 mvPlan: LogicalPlan)
 
@@ -107,6 +108,37 @@ object MvRewrite {
     * `approx_percentile` are REFUSED by design: cells cannot answer the
     * former, and the latter is a different estimator — the rewrite must
     * never change an answer. */
+  /** `hllCols` maps base column → mv HLL-sketch partial column (Spark's
+    * datasketches `hll_sketch_agg` binary, maintained by
+    * [[graft.ops.IncrementalAgg]]'s hlls path); `hllLgK` is the lgConfigK
+    * every registered partial was built with. The served read shape is
+    * `hll_sketch_estimate(hll_sketch_agg(x, lgK))`, rerouted to
+    * `hll_sketch_estimate(hll_union_agg(partial))`.
+    *
+    * The serving contract here is deliberately WEAKER than kmv/hist's
+    * bit-equality, and honestly so: datasketches estimates are
+    * merge-tree-dependent — measured on this build, the DIRECT
+    * `hll_sketch_agg` read of 500 distinct values returns 500, 499, or
+    * 502 depending only on `repartition(1/32/default)`, because a
+    * pure-update sketch uses the HIP estimator while any merged sketch
+    * uses the composite one, and sparse→dense promotion differs by merge
+    * order. Bit-equality with "the" direct answer is therefore not even
+    * well-defined for this function; what IS guaranteed — and what
+    * registering `hllCols` opts into — is that the served value is a
+    * valid datasketches estimate of the same multiset at the same lgK
+    * with the same error contract, exactly as merge-tree-variant as the
+    * direct read already is, and that at dense register state under
+    * merged execution the two coincide exactly (register-max is
+    * path-independent; spec-measured). No DuckDB oracle exists for
+    * datasketches state, so this is spec-verified — the documented
+    * exemption the streaming sinks carry.
+    *
+    * The BARE sketch read (`hll_sketch_agg` without the estimate) is
+    * refused: serialized sketch BYTES are even less stable than the
+    * estimate. Spark's `approx_count_distinct` (HyperLogLogPlusPlus) is
+    * refused like `approx_percentile`: a DIFFERENT estimator. Insert-only
+    * mergeable — refused on retraction marts like kmv (a register cannot
+    * be un-maxed). */
   def register(mvDf: DataFrame, baseTag: String, groupCols: Seq[String],
                sumCols: Map[String, String],
                countCol: Option[String],
@@ -117,12 +149,14 @@ object MvRewrite {
                kmvK: Int = 64,
                histCols: Map[String, String] = Map.empty,
                histWidth: Int = 8,
+               hllCols: Map[String, String] = Map.empty,
+               hllLgK: Int = 12,
                cdcRetractionOnly: Boolean = false): Unit =
     registry.synchronized {
       val have = mvDf.schema.fieldNames.toSet
       val need = groupCols ++ sumCols.values ++ countCol ++
         valueCountCols.values ++ minCols.values ++ maxCols.values ++
-        kmvCols.values ++ histCols.values
+        kmvCols.values ++ histCols.values ++ hllCols.values
       val missing = need.filterNot(have)
       require(missing.isEmpty,
         s"MvRewrite.register: columns ${missing.mkString(", ")} not in " +
@@ -141,9 +175,19 @@ object MvRewrite {
               "cells from different grids are bucket-incompatible")
         }
       }
+      // the same cheap cross-check for the HLL lgK suffix (_k<N>)
+      val lgkSuffix = "_k(\\d+)$".r
+      hllCols.values.foreach { c =>
+        lgkSuffix.findFirstMatchIn(c).foreach { m =>
+          require(m.group(1).toInt == hllLgK,
+            s"MvRewrite.register: hll partial '$c' encodes lgConfigK " +
+              s"${m.group(1)} but hllLgK=$hllLgK was registered — " +
+              "sketches at different lgK are bucket-incompatible")
+        }
+      }
       registry += Mv(baseTag, groupCols.toSet, sumCols, countCol,
         valueCountCols, minCols, maxCols, kmvCols, kmvK, histCols, histWidth,
-        cdcRetractionOnly, mvDf.queryExecution.analyzed)
+        hllCols, hllLgK, cdcRetractionOnly, mvDf.queryExecution.analyzed)
     }
 
   private def mvs: Seq[Mv] = registry.synchronized { registry.toSeq }
@@ -236,6 +280,24 @@ object MvRewrite {
     }
     groupsOk && filterOk(m, cond) && aggExprs.forall {
       case ar: AttributeReference => m.groupCols.contains(ar.name)
+      // HLL estimate read: hll_sketch_estimate ON TOP of the sketch
+      // aggregate. Served under the estimator-class contract documented
+      // at register() (registering hllCols is the opt-in; the direct
+      // read is itself merge-tree-variant). The BARE sketch read
+      // deliberately falls to the Alias(ae) case below and is refused
+      // there — serialized sketch bytes are not contract-stable.
+      // approx_count_distinct (HyperLogLogPlusPlus) never matches: a
+      // different estimator must not be served from datasketches state.
+      case Alias(HllSketchEstimate(ae: AggregateExpression), _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case HllSketchAgg(ar: AttributeReference, lgkLit, _, _) =>
+            !m.cdcRetractionOnly &&
+              lgkLit.foldable &&
+              lgkLit.eval().asInstanceOf[Number].intValue() == m.hllLgK &&
+              m.hllCols.get(ar.name).exists(mvOut.contains)
+          case _ => false
+        }
       case Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
           ae.filter.isEmpty =>
         ae.aggregateFunction match {
@@ -309,6 +371,17 @@ object MvRewrite {
     val newAggExprs: Seq[NamedExpression] = aggExprs.map {
       case ar: AttributeReference =>
         Alias(mvOut(ar.name), ar.name)(exprId = ar.exprId)
+      // estimate over merged partials: register-wise-max union of the
+      // same multiset at the same lgK — the estimator-class contract
+      // (see register()); coincides exactly with the direct read at
+      // dense register state under merged execution
+      case al @ Alias(HllSketchEstimate(ae: AggregateExpression), name) =>
+        val ar = ae.aggregateFunction match {
+          case HllSketchAgg(a: AttributeReference, _, _, _) => a
+        }
+        Alias(HllSketchEstimate(
+          HllUnionAgg(mvOut(m.hllCols(ar.name)), Literal(false))
+            .toAggregateExpression()), name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, name) =>
         ae.aggregateFunction match {
           case Average(ar: AttributeReference, _) =>

@@ -46,19 +46,20 @@ object AggSink {
                  mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
                  counts: Seq[String] = Nil,
                  kmvs: Seq[String] = Nil, kmvK: Int = 64,
-                 hists: Seq[String] = Nil, histWidth: Int = 8): Boolean = {
+                 hists: Seq[String] = Nil, histWidth: Int = 8,
+                 hlls: Seq[String] = Nil, hllLgK: Int = 12): Boolean = {
     val spark = batch.sparkSession
     if (kmvs.nonEmpty || hists.nonEmpty)
       graft.functions.GraftFunctions.register(spark)
     if (batchId <= SnapshotSink.lastBatchId(spark, target)) false
     else {
       val p = IncrementalAgg.partials(batch, keys, sums, mins, maxs, counts,
-        kmvs, kmvK, hists, histWidth)
+        kmvs, kmvK, hists, histWidth, hlls, hllLgK)
       val merged =
         if (!Incremental.exists(spark, target)) p
         else IncrementalAgg.combine(
           Incremental.read(spark, target), p, keys, sums, mins, maxs, counts,
-          kmvs, kmvK, hists, histWidth)
+          kmvs, kmvK, hists, histWidth, hlls, hllLgK)
       Incremental.writeSnapshot(spark, target, merged, Nil,
         meta = Map(SnapshotSink.BatchIdKey -> batchId.toString))
       true
@@ -73,12 +74,13 @@ object AggSink {
                 checkpointDir: String,
                 counts: Seq[String] = Nil,
                 kmvs: Seq[String] = Nil, kmvK: Int = 64,
-                hists: Seq[String] = Nil, histWidth: Int = 8): StreamingQuery =
+                hists: Seq[String] = Nil, histWidth: Int = 8,
+                hlls: Seq[String] = Nil, hllLgK: Int = 12): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatch(b, id, target, keys, sums, mins, maxs, counts,
-          kmvs, kmvK, hists, histWidth); ()
+          kmvs, kmvK, hists, histWidth, hlls, hllLgK); ()
       }
       .start()
 

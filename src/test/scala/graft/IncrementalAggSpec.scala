@@ -216,6 +216,38 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got == Seq(("a", Seq((0L, 1L)))))
   }
 
+  test("hll partials fold across batches: estimate equals the one-shot (r9)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("inc_hll").toString + "/mart"
+    // enough cardinality per group that the sketch is doing real work
+    val rows = (1L to 9000L).map(i => (s"g${i % 3}", i % 2000))
+    val batches = rows.grouped(3000).toSeq
+    batches.foreach { b =>
+      IncrementalAgg.update(spark, store, b.toDF("k", "x"),
+        keys = Seq("k"), hlls = Seq("x"), hllLgK = 12)
+    }
+    val got = spark.read.parquet(store)
+      .select(col("k"), expr("hll_sketch_estimate(hll_x_k12)").as("est"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val oneShot = rows.toDF("k", "x").groupBy("k")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(x, 12))").as("est"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == oneShot,
+      "estimate from batch-folded HLL partials must equal the one-shot")
+    // rollup: union of the group partials = the global sketch's estimate
+    val globServed = spark.read.parquet(store)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(hll_x_k12, false))"))
+      .first().getLong(0)
+    val globDirect = rows.toDF("k", "x")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(x, 12))")).first().getLong(0)
+    assert(globServed == globDirect)
+    // a mixed-lgK maintenance call fails loudly (lgK is in the name)
+    intercept[Exception] {
+      IncrementalAgg.update(spark, store, Seq(("g0", 1L)).toDF("k", "x"),
+        keys = Seq("k"), hlls = Seq("x"), hllLgK = 14)
+    }
+  }
+
   test("min/max recompute branch carries hist partials for affected groups (r9)") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

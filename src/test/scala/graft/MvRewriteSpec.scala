@@ -566,6 +566,137 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRewrite.clear()
   }
 
+  test("hll estimate reads serve from the mart; bare sketch and HLL++ refused (r9)") {
+    val session = spark.newSession()
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    val plain = spark.newSession()
+    try {
+      // maintained across two batches by IncrementalAgg's hlls path
+      val storeDir = Files.createTempDirectory("mv_hll").toString + "/agg"
+      val base = session.read.parquet(baseDir)
+      IncrementalAgg.update(session, storeDir,
+        base.filter(col("doc_id") % 2 === 0), keys = Seq("source"),
+        hlls = Seq("doc_id"), hllLgK = 12)
+      IncrementalAgg.update(session, storeDir,
+        base.filter(col("doc_id") % 2 === 1), keys = Seq("source"),
+        hlls = Seq("doc_id"), hllLgK = 12)
+      MvRewrite.register(session.read.parquet(storeDir),
+        baseTag = "documents.parquet", groupCols = Seq("source"),
+        sumCols = Map.empty, countCol = Some("n_rows"),
+        hllCols = Map("doc_id" -> "hll_doc_id_k12"), hllLgK = 12)
+
+      def estBy(df: DataFrame) = df.groupBy("source")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(doc_id, 12))").as("est"))
+
+      // per-group: served via hll_union_agg over the maintained partials.
+      // The serving contract is ESTIMATOR-CLASS, not bit-equality —
+      // datasketches estimates are merge-tree-variant (the DIRECT read
+      // of 500 distinct values measures 500/499/502 under
+      // repartition(1/32/default) on this build: HIP vs composite
+      // estimator, sparse promotion order), so the pinned assertions are
+      // (a) the plan reroutes, (b) the served estimate stays inside the
+      // lgK=12 error contract of the EXACT count, (c) dense-regime exact
+      // equality is pinned in the next test block below
+      val served = estBy(base)
+      assert(scanPaths(served).exists(_.contains(storeDir)),
+        s"expected the mart scan, got ${scanPaths(served)}")
+      val servedMap = served.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactMap = plain.read.parquet(baseDir).groupBy("source")
+        .agg(countDistinct("doc_id").as("d")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(servedMap.keySet == exactMap.keySet)
+      servedMap.foreach { case (k, est) =>
+        val ex = exactMap(k).toDouble
+        assert(math.abs(est - ex) <= math.max(2.0, 0.05 * ex),
+          s"group $k: served $est vs exact $ex outside the lgK=12 bound")
+      }
+
+      // global rollup reroutes too, same error contract vs the exact count
+      val glob = base.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(doc_id, 12))").as("est"))
+      assert(scanPaths(glob).exists(_.contains(storeDir)))
+      val globExact = plain.read.parquet(baseDir)
+        .agg(countDistinct("doc_id")).first().getLong(0).toDouble
+      assert(math.abs(glob.first().getLong(0) - globExact) <=
+        math.max(2.0, 0.05 * globExact))
+
+      // DENSE regime (registers past the sparse->dense promotion point,
+      // ~3/4 * 2^lgK coupons): register-max is path-independent and both
+      // sides merge, so served == direct EXACTLY
+      val denseDir = Files.createTempDirectory("mv_hll_dense").toString
+      val denseBase = session.range(120000)
+        .select((col("id") % 3).cast("string").as("source"),
+          col("id").as("doc_id"))
+      denseBase.write.mode("overwrite").parquet(denseDir)
+      val denseStore = Files.createTempDirectory("mv_hll_ds").toString + "/agg"
+      val dread = session.read.parquet(denseDir)
+      IncrementalAgg.update(session, denseStore,
+        dread.filter(col("doc_id") % 2 === 0), keys = Seq("source"),
+        hlls = Seq("doc_id"), hllLgK = 12)
+      IncrementalAgg.update(session, denseStore,
+        dread.filter(col("doc_id") % 2 === 1), keys = Seq("source"),
+        hlls = Seq("doc_id"), hllLgK = 12)
+      MvRewrite.register(session.read.parquet(denseStore),
+        baseTag = new java.io.File(denseDir).getName,
+        groupCols = Seq("source"),
+        sumCols = Map.empty, countCol = Some("n_rows"),
+        hllCols = Map("doc_id" -> "hll_doc_id_k12"), hllLgK = 12)
+      val denseServed = estBy(dread)
+      assert(scanPaths(denseServed).exists(_.contains(denseStore)))
+      assert(denseServed.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        == estBy(plain.read.parquet(denseDir)).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap,
+        "dense-regime served estimate must EQUAL the direct one")
+
+      // lgK mismatch falls through (a different precision is a different
+      // error contract; stored registers cannot be re-binned)
+      val otherK = base.groupBy("source")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(doc_id, 14))").as("est"))
+      assert(!scanPaths(otherK).exists(_.contains(storeDir)))
+
+      // the BARE sketch read is refused: serialized bytes are not
+      // contract-stable across build orders even when registers are
+      val bare = base.groupBy("source")
+        .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk"))
+      assert(!scanPaths(bare).exists(_.contains(storeDir)))
+
+      // approx_count_distinct is HyperLogLogPlusPlus — a DIFFERENT
+      // estimator; refused like approx_percentile, answer preserved
+      val acd = base.groupBy("source")
+        .agg(approx_count_distinct("doc_id").as("d"))
+      assert(!scanPaths(acd).exists(_.contains(storeDir)))
+      assert(acd.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        plain.read.parquet(baseDir).groupBy("source")
+          .agg(approx_count_distinct("doc_id").as("d")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet)
+
+      // exact COUNT(DISTINCT x) refused by the isDistinct guard
+      val exact = base.groupBy("source").agg(countDistinct("doc_id").as("d"))
+      assert(!scanPaths(exact).exists(_.contains(storeDir)))
+
+      // retraction marts refuse hll serving (registers cannot be un-maxed)
+      MvRewrite.clear()
+      MvRewrite.register(session.read.parquet(storeDir),
+        baseTag = "documents.parquet", groupCols = Seq("source"),
+        sumCols = Map.empty, countCol = Some("n_rows"),
+        hllCols = Map("doc_id" -> "hll_doc_id_k12"), hllLgK = 12,
+        cdcRetractionOnly = true)
+      assert(!scanPaths(estBy(base)).exists(_.contains(storeDir)))
+
+      // a mis-registered lgK contradicting the _k<N> suffix fails fast
+      MvRewrite.clear()
+      val lgkErr = intercept[IllegalArgumentException] {
+        MvRewrite.register(session.read.parquet(storeDir),
+          baseTag = "documents.parquet", groupCols = Seq("source"),
+          sumCols = Map.empty, countCol = Some("n_rows"),
+          hllCols = Map("doc_id" -> "hll_doc_id_k12"), hllLgK = 14)
+      }
+      assert(lgkErr.getMessage.contains("lgConfigK"))
+    } finally MvRewrite.clear()
+  }
+
   test("rule is inert with an empty registry and on other sessions") {
     MvRewrite.clear()
     val session = spark.newSession()
