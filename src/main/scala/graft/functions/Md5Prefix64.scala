@@ -119,6 +119,18 @@ object GraftFunctions {
       registry.registerFunction(jwIdent, JaroWinkler.info,
         (children: Seq[Expression]) => JaroWinkler(children(0), children(1)))
     }
+    // the int8 pair-verify pair (r9): packed-byte vectors through the
+    // SemDeDup shuffle, exact integer dot on the other side
+    val ipIdent = FunctionIdentifier("i8_pack")
+    if (!registry.functionExists(ipIdent)) {
+      registry.registerFunction(ipIdent, I8Pack.info,
+        (children: Seq[Expression]) => I8Pack(children.head))
+    }
+    val di8Ident = FunctionIdentifier("vec_dot_i8")
+    if (!registry.functionExists(di8Ident)) {
+      registry.registerFunction(di8Ident, VecDotI8.info,
+        (children: Seq[Expression]) => VecDotI8(children(0), children(1)))
+    }
     // the pure-JVM media codecs (r7): real WAV/BMP containers in, true
     // PCM samples / luma pixels out — all inside whole-stage codegen
     val weIdent = FunctionIdentifier("wav_encode")
@@ -209,6 +221,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         KMinMerge(children(0), children(1)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("jaro_winkler"), JaroWinkler.info,
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("i8_pack"), I8Pack.info,
+      (children: Seq[Expression]) => I8Pack(children.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot_i8"), VecDotI8.info,
+      (children: Seq[Expression]) => VecDotI8(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("wav_encode"), WavEncode.info,
       (children: Seq[Expression]) => WavEncode(children.head)))
     ext.injectFunction((FunctionIdentifier("wav_pcm_samples"), WavPcmSamples.info,

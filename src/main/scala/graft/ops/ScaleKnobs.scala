@@ -190,6 +190,18 @@ object ScaleKnobs {
                     threeLevelFloor: Int = ThreeLevelFloorCells): Int =
     if (cells <= threeLevelFloor) 1 else icbrt(cells.toLong).toInt
 
+  /** Engage SemDeDup's int8 pair pre-verify (r9) past the same cell
+    * floor that engages two-level assign routing: at-or-below the floor
+    * (every oracle sf resolves to 16 cells) the historical exact-pair
+    * plan runs unchanged — recorded hashes and plan tags untouched —
+    * while larger corpora shuffle 64-byte packed vectors instead of
+    * ~528-byte double arrays through the window exchange and the
+    * within-cell self-join (the sf100emb I/O band's byte source), with
+    * the decisions still exact via the analytic slack + float confirm
+    * in [[graft.sim.Embeddings.semDedup]]. */
+  def semDedupQuantPre(cells: Int, floorCells: Int = CoarseFloorCells): Boolean =
+    cells > floorCells
+
   /** Centroid-training sample modulus: Lloyd ITERATIONS run on the
     * ~cells·`perCell` deterministic hash-sample (vec_id ≡ 0 mod the
     * returned value) — sample size ∝ cells, so per-iteration assign
@@ -220,6 +232,9 @@ object ScaleKnobs {
       "centroid training on a ~32*cells sample (iterations off-corpus)"),
     ("nndescent_lsh_planes", nVecs, lshPlanes(nVecs).toLong,
       "seed pair work ~1250*N (bucket occupancy ~1250)"),
+    ("semdedup_quant_pre", nVecs,
+      if (semDedupQuantPre(kmeansCells(nVecs))) 1L else 0L,
+      s"pair shuffle carries 64B packed int8 past $CoarseFloorCells cells (exact via slack+confirm)"),
     ("nndescent_truth_mod", nVecs, truthSampleMod(nVecs).toLong,
       "exact-truth leg ~100*N (sampled queries capped ~100)"))
 }

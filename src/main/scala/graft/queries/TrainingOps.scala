@@ -750,7 +750,8 @@ object TrainingOps extends OpsModule {
       Embeddings.semDedup(e, threshold = SemDedupThreshold,
         nCells = cells,
         nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells),
-        nCoarse2 = graft.ops.ScaleKnobs.kmeansCoarse2(cells)).orderBy("vec_id")
+        nCoarse2 = graft.ops.ScaleKnobs.kmeansCoarse2(cells),
+        quantPre = graft.ops.ScaleKnobs.semDedupQuantPre(cells)).orderBy("vec_id")
     }),
 
     "emb_knn_brute" -> ((s, d) =>
@@ -1777,6 +1778,12 @@ object TrainingOps extends OpsModule {
                          WHERE (CAST($LshOccupancy AS BIGINT) << g) >= ne),
                         $LshCap) AS BIGINT),
                  'seed pair work ~1250*N (bucket occupancy ~1250)'
+          FROM k
+          UNION ALL
+          SELECT 'semdedup_quant_pre', ne,
+                 CAST(CASE WHEN cells > $CoarseFloorCells THEN 1 ELSE 0 END
+                      AS BIGINT),
+                 'pair shuffle carries 64B packed int8 past $CoarseFloorCells cells (exact via slack+confirm)'
           FROM k
           UNION ALL
           SELECT 'nndescent_truth_mod', ne,
