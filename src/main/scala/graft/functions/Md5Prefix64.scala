@@ -163,6 +163,16 @@ object GraftFunctions {
       registry.registerFunction(plIdent, PngLuma.info,
         (children: Seq[Expression]) => PngLuma(children.head))
     }
+    val aeIdent = FunctionIdentifier("avi_encode")
+    if (!registry.functionExists(aeIdent)) {
+      registry.registerFunction(aeIdent, AviEncode.info,
+        (children: Seq[Expression]) => AviEncode(children(0), children(1)))
+    }
+    val afIdent = FunctionIdentifier("avi_frame_lumas")
+    if (!registry.functionExists(afIdent)) {
+      registry.registerFunction(afIdent, AviFrameLumas.info,
+        (children: Seq[Expression]) => AviFrameLumas(children.head))
+    }
     // fixed-grid histogram aggregates (r8): the percentile partial and
     // its maintain/serve halves behind MvRewrite's approx-quantile reads
     val hcIdent = FunctionIdentifier("hist_cells")
@@ -237,6 +247,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => PngEncode(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("png_luma"), PngLuma.info,
       (children: Seq[Expression]) => PngLuma(children.head)))
+    ext.injectFunction((FunctionIdentifier("avi_encode"), AviEncode.info,
+      (children: Seq[Expression]) => AviEncode(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("avi_frame_lumas"), AviFrameLumas.info,
+      (children: Seq[Expression]) => AviFrameLumas(children.head)))
     ext.injectFunction((FunctionIdentifier("hist_cells"), HistCells.info,
       (children: Seq[Expression]) =>
         HistCells(children(0), children(1)).toAggregateExpression()))

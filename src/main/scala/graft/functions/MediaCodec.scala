@@ -452,6 +452,184 @@ object MediaCodec {
     res
   }
 
+  // ---------------------------------------------------------------- AVI
+
+  /** Rows per AVI video frame — fixed so the frame geometry is a pure
+    * function of (payload length, width) and the DuckDB oracle can
+    * re-derive every frame boundary with no container parse. */
+  val AviFrameRows = 4
+
+  /** Real RIFF/AVI container around the payload-derived frames
+    * (VERDICT r8 "Next round" #7): LIST hdrl (avih + LIST strl
+    * (strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) followed by LIST movi
+    * holding one uncompressed '00db' DIB frame per [[AviFrameRows]]-row
+    * slab of pixels. Frame pixel layout is exactly the BMP pixel array
+    * ([[bmpEncode]]): 24 bpp BI_RGB, bottom-up rows, 4-byte row
+    * alignment, channel order (B, G, R) = payload bytes (3p, 3p+1,
+    * 3p+2), zero-padded past the payload — so pixel p of frame f reads
+    * payload bytes starting at 3·(f·width·[[AviFrameRows]] + p).
+    * Same Long-guard posture as the other encoders: an unencodable
+    * request returns empty rather than wrapping an Int. */
+  def aviEncode(payload: Array[Byte], width: Int): Array[Byte] = {
+    if (width <= 0) return Array.emptyByteArray
+    val h = AviFrameRows
+    val fpp = width.toLong * h                 // pixels per frame
+    val nPx = math.max(1L, (payload.length + 2L) / 3L)
+    val nFrames = ((nPx + fpp - 1) / fpp)
+    val rowStrideL = ((width.toLong * 3 + 3) / 4) * 4
+    val frameBytesL = rowStrideL * h           // multiple of 4: no pad byte
+    val hdrlL = 4L + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+    val moviL = 4L + nFrames * (8 + frameBytesL)
+    val riffL = 4L + (8 + hdrlL) + (8 + moviL)
+    if (8L + riffL > Int.MaxValue) return Array.emptyByteArray
+    val out = new Array[Byte]((8 + riffL).toInt)
+    var o = 0
+    def tag(s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }; o += 4 }
+    def u32(v: Long): Unit = { wle32(out, o, v.toInt); o += 4 }
+    def u16(v: Int): Unit = { wle16(out, o, v); o += 2 }
+    tag("RIFF"); u32(riffL); tag("AVI ")
+    tag("LIST"); u32(hdrlL); tag("hdrl")
+    tag("avih"); u32(56)
+    u32(40000); u32(0); u32(0); u32(0)         // usec/frame, maxbps, pad, flags
+    u32(nFrames); u32(0); u32(1); u32(frameBytesL) // frames, initial, streams, bufsize
+    u32(width); u32(h); u32(0); u32(0); u32(0); u32(0) // w, h, reserved[4]
+    tag("LIST"); u32(12 + (8 + 56) + (8 + 40) - 8); tag("strl")
+    tag("strh"); u32(56)
+    tag("vids"); tag("DIB ")
+    u32(0); u16(0); u16(0); u32(0)             // flags, prio, lang, initial
+    u32(1); u32(25)                            // scale, rate (25 fps)
+    u32(0); u32(nFrames); u32(frameBytesL); u32(0xFFFFFFFFL) // start, len, bufsize, quality
+    u32(0)                                     // sample size
+    u16(0); u16(0); u16(width); u16(h)         // rcFrame
+    tag("strf"); u32(40)
+    u32(40); u32(width); u32(h)                // biSize, biWidth, biHeight (bottom-up)
+    u16(1); u16(24); u32(0)                    // planes, bpp, BI_RGB
+    u32(frameBytesL); u32(0); u32(0); u32(0); u32(0)
+    tag("LIST"); u32(moviL); tag("movi")
+    val rowStride = rowStrideL.toInt
+    var f = 0L
+    while (f < nFrames) {
+      tag("00db"); u32(frameBytesL)
+      val base = o
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < width) {
+          val p = f * fpp + y.toLong * width + x
+          val src = 3L * p
+          val rowOff = base + (h - 1 - y) * rowStride + x * 3
+          def pb(i: Long): Byte =
+            if (i < payload.length && i < nPx * 3) payload(i.toInt) else 0
+          out(rowOff) = pb(src)                // B
+          out(rowOff + 1) = pb(src + 1)        // G
+          out(rowOff + 2) = pb(src + 2)        // R
+          x += 1
+        }
+        y += 1
+      }
+      o = base + frameBytesL.toInt
+      f += 1
+    }
+    out
+  }
+
+  /** Real AVI parser → one Rec.709 integer luma plane per video frame
+    * (row-major TOP-DOWN, undoing the DIB bottom-up layout and row
+    * padding). Walks the RIFF chunk list (arbitrary order/extras),
+    * pulls frame geometry from the strf BITMAPINFOHEADER under
+    * LIST hdrl → LIST strl (24 bpp BI_RGB only), then decodes every
+    * '00db' chunk under LIST movi whose size matches the header-implied
+    * frame size exactly; non-'00db' movi entries (e.g. interleaved
+    * audio) are skipped. Null/empty on anything malformed. Memory
+    * posture: unlike PNG (compressed, needs the deflate-ratio cap),
+    * every allocation here is ≤ 4/3 of bytes actually present in the
+    * chunk being decoded — no header-promised amplification exists. */
+  def aviFrameLumas(content: Array[Byte]): Array[Array[Int]] = {
+    val empty = Array.empty[Array[Int]]
+    if (content.length < 12 || !tag4(content, 0, "RIFF") ||
+        !tag4(content, 8, "AVI ")) return empty
+    var off = 12
+    var w = -1; var h = -1; var fmtOk = false
+    var moviOff = -1; var moviEnd = -1
+    while (off + 8 <= content.length) {
+      val sz = le32(content, off + 4)
+      // Long arithmetic on untrusted u32 sizes (the wavSamples posture)
+      if (sz < 0 || off.toLong + 8L + sz > content.length) return empty
+      if (tag4(content, off, "LIST") && sz >= 4) {
+        if (tag4(content, off + 8, "hdrl")) {
+          // walk hdrl children; strf may sit directly here or under a
+          // nested LIST strl — both accepted
+          var c = off + 12
+          val end = off + 8 + sz
+          while (c + 8 <= end) {
+            val csz = le32(content, c + 4)
+            if (csz < 0 || c.toLong + 8L + csz > end) return empty
+            def readStrf(at: Int, asz: Int): Boolean = {
+              if (asz < 40) false
+              else {
+                w = le32(content, at + 12)
+                h = le32(content, at + 16)
+                le32(content, at + 8) >= 40 &&
+                  le16(content, at + 20) == 1 &&   // planes
+                  le16(content, at + 22) == 24 &&  // bpp
+                  le32(content, at + 24) == 0 &&   // BI_RGB
+                  w > 0 && h > 0 && w.toLong * h <= Int.MaxValue
+              }
+            }
+            if (tag4(content, c, "strf")) fmtOk = readStrf(c, csz)
+            else if (tag4(content, c, "LIST") && csz >= 4 &&
+                tag4(content, c + 8, "strl")) {
+              var g = c + 12
+              val gend = c + 8 + csz
+              while (g + 8 <= gend) {
+                val gsz = le32(content, g + 4)
+                if (gsz < 0 || g.toLong + 8L + gsz > gend) return empty
+                if (tag4(content, g, "strf")) fmtOk = readStrf(g, gsz)
+                g += 8 + gsz + (gsz & 1)
+              }
+            }
+            c += 8 + csz + (csz & 1)
+          }
+        } else if (tag4(content, off + 8, "movi") && moviOff < 0) {
+          moviOff = off + 12
+          moviEnd = off + 8 + sz
+        }
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    if (!fmtOk || moviOff < 0) return empty
+    val rowStrideL = ((w.toLong * 3 + 3) / 4) * 4
+    if (rowStrideL * h > Int.MaxValue) return empty
+    val frameBytes = (rowStrideL * h).toInt
+    val rowStride = rowStrideL.toInt
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var c = moviOff
+    while (c + 8 <= moviEnd) {
+      val csz = le32(content, c + 4)
+      if (csz < 0 || c.toLong + 8L + csz > moviEnd) return empty
+      if (tag4(content, c, "00db")) {
+        if (csz != frameBytes) return empty
+        val res = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val rowOff = c + 8 + (h - 1 - y) * rowStride
+          var x = 0
+          while (x < w) {
+            val b = content(rowOff + x * 3) & 0xff
+            val g = content(rowOff + x * 3 + 1) & 0xff
+            val r = content(rowOff + x * 3 + 2) & 0xff
+            res(y * w + x) = (2126 * r + 7152 * g + 722 * b) / 10000
+            x += 1
+          }
+          y += 1
+        }
+        frames += res
+      }
+      c += 8 + csz + (csz & 1)
+    }
+    frames.toArray
+  }
+
   // ArrayData bridges for codegen (UnsafeArrayData: no per-element boxing)
   def wavSamplesData(content: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(wavSamples(content))
@@ -461,6 +639,11 @@ object MediaCodec {
 
   def pngLumaData(content: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(pngLuma(content))
+
+  def aviFrameLumasData(content: Array[Byte]): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      aviFrameLumas(content)
+        .map(f => UnsafeArrayData.fromPrimitiveArray(f): AnyRef))
 }
 
 /** `wav_encode(payload BINARY) → BINARY` — see [[MediaCodec.wavEncode]]. */
@@ -598,4 +781,56 @@ case class PngLuma(child: Expression) extends UnaryExpression {
 
 object PngLuma {
   val info = new ExpressionInfo(classOf[PngLuma].getName, "png_luma")
+}
+
+/** `avi_encode(payload BINARY, width INT) → BINARY` — see
+  * [[MediaCodec.aviEncode]]. */
+case class AviEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"avi_encode requires (BINARY, INT), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "avi_encode"
+  override protected def nullSafeEval(payload: Any, width: Any): Any =
+    MediaCodec.aviEncode(payload.asInstanceOf[Array[Byte]],
+      width.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, w) => s"graft.functions.MediaCodec.aviEncode($p, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AviEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AviEncode {
+  val info = new ExpressionInfo(classOf[AviEncode].getName, "avi_encode")
+}
+
+/** `avi_frame_lumas(content BINARY) → ARRAY<ARRAY<INT>>` — one decoded
+  * luma plane per video frame; see [[MediaCodec.aviFrameLumas]]. Empty
+  * array on malformed input. */
+case class AviFrameLumas(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"avi_frame_lumas requires BINARY input, got ${child.dataType.catalogString}")
+  override def dataType: DataType =
+    ArrayType(ArrayType(IntegerType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "avi_frame_lumas"
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodec.aviFrameLumasData(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaCodec.aviFrameLumasData($c)")
+  override protected def withNewChildInternal(newChild: Expression): AviFrameLumas =
+    copy(child = newChild)
+}
+
+object AviFrameLumas {
+  val info = new ExpressionInfo(classOf[AviFrameLumas].getName, "avi_frame_lumas")
 }

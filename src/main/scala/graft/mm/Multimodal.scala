@@ -416,6 +416,16 @@ object Multimodal {
         aggregate(
           slice(col("luma"), col("frame_idx") * stride + 1, lit(stride)),
           lit(0L), (acc, v) => acc + v.cast("long")).as("energy"))
+    cutsFromFrames(frames)
+  }
+
+  /** The cut decision over a (doc_id, n_frames, frame_idx, energy) frame
+    * table — the shared tail of [[sceneCuts]] (stride-sliced pseudo
+    * frames) and [[aviSceneCuts]] (true container frames): lag-delta via
+    * a per-video window, integer mean-compare cut rule, per-video
+    * rollup. Factoring it out is what makes the AVI tier's cut logic
+    * PROVABLY the same logic, not a re-implementation. */
+  private def cutsFromFrames(frames: DataFrame): DataFrame = {
     val byFrame = Window.partitionBy("doc_id").orderBy("frame_idx")
     val perVideo = Window.partitionBy("doc_id")
     val deltas = frames
@@ -433,4 +443,45 @@ object Multimodal {
         sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
         min(when(col("is_cut"), col("frame_idx"))).as("first_cut"))
   }
+
+  /** The AVI video tier of the media lake (r9, VERDICT r8 "Next round"
+    * #7): documents with doc_id ≡ 2 (mod 3) — disjoint from the PNG
+    * tier's ≡ 1 — encoded into REAL RIFF/AVI containers (LIST hdrl with
+    * avih/strh/strf, LIST movi of uncompressed '00db' DIB frames,
+    * [[graft.functions.MediaCodec.aviEncode]]). Width follows the same
+    * payload-derived rule as the other lakes; frame geometry is
+    * width × [[graft.functions.MediaCodec.AviFrameRows]] pixels, so the
+    * oracle re-derives every frame boundary from the payload length with
+    * no container parse. */
+  def aviLake(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    val width = (pmod(length(payload), lit(24)) + lit(8)).cast("int")
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"), lit("avi").as("format"),
+        call_function("avi_encode", payload, width).as("content"))
+  }
+
+  /** [[sceneCuts]] over TRUE container frames: each '00db' DIB frame of
+    * the AVI decodes to its own luma plane
+    * ([[graft.functions.MediaCodec.aviFrameLumas]]), per-frame energy is
+    * Σ luma over the REAL frame (not a stride slice), and the cut
+    * decision is the shared [[cutsFromFrames]] logic. Single-frame
+    * videos have no deltas and drop out, exactly like [[sceneCuts]]. */
+  def aviSceneCuts(media: DataFrame): DataFrame =
+    cutsFromFrames(aviFrameEnergies(media))
+
+  /** One row per decoded container frame: (doc_id, n_frames, frame_idx,
+    * energy = Σ luma over the frame's true pixel plane). The frame
+    * inventory behind [[aviSceneCuts]] and the mm_avi_frames oracle
+    * round-trip. */
+  def aviFrameEnergies(media: DataFrame): DataFrame =
+    media
+      .filter(col("format") === "avi")
+      .select(col("doc_id"),
+        call_function("avi_frame_lumas", col("content")).as("fl"))
+      .select(col("doc_id"), size(col("fl")).as("n_frames"),
+        posexplode(col("fl")).as(Seq("frame_idx", "luma")))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        aggregate(col("luma"), lit(0L),
+          (acc, v) => acc + v.cast("long")).as("energy"))
 }

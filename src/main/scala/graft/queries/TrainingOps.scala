@@ -1089,6 +1089,25 @@ object TrainingOps extends OpsModule {
       Multimodal.sceneCuts(Multimodal.pngLake(docs(s, d)))
         .orderBy("doc_id")),
 
+    // AVI tier frame inventory (r9): every '00db' DIB frame decoded to
+    // its true luma plane; the oracle re-derives every frame energy from
+    // payload bytes with NO container parse, so hash equality proves
+    // avi_encode ∘ avi_frame_lumas = identity across the whole tier
+    "mm_avi_frames" -> ((s, d) =>
+      Multimodal.aviFrameEnergies(Multimodal.aviLake(docs(s, d)))
+        .groupBy("doc_id")
+        .agg(max("n_frames").as("n_frames"),
+          sum("energy").as("sum_energy"),
+          max("energy").as("max_frame_energy"))
+        .orderBy("doc_id")),
+
+    // scene cuts over TRUE container frames (r9): frame boundaries come
+    // from the AVI's movi chunk list, not a stride slice — the shared
+    // cutsFromFrames decision is unchanged
+    "mm_avi_scene_cuts" -> ((s, d) =>
+      Multimodal.aviSceneCuts(Multimodal.aviLake(docs(s, d)))
+        .orderBy("doc_id")),
+
     // ENCODE half of the tokenizer lifecycle: apply the trained merge
     // table to the corpus (train is td_bpe_train). The oracle reuses the
     // unrolled training chain — its final vocabulary state IS the encoded
@@ -2456,24 +2475,12 @@ object TrainingOps extends OpsModule {
                         ELSE 0 END) AS luma
           FROM lmsrc)"""
 
-  /** Scene-cut oracle fragment over any `lm` luma CTE (32-pixel frame
-    * runs, lag-delta, integer mean-compare cut rule) — shared by the
-    * bmp ([[duckLumaCte]]) and png ([[duckPngLumaCte]]) tiers. */
-  private val duckSceneFromLm =
-    """fr AS (
-           SELECT doc_id, n_frames, frame_idx,
-                  CAST(coalesce(list_sum(list_slice(luma,
-                    frame_idx * 32 + 1,
-                    least(frame_idx * 32 + 32, CAST(n_luma AS INT)))), 0)
-                    AS BIGINT) AS energy
-           FROM (SELECT doc_id, luma, n_luma,
-                        greatest(CAST(ceil(n_luma / 32.0) AS INT), 1)
-                          AS n_frames,
-                        unnest(generate_series(0,
-                          greatest(CAST(ceil(n_luma / 32.0) AS INT) - 1, 0)))
-                          AS frame_idx
-                 FROM lm)),
-         d AS (SELECT doc_id, n_frames, frame_idx,
+  /** The cut-decision tail over any `fr` frame-energy CTE
+    * (doc_id, n_frames, frame_idx, energy) — shared by the stride-frame
+    * tiers below and the r9 AVI tier ([[duckAviFrameCte]]), the oracle
+    * twin of Multimodal.cutsFromFrames. */
+  private val duckSceneTail =
+    """d AS (SELECT doc_id, n_frames, frame_idx,
                  abs(energy - lag(energy) OVER (PARTITION BY doc_id
                    ORDER BY frame_idx)) AS delta
                FROM fr QUALIFY delta IS NOT NULL),
@@ -2488,6 +2495,57 @@ object TrainingOps extends OpsModule {
                 CAST(min(CASE WHEN delta * n_deltas * 2 > total_delta * 3
                   THEN frame_idx END) AS INT) AS first_cut
          FROM f GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Scene-cut oracle fragment over any `lm` luma CTE (32-pixel frame
+    * runs, lag-delta, integer mean-compare cut rule) — shared by the
+    * bmp ([[duckLumaCte]]) and png ([[duckPngLumaCte]]) tiers. */
+  private val duckSceneFromLm =
+    s"""fr AS (
+           SELECT doc_id, n_frames, frame_idx,
+                  CAST(coalesce(list_sum(list_slice(luma,
+                    frame_idx * 32 + 1,
+                    least(frame_idx * 32 + 32, CAST(n_luma AS INT)))), 0)
+                    AS BIGINT) AS energy
+           FROM (SELECT doc_id, luma, n_luma,
+                        greatest(CAST(ceil(n_luma / 32.0) AS INT), 1)
+                          AS n_frames,
+                        unnest(generate_series(0,
+                          greatest(CAST(ceil(n_luma / 32.0) AS INT) - 1, 0)))
+                          AS frame_idx
+                 FROM lm)),
+         $duckSceneTail"""
+
+  /** Frame-energy oracle CTE for the r9 AVI tier (docs with
+    * doc_id % 3 = 2, [[graft.mm.Multimodal.aviLake]]): frame geometry is
+    * a pure function of the payload length (W = L%24+8, 4 rows per
+    * frame, npx = max(1, ceil(L/3)) pixels zero-padded to full frames),
+    * pixel p of frame f reads payload bytes 3·(f·W·4+p) as (B, G, R) —
+    * the DIB channel order — through the same Rec.709 integer luma.
+    * NO container parse, no chunk walk: hash equality against the Spark
+    * side round-trip-proves avi_encode (RIFF/hdrl/strl/movi assembly,
+    * bottom-up 4-byte-aligned DIB rows) ∘ avi_frame_lumas (chunk walk,
+    * strf validation, per-'00db' decode) = identity. */
+  private val duckAviFrameCte =
+    s"""avsrc AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS L,
+                 CAST(octet_length(encode(text)) % 24 + 8 AS BIGINT) AS W,
+                 greatest(1, (octet_length(encode(text)) + 2) // 3) AS npx
+          FROM documents WHERE doc_id % 3 = 2),
+        fr AS (
+          SELECT doc_id, n_frames, frame_idx,
+                 CAST(list_sum(list_transform(generate_series(0, fpp - 1),
+                   p -> CASE WHEN frame_idx * fpp + p < npx THEN
+                          (2126 * ${duckByteAt("3 * (frame_idx * fpp + p) + 2")}
+                           + 7152 * ${duckByteAt("3 * (frame_idx * fpp + p) + 1")}
+                           + 722 * ${duckByteAt("3 * (frame_idx * fpp + p)")})
+                            // 10000
+                        ELSE 0 END)) AS BIGINT) AS energy
+          FROM (SELECT doc_id, h, L, npx, W * 4 AS fpp,
+                       CAST((npx + W * 4 - 1) // (W * 4) AS INT) AS n_frames,
+                       unnest(generate_series(0,
+                         (npx + W * 4 - 1) // (W * 4) - 1)) AS frame_idx
+                FROM avsrc))"""
 
   /** Decoded-luma plane oracle CTE for the PNG tier (docs with
     * doc_id % 3 = 1, [[graft.mm.Multimodal.pngLake]]): same geometry
@@ -5064,6 +5122,19 @@ object TrainingOps extends OpsModule {
     "mm_png_scene_cuts" ->
       s"""WITH $duckPngLumaCte,
          $duckSceneFromLm""",
+
+    "mm_avi_frames" ->
+      s"""WITH $duckAviFrameCte
+         SELECT doc_id, max(n_frames) AS n_frames,
+                CAST(sum(energy) AS BIGINT) AS sum_energy,
+                CAST(max(energy) AS BIGINT) AS max_frame_energy
+         FROM fr GROUP BY doc_id ORDER BY doc_id""",
+
+    // true-container-frame scene cuts: the avi frame CTE feeds the same
+    // cut-decision tail the stride tiers use
+    "mm_avi_scene_cuts" ->
+      s"""WITH $duckAviFrameCte,
+         $duckSceneTail""",
 
     "td_waterfill" ->
       """WITH counts AS (SELECT source,

@@ -304,4 +304,150 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(exprSide.toSeq === mpSide.toSeq)
     assert(exprSide.nonEmpty)
   }
+
+  // ---- AVI (r9) ----
+
+  /** payload (B,G,R) = (0x0A, 0x14, 0x1E), width 1 → one 1×4 frame
+    * (4 pixels per frame, npx = 1, three black pad pixels), rowStride 4.
+    * Hand-assembled: RIFF 240 'AVI ' | LIST 192 hdrl [avih 56, LIST 116
+    * strl [strh 56 vids/DIB, strf 40 BITMAPINFOHEADER 1×4 24bpp BI_RGB]]
+    * | LIST 28 movi ['00db' 16, bottom-up rows: 3×black then the pixel].
+    */
+  private val goldenAvi = hx(
+    "52494646" + "F0000000" + "41564920" +            // RIFF 240 'AVI '
+    "4C495354" + "C0000000" + "6864726C" +            // LIST 192 hdrl
+    "61766968" + "38000000" +                          // avih 56
+    "409C0000" + "00000000" + "00000000" + "00000000" +// 40000us, bps, pad, flags
+    "01000000" + "00000000" + "01000000" + "10000000" +// frames, init, streams, buf
+    "01000000" + "04000000" +                          // width 1, height 4
+    "00000000" + "00000000" + "00000000" + "00000000" +// reserved[4]
+    "4C495354" + "74000000" + "7374726C" +             // LIST 116 strl
+    "73747268" + "38000000" +                          // strh 56
+    "76696473" + "44494220" +                          // vids, DIB
+    "00000000" + "0000" + "0000" + "00000000" +        // flags, prio, lang, init
+    "01000000" + "19000000" +                          // scale 1, rate 25
+    "00000000" + "01000000" + "10000000" +             // start, length 1, bufsize
+    "FFFFFFFF" + "00000000" +                          // quality, samplesize
+    "0000" + "0000" + "0100" + "0400" +                // rcFrame (0,0,1,4)
+    "73747266" + "28000000" +                          // strf 40
+    "28000000" + "01000000" + "04000000" +             // biSize, w 1, h 4
+    "0100" + "1800" + "00000000" + "10000000" +        // planes, 24bpp, BI_RGB, img
+    "00000000" + "00000000" + "00000000" + "00000000" +// ppm/clr
+    "4C495354" + "1C000000" + "6D6F7669" +             // LIST 28 movi
+    "30306462" + "10000000" +                          // 00db 16
+    "00000000" + "00000000" + "00000000" + "0A141E00") // bottom-up rows
+
+  // luma of the one real pixel: (2126·30 + 7152·20 + 722·10)/10000 = 21
+  private val goldenAviLumas = Seq(Seq(21, 0, 0, 0))
+
+  test("aviEncode produces the hand-assembled container byte-for-byte") {
+    val out = MediaCodec.aviEncode(Array(0x0A, 0x14, 0x1E).map(_.toByte), 1)
+    assert(out.toSeq === goldenAvi.toSeq)
+  }
+
+  test("aviFrameLumas parses the golden container to hand-computed frame lumas") {
+    assert(MediaCodec.aviFrameLumas(goldenAvi).map(_.toSeq).toSeq ===
+      goldenAviLumas)
+  }
+
+  test("aviFrameLumas walks chunks: JUNK before hdrl and interleaved audio skipped") {
+    // wrap the golden container's inner chunks with a leading JUNK chunk
+    // and an interleaved '01wb' (audio) chunk inside movi — both must be
+    // walked over, not tripped over
+    val inner = goldenAvi.drop(12)
+    val junk = hx("4A554E4B" + "04000000" + "DEADBEEF") // JUNK 4
+    val hdrl = inner.take(8 + 192)
+    val movi = inner.drop(8 + 192)
+    // odd-sized audio chunk (3 bytes) + its RIFF pad byte — exercises the
+    // word-alignment rule on the walk
+    val audio = hx("30317762" + "03000000" + "ABCDEF" + "00")
+    val newMoviPayload = movi.slice(8, 12) ++ audio ++ movi.drop(12)
+    val newMovi = hx("4C495354") ++ {
+      val b = new Array[Byte](4)
+      b(0) = (newMoviPayload.length & 0xff).toByte
+      b(1) = ((newMoviPayload.length >> 8) & 0xff).toByte
+      b
+    } ++ newMoviPayload
+    val total = junk ++ hdrl ++ newMovi
+    val out = hx("52494646") ++ {
+      val b = new Array[Byte](4)
+      val sz = 4 + total.length
+      b(0) = (sz & 0xff).toByte; b(1) = ((sz >> 8) & 0xff).toByte
+      b
+    } ++ hx("41564920") ++ total
+    assert(MediaCodec.aviFrameLumas(out).map(_.toSeq).toSeq === goldenAviLumas)
+  }
+
+  test("aviFrameLumas rejects malformed input with an empty array") {
+    def bad(mut: Array[Byte] => Unit): Array[Byte] = {
+      val c = goldenAvi.clone(); mut(c); c
+    }
+    assert(MediaCodec.aviFrameLumas(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.aviFrameLumas(goldenAvi.take(11)).isEmpty)
+    // wrong form type
+    assert(MediaCodec.aviFrameLumas(bad(_(8) = 'W'.toByte)).isEmpty)
+    // truncated mid-movi
+    assert(MediaCodec.aviFrameLumas(goldenAvi.take(goldenAvi.length - 8)).isEmpty)
+    // unsupported bpp (strf bpp field at offset 12+8+4+56+8+4+56+8+22)
+    val bppOff = goldenAvi.length - 28 - 16 - 18 // 40-byte strf: bpp 22 in
+    assert((goldenAvi(bppOff) & 0xff) == 24, "fixture offset sanity")
+    assert(MediaCodec.aviFrameLumas(bad(_(bppOff) = 16.toByte)).isEmpty)
+    // frame chunk size mismatch vs header geometry
+    assert(MediaCodec.aviFrameLumas(bad { c =>
+      c(goldenAvi.length - 20) = 12.toByte // 00db size 16 -> 12
+    }).isEmpty)
+  }
+
+  test("crafted AVI overflow inputs resolve to empty, never a crash") {
+    // u32 chunk size 0xFFFFFFFF reads negative -> malformed, not a wrap
+    val hugeChunk = goldenAvi.clone()
+    hugeChunk(16) = 0xFF.toByte; hugeChunk(17) = 0xFF.toByte
+    hugeChunk(18) = 0xFF.toByte; hugeChunk(19) = 0xFF.toByte
+    assert(MediaCodec.aviFrameLumas(hugeChunk).isEmpty)
+    // strf width near 2^30: the w·h product guard must refuse before
+    // any stride arithmetic can wrap
+    val wideStrf = goldenAvi.clone()
+    val wOff = goldenAvi.length - 72 // biWidth in strf (movi 36 + strf tail 36)
+    assert((goldenAvi(wOff) & 0xff) == 1, "fixture offset sanity")
+    assert(MediaCodec.aviFrameLumas({
+      wideStrf(wOff) = 0xFF.toByte; wideStrf(wOff + 1) = 0xFF.toByte
+      wideStrf(wOff + 2) = 0xFF.toByte; wideStrf(wOff + 3) = 0x3F.toByte
+      wideStrf
+    }).isEmpty)
+    // unencodable request: width that overflows the container size
+    assert(MediaCodec.aviEncode(new Array[Byte](64), Int.MaxValue / 2).isEmpty)
+  }
+
+  test("avi round-trip: multi-frame decode(encode(payload)) matches first principles") {
+    val payload = Array.tabulate[Byte](101)(i => ((i * 37 + 11) % 251).toByte)
+    val width = 5 // 20 pixels per frame; npx = 34 -> 2 frames
+    val frames = MediaCodec.aviFrameLumas(MediaCodec.aviEncode(payload, width))
+    assert(frames.length == 2)
+    def pb(i: Int) = if (i < payload.length) payload(i) & 0xff else 0
+    val expected = (0 until 2).map { f =>
+      (0 until 20).map { p =>
+        val j = f * 20 + p
+        if (j < 34)
+          (2126 * pb(3 * j + 2) + 7152 * pb(3 * j + 1) + 722 * pb(3 * j)) / 10000
+        else 0
+      }
+    }
+    assert(frames.map(_.toSeq).toSeq === expected)
+  }
+
+  test("aviSceneCuts drops single-frame videos and the frame table matches the codec") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val lake = graft.mm.Multimodal.aviLake(docs)
+    val fe = graft.mm.Multimodal.aviFrameEnergies(lake)
+      .select("doc_id", "n_frames").distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fe.nonEmpty && fe.values.exists(_ >= 2),
+      "fixture must contain multi-frame videos")
+    val cuts = graft.mm.Multimodal.aviSceneCuts(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cuts == fe.filter(_._2 >= 2).keySet,
+      "exactly the multi-frame videos appear in the cut table")
+  }
 }

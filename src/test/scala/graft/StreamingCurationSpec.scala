@@ -305,4 +305,119 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$store/linedf_snap/v=3").exists,
       "below the floor no snapshot is written")
   }
+
+  /** The r9 composed-parity contract (VERDICT r8 "Next round" #5): the
+    * BATCH pipeline on a corpus vs the stream replaying the same corpus
+    * in id-ordered batches must agree on the admitted set and on every
+    * admitted text, EXCEPT the one inherent divergence: a boilerplate
+    * line whose document-frequency crosses `lineMaxDocs` mid-stream is
+    * kept by documents admitted BEFORE the crossing batch (they were
+    * clean when admitted; the stream does not rewrite history) and
+    * removed from every document in the batch pipeline (which counts df
+    * over the whole corpus in one pass). A later-batch doc being
+    * admitted before its earlier near-dup arrives is NOT a divergence
+    * here — batches are id-ordered and both sides keep the minimum id
+    * (batch: min-id canonical; stream: first arrival). Decontamination
+    * is excluded from the comparison by passing an empty benchmark —
+    * the stream deliberately scrubs on read paths, not at admission. */
+  test("composed parity: streamed replay ≡ batch pipeline on a 97-doc corpus, divergence = mid-stream line-df crossing only") {
+    val corpus = tmp(); val store = tmp()
+    val boiler = okA._1.split(" ").take(6).mkString(" ")
+    // exclude okA/okB from the boiler carriers: the exact-dup pair
+    // reuses okA's text and the near-dup pair okB's, and a carrier built
+    // on the same base would be a near-dup of those crafted docs
+    val five = family.filter(t => t._1 != okA._1 && t._1 != okB._1).take(5)
+    assert(five.size == 5)
+    // fillers: distinct curated survivors of the full sf0.001 run (near-
+    // dup-free and boilerplate-free by that run's construction), minus
+    // every text a crafted doc builds on
+    val excluded = (five.map(_._1) :+ okA._1 :+ okB._1).toSet
+    val fillers = {
+      val sfDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val base = CurationPipeline.run(sfDocs, sfDocs.limit(0))
+      val rows = base.curated.select("text", "lang", "source")
+        .as[(String, String, String)].collect()
+      base.unpersist()
+      val originals = rows.groupBy(_._1).map(_._2.head)
+        .filterNot(r => excluded(r._1)).toSeq.sortBy(_._1)
+      // sf0.001 yields ~65 distinct survivors; pad to 87 with half-length
+      // token ROTATIONS — same word multiset (every row-local gate scores
+      // identically) but disjoint shingle sets (rotation rewrites every
+      // 3-gram except the wrap seam), so a rotation is near-dup of
+      // nothing, its base included
+      val rotated = originals.map { case (t, l, s) =>
+        val toks = t.split(" "); val r = toks.length / 2
+        ((toks.drop(r) ++ toks.take(r)).mkString(" "), l, s)
+      }
+      (originals ++ rotated).take(87)
+    }
+    assert(fillers.size == 87, s"fixture needs 87 fillers, got ${fillers.size}")
+    assert(fillers.map(_._1).distinct.size == 87)
+
+    // crafted docs: 5 boiler carriers (df crosses 3 during the last
+    // batch), one exact-dup pair, one near-dup pair, one gate-fail doc
+    def boilered(i: Int, id: Long) = {
+      val t = five(i)._1 + "\n" + boiler
+      (id, t, five(i)._2, five(i)._3, t.length.toLong)
+    }
+    val exactText = okA._1
+    val nearBase = okB._1
+    val crafted = Map(
+      0 -> Seq(boilered(0, 100L), doc(200L, exactText, okA)),
+      1 -> Seq(boilered(1, 1100L), doc(1200L, nearBase, okB),
+        doc(1300L, okA._1 + " {x", okA)),
+      2 -> Seq(boilered(2, 2100L), doc(2200L, exactText, okA)),
+      3 -> Seq(boilered(3, 3100L), boilered(4, 3101L),
+        doc(3200L, nearDupOf(nearBase), okB)))
+    val fillerBatches = Seq(
+      fillers.slice(0, 22), fillers.slice(22, 44),
+      fillers.slice(44, 66), fillers.slice(66, 87))
+    val batches = (0 to 3).map { b =>
+      crafted(b) ++ fillerBatches(b).zipWithIndex.map { case (m, j) =>
+        doc(b * 1000L + 10L + j, m._1, m)
+      }
+    }
+    assert(batches.map(_.size).sum == 97)
+    val corpus97 = df(batches.flatten: _*)
+
+    // BATCH: the full pipeline in one pass (empty benchmark)
+    val res = CurationPipeline.run(corpus97, corpus97.limit(0), lineMaxDocs = 3)
+    val batchOut = res.curated.select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    res.unpersist()
+
+    // STREAM: the same corpus replayed in 4 id-ordered batches
+    (0 to 3).foreach(b =>
+      StreamingCuration.applyBatch(df(batches(b): _*), b.toLong, corpus, store))
+    val streamOut = spark.read.parquet(s"$corpus/documents")
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // MEMBERSHIP agrees exactly: exact-dup e' and near-dup m' dropped by
+    // both (min-id survivor both sides), gate-fail dropped by both,
+    // boiler carriers admitted by both
+    assert(streamOut.keySet === batchOut.keySet)
+    assert(!streamOut.keySet.exists(Set(1300L, 2200L, 3200L)),
+      "later dup copies and the gate-fail doc admitted nowhere")
+    assert(Set(100L, 1100L, 2100L, 3100L, 3101L, 200L, 1200L)
+      .subsetOf(streamOut.keySet))
+
+    // TEXTS agree everywhere except the named divergence: the boiler
+    // line's df crossed lineMaxDocs=3 during batch 3, so 100/1100/2100
+    // (admitted in batches 0-2) keep it in the stream and lose it in the
+    // batch pipeline; 3100/3101 (the crossing batch) lose it in BOTH
+    val divergent = Set(100L, 1100L, 2100L)
+    for ((id, v) <- batchOut if !divergent(id))
+      assert(streamOut(id) === v, s"doc $id must agree")
+    val baseOf = Map(100L -> five(0)._1, 1100L -> five(1)._1,
+      2100L -> five(2)._1)
+    for (id <- divergent) {
+      assert(batchOut(id) ===
+        ((baseOf(id), baseOf(id).length.toLong)),
+        s"batch removes the line from $id")
+      assert(streamOut(id) ===
+        ((baseOf(id) + "\n" + boiler, (baseOf(id) + "\n" + boiler).length.toLong)),
+        s"stream keeps the line in early-admitted $id")
+    }
+  }
 }
