@@ -14,11 +14,18 @@ object Bench {
     // Optional args: query names to bench (default all) — local iteration
     // aid; the driver invokes with no args.
     // The CONTROL query is always benched and reported as its own field:
-    // a CPU-bound, shuffle-light query whose time is stable across boots,
+    // a cheap, constant-shape query whose time is stable across boots,
     // so any run's other numbers can be read against the same-boot
     // control before believing a regression (the r7 prefix-join band was
     // only diagnosable because a control happened to run in the same
-    // hour — this makes that read protocol self-contained; see PLANS.md)
+    // hour — this makes that read protocol self-contained; see PLANS.md).
+    // Measurement-semantics note (r9): under this count() protocol the
+    // control — like every projection-only query — times a parquet
+    // METADATA row-count plus job overhead, not the scan (Catalyst
+    // elides unused projections and sorts under a count). That makes it
+    // a BOOT-HEALTH control, which is its job; scan-throughput numbers
+    // live in the decade files, timed with toRdd.count() instead
+    // (BENCH_SF100_TEXT.json's protocol note).
     val ControlQuery = "td_token_stats"
     val wanted = if (args.isEmpty) SparkEntry.queries
                  else SparkEntry.queries.filter { case (n, _) =>
