@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.Embeddings
+import graft.streaming.SemDedupIngest
+
+/** [[SemDedupIngest]] — semantic near-dup ADMISSION over a vector
+  * stream (r9): earliest arrival wins within a batch and against the
+  * store, the cell is the blocking, and replays re-derive every
+  * decision to the identical admitted set (exactly-once by idempotence,
+  * the VectorIngest posture — no marker, so the convergence proof IS
+  * the decision determinism).
+  */
+class SemDedupIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 4 orthogonal unit clusters seed the index (one vector each, the
+    * basis vectors), so routing is exact and within-cell cosines are
+    * either 1.0 (same direction) or < 1 by a controlled tilt. */
+  private def freshIndex(): String = {
+    val dir = Files.createTempDirectory("semdedup_ingest").toString + "/ivf"
+    val seed = (0L until 4L).map { c =>
+      (c, Array.tabulate(4)(d => if (d == c) 1.0f else 0.0f), c.toInt)
+    }.toDF("vec_id", "embedding", "label")
+    Embeddings.buildIvfIndex(seed, dir)
+    dir
+  }
+
+  private def unit(c: Int): Array[Float] =
+    Array.tabulate(4)(d => if (d == c) 1.0f else 0.0f)
+
+  /** Tilted copy of basis c: cos to the basis = cos(angle) ≈ 1−tilt²/2;
+    * still routes to cell c (nearest centroid). */
+  private def tilted(c: Int, tilt: Float): Array[Float] = {
+    val v = Array.tabulate(4)(d => if (d == c) 1.0f else 0.0f)
+    v((c + 1) % 4) = tilt
+    val n = math.sqrt(1.0 + tilt * tilt).toFloat
+    v.map(_ / n)
+  }
+
+  private def postings(dir: String): Set[Long] =
+    spark.read.parquet(s"$dir/postings").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("store veto, batch-local earliest-wins, distinct-direction admit") {
+    val dir = freshIndex()
+    // 10: duplicate of stored basis 0 (cos 1.0) -> store-vetoed
+    // 11, 12: same new tilted direction in cell 1 (cos 1.0 to each
+    //         other, ~0.89 to the stored basis) -> 11 admitted (earliest),
+    //         12 batch-local-vetoed
+    // 13: moderately tilted in cell 2 (cos to basis ~0.95 < t) -> admitted
+    val t = 0.98
+    val b = Seq(
+      (10L, unit(0)), (11L, tilted(1, 0.5f)), (12L, tilted(1, 0.5f)),
+      (13L, tilted(2, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val (admit, reject) = SemDedupIngest.applyBatch(b, dir, threshold = t)
+    assert((admit, reject) === ((2L, 2L)))
+    assert(postings(dir) === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L)
+      .filter(id => id < 4 || id == 11L || id == 13L))
+
+    // cross-batch: a later duplicate of the ADMITTED 11 is store-vetoed
+    val b2 = Seq((20L, tilted(1, 0.5f)), (21L, tilted(3, 0.6f)))
+      .toDF("vec_id", "embedding")
+    assert(SemDedupIngest.applyBatch(b2, dir, threshold = t) === ((1L, 1L)))
+    assert(postings(dir).contains(21L) && !postings(dir).contains(20L))
+  }
+
+  test("replay re-derives identical decisions and appends nothing (no self-veto)") {
+    val dir = freshIndex()
+    val t = 0.98
+    val b = Seq(
+      (10L, unit(0)), (11L, tilted(1, 0.5f)), (12L, tilted(1, 0.5f)),
+      (13L, tilted(2, 0.3f))
+    ).toDF("vec_id", "embedding")
+    assert(SemDedupIngest.applyBatch(b, dir, threshold = t) === ((2L, 2L)))
+    val afterFirst = postings(dir)
+    // full replay: admitted rows must not self-veto against their own
+    // stored copy; rejected rows re-reject (their veto partner is now
+    // in the store); postings unchanged
+    assert(SemDedupIngest.applyBatch(b, dir, threshold = t) === ((2L, 2L)))
+    assert(postings(dir) === afterFirst)
+    assert(spark.read.parquet(s"$dir/postings").count() ===
+      afterFirst.size.toLong, "replay appended duplicate postings")
+  }
+
+  test("partial-append crash converges: replay fills exactly the remainder") {
+    val dir = freshIndex()
+    val t = 0.98
+    // simulate the crash: first batch admitted 11 only of {11, 12-dup};
+    // the 'wider' replay carries 11, 12 AND a new distinct 14
+    val b1 = Seq((11L, tilted(1, 0.5f))).toDF("vec_id", "embedding")
+    assert(SemDedupIngest.applyBatch(b1, dir, threshold = t) === ((1L, 0L)))
+    val wider = Seq(
+      (11L, tilted(1, 0.5f)), (12L, tilted(1, 0.5f)), (14L, tilted(3, 0.4f))
+    ).toDF("vec_id", "embedding")
+    // 11 re-admits (already present, appends nothing), 12 vetoed (by 11
+    // in batch AND store), 14 admitted fresh
+    assert(SemDedupIngest.applyBatch(wider, dir, threshold = t) === ((2L, 1L)))
+    val ids = postings(dir)
+    assert(ids.contains(11L) && ids.contains(14L) && !ids.contains(12L))
+    assert(spark.read.parquet(s"$dir/postings")
+      .groupBy("vec_id").count().filter(col("count") > 1).count() === 0L,
+      "no vec_id may hold more than one posting after replays")
+  }
+
+  test("admission agrees with the batch semDedup duplicate RELATION on ordered arrival") {
+    // same-direction groups arriving id-ordered: the stream keeps the
+    // earliest of each group; batch semDedup marks all-but-one of each
+    // group dup (its survivor POLICY differs — least centroid-typical —
+    // but on exact-duplicate groups whose members tie, the earliest id
+    // survives there too via the rank tie-break)
+    val dir = freshIndex()
+    val rows = Seq(
+      (30L, tilted(0, 0.7f)), (31L, tilted(0, 0.7f)), (32L, tilted(0, 0.7f)),
+      (33L, tilted(1, 0.8f)), (34L, tilted(1, 0.8f)))
+    val t = 0.999
+    assert(SemDedupIngest.applyBatch(
+      rows.toDF("vec_id", "embedding"), dir, threshold = t) === ((2L, 3L)))
+    val streamKept = postings(dir) -- Set(0L, 1L, 2L, 3L)
+    assert(streamKept === Set(30L, 33L))
+    // batch reference over the same rows with label = routed cell
+    val labeled = rows.map { case (id, v) =>
+      (id, v, if (id <= 32) 0 else 1) }.toDF("vec_id", "embedding", "label")
+    val batchKept = Embeddings.semDedup(labeled, threshold = t)
+      .filter(col("is_dup") === 0).select("vec_id")
+      .as[Long].collect().toSet
+    assert(batchKept === streamKept)
+  }
+}
