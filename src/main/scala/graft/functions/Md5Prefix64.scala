@@ -131,6 +131,16 @@ object GraftFunctions {
       registry.registerFunction(di8Ident, VecDotI8.info,
         (children: Seq[Expression]) => VecDotI8(children(0), children(1)))
     }
+    val iplIdent = FunctionIdentifier("i8_pack_l")
+    if (!registry.functionExists(iplIdent)) {
+      registry.registerFunction(iplIdent, I8PackL.info,
+        (children: Seq[Expression]) => I8PackL(children.head))
+    }
+    val di8lIdent = FunctionIdentifier("vec_dot_i8_l")
+    if (!registry.functionExists(di8lIdent)) {
+      registry.registerFunction(di8lIdent, VecDotI8L.info,
+        (children: Seq[Expression]) => VecDotI8L(children(0), children(1)))
+    }
     // the pure-JVM media codecs (r7): real WAV/BMP containers in, true
     // PCM samples / luma pixels out — all inside whole-stage codegen
     val weIdent = FunctionIdentifier("wav_encode")
@@ -235,6 +245,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => I8Pack(children.head)))
     ext.injectFunction((FunctionIdentifier("vec_dot_i8"), VecDotI8.info,
       (children: Seq[Expression]) => VecDotI8(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("i8_pack_l"), I8PackL.info,
+      (children: Seq[Expression]) => I8PackL(children.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot_i8_l"), VecDotI8L.info,
+      (children: Seq[Expression]) => VecDotI8L(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("wav_encode"), WavEncode.info,
       (children: Seq[Expression]) => WavEncode(children.head)))
     ext.injectFunction((FunctionIdentifier("wav_pcm_samples"), WavPcmSamples.info,

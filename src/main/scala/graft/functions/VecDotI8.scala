@@ -128,3 +128,137 @@ case class VecDotI8(left: Expression, right: Expression) extends BinaryExpressio
 object VecDotI8 {
   val info = new ExpressionInfo(classOf[VecDotI8].getName, "vec_dot_i8")
 }
+
+/** Pack an int8-range ARRAY<INT> into an ARRAY<LONG> of 8 bytes per
+  * long (zero-padded tail) — the LONG-WORD sibling of [[I8Pack]].
+  *
+  * Why a second packing exists (r9 forced-profile finding): BINARY is
+  * the narrowest wire format, but UnsafeRow's `getBinary` COPIES the
+  * byte array on every access — inside a join condition that runs per
+  * candidate pair, that is two ~64 B allocations per pair (~60 GB of
+  * garbage across sf100emb's ~250M-pair verify). ARRAY<LONG> reads as
+  * an UnsafeArrayData VIEW (no copy, like the double arrays the classic
+  * path reads), costs 8+8+8·ceil(d/8) bytes (~80 B at d = 64 — still
+  * ~6× narrower than the double array), and [[VecDotI8L]] unpacks bytes
+  * with shifts in the fused loop. Zero-padding is dot-neutral. */
+case class I8PackL(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"i8_pack_l requires ARRAY<INT> input, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "i8_pack_l"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(I8PackL.pack(x))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.I8PackL.pack($a));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): I8PackL =
+    copy(child = newChild)
+}
+
+object I8PackL {
+  val info = new ExpressionInfo(classOf[I8PackL].getName, "i8_pack_l")
+
+  /** Clamp each int to [-128, 127] and pack 8 signed bytes per long,
+    * byte i of the element at lane (i % 8); tail lanes zero. */
+  def pack(x: ArrayData): Array[Long] = {
+    val n = x.numElements()
+    val out = new Array[Long]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      val v = x.getInt(i)
+      val b = (if (v > 127) 127 else if (v < -128) -128 else v) & 0xff
+      out(i >> 3) |= b.toLong << ((i & 7) << 3)
+      i += 1
+    }
+    out
+  }
+}
+
+/** Exact integer dot over two [[I8PackL]]-packed vectors (ARRAY<LONG>
+  * in, LONG out): bytes unpacked with shifts inside the fused loop,
+  * operands read as UnsafeArrayData VIEWS — no per-pair allocation,
+  * unlike BINARY access. Length mismatch truncates to the shorter side
+  * (in 8-lane words); null on either side yields null. */
+case class VecDotI8L(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def isLongArray(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_i8_l requires ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_i8_l"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      var wa = x.getLong(i)
+      var wb = y.getLong(i)
+      var k = 0
+      while (k < 8) {
+        acc += (wa << 56 >> 56) * (wb << 56 >> 56)
+        wa >>>= 8; wb >>>= 8
+        k += 1
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val wa = ctx.freshName("wa")
+      val wb = ctx.freshName("wb")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $wa = $a.getLong($i);
+         |  long $wb = $b.getLong($i);
+         |  for (int $k = 0; $k < 8; $k++) {
+         |    $acc += ($wa << 56 >> 56) * ($wb << 56 >> 56);
+         |    $wa >>>= 8; $wb >>>= 8;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotI8L =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDotI8L {
+  val info = new ExpressionInfo(classOf[VecDotI8L].getName, "vec_dot_i8_l")
+}

@@ -190,16 +190,23 @@ object ScaleKnobs {
                     threeLevelFloor: Int = ThreeLevelFloorCells): Int =
     if (cells <= threeLevelFloor) 1 else icbrt(cells.toLong).toInt
 
-  /** Engage SemDeDup's int8 pair pre-verify (r9) past the same cell
-    * floor that engages two-level assign routing: at-or-below the floor
-    * (every oracle sf resolves to 16 cells) the historical exact-pair
-    * plan runs unchanged — recorded hashes and plan tags untouched —
-    * while larger corpora shuffle 64-byte packed vectors instead of
-    * ~528-byte double arrays through the window exchange and the
-    * within-cell self-join (the sf100emb I/O band's byte source), with
-    * the decisions still exact via the analytic slack + float confirm
-    * in [[graft.sim.Embeddings.semDedup]]. */
-  def semDedupQuantPre(cells: Int, floorCells: Int = CoarseFloorCells): Boolean =
+  /** Engage SemDeDup's cell-bucketed-postings plan (r9) past the same
+    * cell floor that engages two-level assign routing: at-or-below the
+    * floor (every oracle sf resolves to 16 cells) the historical
+    * exact-pair plan runs unchanged — recorded hashes and plan tags
+    * untouched — while larger corpora persist the scored frame
+    * bucketed+sorted by cell once and run the rank window and the
+    * within-cell pair join with ZERO Exchange nodes
+    * ([[graft.sim.Embeddings.semDedupBucketed]]). Chosen over the int8
+    * pre-verify variant by the r9 FORCED-evaluation A/B at sf100emb
+    * (bucketed 62 s / classic 68 s / quantized 87–101 s, identical
+    * outputs): the pair pass is compute-bound at fixed local resources
+    * and a quantized estimate of the same dimension cannot cut its CPU,
+    * while removing the exchange entirely wins on every measured
+    * profile. The quantized path (semDedup(quantPre=true), 6× fewer
+    * exchange bytes) remains the documented alternative for
+    * network-bound deployments — PLANS.md carries the full trail. */
+  def semDedupPostings(cells: Int, floorCells: Int = CoarseFloorCells): Boolean =
     cells > floorCells
 
   /** Centroid-training sample modulus: Lloyd ITERATIONS run on the
@@ -232,9 +239,9 @@ object ScaleKnobs {
       "centroid training on a ~32*cells sample (iterations off-corpus)"),
     ("nndescent_lsh_planes", nVecs, lshPlanes(nVecs).toLong,
       "seed pair work ~1250*N (bucket occupancy ~1250)"),
-    ("semdedup_quant_pre", nVecs,
-      if (semDedupQuantPre(kmeansCells(nVecs))) 1L else 0L,
-      s"pair shuffle carries 64B packed int8 past $CoarseFloorCells cells (exact via slack+confirm)"),
+    ("semdedup_postings", nVecs,
+      if (semDedupPostings(kmeansCells(nVecs))) 1L else 0L,
+      s"cell-bucketed postings (zero-Exchange rank+pair plan) past $CoarseFloorCells cells"),
     ("nndescent_truth_mod", nVecs, truthSampleMod(nVecs).toLong,
       "exact-truth leg ~100*N (sampled queries capped ~100)"))
 }

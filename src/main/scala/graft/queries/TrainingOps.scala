@@ -747,11 +747,22 @@ object TrainingOps extends OpsModule {
       val e = embs(s, d)
       val cells = graft.ops.ScaleKnobs.kmeansCells(e.count(),
         floor = SemDedupCells)
-      Embeddings.semDedup(e, threshold = SemDedupThreshold,
-        nCells = cells,
-        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells),
-        nCoarse2 = graft.ops.ScaleKnobs.kmeansCoarse2(cells),
-        quantPre = graft.ops.ScaleKnobs.semDedupQuantPre(cells)).orderBy("vec_id")
+      val c1 = graft.ops.ScaleKnobs.kmeansCoarse(cells)
+      val c2 = graft.ops.ScaleKnobs.kmeansCoarse2(cells)
+      // past the coarse floor the scored frame persists as cell-bucketed
+      // postings and the rank+pair plan runs with ZERO Exchange — the
+      // winner of the r9 forced-evaluation A/B (row-identical output,
+      // SemDedupScaleSpec); oracle sfs stay on the historical exact plan
+      val out =
+        if (graft.ops.ScaleKnobs.semDedupPostings(cells))
+          Embeddings.semDedupBucketed(s, e,
+            s"${System.getProperty("java.io.tmpdir")}/graft_semdedup_postings",
+            threshold = SemDedupThreshold, nCells = cells,
+            nCoarse = c1, nCoarse2 = c2)
+        else
+          Embeddings.semDedup(e, threshold = SemDedupThreshold,
+            nCells = cells, nCoarse = c1, nCoarse2 = c2)
+      out.orderBy("vec_id")
     }),
 
     "emb_knn_brute" -> ((s, d) =>
@@ -1799,10 +1810,10 @@ object TrainingOps extends OpsModule {
                  'seed pair work ~1250*N (bucket occupancy ~1250)'
           FROM k
           UNION ALL
-          SELECT 'semdedup_quant_pre', ne,
+          SELECT 'semdedup_postings', ne,
                  CAST(CASE WHEN cells > $CoarseFloorCells THEN 1 ELSE 0 END
                       AS BIGINT),
-                 'pair shuffle carries 64B packed int8 past $CoarseFloorCells cells (exact via slack+confirm)'
+                 'cell-bucketed postings (zero-Exchange rank+pair plan) past $CoarseFloorCells cells'
           FROM k
           UNION ALL
           SELECT 'nndescent_truth_mod', ne,

@@ -43,15 +43,26 @@ object Embeddings {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Packed-int8 vector (BINARY) via the native codegen'd
-    * [[graft.functions.I8Pack]] — the shuffle-width half of the
-    * quantized pair pre-verify (64 bytes per 64-dim vector through an
-    * exchange vs ~528 for the double array). */
+    * [[graft.functions.I8Pack]] — the narrowest wire format (64 bytes
+    * per 64-dim vector through an exchange vs ~528 for the double
+    * array). For PER-PAIR hot loops prefer [[i8PackL]]: BINARY access
+    * copies per read, ARRAY<LONG> reads as a view. */
   def i8Pack(q: Column): Column = call_function("i8_pack", q)
 
   /** Exact integer dot over two packed-int8 vectors
     * ([[graft.functions.VecDotI8]]): long arithmetic, no float
     * accumulation order to disagree on across engines. */
   def dotI8(a: Column, b: Column): Column = call_function("vec_dot_i8", a, b)
+
+  /** Long-word packed int8 vector ([[graft.functions.I8PackL]], 8 bytes
+    * per long): ~80 B per 64-dim vector in an UnsafeRow — 6× narrower
+    * than the double array — and read as a VIEW, so a join condition
+    * evaluating the dot per candidate pair allocates nothing. */
+  def i8PackL(q: Column): Column = call_function("i8_pack_l", q)
+
+  /** Exact integer dot over two [[i8PackL]]-packed vectors
+    * ([[graft.functions.VecDotI8L]]). */
+  def dotI8L(a: Column, b: Column): Column = call_function("vec_dot_i8_l", a, b)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -748,49 +759,62 @@ object Embeddings {
     } else {
       // Quantized pre-verify (r9, VERDICT r8 "Next round" #1): the frame
       // that crosses the window exchange and the within-cell self-join
-      // carries a 64-byte packed int8 vector instead of the ~528-byte
-      // double array — ~5× fewer shuffle bytes on the path that banded
-      // [64, 145] s at sf100emb. Decisions stay EXACT (hashes
-      // bit-unchanged): the quantized estimate est plus the per-pair
-      // analytic slack brackets the true cosine,
+      // carries a long-word-packed int8 vector (~80 B via i8_pack_l)
+      // instead of the ~528-byte double array — ~6× fewer shuffle bytes
+      // on the path that banded [64, 145] s at sf100emb, with the packed
+      // words read as UnsafeRow VIEWS so the per-pair dot allocates
+      // nothing (the first cut used BINARY, whose per-access copy made
+      // the forced pair pass LOSE to classic — the measured trail is in
+      // PLANS.md). Decisions stay EXACT (hashes bit-unchanged): the
+      // quantized estimate est plus the per-pair analytic slack brackets
+      // the true cosine,
       //   |cos − est| ≤ qe_a + qe_b + qe_a·qe_b     (qe = ‖v−v̂‖₂/‖v‖₂
       //                                              ≤ (scale+1e-7)·√d/‖v‖)
       // so est+slack < t ⇒ cos < t−1e-6 ⇒ round(cos,6) < t (safe drop),
       // and est−slack ≥ t ⇒ cos ≥ t+1e-6 ⇒ round(cos,6) ≥ t (sure dup,
       // no float recompute). Only the narrow ambiguous band between the
       // two bounds is confirmed against full vectors — fetched by id, so
-      // the corpus-with-arrays never re-shuffles (AQE broadcasts the
-      // small id side). The +1e-6 inside slack covers the 6dp rounding
-      // half-step (5e-7), the 9dp scale rounding (≤6.5e-8 via the 1e-7
-      // inflation), and double fold error (~1e-13) with margin.
+      // the corpus-with-arrays never re-shuffles. The +1e-6 inside slack
+      // covers the 6dp rounding half-step (5e-7), the 9dp scale rounding
+      // (≤6.5e-8 via the 1e-7 inflation), and double fold error (~1e-13).
+      //
+      // The pair join has TWO consumers — the sure side folds through the
+      // same cheap long-key hash-dedup the classic path uses (partial
+      // HashAggregate before the exchange, so the shuffle carries ≤ one
+      // id per vec per partition), and the ambiguous side is band-narrow
+      // by construction. A one-pass groupBy(vec_id)+collect_set variant
+      // was tried and MEASURED WORSE (185 s vs classic's 68 s forced at
+      // sf100emb): collect_set plans as ObjectHashAggregate, whose
+      // sort-based fallback sorts the full ~250M-row pair stream. Two
+      // fused passes over view-packed words beat one pass through an
+      // object-agg sort — the trail is in PLANS.md.
       val slim = scored
         .withColumn("qz", quantizeInt8(col("emb")))
         .withColumn("qe", (col("qz.scale") + lit(1e-7)) *
           sqrt(size(col("emb")).cast("double")) / col("vnorm"))
         .select(col("cell"), col("vec_id"), col("ccos"), col("vnorm"),
-          i8Pack(col("qz.q")).as("qb"), col("qz.scale").as("qs"), col("qe"))
+          i8PackL(col("qz.q")).as("ql"), col("qz.scale").as("qs"), col("qe"))
       val ranked = slim.withColumn("crank", row_number().over(w))
       val a = ranked.select(col("cell"), col("crank").as("rank_a"),
-        col("vec_id").as("vid_a"), col("qb").as("qb_a"), col("qs").as("qs_a"),
+        col("vec_id").as("vid_a"), col("ql").as("ql_a"), col("qs").as("qs_a"),
         col("vnorm").as("norm_a"), col("qe").as("qe_a"))
-      val cand = a.join(ranked, Seq("cell"))
-        .filter(col("rank_a") < col("crank"))
-        .withColumn("est", dotI8(col("qb_a"), col("qb")).cast("double") *
-          col("qs_a") * col("qs") / (col("norm_a") * col("vnorm")))
-        .withColumn("slack",
-          col("qe_a") + col("qe") + col("qe_a") * col("qe") + lit(1e-6))
-        .filter(col("est") + col("slack") >= threshold)
-        .select(col("vid_a"), col("vec_id"), col("est"), col("slack"))
       // Zero-norm posture matches the exact path: under ANSI mode (the
       // Spark 4 default) a zero-norm vector raises DIVIDE_BY_ZERO in the
       // SHARED scored prelude (cosine-to-centroid divides by ‖v‖) before
       // either branch's pair arithmetic runs — both paths fail
       // identically rather than silently diverging. Spec-pinned.
+      val cand = a.join(ranked, Seq("cell"))
+        .filter(col("rank_a") < col("crank"))
+        .withColumn("est", dotI8L(col("ql_a"), col("ql")).cast("double") *
+          col("qs_a") * col("qs") / (col("norm_a") * col("vnorm")))
+        .withColumn("slack",
+          col("qe_a") + col("qe") + col("qe_a") * col("qe") + lit(1e-6))
+        .filter(col("est") + col("slack") >= threshold)
       val sure = cand.filter(col("est") - col("slack") >= threshold)
         .select("vec_id").distinct()
       val amb = cand.filter(!(col("est") - col("slack") >= threshold))
         .join(sure, Seq("vec_id"), "left_anti")
-        .select("vid_a", "vec_id")
+        .select("vec_id", "vid_a")
       val fat = embeddings
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("vnorm", norm(col("emb")))

@@ -120,7 +120,7 @@ class ScaleKnobsSpec extends AnyFunSuite {
       ("kmeans_coarse2", 200L, 1L),
       ("kmeans_sample_mod", 200L, 1L),
       ("nndescent_lsh_planes", 200L, 4L),
-      ("semdedup_quant_pre", 200L, 0L),
+      ("semdedup_postings", 200L, 0L),
       ("nndescent_truth_mod", 200L, 20L)))
   }
 
@@ -140,6 +140,6 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(rows("kmeans_sample_mod") === 200000L / (1600L * 32))   // 3
     assert(rows("nndescent_lsh_planes") === 8L)  // min g: 1250·2^g ≥ 200000
     assert(rows("nndescent_truth_mod") === 2000L)
-    assert(rows("semdedup_quant_pre") === 1L)  // 1600 cells > 256 floor
+    assert(rows("semdedup_postings") === 1L)  // 1600 cells > 256 floor
   }
 }

@@ -69,6 +69,35 @@ class SemDedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("i8_pack_l / vec_dot_i8_l: long-word packing matches the binary pair exactly") {
+    // same clamp, same dot, different container — the long-word pair is
+    // the per-pair hot-loop format (view access, no copy); equality with
+    // the binary pair on real quantized vectors pins the packing
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        Embeddings.quantizeInt8(Embeddings.asDouble(col("embedding"))).as("qz"))
+      .select(col("vec_id"),
+        Embeddings.i8Pack(col("qz.q")).as("qb"),
+        Embeddings.i8PackL(col("qz.q")).as("ql"))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(300)
+      .select(Embeddings.dotI8(col("a.qb"), col("b.qb")).as("bin"),
+        Embeddings.dotI8L(col("a.ql"), col("b.ql")).as("lng"))
+      .filter(col("bin") =!= col("lng")).count()
+    assert(pairs === 0)
+    // clamp + sign corners + non-multiple-of-8 length and zero padding
+    val corner = Seq((Seq(-128, -128, 127, 300, -300, 1, -1, 2, 3),
+                      Seq(-128, 127, 127, -300, 300, -1, 1, 2, 3)))
+      .toDF("a", "b")
+      .select(Embeddings.dotI8L(
+        Embeddings.i8PackL(col("a")), Embeddings.i8PackL(col("b"))).as("d"))
+      .first().getLong(0)
+    val expect = Seq((-128, -128), (-128, 127), (127, 127), (127, -128),
+      (-128, 127), (1, -1), (-1, 1), (2, 2), (3, 3))
+      .map { case (x, y) => x.toLong * y }.sum
+    assert(corner === expect)
+  }
+
   test("vec_dot_i8 stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(Embeddings.i8Pack(
@@ -189,9 +218,9 @@ class SemDedupScaleSpec extends AnyFunSuite {
 
   test("the registered knob engages past the coarse floor only") {
     import graft.ops.ScaleKnobs
-    assert(!ScaleKnobs.semDedupQuantPre(16))
-    assert(!ScaleKnobs.semDedupQuantPre(256))
-    assert(ScaleKnobs.semDedupQuantPre(257))
-    assert(ScaleKnobs.semDedupQuantPre(16000))
+    assert(!ScaleKnobs.semDedupPostings(16))
+    assert(!ScaleKnobs.semDedupPostings(256))
+    assert(ScaleKnobs.semDedupPostings(257))
+    assert(ScaleKnobs.semDedupPostings(16000))
   }
 }
