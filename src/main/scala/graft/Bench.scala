@@ -37,6 +37,17 @@ object Bench {
       SparkEntry.queries.get(n).foreach(fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () })
     }
+    // SPARK_GRAFT_FORCED=1 times queryExecution.toRdd.count() instead of
+    // count(): the query's own optimized plan, projections and final
+    // sort included. count() lets Catalyst elide pure projections,
+    // sorts, and left joins against provably-unique right sides (the r9
+    // measurement finding — see BENCH_SF100_TEXT.json's protocol note),
+    // which is the right default for cross-round comparability but the
+    // wrong tool for scan-throughput or decade claims. The decade files
+    // use the forced protocol.
+    val forced = sys.env.get("SPARK_GRAFT_FORCED").contains("1")
+    def consume(df: org.apache.spark.sql.DataFrame): Long =
+      if (forced) df.queryExecution.toRdd.count() else df.count()
     // Repetitions per query (median reported): single-shot timings proved
     // noisy at the 160-query scale — r3's one-run numbers showed 3-5×
     // "regressions" on queries whose plans had not changed, an artifact of
@@ -67,14 +78,14 @@ object Bench {
       // compiled classes are still resident — a single global warm-up
       // pass over all queries thrashes the ~100-entry codegen cache
       // and times recompilation anyway (measured: total got WORSE).
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val times = (0 until reps).map { _ =>
         dropStorage()
         val t0 = System.nanoTime()
         // a query that THROWS must be loud, not a fast-looking near-zero
         // timing — surface it on stderr and in the metric line
         val failed =
-          try { fn(spark, sfDir).count(); false }
+          try { consume(fn(spark, sfDir)); false }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             true
