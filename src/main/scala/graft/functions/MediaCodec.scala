@@ -471,7 +471,12 @@ object MediaCodec {
     * Same Long-guard posture as the other encoders: an unencodable
     * request returns empty rather than wrapping an Int. */
   def aviEncode(payload: Array[Byte], width: Int): Array[Byte] = {
-    if (width <= 0) return Array.emptyByteArray
+    // the strh rcFrame right/bottom fields are u16 — a width past 0xFFFF
+    // would silently truncate in that header field (decode reads geometry
+    // from strf and would round-trip, but an external consumer reading
+    // rcFrame would see wrong dimensions), so refuse it like the other
+    // Long-guard paths refuse unencodable requests (ADVICE r9)
+    if (width <= 0 || width > 0xFFFF) return Array.emptyByteArray
     val h = AviFrameRows
     val fpp = width.toLong * h                 // pixels per frame
     val nPx = math.max(1L, (payload.length + 2L) / 3L)
@@ -564,27 +569,39 @@ object MediaCodec {
           while (c + 8 <= end) {
             val csz = le32(content, c + 4)
             if (csz < 0 || c.toLong + 8L + csz > end) return empty
-            def readStrf(at: Int, asz: Int): Boolean = {
-              if (asz < 40) false
-              else {
-                w = le32(content, at + 12)
-                h = le32(content, at + 16)
-                le32(content, at + 8) >= 40 &&
-                  le16(content, at + 20) == 1 &&   // planes
-                  le16(content, at + 22) == 24 &&  // bpp
-                  le32(content, at + 24) == 0 &&   // BI_RGB
-                  w > 0 && h > 0 && w.toLong * h <= Int.MaxValue
-              }
+            // Commit-on-valid, latch-first: a later strf (e.g. the audio
+            // stream's WAVEFORMAT in a second LIST strl) must neither
+            // clobber an already-accepted video format nor scribble on
+            // w/h while failing validation (ADVICE r9 — the old code let
+            // every strf overwrite fmtOk/w/h, so video+audio files
+            // decoded to empty).
+            def readStrf(at: Int, asz: Int): Unit = {
+              if (fmtOk || asz < 40) return
+              val lw = le32(content, at + 12)
+              val lh = le32(content, at + 16)
+              val ok = le32(content, at + 8) >= 40 &&
+                le16(content, at + 20) == 1 &&   // planes
+                le16(content, at + 22) == 24 &&  // bpp
+                le32(content, at + 24) == 0 &&   // BI_RGB
+                lw > 0 && lh > 0 && lw.toLong * lh <= Int.MaxValue
+              if (ok) { w = lw; h = lh; fmtOk = true }
             }
-            if (tag4(content, c, "strf")) fmtOk = readStrf(c, csz)
+            if (tag4(content, c, "strf")) readStrf(c, csz)
             else if (tag4(content, c, "LIST") && csz >= 4 &&
                 tag4(content, c + 8, "strl")) {
+              // within a strl, the strf is read only when the stream's
+              // strh declares fccType 'vids' — an audio strl's strf is a
+              // WAVEFORMAT, not a BITMAPINFOHEADER, and must be ignored
+              // wholesale rather than validated-and-failed
               var g = c + 12
               val gend = c + 8 + csz
+              var vids = false
               while (g + 8 <= gend) {
                 val gsz = le32(content, g + 4)
                 if (gsz < 0 || g.toLong + 8L + gsz > gend) return empty
-                if (tag4(content, g, "strf")) fmtOk = readStrf(g, gsz)
+                if (tag4(content, g, "strh") && gsz >= 4)
+                  vids = tag4(content, g + 8, "vids")
+                else if (tag4(content, g, "strf") && vids) readStrf(g, gsz)
                 g += 8 + gsz + (gsz & 1)
               }
             }

@@ -44,15 +44,24 @@ import graft.sim.Embeddings
   * (centroid-bounded). */
 object SemDedupIngest {
 
-  /** Fold one (vec_id, embedding) micro-batch; returns
-    * (admitted, rejectedAsSemDup). */
+  /** Per-batch admission counters. `received` is the PRE-dedup batch
+    * size; `droppedDupIds` counts same-batch repeated vec_ids removed
+    * before any semantic judging (reported explicitly so callers summing
+    * counters across batches account for every processed row — ADVICE
+    * r9: the old (admitted, rejected) pair silently excluded them).
+    * Invariant: received = droppedDupIds + admitted + rejected. */
+  final case class BatchCounts(received: Long, droppedDupIds: Long,
+                               admitted: Long, rejected: Long)
+
+  /** Fold one (vec_id, embedding) micro-batch. */
   def applyBatch(batch: DataFrame, indexDir: String,
-                 threshold: Double = 0.9): (Long, Long) = {
+                 threshold: Double = 0.9): BatchCounts = {
     val spark = batch.sparkSession
     require(new Path(s"$indexDir/centroids")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new Path(s"$indexDir/centroids")),
       s"no IVF index at $indexDir — build with Embeddings.buildIvfIndex")
+    val nReceived = batch.count()
     val routed = Embeddings.routeToIvfCells(spark, indexDir,
       batch.dropDuplicates("vec_id")).persist()
     try {
@@ -97,7 +106,7 @@ object SemDedupIngest {
         .localCheckpoint(true)
       val nAdmit = admitted.count()
       if (toAppend.count() > 0) Embeddings.appendRoutedToIvf(toAppend, indexDir)
-      (nAdmit, nTotal - nAdmit)
+      BatchCounts(nReceived, nReceived - nTotal, nAdmit, nTotal - nAdmit)
     } finally { routed.unpersist(); () }
   }
 

@@ -398,6 +398,44 @@ class MediaCodecSpec extends AnyFunSuite {
     }).isEmpty)
   }
 
+  test("a second audio strl after the video strl does not clobber the accepted format") {
+    // LIST strl [strh 56 'auds', strf 18 — a WAVEFORMAT, not a
+    // BITMAPINFOHEADER] spliced into hdrl AFTER the video strl: the
+    // r9 walk let every strf overwrite fmtOk/w/h, so a video+audio file
+    // decoded to empty (ADVICE r9). The strf read is now gated on the
+    // enclosing strl's strh fcc being 'vids' and latched on first valid.
+    def u32le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def tagB(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val strh = tagB("strh") ++ u32le(56) ++ tagB("auds") ++ new Array[Byte](52)
+    val strf = tagB("strf") ++ u32le(18) ++ new Array[Byte](18)
+    val strlBody = tagB("strl") ++ strh ++ strf
+    val audioStrl = tagB("LIST") ++ u32le(strlBody.length) ++ strlBody
+    // golden layout: [0,12) RIFF hdr | [12, 12+8+192) LIST hdrl | movi
+    val hdrlEnd = 12 + 8 + 192
+    val out = goldenAvi.take(hdrlEnd) ++ audioStrl ++ goldenAvi.drop(hdrlEnd)
+    System.arraycopy(u32le(240 + audioStrl.length), 0, out, 4, 4)  // RIFF size
+    System.arraycopy(u32le(192 + audioStrl.length), 0, out, 16, 4) // hdrl size
+    assert(MediaCodec.aviFrameLumas(out).map(_.toSeq).toSeq === goldenAviLumas)
+    // and a 40-byte AUDIO strf (large enough to reach the old validator)
+    // is equally inert behind the 'auds' gate
+    val strf40 = tagB("strf") ++ u32le(40) ++ new Array[Byte](40)
+    val strlBody40 = tagB("strl") ++ strh ++ strf40
+    val audioStrl40 = tagB("LIST") ++ u32le(strlBody40.length) ++ strlBody40
+    val out40 = goldenAvi.take(hdrlEnd) ++ audioStrl40 ++ goldenAvi.drop(hdrlEnd)
+    System.arraycopy(u32le(240 + audioStrl40.length), 0, out40, 4, 4)
+    System.arraycopy(u32le(192 + audioStrl40.length), 0, out40, 16, 4)
+    assert(MediaCodec.aviFrameLumas(out40).map(_.toSeq).toSeq === goldenAviLumas)
+  }
+
+  test("aviEncode refuses widths past the u16 rcFrame field") {
+    // rcFrame right/bottom are u16: width 0x10000 would truncate to 0 in
+    // the header an external reader trusts — refused outright (ADVICE r9)
+    assert(MediaCodec.aviEncode(new Array[Byte](8), 0x10000).isEmpty)
+    assert(MediaCodec.aviEncode(new Array[Byte](8), 0xFFFF).nonEmpty)
+  }
+
   test("crafted AVI overflow inputs resolve to empty, never a crash") {
     // u32 chunk size 0xFFFFFFFF reads negative -> malformed, not a wrap
     val hugeChunk = goldenAvi.clone()

@@ -42,6 +42,12 @@ class SemDedupIngestSpec extends AnyFunSuite {
     v.map(_ / n)
   }
 
+  private def ar(c: SemDedupIngest.BatchCounts): (Long, Long) = {
+    // the counter invariant holds on every batch this spec folds
+    assert(c.received === c.droppedDupIds + c.admitted + c.rejected)
+    (c.admitted, c.rejected)
+  }
+
   private def postings(dir: String): Set[Long] =
     spark.read.parquet(s"$dir/postings").select("vec_id")
       .collect().map(_.getLong(0)).toSet
@@ -58,15 +64,18 @@ class SemDedupIngestSpec extends AnyFunSuite {
       (10L, unit(0)), (11L, tilted(1, 0.5f)), (12L, tilted(1, 0.5f)),
       (13L, tilted(2, 0.3f))
     ).toDF("vec_id", "embedding")
-    val (admit, reject) = SemDedupIngest.applyBatch(b, dir, threshold = t)
-    assert((admit, reject) === ((2L, 2L)))
+    val c = SemDedupIngest.applyBatch(b, dir, threshold = t)
+    assert(ar(c) === ((2L, 2L)))
+    // no repeated vec_ids in this batch: every received row is accounted
+    // for as admitted or rejected, none dropped
+    assert((c.received, c.droppedDupIds) === ((4L, 0L)))
     assert(postings(dir) === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L)
       .filter(id => id < 4 || id == 11L || id == 13L))
 
     // cross-batch: a later duplicate of the ADMITTED 11 is store-vetoed
     val b2 = Seq((20L, tilted(1, 0.5f)), (21L, tilted(3, 0.6f)))
       .toDF("vec_id", "embedding")
-    assert(SemDedupIngest.applyBatch(b2, dir, threshold = t) === ((1L, 1L)))
+    assert(ar(SemDedupIngest.applyBatch(b2, dir, threshold = t)) === ((1L, 1L)))
     assert(postings(dir).contains(21L) && !postings(dir).contains(20L))
   }
 
@@ -77,12 +86,12 @@ class SemDedupIngestSpec extends AnyFunSuite {
       (10L, unit(0)), (11L, tilted(1, 0.5f)), (12L, tilted(1, 0.5f)),
       (13L, tilted(2, 0.3f))
     ).toDF("vec_id", "embedding")
-    assert(SemDedupIngest.applyBatch(b, dir, threshold = t) === ((2L, 2L)))
+    assert(ar(SemDedupIngest.applyBatch(b, dir, threshold = t)) === ((2L, 2L)))
     val afterFirst = postings(dir)
     // full replay: admitted rows must not self-veto against their own
     // stored copy; rejected rows re-reject (their veto partner is now
     // in the store); postings unchanged
-    assert(SemDedupIngest.applyBatch(b, dir, threshold = t) === ((2L, 2L)))
+    assert(ar(SemDedupIngest.applyBatch(b, dir, threshold = t)) === ((2L, 2L)))
     assert(postings(dir) === afterFirst)
     assert(spark.read.parquet(s"$dir/postings").count() ===
       afterFirst.size.toLong, "replay appended duplicate postings")
@@ -94,13 +103,13 @@ class SemDedupIngestSpec extends AnyFunSuite {
     // simulate the crash: first batch admitted 11 only of {11, 12-dup};
     // the 'wider' replay carries 11, 12 AND a new distinct 14
     val b1 = Seq((11L, tilted(1, 0.5f))).toDF("vec_id", "embedding")
-    assert(SemDedupIngest.applyBatch(b1, dir, threshold = t) === ((1L, 0L)))
+    assert(ar(SemDedupIngest.applyBatch(b1, dir, threshold = t)) === ((1L, 0L)))
     val wider = Seq(
       (11L, tilted(1, 0.5f)), (12L, tilted(1, 0.5f)), (14L, tilted(3, 0.4f))
     ).toDF("vec_id", "embedding")
     // 11 re-admits (already present, appends nothing), 12 vetoed (by 11
     // in batch AND store), 14 admitted fresh
-    assert(SemDedupIngest.applyBatch(wider, dir, threshold = t) === ((2L, 1L)))
+    assert(ar(SemDedupIngest.applyBatch(wider, dir, threshold = t)) === ((2L, 1L)))
     val ids = postings(dir)
     assert(ids.contains(11L) && ids.contains(14L) && !ids.contains(12L))
     assert(spark.read.parquet(s"$dir/postings")
@@ -119,8 +128,8 @@ class SemDedupIngestSpec extends AnyFunSuite {
       (30L, tilted(0, 0.7f)), (31L, tilted(0, 0.7f)), (32L, tilted(0, 0.7f)),
       (33L, tilted(1, 0.8f)), (34L, tilted(1, 0.8f)))
     val t = 0.999
-    assert(SemDedupIngest.applyBatch(
-      rows.toDF("vec_id", "embedding"), dir, threshold = t) === ((2L, 3L)))
+    assert(ar(SemDedupIngest.applyBatch(
+      rows.toDF("vec_id", "embedding"), dir, threshold = t)) === ((2L, 3L)))
     val streamKept = postings(dir) -- Set(0L, 1L, 2L, 3L)
     assert(streamKept === Set(30L, 33L))
     // batch reference over the same rows with label = routed cell
@@ -130,5 +139,18 @@ class SemDedupIngestSpec extends AnyFunSuite {
       .filter(col("is_dup") === 0).select("vec_id")
       .as[Long].collect().toSet
     assert(batchKept === streamKept)
+  }
+
+  test("same-batch repeated vec_ids are counted as droppedDupIds, not hidden") {
+    val dir = freshIndex()
+    // 40 appears twice in one batch (an at-least-once source replaying a
+    // row inside the batch); 41 is a distinct new direction
+    val b = Seq(
+      (40L, tilted(0, 0.6f)), (40L, tilted(0, 0.6f)), (41L, tilted(1, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val c = SemDedupIngest.applyBatch(b, dir, threshold = 0.999)
+    assert((c.received, c.droppedDupIds, c.admitted, c.rejected) ===
+      ((3L, 1L, 2L, 0L)))
+    assert(postings(dir).contains(40L) && postings(dir).contains(41L))
   }
 }
