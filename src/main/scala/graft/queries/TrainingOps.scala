@@ -752,7 +752,11 @@ object TrainingOps extends OpsModule {
       // past the coarse floor the scored frame persists as cell-bucketed
       // postings and the rank+pair plan runs with ZERO Exchange — the
       // winner of the r9 forced-evaluation A/B (row-identical output,
-      // SemDedupScaleSpec); oracle sfs stay on the historical exact plan
+      // SemDedupScaleSpec); oracle sfs stay on the historical exact plan.
+      // The tmpdir location is a BASE: semDedupBucketed suffixes path and
+      // table uniquely per invocation and drops both after the result
+      // materializes, so concurrent sessions sharing this tmpdir cannot
+      // clobber each other (VERDICT r9 #4)
       val out =
         if (graft.ops.ScaleKnobs.semDedupPostings(cells))
           Embeddings.semDedupBucketed(s, e,

@@ -882,18 +882,46 @@ object Embeddings {
     * write. The trade: one full write+read of the corpus-with-arrays on
     * stable storage vs the quantized path's 8×-narrower single shuffle.
     * Row-for-row identical to [[semDedup]] (same pair logic, same
-    * rounding) — spec-pinned in SemDedupScaleSpec. */
+    * rounding) — spec-pinned in SemDedupScaleSpec.
+    *
+    * Postings hygiene (VERDICT r9 #4 / ADVICE r9): `path`/`table` are
+    * BASE names — each invocation suffixes both with a unique id, folds
+    * the pair-marked result to a materialized frame, then drops the
+    * table and deletes the directory. Two concurrent evaluations (same
+    * JVM, separate sessions, or separate JVMs sharing a tmpdir) can no
+    * longer overwrite each other's scored postings mid-query, and no
+    * scratch state outlives the call. The suffix never reaches the
+    * OUTPUT (rows are a pure function of the corpus — spec-pinned
+    * identical to [[semDedup]]), so result determinism is untouched;
+    * the readable `c<nCells>` prefix aids post-mortem inspection of a
+    * crashed run's leftovers. */
   def semDedupBucketed(spark: org.apache.spark.sql.SparkSession,
                        embeddings: DataFrame, path: String,
                        threshold: Double = 0.4, nCells: Int = 0,
                        nCoarse: Int = 1, nCoarse2: Int = 1,
                        table: String = "semdedup_scored",
                        buckets: Int = 32): DataFrame = {
+    val suffix =
+      s"c${nCells}_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val uPath = s"$path/$suffix"
+    val uTable = s"${table}_$suffix"
     val scored = semDedupScored(embeddings, nCells, nCoarse, nCoarse2)
-    graft.ops.Bucketing.writeBucketed(scored, table, path, "cell", buckets)
-    val ranked = spark.table(table).withColumn("crank", row_number().over(
-      Window.partitionBy("cell").orderBy(col("ccos").asc, col("vec_id").asc)))
-    semDedupPairMark(ranked, threshold)
+    graft.ops.Bucketing.writeBucketed(scored, uTable, uPath, "cell", buckets)
+    try {
+      val ranked = spark.table(uTable).withColumn("crank", row_number().over(
+        Window.partitionBy("cell").orderBy(col("ccos").asc, col("vec_id").asc)))
+      // eager localCheckpoint: the zero-Exchange rank+pair plan executes
+      // HERE, off the bucketed scan; the returned frame holds the marked
+      // rows (narrow: cell, vec_id, centroid_cos, is_dup) with no
+      // remaining dependency on the postings, which the finally clause
+      // is then free to drop
+      semDedupPairMark(ranked, threshold).localCheckpoint(true)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $uTable")
+      val p = new org.apache.hadoop.fs.Path(uPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
   }
 
   /** SEMANTIC decontamination — the embedding-space sibling of the

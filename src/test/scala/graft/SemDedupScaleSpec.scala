@@ -177,15 +177,48 @@ class SemDedupScaleSpec extends AnyFunSuite {
 
   // ---- bucketed postings variant ----
 
-  test("semDedupBucketed ≡ semDedup row-for-row on the real corpus") {
+  test("semDedupBucketed ≡ semDedup row-for-row on the real corpus, scratch dropped") {
     val dir = java.nio.file.Files.createTempDirectory("semdedup_bkt").toString
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    try {
-      val exact = resultSet(Embeddings.semDedup(e, threshold = 0.4, nCells = 4))
-      val bkt = resultSet(Embeddings.semDedupBucketed(spark, e, s"$dir/t",
-        threshold = 0.4, nCells = 4, table = "semdedup_spec_scored"))
-      assert(bkt === exact)
-    } finally spark.sql("DROP TABLE IF EXISTS semdedup_spec_scored")
+    val exact = resultSet(Embeddings.semDedup(e, threshold = 0.4, nCells = 4))
+    val bkt = resultSet(Embeddings.semDedupBucketed(spark, e, s"$dir/t",
+      threshold = 0.4, nCells = 4, table = "semdedup_spec_scored"))
+    assert(bkt === exact)
+    // hygiene (VERDICT r9 #4): no scratch outlives the call — the
+    // suffixed catalog table is dropped and the postings dir deleted
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("semdedup_spec_scored")))
+    val base = new java.io.File(s"$dir/t")
+    assert(!base.exists() || base.listFiles().isEmpty,
+      base.listFiles().map(_.getName).mkString(", "))
+  }
+
+  test("concurrent bucketed evaluations are isolated (same JVM and separate sessions)") {
+    // VERDICT r9 #4's done-condition: two concurrent emb_semdedup-shaped
+    // evaluations in one JVM and across two sessions produce correct
+    // independent results — the r9 code's fixed shared path + fixed
+    // catalog name ('semdedup_scored', mode overwrite) would have had
+    // them clobber each other's scored postings mid-query
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_conc").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val expected = resultSet(Embeddings.semDedup(e, threshold = 0.4, nCells = 4))
+    val s2 = spark.newSession()
+    // function registration is session-scoped — the fresh session needs
+    // its own copy of the graft expression registry
+    graft.functions.GraftFunctions.register(s2)
+    val e2 = Tables.embeddings(s2, "/root/testdata/sf0.001")
+    val runs = Seq(
+      Future(resultSet(Embeddings.semDedupBucketed(spark, e, s"$dir/t",
+        threshold = 0.4, nCells = 4))),
+      Future(resultSet(Embeddings.semDedupBucketed(spark, e, s"$dir/t",
+        threshold = 0.4, nCells = 4))),
+      Future(resultSet(Embeddings.semDedupBucketed(s2, e2, s"$dir/t",
+        threshold = 0.4, nCells = 4))))
+    Await.result(Future.sequence(runs), 5.minutes)
+      .zipWithIndex.foreach { case (r, i) => assert(r === expected, s"run $i") }
   }
 
   test("bucketed scored table ranks and self-joins with zero exchanges") {
