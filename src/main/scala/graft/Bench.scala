@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,19 +14,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Optional args: query names to bench (default all) — local iteration
     // aid; the driver invokes with no args.
-    // The CONTROL query is always benched and reported as its own field:
-    // a cheap, constant-shape query whose time is stable across boots,
-    // so any run's other numbers can be read against the same-boot
-    // control before believing a regression (the r7 prefix-join band was
-    // only diagnosable because a control happened to run in the same
-    // hour — this makes that read protocol self-contained; see PLANS.md).
-    // Measurement-semantics note (r9): under this count() protocol the
-    // control — like every projection-only query — times a parquet
-    // METADATA row-count plus job overhead, not the scan (Catalyst
-    // elides unused projections and sorts under a count). That makes it
-    // a BOOT-HEALTH control, which is its job; scan-throughput numbers
-    // live in the decade files, timed with toRdd.count() instead
-    // (BENCH_SF100_TEXT.json's protocol note).
+    // TWO always-on controls, each answering a different health question
+    // (read protocol in PLANS.md):
+    //  - ControlQuery (td_token_stats): BOOT health. Under the count()
+    //    protocol it times a parquet METADATA row-count plus job overhead
+    //    (Catalyst elides unused projections under a count — the r9
+    //    measurement finding), so it moves when the JVM/IO boot is sick
+    //    but NOT when the CPU is throttled.
+    //  - the CPU control (below): fixed-size, in-memory, forced-evaluated
+    //    arithmetic — spark.range(1B) folded through a codegen'd
+    //    mod-square sum, timed via toRdd.count() so nothing elides. A
+    //    thermally throttled or contended-CPU boot inflates it
+    //    proportionally (VERDICT r9 #3: without it, every real-work row
+    //    inflates on a throttled boot and the regression read blames
+    //    plans). Healthy boot + healthy CPU + slow query => plan
+    //    regression; slow CPU control => machine, not plans.
     val ControlQuery = "td_token_stats"
     val wanted = if (args.isEmpty) SparkEntry.queries
                  else SparkEntry.queries.filter { case (n, _) =>
@@ -44,10 +47,11 @@ object Bench {
     // measurement finding — see BENCH_SF100_TEXT.json's protocol note),
     // which is the right default for cross-round comparability but the
     // wrong tool for scan-throughput or decade claims. The decade files
-    // use the forced protocol.
+    // use the forced protocol; the 17 known elision-affected queries
+    // additionally get standing per-round forced rows (below).
     val forced = sys.env.get("SPARK_GRAFT_FORCED").contains("1")
-    def consume(df: org.apache.spark.sql.DataFrame): Long =
-      if (forced) df.queryExecution.toRdd.count() else df.count()
+    def consumeWith(forceEval: Boolean)(df: org.apache.spark.sql.DataFrame): Long =
+      if (forceEval) df.queryExecution.toRdd.count() else df.count()
     // Repetitions per query (median reported): single-shot timings proved
     // noisy at the 160-query scale — r3's one-run numbers showed 3-5×
     // "regressions" on queries whose plans had not changed, an artifact of
@@ -68,24 +72,27 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
-    val results = wanted.map { case (name, fn) =>
-      // Steady-state measurement, per query: run once untimed (pays this
-      // plan's janino codegen compilation — measured 4.8s first run vs
-      // 1.5s steady for td_lsh_candidates; pure JVM startup cost that a
-      // long-lived cluster never re-pays), drop any data cache the
-      // operator materialized, then time full re-executions from the
-      // parquet scan up. Warm-up and timed runs are ADJACENT so the
-      // compiled classes are still resident — a single global warm-up
-      // pass over all queries thrashes the ~100-entry codegen cache
-      // and times recompilation anyway (measured: total got WORSE).
-      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
+    // Steady-state measurement, per query: run once untimed (pays this
+    // plan's janino codegen compilation — measured 4.8s first run vs
+    // 1.5s steady for td_lsh_candidates; pure JVM startup cost that a
+    // long-lived cluster never re-pays), drop any data cache the
+    // operator materialized, then time full re-executions from the
+    // parquet scan up. Warm-up and timed runs are ADJACENT so the
+    // compiled classes are still resident — a single global warm-up
+    // pass over all queries thrashes the ~100-entry codegen cache
+    // and times recompilation anyway (measured: total got WORSE).
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  forceEval: Boolean): Double = {
+      try { consumeWith(forceEval)(fn(spark, sfDir)) }
+      catch { case _: Throwable => () }
       val times = (0 until reps).map { _ =>
         dropStorage()
         val t0 = System.nanoTime()
         // a query that THROWS must be loud, not a fast-looking near-zero
         // timing — surface it on stderr and in the metric line
         val failed =
-          try { consume(fn(spark, sfDir)); false }
+          try { consumeWith(forceEval)(fn(spark, sfDir)); false }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             true
@@ -96,10 +103,45 @@ object Bench {
       // to free accumulated broadcasts before the next query's timing.
       dropStorage()
       System.gc()
-      val dt = if (times.exists(_ < 0)) -1.0
-               else times.sorted.apply(times.size / 2) // median
-      name -> dt
+      if (times.exists(_ < 0)) -1.0
+      else times.sorted.apply(times.size / 2) // median
     }
+    val results = wanted.map { case (name, fn) =>
+      name -> timeQuery(name, fn, forced)
+    }
+    // Standing forced-protocol rows (VERDICT r9 #2): the 17 queries
+    // BENCH_PROTOCOL_DIFF.json found >2× count()-elision-affected at
+    // sf0.01 — their DEFAULT rows under-time their own plan's
+    // projection/sort/left-join tails, so a regression there is
+    // invisible to the round-over-round read. Each full run re-benches
+    // exactly these under toRdd.count(); the VERDICT-facing comparison
+    // for them is forced-to-forced. The default protocol (and `total`)
+    // stays count() for cross-round comparability.
+    val ElisionAffected = Seq(
+      "emb_ann_recall", "emb_centroid_drift", "q20_approx_distinct",
+      "q46_winsorize", "q53_conversion", "q57_array_hof", "q60_variant",
+      "td_contamination_report", "td_corpus_stats", "td_delta_substring",
+      "td_distinct_sketch", "td_line_dedup", "td_ngram_diversity",
+      "td_repetition", "td_split_coverage", "td_substring_dedup",
+      "txt_gopher_full")
+    val forcedResults: Seq[(String, Double)] =
+      if (forced || args.nonEmpty) Nil // already forced / subset iteration
+      else ElisionAffected.flatMap { name =>
+        SparkEntry.queries.get(name).map(fn =>
+          name -> timeQuery(name, fn, forceEval = true))
+      }
+    // CPU control: warm once (codegen), then reps, median — same
+    // discipline as the queries. Fixed shape, no IO, forced evaluation.
+    def cpuControlOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1000000000L, 1L, 32)
+        .select(sum(pmod(col("id") * col("id"), lit(1000000007L))).as("s"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    cpuControlOnce()
+    val cpuTimes = (0 until reps).map(_ => cpuControlOnce())
+    val cpuSec = cpuTimes.sorted.apply(cpuTimes.size / 2)
     val failures = results.collect { case (n, d) if d < 0 => n }.toSeq.sorted
     // total covers the REQUESTED queries only: in an arg-filtered run the
     // control is force-added for calibration, and folding its time into
@@ -113,27 +155,35 @@ object Bench {
     // line's start out of that window and the metric is lost. Emit a
     // compact machine line: total over ALL queries, but only the heaviest
     // 25 in the per-query map, 2-decimal values. The complete per-query
-    // detail goes to BENCH_DETAIL.json next to the build instead.
+    // detail (and the full forced block) goes to BENCH_DETAIL.json next
+    // to the build instead; stdout carries only forced_total_sec.
     def f2(v: Double) = f"$v%.2f"
     val detail = results.toSeq.sortBy(-_._2)
     val qs = detail.take(25).map { case (k, v) => s"\"$k\":${f2(v)}" }
       .mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
+    val forcedTotal = forcedResults.map(_._2).filter(_ >= 0).sum
     // Write the detail artifact only for FULL runs (or an explicit
     // SPARK_GRAFT_DETAIL path): a subset run used for local iteration
     // must not clobber the committed full-run detail with a fragment.
     if (args.isEmpty || sys.env.contains("SPARK_GRAFT_DETAIL")) try {
       val full = detail.map { case (k, v) => s"  \"$k\": ${f2(v)}" }
         .mkString("{\n", ",\n", "\n}\n")
+      val forcedJson =
+        if (forcedResults.isEmpty) ""
+        else forcedResults.map { case (k, v) => s"  \"$k\": ${f2(v)}" }
+          .mkString("\"forced\": {\n", ",\n", "\n},\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
           "/root/repo/BENCH_DETAIL.json")),
         (s"""{"sf":"$sfName","total_sec":${f2(total)},""" +
-          // control object present iff the control ran (same rule as the
-          // stdout line) — never a "sec":-1.0 placeholder for an absent one
+          // control objects present iff each control ran (same rule as
+          // the stdout line) — never a "sec":-1.0 placeholder
           results.get(ControlQuery).map(t =>
             s""""control":{"name":"$ControlQuery","sec":${f2(t)}},""")
             .getOrElse("") +
+          s""""control_cpu":{"name":"range_modsq_fold_1b","sec":${f2(cpuSec)}},""" +
+          forcedJson +
           s""""queries":$full}""").getBytes)
     } catch { case _: Throwable => () }
     val failedPart =
@@ -142,7 +192,12 @@ object Bench {
     val controlPart = results.get(ControlQuery)
       .map(t => s""","control":{"name":"$ControlQuery","sec":${f2(t)}}""")
       .getOrElse("")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","reps":$reps,"queries":$qs$failedPart$controlPart,"sf":"$sfName"}""")
+    val cpuPart =
+      s""","control_cpu":{"name":"range_modsq_fold_1b","sec":${f2(cpuSec)}}"""
+    val forcedPart =
+      if (forcedResults.isEmpty) ""
+      else s""","forced_total_sec":${f2(forcedTotal)}"""
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","reps":$reps,"queries":$qs$failedPart$controlPart$cpuPart$forcedPart,"sf":"$sfName"}""")
     spark.stop()
   }
 }
