@@ -769,6 +769,21 @@ object TrainingOps extends OpsModule {
       out.orderBy("vec_id")
     }),
 
+    // the COMPOSED vector-side curation pipeline, hash-checked end to
+    // end (VERDICT r9 #5 — the embedding family's td_curation_audit):
+    // exact dedup → SemDeDup keep/drop → semantic decontamination →
+    // split, one audit frame; the oracle re-derives every stage count
+    // in one DuckDB CTE chain assembled from the member oracles
+    "emb_curation_audit" -> ((s, d) => {
+      val r = graft.sim.VectorCurationPipeline.run(embs(s, d),
+        col("vec_id") < 5, semThreshold = SemDedupThreshold,
+        cellsFloor = SemDedupCells, decontThreshold = SemDecontThreshold)
+      // the audit frame is a local relation of already-collected counts,
+      // so releasing the stage caches first is safe
+      r.unpersist()
+      r.audit.orderBy("stage")
+    }),
+
     "emb_knn_brute" -> ((s, d) =>
       Embeddings.knnBruteForce(embs(s, d), col("vec_id") < 5)
         .orderBy("query_id", "knn_rank")),
@@ -4069,6 +4084,74 @@ object TrainingOps extends OpsModule {
           FROM rk r LEFT JOIN dup d ON r.vec_id = d.vec_id
           ORDER BY r.vec_id""",
 
+    // the composed vector curation pipeline's audit — the member
+    // oracles assembled into ONE CTE chain (the td_curation_audit
+    // pattern): exact dedup (min-id per identical embedding), the
+    // emb_semdedup chain over the DEDUPED corpus, the
+    // emb_decontaminate threshold vs the vec_id<5 eval set, and the
+    // td_split bucket formula keyed on vec_id
+    "emb_curation_audit" ->
+      s"""WITH eb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id >= 5),
+          ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS eemb
+                 FROM embeddings WHERE vec_id < 5),
+          ex AS (SELECT vec_id, emb FROM (
+                   SELECT vec_id, emb,
+                          min(vec_id) OVER (PARTITION BY emb) AS cvid
+                   FROM eb0)
+                 WHERE vec_id = cvid),
+          scent AS (
+            SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
+              SELECT cell, idx, avg(v) AS cv FROM (
+                SELECT vec_id % $SemDedupCells AS cell,
+                       generate_subscripts(emb, 1) AS idx, unnest(emb) AS v
+                FROM ex)
+              GROUP BY cell, idx)
+            GROUP BY cell),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT ex.vec_id, s.cell,
+                     row_number() OVER (PARTITION BY ex.vec_id
+                       ORDER BY ${dCos("ex.emb", "s.cemb")} DESC, s.cell ASC) AS rk
+              FROM ex, scent s)
+            WHERE rk = 1),
+          e2 AS (SELECT a.cell, ex.vec_id, ex.emb FROM ex JOIN asg a USING (vec_id)),
+          cent2 AS (
+            SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
+              SELECT cell, idx, avg(v) AS cv FROM (
+                SELECT cell, generate_subscripts(emb, 1) AS idx, unnest(emb) AS v
+                FROM e2)
+              GROUP BY cell, idx)
+            GROUP BY cell),
+          sc AS (SELECT e2.cell, e2.vec_id, e2.emb,
+                        round(${dCos("e2.emb", "cent2.cemb")}, 6) AS ccos
+                 FROM e2 JOIN cent2 USING (cell)),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY cell
+                   ORDER BY ccos ASC, vec_id ASC) AS crank FROM sc),
+          dup AS (SELECT DISTINCT b.vec_id
+                  FROM rk a JOIN rk b ON a.cell = b.cell AND a.crank < b.crank
+                  WHERE round(${dCos("a.emb", "b.emb")}, 6) >= $SemDedupThreshold),
+          surv AS (SELECT r.vec_id, r.emb FROM rk r
+                   LEFT JOIN dup d ON r.vec_id = d.vec_id WHERE d.vec_id IS NULL),
+          cont AS (SELECT s.vec_id FROM surv s
+                   WHERE EXISTS (SELECT 1 FROM ev
+                     WHERE round(${dCos("ev.eemb", "s.emb")}, 6) >= $SemDecontThreshold)),
+          finalv AS (SELECT vec_id FROM surv
+                     WHERE vec_id NOT IN (SELECT vec_id FROM cont)),
+          splits AS (SELECT CASE
+                       WHEN ${dHash("concat('split:', CAST(vec_id AS VARCHAR))")} % 100 < 90 THEN 'train'
+                       WHEN ${dHash("concat('split:', CAST(vec_id AS VARCHAR))")} % 100 < 95 THEN 'val'
+                       ELSE 'test' END AS split
+                     FROM finalv)
+          SELECT stage, n_vecs FROM (
+            SELECT '0_input' AS stage, (SELECT count(*) FROM eb0) AS n_vecs
+            UNION ALL SELECT '1_exact_dedup', (SELECT count(*) FROM ex)
+            UNION ALL SELECT '2_semdedup', (SELECT count(*) FROM surv)
+            UNION ALL SELECT '3_decontaminated', (SELECT count(*) FROM finalv)
+            UNION ALL SELECT concat('4_split_', split), count(*)
+                      FROM splits GROUP BY split)
+          ORDER BY stage""",
+
     "emb_decontaminate" ->
       s"""WITH $duckCosPrelude
           SELECT vec_id, cos AS max_eval_cos, query_id AS nearest_eval_id,
@@ -5360,6 +5443,13 @@ object TrainingOps extends OpsModule {
         blockKnob = Some("cell-blocked pair join, |bins|-sized output")),
       "emb_semdedup" -> PlanTag(bnlj = Some(centroids),
         blockKnob = Some("kmeansCells(nCells) — pair work Σ|cell|²")),
+      // (emb_curation_audit needs no bnlj tag: like td_curation_audit,
+      // its returned frame is a LOCAL relation of already-collected
+      // stage counts — the members' bounded broadcasts execute inside
+      // run(), outside the audited plan)
+      "emb_curation_audit" -> PlanTag(
+        blockKnob = Some("composes emb_semdedup's cell blocking — " +
+          "pair work Σ|cell|² on the exact-deduped corpus")),
       // (emb_kmeans_train / emb_kmeans_quality sat in the r5 bnlj
       // hand-list; the staleness gate showed neither plans a nested
       // loop — their centroid attaches broadcast-hash-join. Removed.)

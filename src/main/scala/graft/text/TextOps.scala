@@ -1693,10 +1693,12 @@ object TextOps {
     * retries, and partitionings, zero shuffle, and docs never migrate
     * between splits when the corpus grows (assignment depends only on the
     * doc's own id). Salt the hash domain ("split:") so sampling and
-    * splitting decisions stay independent. */
-  def assignSplit(trainPct: Int = 90, valPct: Int = 5): Column = {
+    * splitting decisions stay independent. `id` defaults to `doc_id`;
+    * the vector pipeline passes `vec_id` (same salt, same buckets). */
+  def assignSplit(trainPct: Int = 90, valPct: Int = 5,
+                  id: Column = col("doc_id")): Column = {
     require(trainPct + valPct < 100, "need room for a test split")
-    val bucket = md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val bucket = md5Long(concat(lit("split:"), id.cast("string"))) % 100
     when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
