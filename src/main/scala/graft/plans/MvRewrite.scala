@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, Expression, HllSketchEstimate, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, HllSketchEstimate, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
@@ -203,6 +203,27 @@ object MvRewrite {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (mvs.isEmpty) plan
       else plan.transformUp {
+        // the subtotal lattice (ROLLUP / CUBE / GROUPING SETS): the
+        // analyzer plans these as Aggregate over Expand — each grouping
+        // set is one Expand projection nulling out its absent grouping
+        // columns, keyed by a literal grouping id. The mv's partials
+        // roll up under ANY grouping (SUM of SUMs; kmv/hist/hll merge),
+        // so feeding the |groups|-row summary through the SAME Expand
+        // and re-aggregating the partials answers every subtotal
+        // exactly (VERDICT r9 #6). Matched BEFORE the flat case — an
+        // Expand child never splits as a bare scan, so the two cases
+        // are disjoint; any grouping-set column outside the mv grouping
+        // refuses (the partial-lattice guard).
+        case agg @ Aggregate(groupings, aggExprs,
+            Expand(projections, output, echild), _) =>
+          (for {
+            (cond, scan) <- splitChild(echild)
+            tag <- baseTagOf(scan)
+            slots <- classifySlots(projections, output)
+            m <- mvs.find(m => tagMatches(tag, m.baseTag) &&
+              canRewriteExpand(m, groupings, aggExprs, cond, slots))
+          } yield rewriteExpand(m, groupings, aggExprs, cond,
+              projections, output, slots)).getOrElse(agg)
         case agg @ Aggregate(groupings, aggExprs, child, _) =>
           (for {
             (cond, scan) <- splitChild(child)
@@ -210,6 +231,275 @@ object MvRewrite {
             m <- mvs.find(m => tagMatches(tag, m.baseTag) &&
               canRewrite(m, groupings, aggExprs, cond))
           } yield rewrite(m, groupings, aggExprs, cond)).getOrElse(agg)
+      }
+  }
+
+  /** Per-Expand-output-slot shape. `LitSlot`: every projection holds a
+    * literal (the grouping-id column). `AttrSlot`: every projection
+    * holds the SAME attribute or a null literal — a grouping column
+    * (nulled in the sets that drop it) or a measure passthrough
+    * (`hasNull = false`; the analyzer passes child.output through every
+    * projection untouched, and a measure that IS nulled somewhere — the
+    * distinct-aggregate rewrite's Expand shape — must refuse, since
+    * aggregating a partial over projections that null it would be
+    * wrong). */
+  private sealed trait Slot
+  private case object LitSlot extends Slot
+  private final case class AttrSlot(base: AttributeReference,
+                                    hasNull: Boolean) extends Slot
+
+  private def classifySlots(projections: Seq[Seq[Expression]],
+                            output: Seq[Attribute])
+      : Option[Map[ExprId, Slot]] = {
+    val perSlot = output.indices.map { i =>
+      val exprs = projections.map(_(i))
+      if (exprs.forall(_.isInstanceOf[Literal])) Some(LitSlot)
+      else {
+        val attrs = exprs.collect { case ar: AttributeReference => ar }
+        val nulls = exprs.count {
+          case Literal(null, _) => true
+          case _ => false
+        }
+        if (attrs.size + nulls == exprs.size &&
+            attrs.map(_.exprId).distinct.size == 1)
+          Some(AttrSlot(attrs.head, hasNull = nulls > 0))
+        else None
+      }
+    }
+    if (perSlot.forall(_.isDefined))
+      Some(output.map(_.exprId).zip(perSlot.map(_.get)).toMap)
+    else None
+  }
+
+  private def canRewriteExpand(m: Mv, groupings: Seq[Expression],
+                               aggExprs: Seq[NamedExpression],
+                               cond: Option[Expression],
+                               slots: Map[ExprId, Slot]): Boolean = {
+    val mvOut = m.mvPlan.output.map(_.name).toSet
+    // a grouping key is servable when it is the literal grouping id or
+    // a grouping column the mv groups by; a measure is servable when
+    // its slot passes through un-nulled and the aggregate re-aggregates
+    // from a registered partial (the shared servability match below)
+    def groupingServable(e: Expression): Boolean = e match {
+      case ar: AttributeReference => slots.get(ar.exprId) match {
+        case Some(LitSlot) => true
+        case Some(AttrSlot(base, _)) => m.groupCols.contains(base.name)
+        case None => false
+      }
+      case _ => false
+    }
+    val groupsOk = groupings.forall(groupingServable)
+    groupsOk && filterOk(m, cond) && aggExprs.forall {
+      case ar: AttributeReference => groupingServable(ar)
+      // grouping()/grouping_id() arithmetic over the gid attr (and any
+      // other non-aggregate expression over grouping keys): kept
+      // verbatim — its inputs survive the rewrite with their exprIds
+      case Alias(e, _) if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+        e.deterministic && e.references.forall(groupingServable)
+      case al @ Alias(_, _) =>
+        // measure slots must pass through every projection un-nulled
+        val measureRefs = al.collect {
+          case ae: AggregateExpression => ae.references
+        }.flatten
+        measureRefs.forall(a => slots.get(a.exprId) match {
+          case Some(AttrSlot(_, hasNull)) => !hasNull
+          case _ => false
+        }) && aggAliasOk(m, mvOut, al)
+      case _ => false
+    }
+  }
+
+  /** The shared Alias(AggregateExpression) servability match — the flat
+    * path and the Expand path agree byte-for-byte on WHICH aggregates a
+    * summary can answer (measure attrs carry their base-column name in
+    * both shapes: flat reads reference the scan attr, Expand reads
+    * reference the same scan attr passed through the projection). */
+  private def aggAliasOk(m: Mv, mvOut: Set[String],
+                         al: NamedExpression): Boolean = al match {
+    case Alias(HllSketchEstimate(ae: AggregateExpression), _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case HllSketchAgg(ar: AttributeReference, lgkLit, _, _) =>
+          !m.cdcRetractionOnly &&
+            lgkLit.foldable &&
+            lgkLit.eval().asInstanceOf[Number].intValue() == m.hllLgK &&
+            m.hllCols.get(ar.name).exists(mvOut.contains)
+        case _ => false
+      }
+    case Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
+        ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Sum(ar: AttributeReference, _) =>
+          sumTypeStable(ar.dataType) &&
+            m.sumCols.get(ar.name).exists(mvOut.contains)
+        case c: Count =>
+          c.children.forall(!_.nullable) &&
+            m.countCol.exists(mvOut.contains)
+        case Average(ar: AttributeReference, _) =>
+          sumTypeStable(ar.dataType) &&
+            m.sumCols.get(ar.name).exists(mvOut.contains) &&
+            (m.valueCountCols.get(ar.name).exists(mvOut.contains) ||
+              (!ar.nullable && m.countCol.exists(mvOut.contains)))
+        case Min(ar: AttributeReference) =>
+          !m.cdcRetractionOnly && m.minCols.get(ar.name).exists(mvOut.contains)
+        case Max(ar: AttributeReference) =>
+          !m.cdcRetractionOnly && m.maxCols.get(ar.name).exists(mvOut.contains)
+        case graft.functions.KMinValues(ar: AttributeReference, kLit, _, _) =>
+          !m.cdcRetractionOnly &&
+            kLit.foldable &&
+            kLit.eval().asInstanceOf[Number].intValue() == m.kmvK &&
+            m.kmvCols.get(ar.name).exists(mvOut.contains)
+        case graft.functions.HistQuantile(ar: AttributeReference, qLit, wLit, _, _) =>
+          qLit.foldable && wLit.foldable &&
+            wLit.eval().asInstanceOf[Number].intValue() == m.histWidth &&
+            m.histCols.get(ar.name).exists(mvOut.contains)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Mv partial columns an already-vetted aggregate alias re-aggregates
+    * from (drives which passthrough slots the rewritten Expand needs). */
+  private def partialsFor(m: Mv, al: NamedExpression): Seq[String] = al match {
+    case Alias(HllSketchEstimate(ae: AggregateExpression), _) =>
+      ae.aggregateFunction match {
+        case HllSketchAgg(ar: AttributeReference, _, _, _) =>
+          m.hllCols.get(ar.name).toSeq
+        case _ => Nil
+      }
+    case Alias(ae: AggregateExpression, _) =>
+      ae.aggregateFunction match {
+        case Sum(ar: AttributeReference, _) => m.sumCols.get(ar.name).toSeq
+        case _: Count => m.countCol.toSeq
+        case Average(ar: AttributeReference, _) =>
+          m.sumCols.get(ar.name).toSeq ++
+            m.valueCountCols.get(ar.name).orElse(m.countCol).toSeq
+        case Min(ar: AttributeReference) => m.minCols.get(ar.name).toSeq
+        case Max(ar: AttributeReference) => m.maxCols.get(ar.name).toSeq
+        case graft.functions.KMinValues(ar: AttributeReference, _, _, _) =>
+          m.kmvCols.get(ar.name).toSeq
+        case graft.functions.HistQuantile(ar: AttributeReference, _, _, _, _) =>
+          m.histCols.get(ar.name).toSeq
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+
+  private def rewriteExpand(m: Mv, groupings: Seq[Expression],
+                            aggExprs: Seq[NamedExpression],
+                            cond: Option[Expression],
+                            projections: Seq[Seq[Expression]],
+                            output: Seq[Attribute],
+                            slots: Map[ExprId, Slot]): LogicalPlan = {
+    val mvOut = m.mvPlan.output.map(a => a.name -> a).toMap
+    // slots the rewritten Expand keeps: the grouping/gid slots anything
+    // outside an aggregate still references (original attrs, original
+    // exprIds — groupings and grouping_id arithmetic resolve unchanged)
+    val groupRefIds: Set[ExprId] = (groupings.flatMap(_.references) ++
+      aggExprs.flatMap {
+        case Alias(e, _) if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+          e.references
+        case ar: AttributeReference => Seq(ar)
+        case _ => Nil
+      }).map(_.exprId).toSet
+    val keptIdx = output.indices.filter(i => groupRefIds.contains(output(i).exprId))
+    // mv partial columns the re-aggregations read, passed through every
+    // projection (partials, unlike grouping columns, are never nulled)
+    val needed = aggExprs.flatMap(partialsFor(m, _)).distinct
+    val newOutput: Seq[Attribute] = keptIdx.map(output) ++ needed.map(mvOut)
+    val newProjections = projections.map { proj =>
+      keptIdx.map { i =>
+        proj(i) match {
+          // a grouping column's non-null entry: the scan attr → the mv's
+          // grouping attr of the same name
+          case ar: AttributeReference => mvOut(ar.name)
+          // null-of-the-set / grouping-id literals: verbatim
+          case other => other
+        }
+      } ++ needed.map(mvOut)
+    }
+    // the grouping-column filter moves below the Expand onto the
+    // |groups|-row summary scan (same attrs-by-name rebase as the flat
+    // path — the cond references scan attrs, whose names are base names)
+    val newChild = cond match {
+      case Some(c) =>
+        Filter(c.transform {
+          case ar: AttributeReference => mvOut(ar.name)
+        }, m.mvPlan)
+      case None => m.mvPlan
+    }
+    val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+      case ar: AttributeReference => ar
+      case al @ Alias(e, _) if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+        al
+      case al: Alias => rewriteAggAlias(m, mvOut, al)
+    }
+    Aggregate(groupings, newAggExprs, Expand(newProjections, newOutput, newChild))
+  }
+
+  /** The shared Alias(AggregateExpression) rewrite — flat and Expand
+    * paths construct the identical re-aggregation over mv partials. */
+  private def rewriteAggAlias(m: Mv, mvOut: Map[String, Attribute],
+                              al: Alias): NamedExpression = al match {
+    case Alias(HllSketchEstimate(ae: AggregateExpression), name) =>
+      // estimate over merged partials: register-wise-max union of the
+      // same multiset at the same lgK — the estimator-class contract
+      // (see register()); coincides exactly with the direct read at
+      // dense register state under merged execution
+      val ar = ae.aggregateFunction match {
+        case HllSketchAgg(a: AttributeReference, _, _, _) => a
+      }
+      Alias(HllSketchEstimate(
+        HllUnionAgg(mvOut(m.hllCols(ar.name)), Literal(false))
+          .toAggregateExpression()), name)(exprId = al.exprId)
+    case Alias(ae: AggregateExpression, name) =>
+      ae.aggregateFunction match {
+        case Average(ar: AttributeReference, _) =>
+          // total = re-summed sum partial; denominator = the exact
+          // non-null value count (count(x) partial when registered,
+          // else the row-count partial of a non-nullable measure);
+          // both cast to double exactly as Average's evaluator divides
+          val denomCol = m.valueCountCols.get(ar.name)
+            .getOrElse(m.countCol.get)
+          val s = Cast(Sum(mvOut(m.sumCols(ar.name)))
+            .toAggregateExpression(), DoubleType)
+          val c = Cast(Sum(mvOut(denomCol))
+            .toAggregateExpression(), DoubleType)
+          Alias(Cast(Divide(s, c), ae.dataType), name)(exprId = al.exprId)
+        case Min(ar: AttributeReference) =>
+          Alias(Cast(Min(mvOut(m.minCols(ar.name))).toAggregateExpression(),
+            ae.dataType), name)(exprId = al.exprId)
+        case Max(ar: AttributeReference) =>
+          Alias(Cast(Max(mvOut(m.maxCols(ar.name))).toAggregateExpression(),
+            ae.dataType), name)(exprId = al.exprId)
+        case _: Count =>
+          // COUNT over an EMPTY selection (a grouping filter matching
+          // no groups under a global aggregate) is 0, but SUM over zero
+          // rows is NULL — coalesce restores COUNT's never-null contract
+          Alias(Coalesce(Seq(
+            Cast(Sum(mvOut(m.countCol.get)).toAggregateExpression(),
+              ae.dataType),
+            Literal(0L))), name)(exprId = al.exprId)
+        case Sum(ar: AttributeReference, _) =>
+          // re-summing an integral partial yields LongType = the
+          // original sum type; a Cast is inserted defensively and
+          // collapses to a no-op when types already agree. SUM keeps
+          // its null-on-empty semantics — no coalesce.
+          Alias(Cast(Sum(mvOut(m.sumCols(ar.name))).toAggregateExpression(),
+            ae.dataType), name)(exprId = al.exprId)
+        case graft.functions.KMinValues(ar: AttributeReference, kLit, _, _) =>
+          // the KMV union property makes this EXACT: kmin_merge over
+          // the per-group k-min partials IS kmin_values over the base
+          // rows (same dataType, so no cast needed)
+          Alias(graft.functions.KMinMerge(mvOut(m.kmvCols(ar.name)), kLit)
+            .toAggregateExpression(), name)(exprId = al.exprId)
+        case graft.functions.HistQuantile(ar: AttributeReference, qLit, wLit, _, _) =>
+          // cell-merge exactness: hist_quantile_merge over the stored
+          // cells IS hist_quantile over the base rows (counts sum per
+          // bucket under any rollup; same interpolation)
+          Alias(graft.functions.HistQuantileMerge(
+            mvOut(m.histCols(ar.name)), qLit, wLit)
+            .toAggregateExpression(), name)(exprId = al.exprId)
       }
   }
 
@@ -270,6 +560,16 @@ object MvRewrite {
         c.references.forall(a => m.groupCols.contains(a.name))
     }
 
+  // The per-aggregate servability rules live in [[aggAliasOk]] (shared
+  // with the Expand/lattice path). In brief, and documented in full at
+  // register(): HLL estimate reads serve under the estimator-class
+  // contract (bare sketch reads and approx_count_distinct refuse); AVG
+  // = re-summed sum partial / exact non-null value count (row-count
+  // partial only for non-nullable measures); MIN/MAX and kmv refuse on
+  // retraction marts (not invertible), hist serves on them (cells
+  // retract exactly); kmv/hist serve only at the registered k / grid
+  // width; exact COUNT(DISTINCT) and percentile/approx_percentile
+  // always refuse.
   private def canRewrite(m: Mv, groupings: Seq[Expression],
                          aggExprs: Seq[NamedExpression],
                          cond: Option[Expression]): Boolean = {
@@ -280,83 +580,7 @@ object MvRewrite {
     }
     groupsOk && filterOk(m, cond) && aggExprs.forall {
       case ar: AttributeReference => m.groupCols.contains(ar.name)
-      // HLL estimate read: hll_sketch_estimate ON TOP of the sketch
-      // aggregate. Served under the estimator-class contract documented
-      // at register() (registering hllCols is the opt-in; the direct
-      // read is itself merge-tree-variant). The BARE sketch read
-      // deliberately falls to the Alias(ae) case below and is refused
-      // there — serialized sketch bytes are not contract-stable.
-      // approx_count_distinct (HyperLogLogPlusPlus) never matches: a
-      // different estimator must not be served from datasketches state.
-      case Alias(HllSketchEstimate(ae: AggregateExpression), _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case HllSketchAgg(ar: AttributeReference, lgkLit, _, _) =>
-            !m.cdcRetractionOnly &&
-              lgkLit.foldable &&
-              lgkLit.eval().asInstanceOf[Number].intValue() == m.hllLgK &&
-              m.hllCols.get(ar.name).exists(mvOut.contains)
-          case _ => false
-        }
-      case Alias(ae: AggregateExpression, _) if !ae.isDistinct &&
-          ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Sum(ar: AttributeReference, _) =>
-            sumTypeStable(ar.dataType) &&
-              m.sumCols.get(ar.name).exists(mvOut.contains)
-          case c: Count =>
-            c.children.forall(!_.nullable) &&
-              m.countCol.exists(mvOut.contains)
-          // AVG = re-summed sum partial / re-summed denominator partial.
-          // The exact denominator is the NON-NULL value count: use the
-          // registered count(x) partial when present (nullable measures
-          // answered exactly — SUM already skips nulls), else fall back
-          // to the row-count partial, sound only for a NON-NULLABLE
-          // measure (avg skips nulls; count(*) does not).
-          case Average(ar: AttributeReference, _) =>
-            sumTypeStable(ar.dataType) &&
-              m.sumCols.get(ar.name).exists(mvOut.contains) &&
-              (m.valueCountCols.get(ar.name).exists(mvOut.contains) ||
-                (!ar.nullable && m.countCol.exists(mvOut.contains)))
-          // MIN/MAX of partial MIN/MAXes: type-stable for every ordered
-          // type (re-aggregation preserves the input type) and null-safe
-          // (an all-null group's partial is null; the re-MIN skips it,
-          // exactly as MIN over the base rows would). Refused when the
-          // mart is maintained by pure-retraction CDC — min/max are not
-          // invertible, so those partials may be stale under deletes.
-          case Min(ar: AttributeReference) =>
-            !m.cdcRetractionOnly && m.minCols.get(ar.name).exists(mvOut.contains)
-          case Max(ar: AttributeReference) =>
-            !m.cdcRetractionOnly && m.maxCols.get(ar.name).exists(mvOut.contains)
-          // KMV sketch reads: served when the query's k equals the k the
-          // partials were built with (a smaller query-k could be served
-          // by truncation but would silently change the estimate's error
-          // contract; a larger one cannot be served at all). kmv partials
-          // are insert-only mergeable — refused on retraction marts like
-          // min/max. Exact COUNT(DISTINCT x) never reaches here: the
-          // isDistinct guard above rejects it (by design — a sketch must
-          // not answer an exact aggregate).
-          case graft.functions.KMinValues(ar: AttributeReference, kLit, _, _) =>
-            !m.cdcRetractionOnly &&
-              kLit.foldable &&
-              kLit.eval().asInstanceOf[Number].intValue() == m.kmvK &&
-              m.kmvCols.get(ar.name).exists(mvOut.contains)
-          // histogram-quantile reads: served at matching grid width ONLY
-          // (stored cells cannot be re-bucketed). UNLIKE kmv/min/max,
-          // hist serving survives pure-retraction CDC maintenance:
-          // histogram cells are exactly invertible (counts subtract;
-          // zero cells drop — IncrementalAgg.applyChanges' hists arm),
-          // so a retraction-maintained partial equals the recomputed
-          // one and no cdcRetractionOnly refusal is needed. Exact
-          // `percentile` and Spark's `approx_percentile` fall to the
-          // default refusal: the former is holistic, the latter a
-          // DIFFERENT estimator — serving either would change answers.
-          case graft.functions.HistQuantile(ar: AttributeReference, qLit, wLit, _, _) =>
-            qLit.foldable && wLit.foldable &&
-              wLit.eval().asInstanceOf[Number].intValue() == m.histWidth &&
-              m.histCols.get(ar.name).exists(mvOut.contains)
-          case _ => false
-        }
+      case al: Alias => aggAliasOk(m, mvOut, al)
       case _ => false
     }
   }
@@ -371,66 +595,7 @@ object MvRewrite {
     val newAggExprs: Seq[NamedExpression] = aggExprs.map {
       case ar: AttributeReference =>
         Alias(mvOut(ar.name), ar.name)(exprId = ar.exprId)
-      // estimate over merged partials: register-wise-max union of the
-      // same multiset at the same lgK — the estimator-class contract
-      // (see register()); coincides exactly with the direct read at
-      // dense register state under merged execution
-      case al @ Alias(HllSketchEstimate(ae: AggregateExpression), name) =>
-        val ar = ae.aggregateFunction match {
-          case HllSketchAgg(a: AttributeReference, _, _, _) => a
-        }
-        Alias(HllSketchEstimate(
-          HllUnionAgg(mvOut(m.hllCols(ar.name)), Literal(false))
-            .toAggregateExpression()), name)(exprId = al.exprId)
-      case al @ Alias(ae: AggregateExpression, name) =>
-        ae.aggregateFunction match {
-          case Average(ar: AttributeReference, _) =>
-            // total = re-summed sum partial; denominator = the exact
-            // non-null value count (count(x) partial when registered,
-            // else the row-count partial of a non-nullable measure);
-            // both cast to double exactly as Average's evaluator divides
-            val denomCol = m.valueCountCols.get(ar.name)
-              .getOrElse(m.countCol.get)
-            val s = Cast(Sum(mvOut(m.sumCols(ar.name)))
-              .toAggregateExpression(), DoubleType)
-            val c = Cast(Sum(mvOut(denomCol))
-              .toAggregateExpression(), DoubleType)
-            Alias(Cast(Divide(s, c), ae.dataType), name)(exprId = al.exprId)
-          case Min(ar: AttributeReference) =>
-            Alias(Cast(Min(mvOut(m.minCols(ar.name))).toAggregateExpression(),
-              ae.dataType), name)(exprId = al.exprId)
-          case Max(ar: AttributeReference) =>
-            Alias(Cast(Max(mvOut(m.maxCols(ar.name))).toAggregateExpression(),
-              ae.dataType), name)(exprId = al.exprId)
-          case _: Count =>
-            // COUNT over an EMPTY selection (a grouping filter matching
-            // no groups under a global aggregate) is 0, but SUM over zero
-            // rows is NULL — coalesce restores COUNT's never-null contract
-            Alias(Coalesce(Seq(
-              Cast(Sum(mvOut(m.countCol.get)).toAggregateExpression(),
-                ae.dataType),
-              Literal(0L))), name)(exprId = al.exprId)
-          case Sum(ar: AttributeReference, _) =>
-            // re-summing an integral partial yields LongType = the
-            // original sum type; a Cast is inserted defensively and
-            // collapses to a no-op when types already agree. SUM keeps
-            // its null-on-empty semantics — no coalesce.
-            Alias(Cast(Sum(mvOut(m.sumCols(ar.name))).toAggregateExpression(),
-              ae.dataType), name)(exprId = al.exprId)
-          case graft.functions.KMinValues(ar: AttributeReference, kLit, _, _) =>
-            // the KMV union property makes this EXACT: kmin_merge over
-            // the per-group k-min partials IS kmin_values over the base
-            // rows (same dataType, so no cast needed)
-            Alias(graft.functions.KMinMerge(mvOut(m.kmvCols(ar.name)), kLit)
-              .toAggregateExpression(), name)(exprId = al.exprId)
-          case graft.functions.HistQuantile(ar: AttributeReference, qLit, wLit, _, _) =>
-            // cell-merge exactness: hist_quantile_merge over the stored
-            // cells IS hist_quantile over the base rows (counts sum per
-            // bucket under any rollup; same interpolation)
-            Alias(graft.functions.HistQuantileMerge(
-              mvOut(m.histCols(ar.name)), qLit, wLit)
-              .toAggregateExpression(), name)(exprId = al.exprId)
-        }
+      case al: Alias => rewriteAggAlias(m, mvOut, al)
     }
     // the grouping-column filter moves ONTO the |groups|-row summary
     // scan, rebased to the summary's attributes

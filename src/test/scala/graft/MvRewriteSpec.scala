@@ -190,11 +190,13 @@ class MvRewriteSpec extends AnyFunSuite {
       val mvDir = Files.createTempDirectory("mv_minmax").toString
       base.groupBy("source", "lang")
         .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_rows"),
+          count(col("n_chars")).as("cnt_chars"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
         .write.mode("overwrite").parquet(mvDir)
       MvRewrite.register(session.read.parquet(mvDir),
         baseTag = "documents.parquet", groupCols = Seq("source", "lang"),
         sumCols = Map("n_chars" -> "sum_chars"), countCol = Some("n_rows"),
+        valueCountCols = Map("n_chars" -> "cnt_chars"),
         minCols = Map("n_chars" -> "min_chars"),
         maxCols = Map("n_chars" -> "max_chars"))
 
@@ -706,5 +708,94 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanPaths(q).forall(_.contains("documents.parquet")))
     // the GLOBAL session never had the rule installed at all
     assert(!spark.experimental.extraOptimizations.contains(MvRewrite.RewriteRule))
+  }
+
+  test("ROLLUP / CUBE / GROUPING SETS served from the same mart partials (r10)") {
+    val session = spark.newSession()
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    try {
+      val base = session.read.parquet(baseDir)
+      val mvDir = Files.createTempDirectory("mv_lattice").toString
+      base.groupBy("source", "lang")
+        .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_rows"),
+          count(col("n_chars")).as("cnt_chars"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .write.mode("overwrite").parquet(mvDir)
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = "documents.parquet", groupCols = Seq("source", "lang"),
+        sumCols = Map("n_chars" -> "sum_chars"), countCol = Some("n_rows"),
+        valueCountCols = Map("n_chars" -> "cnt_chars"),
+        minCols = Map("n_chars" -> "min_chars"),
+        maxCols = Map("n_chars" -> "max_chars"))
+
+      // the subtotal lattice reroutes to the |groups|-row summary: the
+      // mv rows ride the SAME Expand, partials re-aggregate per grouping
+      // set. Answers — including the grouping()/grouping_id() flags,
+      // which disambiguate a NULL group value from a rolled-up level —
+      // must be bit-identical to the base-scan lattice.
+      def lattice(df: DataFrame) = df.rollup("source", "lang")
+        .agg(sum("n_chars").as("t"), count(lit(1)).as("c"),
+          avg("n_chars").as("a"), min("n_chars").as("lo"),
+          max("n_chars").as("hi"),
+          grouping("lang").as("g_lang"), grouping_id().as("gid"))
+      val served = lattice(base)
+      assert(scanPaths(served).exists(_.contains(mvDir)),
+        s"rollup should be served from the summary, got " + scanPaths(served))
+      assert(served.collect().toSet ==
+        lattice(spark.read.parquet(baseDir)).collect().toSet)
+      assert(served.count() > 0)
+
+      def cubed(df: DataFrame) = df.cube("source", "lang")
+        .agg(sum("n_chars").as("t"), count(lit(1)).as("c"))
+      val servedCube = cubed(base)
+      assert(scanPaths(servedCube).exists(_.contains(mvDir)))
+      assert(servedCube.collect().toSet ==
+        cubed(spark.read.parquet(baseDir)).collect().toSet)
+
+      // GROUPING SETS via SQL over the same scan
+      base.createOrReplaceTempView("lattice_docs")
+      spark.read.parquet(baseDir).createOrReplaceTempView("lattice_docs_plain")
+      def gsets(s: org.apache.spark.sql.SparkSession, t: String) =
+        s.sql(s"""SELECT source, lang, sum(n_chars) AS t, count(1) AS c
+                  FROM $t GROUP BY GROUPING SETS ((source, lang), (source), ())""")
+      val servedGs = gsets(session, "lattice_docs")
+      assert(scanPaths(servedGs).exists(_.contains(mvDir)),
+        s"grouping sets should be served, got " + scanPaths(servedGs))
+      assert(servedGs.collect().toSet ==
+        gsets(spark, "lattice_docs_plain").collect().toSet)
+
+      // grouping-column filter composes: it moves below the Expand onto
+      // the |groups|-row scan
+      def fRoll(df: DataFrame) = df.filter(col("lang") === "en")
+        .rollup("source").agg(sum("n_chars").as("t"), count(lit(1)).as("c"))
+      val servedF = fRoll(base)
+      assert(scanPaths(servedF).exists(_.contains(mvDir)),
+        "filtered rollup should be served")
+      assert(servedF.collect().toSet ==
+        fRoll(spark.read.parquet(baseDir)).collect().toSet)
+
+      // PARTIAL-LATTICE REFUSAL: any grouping-set column outside the mv
+      // grouping refuses the whole lattice (no per-set serving — a
+      // rewrite must never change answers)
+      val refused = base.rollup("source", "doc_id")
+        .agg(sum("n_chars").as("t"))
+      assert(!scanPaths(refused).exists(_.contains(mvDir)),
+        "a lattice over a non-mv grouping column must NOT rewrite")
+
+      // measure-column filter refuses under a lattice exactly as flat
+      val rowFiltered = base.filter(col("n_chars") > 100)
+        .rollup("source").agg(sum("n_chars").as("t"))
+      assert(!scanPaths(rowFiltered).exists(_.contains(mvDir)))
+
+      // unregistered measure refuses
+      val unreg = base.rollup("source").agg(sum("doc_id").as("t"))
+      assert(!scanPaths(unreg).exists(_.contains(mvDir)))
+
+      // (q22_rollup / q26_cube / q39_grouping_sets are untouched by
+      // construction: the Verify surface never registers an mv, and the
+      // rule is a no-op on an empty registry — their oracle rows stay
+      // the proof)
+    } finally MvRewrite.clear()
   }
 }
