@@ -356,8 +356,18 @@ object Embeddings {
     * routed cells instead of scanning the whole index. Output:
     * (vec_id, emb, vnorm, cell), write-ready for the postings layout. */
   def routeToIvfCells(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-                      embeddings: DataFrame): DataFrame = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+                      embeddings: DataFrame): DataFrame =
+    routeToCells(embeddings, spark.read.parquet(s"$indexDir/centroids"))
+
+  /** The flat nearest-centroid argmax behind [[routeToIvfCells]],
+    * against an explicit (cell, cemb) centroid frame — shared with the
+    * lifecycle rebuild ([[IvfLifecycle.maintain]]) so STORED cells and
+    * STREAM routing derive from the identical expression (same rounding,
+    * same low-cell-id tie-break) and can never disagree: the replay
+    * idempotence of [[graft.streaming.SemDedupIngest]] /
+    * [[graft.streaming.VectorIngest]] rests on "stored cell = where this
+    * vector routes", which a rebuild must re-establish by construction. */
+  def routeToCells(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("vnorm", norm(col("emb")))
     val routed = e.crossJoin(broadcast(cents))

@@ -1,0 +1,180 @@
+package graft.sim
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Drift-triggered IVF index refresh, closed-loop (VERDICT r9 #8): the
+  * signal ([[indexDrift]] — how far have the stored routing centroids
+  * diverged from what their cells now contain?) and the rebuild
+  * ([[Embeddings.kmeansTrainSampled]] + a flat final re-route) composed
+  * into a maintenance routine with ATOMIC versioned publication.
+  *
+  * Layout: `root/v=<n>/{postings,centroids}` per version, a version
+  * live iff its `_PUBLISHED` marker file exists. A rebuild stages into
+  * a hidden dir, renames it to `v=<n+1>` (atomic directory move), then
+  * creates the marker (atomic file create) — readers listing for the
+  * max published version either see n or n+1, never a half-written
+  * tree. Old versions are left intact, so a reader that resolved
+  * [[current]] BEFORE a swap keeps reading its pinned version
+  * consistently for the whole operation ([[vacuum]] reclaims retired
+  * versions once no reader is pinned to them — the reader-lease
+  * discipline is the caller's, exactly like the snapshot store's).
+  *
+  * The rebuild's LAST step re-routes every stored vector against the
+  * final centroid table via [[Embeddings.routeToCells]] — the very
+  * expression the streaming faces route with — so the invariant the
+  * replay-idempotence proofs rest on ("stored cell = where this vector
+  * routes against the stored centroids") holds by construction in the
+  * new version: a [[graft.streaming.SemDedupIngest]] /
+  * [[graft.streaming.VectorIngest]] batch replayed ACROSS the swap
+  * re-derives its decisions against the new store and appends nothing
+  * (spec-pinned). Without the re-route, Lloyd's final assignment (made
+  * against the PREVIOUS round's centroids) can disagree with the stored
+  * means, and a replayed vector whose cell moved would re-append under
+  * its new cell — a silent duplicate.
+  *
+  * Scale shape: drift is one |cells|×dims centroid aggregation plus a
+  * |cells|-row join against the stored centroid table; the
+  * rebuild is the sampled trainer (its own measured decades) plus one
+  * flat assign pass, bounded by the cells cap exactly like every other
+  * assign leg. Nothing collects but the version listing and the drift
+  * fraction. */
+object IvfLifecycle {
+
+  private val Marker = "_PUBLISHED"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def versionDir(root: String, v: Int): String = s"$root/v=$v"
+
+  /** Published versions, ascending (data dir present AND marker set). */
+  def publishedVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new Path(root))) Nil
+    else fs.listStatus(new Path(root)).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=")) scala.util.Try(n.drop(2).toInt).toOption
+        else None
+      }
+      .filter(v => fs.exists(new Path(s"${versionDir(root, v)}/$Marker")))
+      .sorted
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Int = {
+    val vs = publishedVersions(spark, root)
+    require(vs.nonEmpty, s"no published IVF version under $root — init first")
+    vs.last
+  }
+
+  /** Resolve the live version's index dir. A reader that resolves ONCE
+    * and passes the returned path to searchIvfIndex / SemDedupIngest /
+    * VectorIngest is pinned: a concurrent swap never mutates or removes
+    * the resolved tree, so the whole operation sees exactly one
+    * version. */
+  def current(spark: SparkSession, root: String): String =
+    versionDir(root, currentVersion(spark, root))
+
+  /** Initialize version 1 from a labeled corpus (the
+    * [[Embeddings.buildIvfIndex]] contract: vec_id, embedding, label). */
+  def init(spark: SparkSession, root: String, labeled: DataFrame): String =
+    publish(spark, root, 1) { staging =>
+      Embeddings.buildIvfIndex(labeled, staging)
+    }
+
+  private def publish(spark: SparkSession, root: String, v: Int)
+                     (build: String => Unit): String = {
+    val fs = fsOf(spark, root)
+    val staging = s"$root/.staging-v$v-" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    build(staging)
+    val target = new Path(versionDir(root, v))
+    fs.mkdirs(target.getParent)
+    // atomic move; a concurrent publisher of the same version loses the
+    // rename and must not half-publish — its staging is discarded
+    if (!fs.rename(new Path(staging), target)) {
+      fs.delete(new Path(staging), true)
+      require(fs.exists(new Path(s"$target/$Marker")),
+        s"version $v exists but is unpublished — crashed publisher? " +
+          "remove the stale dir and retry")
+      return target.toString
+    }
+    fs.createNewFile(new Path(s"$target/$Marker"))
+    versionDir(root, v)
+  }
+
+  /** The refresh signal — centroid STALENESS: the size-weighted mean of
+    * (1 − cosine(stored centroid, recomputed cell mean)) over the
+    * postings. Appends never update centroids (the routing table must
+    * stay immutable for replay determinism), so as ingest drifts, the
+    * stored centroid a cell ROUTES BY diverges from what the cell now
+    * CONTAINS — exactly the divergence that degrades probe recall. A
+    * fresh build sits at 0 (stored centroids ARE the means); ingest
+    * drift pushes it toward 1. One |cells|×dims aggregation + a
+    * |cells|-row join — no corpus-sized shuffle. */
+  def indexDrift(spark: SparkSession, indexDir: String): Double = {
+    val post = spark.read.parquet(s"$indexDir/postings")
+    val n = post.count()
+    if (n == 0) 0.0
+    else {
+      val fresh = Embeddings.centroids(
+        post.select(col("cell").as("label"), col("emb").as("embedding")))
+        .select(col("cell"), col("cemb").as("fresh"))
+      val stored = spark.read.parquet(s"$indexDir/centroids")
+      val sizes = post.groupBy("cell").agg(count(lit(1)).as("n"))
+      val s = sizes.join(stored, "cell").join(fresh, "cell")
+        .select(sum(col("n") *
+          (lit(1.0) - Embeddings.cosine(col("cemb"), col("fresh")))).as("s"))
+        .first().getDouble(0)
+      math.max(0.0, s / n)
+    }
+  }
+
+  /** Measure drift on the live version; past `driftThreshold`, retrain
+    * on the stored vectors (cells knob re-derived from today's count),
+    * re-route everything against the final centroids, and atomically
+    * publish the next version. Returns the new version, or None when
+    * the index is still fresh. */
+  def maintain(spark: SparkSession, root: String,
+               driftThreshold: Double = 0.2, iters: Int = 2,
+               sampleMod: Int = 1): Option[Int] = {
+    val v = currentVersion(spark, root)
+    val live = versionDir(root, v)
+    val drift = indexDrift(spark, live)
+    if (drift < driftThreshold) None
+    else {
+      val stored = spark.read.parquet(s"$live/postings")
+        .select(col("vec_id"), col("emb").as("embedding"))
+      val n = stored.count()
+      val cells = graft.ops.ScaleKnobs.kmeansCells(n)
+      val c1 = graft.ops.ScaleKnobs.kmeansCoarse(cells)
+      val c2 = graft.ops.ScaleKnobs.kmeansCoarse2(cells)
+      val asg = Embeddings.kmeansTrainSampled(stored, cells, iters,
+        sampleMod, c1, c2)
+      val cents = Embeddings.centroids(
+        stored.join(asg, "vec_id")
+          .select(col("cell").as("label"), col("embedding")))
+      publish(spark, root, v + 1) { staging =>
+        // final flat re-route against the centroids we STORE — the
+        // stored-cell ≡ stream-routing invariant, by construction
+        Embeddings.appendRoutedToIvf(
+          Embeddings.routeToCells(stored, cents), staging)
+        cents.write.mode("overwrite").parquet(s"$staging/centroids")
+      }
+      Some(v + 1)
+    }
+  }
+
+  /** Delete retired versions, keeping the newest `keep` published ones
+    * (and any unpublished leftovers of versions newer than the cut). */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[Int] = {
+    val fs = fsOf(spark, root)
+    val vs = publishedVersions(spark, root)
+    val drop = vs.dropRight(math.max(1, keep))
+    drop.foreach(v => fs.delete(new Path(versionDir(root, v)), true))
+    drop
+  }
+}

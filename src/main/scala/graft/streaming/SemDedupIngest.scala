@@ -90,8 +90,7 @@ object SemDedupIngest {
         else {
           val cells = localSurvivors.select("cell").distinct()
             .collect().map(_.get(0))
-          val stored = spark.read.parquet(postingsDir)
-            .filter(col("cell").isin(cells.toIndexedSeq: _*))
+          val stored = prunedPostings(spark, postingsDir, cells.toIndexedSeq)
             .select(col("cell"), col("vec_id").as("s_id"),
               col("emb").as("s_emb"), col("vnorm").as("s_norm"))
           val storeVetoed = localSurvivors.join(stored, Seq("cell"))
@@ -109,6 +108,18 @@ object SemDedupIngest {
       BatchCounts(nReceived, nReceived - nTotal, nAdmit, nTotal - nAdmit)
     } finally { routed.unpersist(); () }
   }
+
+  /** The cell-pruned postings scan the store probe reads — the
+    * [[VectorIngest.unseenOf]] partition-filter trick, factored out so
+    * its scale claim is PLAN-ASSERTED (SemDedupIngestSpec): `cell` is
+    * the postings' partition column, so the isin lands in the scan's
+    * PartitionFilters and the probe lists/reads O(touched cells)
+    * partition directories — never the index. */
+  private[graft] def prunedPostings(spark: org.apache.spark.sql.SparkSession,
+                                    postingsDir: String,
+                                    cells: Seq[Any]): DataFrame =
+    spark.read.parquet(postingsDir)
+      .filter(col("cell").isin(cells: _*))
 
   /** Continuous semantic-deduped ingest over a (vec_id, embedding)
     * stream. */
