@@ -760,12 +760,42 @@ object Embeddings {
     * a persisted IVF index's cells). */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.4,
                nCells: Int = 0, nCoarse: Int = 1,
-               nCoarse2: Int = 1, quantPre: Boolean = false): DataFrame = {
-    val scored = semDedupScored(embeddings, nCells, nCoarse, nCoarse2)
+               nCoarse2: Int = 1, quantPre: Boolean = false,
+               collapseExact: Boolean = false): DataFrame = {
+    val scored0 = semDedupScored(embeddings, nCells, nCoarse, nCoarse2)
+    // Exact-copy collapse (r10 — the fifth-decade finding): when the
+    // corpus carries byte-identical embeddings (multiplicity m per
+    // value), every later copy is trivially a semantic dup of its
+    // earliest copy (cos 1.0; identical ccos, so the rank tie breaks to
+    // the min vec_id), so the quadratic pair pass may run over ONE
+    // representative per distinct (cell, emb) value and expand back —
+    // an EXACT rewrite (order restriction preserves rep order; a row
+    // before rep_v implies that row's own rep is before rep_v), cutting
+    // pair work by m² per value. This is the operator-level form of the
+    // curation pipeline's "exact dedup before SemDeDup" ordering, and
+    // it is what holds the Σ|cell|² bound when data diversity, not
+    // volume, is the binding constraint: measured at sf1000emb (20M
+    // rows, only 200k distinct values), the derived cells collapse
+    // 160000 → 1211 and the uncollapsed pair pass is 431e9 pairs (172×
+    // the occupancy bound — ~3 h/rep); collapsed it is ~43e6. Off by
+    // default (the historical exact plan at oracle sfs); the bucketed
+    // registered path collapses always. Requires threshold ≤ 1.0 (a
+    // rounded self-cosine is exactly 1.0).
+    val (scored, withRep) =
+      if (!collapseExact) (scored0, None)
+      else {
+        val wr = scored0.withColumn("rep_id",
+          min("vec_id").over(Window.partitionBy("cell", "emb")))
+        (wr.filter(col("vec_id") === col("rep_id")).drop("rep_id"), Some(wr))
+      }
+    def expand(markedReps: DataFrame): DataFrame = withRep match {
+      case None => markedReps
+      case Some(wr) => expandExactCopies(wr, markedReps)
+    }
     val w = Window.partitionBy("cell").orderBy(col("ccos").asc, col("vec_id").asc)
     if (!quantPre) {
       val ranked = scored.withColumn("crank", row_number().over(w))
-      semDedupPairMark(ranked, threshold)
+      expand(semDedupPairMark(ranked, threshold))
     } else {
       // Quantized pre-verify (r9, VERDICT r8 "Next round" #1): the frame
       // that crosses the window exchange and the within-cell self-join
@@ -837,12 +867,26 @@ object Embeddings {
         .select("vec_id").distinct()
       val dup = sure.unionByName(confirmed).distinct()
         .withColumn("is_dup", lit(1))
-      ranked.join(dup, Seq("vec_id"), "left")
+      expand(ranked.join(dup, Seq("vec_id"), "left")
         .select(col("cell"), col("vec_id"),
           col("ccos").as("centroid_cos"),
-          coalesce(col("is_dup"), lit(0)).as("is_dup"))
+          coalesce(col("is_dup"), lit(0)).as("is_dup")))
     }
   }
+
+  /** Re-attach exact copies after a representative-only pair pass: the
+    * representative keeps its marked is_dup; every other copy is a dup
+    * of its (earlier-ranked, cosine-1.0) representative. Narrow join on
+    * the rep id — the fat arrays never re-shuffle. */
+  private def expandExactCopies(withRep: DataFrame,
+                                markedReps: DataFrame): DataFrame =
+    withRep.select(col("cell"), col("vec_id"), col("ccos"), col("rep_id"))
+      .join(markedReps.select(col("vec_id").as("rep_id"),
+        col("is_dup").as("rep_dup")), Seq("rep_id"))
+      .select(col("cell"), col("vec_id"),
+        col("ccos").as("centroid_cos"),
+        when(col("vec_id") === col("rep_id"), col("rep_dup"))
+          .otherwise(lit(1)).as("is_dup"))
 
   /** The shared SemDeDup prelude: cell assignment (derived or carried),
     * centroid attach (broadcast), rounded cosine-to-centroid. */
@@ -892,7 +936,8 @@ object Embeddings {
     * write. The trade: one full write+read of the corpus-with-arrays on
     * stable storage vs the quantized path's 8×-narrower single shuffle.
     * Row-for-row identical to [[semDedup]] (same pair logic, same
-    * rounding) — spec-pinned in SemDedupScaleSpec.
+    * rounding, exact-copy collapse included — an exact rewrite) —
+    * spec-pinned in SemDedupScaleSpec.
     *
     * Postings hygiene (VERDICT r9 #4 / ADVICE r9): `path`/`table` are
     * BASE names — each invocation suffixes both with a unique id, folds
@@ -918,14 +963,25 @@ object Embeddings {
     val scored = semDedupScored(embeddings, nCells, nCoarse, nCoarse2)
     graft.ops.Bucketing.writeBucketed(scored, uTable, uPath, "cell", buckets)
     try {
-      val ranked = spark.table(uTable).withColumn("crank", row_number().over(
-        Window.partitionBy("cell").orderBy(col("ccos").asc, col("vec_id").asc)))
+      // exact-copy collapse, always on here (see semDedup's collapseExact
+      // note — this path only engages past the cell floor, where the
+      // fifth-decade finding showed multiplicity can break the occupancy
+      // bound by 100×+). Both windows and the rank are satisfied by the
+      // bucket's hash-partitioning on cell (subset clustering), so the
+      // collapse costs a sort, never an Exchange.
+      val withRep = spark.table(uTable).withColumn("rep_id",
+        min("vec_id").over(Window.partitionBy("cell", "emb")))
+      val ranked = withRep.filter(col("vec_id") === col("rep_id"))
+        .drop("rep_id")
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("cell").orderBy(col("ccos").asc, col("vec_id").asc)))
       // eager localCheckpoint: the zero-Exchange rank+pair plan executes
       // HERE, off the bucketed scan; the returned frame holds the marked
       // rows (narrow: cell, vec_id, centroid_cos, is_dup) with no
       // remaining dependency on the postings, which the finally clause
       // is then free to drop
-      semDedupPairMark(ranked, threshold).localCheckpoint(true)
+      expandExactCopies(withRep, semDedupPairMark(ranked, threshold))
+        .localCheckpoint(true)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $uTable")
       val p = new org.apache.hadoop.fs.Path(uPath)

@@ -249,6 +249,51 @@ class SemDedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-copy collapse ≡ direct pair pass on a multiplicity-heavy corpus (r10)") {
+    // The fifth-decade finding: byte-identical embeddings (multiplicity
+    // m) blow the Σ|cell|² bound up by m² unless the pair pass runs on
+    // one representative per distinct (cell, emb) value. The collapse is
+    // an EXACT rewrite — pinned here on a corpus with interleaved copy
+    // ids, a true near-dup pair, exact-copy groups, and singletons, at a
+    // mid threshold and at the t=1.0 edge (where ONLY exact copies dup).
+    def v(xs: Double*): Array[Float] = {
+      val a = xs.map(_.toFloat).toArray
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+      a.map(_ / n)
+    }
+    val A = v(1, 0, 0, 0); val B = v(1, 0.25, 0, 0) // cos(A,B) ≈ 0.970
+    val C = v(0, 0, 1, 0)
+    val D = v(0, 1, 0, 0); val E = v(0, 1, 0.3, 0)  // cos(D,E) ≈ 0.958
+    val F = v(0, 0, 0, 1)
+    val rows = Seq(
+      (0L, A, 0), (7L, A, 0), (9L, A, 0),  // multiplicity 3
+      (1L, B, 0), (8L, B, 0),              // multiplicity 2, near-dup of A
+      (2L, C, 0),                          // singleton
+      (3L, D, 1), (4L, D, 1),              // multiplicity 2
+      (5L, E, 1), (6L, F, 1)               // near-dup of D; singleton
+    ).toDF("vec_id", "embedding", "label")
+    for (t <- Seq(0.9, 1.0)) {
+      val direct = resultSet(Embeddings.semDedup(rows, threshold = t))
+      assert(resultSet(Embeddings.semDedup(rows, threshold = t,
+        collapseExact = true)) === direct, s"classic+collapse t=$t")
+      assert(resultSet(Embeddings.semDedup(rows, threshold = t,
+        quantPre = true, collapseExact = true)) === direct,
+        s"quantPre+collapse t=$t")
+      val dir = java.nio.file.Files.createTempDirectory("semdedup_cx").toString
+      assert(resultSet(Embeddings.semDedupBucketed(spark, rows, s"$dir/t",
+        threshold = t)) === direct, s"bucketed(collapsed) t=$t")
+      // sanity on the fixture itself. At t=1.0 only exact copies dup
+      // (survivor = min id per value). At t=0.9 the near-dup GROUPS
+      // merge and the survivor is the least centroid-typical member:
+      // B's copies sit farther from cell 0's centroid (pulled toward
+      // A's 3 copies) so B(1) survives and ALL of A's copies drop;
+      // likewise E(5) survives over D's copies in cell 1.
+      val dups = direct.filter(_._4 == 1).map(_._2)
+      if (t == 1.0) assert(dups.toSet === Set(7L, 8L, 9L, 4L))
+      else assert(dups.toSet === Set(0L, 7L, 9L, 8L, 3L, 4L))
+    }
+  }
+
   test("the registered knob engages past the coarse floor only") {
     import graft.ops.ScaleKnobs
     assert(!ScaleKnobs.semDedupPostings(16))
