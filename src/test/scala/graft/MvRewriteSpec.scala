@@ -424,6 +424,20 @@ class MvRewriteSpec extends AnyFunSuite {
           .agg(call_function("kmin_values", col("h"), lit(16)).as("sketch"))
           .first().getSeq[Long](0))
 
+      // SUBTOTAL LATTICE (r10): the KMV union property holds under any
+      // grouping — a CUBE over the hashed base serves from kmin_merge of
+      // the per-group partials, sketch-for-sketch equal to direct
+      def kLatt(df: org.apache.spark.sql.DataFrame) = df.cube("source")
+        .agg(call_function("kmin_values", col("h"), lit(16)).as("sketch"),
+          grouping_id().as("gid"))
+      val servedLat = kLatt(hBase)
+      assert(scanPaths(servedLat).exists(_.contains(mvDir)),
+        s"cube kmv read should hit the mart, got " + scanPaths(servedLat))
+      assert(servedLat.collect()
+        .map(r => (Option(r.getString(0)), r.getSeq[Long](1), r.get(2))).toSet ===
+        kLatt(plain.read.parquet(hDir)).collect()
+          .map(r => (Option(r.getString(0)), r.getSeq[Long](1), r.get(2))).toSet)
+
       // k mismatch falls through to the base (a different k is a
       // different error contract — truncation would silently change it)
       val otherK = hBase.groupBy("source")
@@ -514,6 +528,18 @@ class MvRewriteSpec extends AnyFunSuite {
         plain.read.parquet(baseDir).agg(
           call_function("hist_quantile", col("n_chars"), lit(0.9), lit(8))
             .as("p90")).first().getDouble(0))
+
+      // SUBTOTAL LATTICE (r10): hist cells merge under any grouping, so
+      // a ROLLUP over the base reroutes to the maintained mart and the
+      // per-level quantiles equal the direct lattice bit-for-bit
+      def latt(df: DataFrame) = df.rollup("source")
+        .agg(call_function("hist_quantile", col("n_chars"), lit(0.5), lit(8))
+          .as("p50"), grouping_id().as("gid"))
+      val servedL = latt(base)
+      assert(scanPaths(servedL).exists(_.contains(storeDir)),
+        s"rollup hist read should hit the mart, got " + scanPaths(servedL))
+      assert(servedL.collect().toSet ===
+        latt(plain.read.parquet(baseDir)).collect().toSet)
 
       // grid-width mismatch falls through (stored cells cannot be
       // re-bucketed onto a different grid)
