@@ -769,6 +769,23 @@ object TrainingOps extends OpsModule {
       out.orderBy("vec_id")
     }),
 
+    // the r10 exact-copy collapse, ORACLE-checked: same semantics, same
+    // oracle SQL as emb_semdedup, because the collapse is an exact
+    // rewrite (pair pass on one representative per distinct (cell, emb)
+    // value, copies expanded back as dups of their earliest copy) — the
+    // hash-match against the UNCOLLAPSED oracle chain IS the proof that
+    // representative-only pair marking changes nothing. This is the
+    // plan that held the fifth decade (BENCH_SF1000_EMB.json)
+    "emb_semdedup_collapsed" -> ((s, d) => {
+      val e = embs(s, d)
+      val cells = graft.ops.ScaleKnobs.kmeansCells(e.count(),
+        floor = SemDedupCells)
+      Embeddings.semDedup(e, threshold = SemDedupThreshold, nCells = cells,
+        nCoarse = graft.ops.ScaleKnobs.kmeansCoarse(cells),
+        nCoarse2 = graft.ops.ScaleKnobs.kmeansCoarse2(cells),
+        collapseExact = true).orderBy("vec_id")
+    }),
+
     // the COMPOSED vector-side curation pipeline, hash-checked end to
     // end (VERDICT r9 #5 — the embedding family's td_curation_audit):
     // exact dedup → SemDeDup keep/drop → semantic decontamination →
@@ -2255,6 +2272,48 @@ object TrainingOps extends OpsModule {
     * td_normalize's hash, duckLshCandCtes with `documents` rebased to
     * the exact-dedup survivors, td_lsh_clusters' recursive components,
     * 8-gram contamination hits). */
+  /** The SemDeDup oracle chain — shared verbatim by `emb_semdedup` and
+    * `emb_semdedup_collapsed` (the r10 exact-copy collapse): one SQL,
+    * two Spark plans, equal hashes = the rewrite proof. */
+  private def duckSemDedupSql: String =
+    s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+          scent AS (
+            SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
+              SELECT cell, idx, avg(v) AS cv FROM (
+                SELECT vec_id % $SemDedupCells AS cell,
+                       generate_subscripts(emb, 1) AS idx, unnest(emb) AS v
+                FROM eb)
+              GROUP BY cell, idx)
+            GROUP BY cell),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT eb.vec_id, s.cell,
+                     row_number() OVER (PARTITION BY eb.vec_id
+                       ORDER BY ${dCos("eb.emb", "s.cemb")} DESC, s.cell ASC) AS rk
+              FROM eb, scent s)
+            WHERE rk = 1),
+          e2 AS (SELECT a.cell, eb.vec_id, eb.emb FROM eb JOIN asg a USING (vec_id)),
+          cent2 AS (
+            SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
+              SELECT cell, idx, avg(v) AS cv FROM (
+                SELECT cell, generate_subscripts(emb, 1) AS idx, unnest(emb) AS v
+                FROM e2)
+              GROUP BY cell, idx)
+            GROUP BY cell),
+          sc AS (SELECT e2.cell, e2.vec_id, e2.emb,
+                        round(${dCos("e2.emb", "cent2.cemb")}, 6) AS ccos
+                 FROM e2 JOIN cent2 USING (cell)),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY cell
+                   ORDER BY ccos ASC, vec_id ASC) AS crank FROM sc),
+          dup AS (SELECT DISTINCT b.vec_id
+                  FROM rk a JOIN rk b ON a.cell = b.cell AND a.crank < b.crank
+                  WHERE round(${dCos("a.emb", "b.emb")}, 6) >= $SemDedupThreshold)
+          SELECT r.cell, r.vec_id, r.ccos AS centroid_cos,
+                 CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+          FROM rk r LEFT JOIN dup d ON r.vec_id = d.vec_id
+          ORDER BY r.vec_id"""
+
   private def duckCurationAuditSql: String = {
     val sh8 = (1 to 8).map(j => s"toks[i+$j]").mkString(", ")
     val lshBase = duckLshCandCtes.replace("FROM documents", "FROM base_docs")
@@ -4045,44 +4104,10 @@ object TrainingOps extends OpsModule {
     // cell-mate with rounded pair-cosine >= threshold. Constants are the
     // shared SemDedupCells / SemDedupThreshold — the Spark side reads the
     // same values, so the two can't drift
-    "emb_semdedup" ->
-      s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                      FROM embeddings),
-          scent AS (
-            SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
-              SELECT cell, idx, avg(v) AS cv FROM (
-                SELECT vec_id % $SemDedupCells AS cell,
-                       generate_subscripts(emb, 1) AS idx, unnest(emb) AS v
-                FROM eb)
-              GROUP BY cell, idx)
-            GROUP BY cell),
-          asg AS (
-            SELECT vec_id, cell FROM (
-              SELECT eb.vec_id, s.cell,
-                     row_number() OVER (PARTITION BY eb.vec_id
-                       ORDER BY ${dCos("eb.emb", "s.cemb")} DESC, s.cell ASC) AS rk
-              FROM eb, scent s)
-            WHERE rk = 1),
-          e2 AS (SELECT a.cell, eb.vec_id, eb.emb FROM eb JOIN asg a USING (vec_id)),
-          cent2 AS (
-            SELECT cell, list(cv ORDER BY idx) AS cemb FROM (
-              SELECT cell, idx, avg(v) AS cv FROM (
-                SELECT cell, generate_subscripts(emb, 1) AS idx, unnest(emb) AS v
-                FROM e2)
-              GROUP BY cell, idx)
-            GROUP BY cell),
-          sc AS (SELECT e2.cell, e2.vec_id, e2.emb,
-                        round(${dCos("e2.emb", "cent2.cemb")}, 6) AS ccos
-                 FROM e2 JOIN cent2 USING (cell)),
-          rk AS (SELECT *, row_number() OVER (PARTITION BY cell
-                   ORDER BY ccos ASC, vec_id ASC) AS crank FROM sc),
-          dup AS (SELECT DISTINCT b.vec_id
-                  FROM rk a JOIN rk b ON a.cell = b.cell AND a.crank < b.crank
-                  WHERE round(${dCos("a.emb", "b.emb")}, 6) >= $SemDedupThreshold)
-          SELECT r.cell, r.vec_id, r.ccos AS centroid_cos,
-                 CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
-          FROM rk r LEFT JOIN dup d ON r.vec_id = d.vec_id
-          ORDER BY r.vec_id""",
+    "emb_semdedup" -> duckSemDedupSql,
+
+    // identical oracle by design: the collapse is an exact rewrite
+    "emb_semdedup_collapsed" -> duckSemDedupSql,
 
     // the composed vector curation pipeline's audit — the member
     // oracles assembled into ONE CTE chain (the td_curation_audit
@@ -5443,6 +5468,8 @@ object TrainingOps extends OpsModule {
         blockKnob = Some("cell-blocked pair join, |bins|-sized output")),
       "emb_semdedup" -> PlanTag(bnlj = Some(centroids),
         blockKnob = Some("kmeansCells(nCells) — pair work Σ|cell|²")),
+      "emb_semdedup_collapsed" -> PlanTag(bnlj = Some(centroids),
+        blockKnob = Some("kmeansCells(nCells) — pair work Σ|distinct per cell|², the r10 multiplicity-adaptive bound")),
       // (emb_curation_audit needs no bnlj tag: like td_curation_audit,
       // its returned frame is a LOCAL relation of already-collected
       // stage counts — the members' bounded broadcasts execute inside

@@ -137,7 +137,18 @@ object IvfLifecycle {
     * on the stored vectors (cells knob re-derived from today's count),
     * re-route everything against the final centroids, and atomically
     * publish the next version. Returns the new version, or None when
-    * the index is still fresh. */
+    * the index is still fresh.
+    *
+    * WRITER contract (stated, not hidden): the rebuild snapshots the
+    * live version's postings at its own read time — an ingest batch
+    * that APPENDS to the old version after that read is not carried
+    * into the new one. Readers are safe unserialized (pinning); a
+    * deployment that maintains while ingesting must quiesce the ingest
+    * around `maintain` (one foreachBatch boundary suffices — batches
+    * resolve [[current]] per batch) or re-drive the missed batches
+    * after the swap, which is safe by the same replay idempotence the
+    * spec pins: replayed batches re-derive their decisions against the
+    * new store and append exactly the missing remainder. */
   def maintain(spark: SparkSession, root: String,
                driftThreshold: Double = 0.2, iters: Int = 2,
                sampleMod: Int = 1): Option[Int] = {
