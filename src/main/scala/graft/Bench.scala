@@ -132,6 +132,10 @@ object Bench {
       }
     // CPU control: warm once (codegen), then reps, median — same
     // discipline as the queries. Fixed shape, no IO, forced evaluation.
+    // Skipped in arg-filtered subset runs (the forcedResults gating,
+    // ADVICE r10): subset runs are local iteration aids that don't feed
+    // the cross-round regression read, and the 1B-row fold is a fixed
+    // multi-second tax per invocation.
     def cpuControlOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 1000000000L, 1L, 32)
@@ -139,9 +143,13 @@ object Bench {
         .queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
-    cpuControlOnce()
-    val cpuTimes = (0 until reps).map(_ => cpuControlOnce())
-    val cpuSec = cpuTimes.sorted.apply(cpuTimes.size / 2)
+    val cpuSecOpt: Option[Double] =
+      if (args.nonEmpty) None
+      else {
+        cpuControlOnce()
+        val cpuTimes = (0 until reps).map(_ => cpuControlOnce())
+        Some(cpuTimes.sorted.apply(cpuTimes.size / 2))
+      }
     val failures = results.collect { case (n, d) if d < 0 => n }.toSeq.sorted
     // total covers the REQUESTED queries only: in an arg-filtered run the
     // control is force-added for calibration, and folding its time into
@@ -173,6 +181,21 @@ object Bench {
         if (forcedResults.isEmpty) ""
         else forcedResults.map { case (k, v) => s"  \"$k\": ${f2(v)}" }
           .mkString("\"forced\": {\n", ",\n", "\n},\n")
+      // Boot-normalized view (VERDICT r10 #5): each query's median over
+      // the SAME boot's CPU-control median. The r10 three-boot study
+      // showed raw medians carry a boot-wide band (common-244 ratios
+      // 1.049–1.19× across boots with DISJOINT >1.3× flag sets); dividing
+      // by the same-boot CPU control cancels the boot-wide component, so
+      // the round-over-round read adjudicates >1.3× moves on THESE
+      // numbers (a move that survives normalization is plan-shaped; one
+      // that normalizes away was the boot). Raw medians stay the
+      // cross-round comparability record.
+      def f3(v: Double) = f"$v%.3f"
+      val normJson = cpuSecOpt.map { cpu =>
+        detail.filter(_._2 >= 0)
+          .map { case (k, v) => s"  \"$k\": ${f3(v / cpu)}" }
+          .mkString("\"queries_cpu_normalized\": {\n", ",\n", "\n},\n")
+      }.getOrElse("")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
           "/root/repo/BENCH_DETAIL.json")),
@@ -182,8 +205,10 @@ object Bench {
           results.get(ControlQuery).map(t =>
             s""""control":{"name":"$ControlQuery","sec":${f2(t)}},""")
             .getOrElse("") +
-          s""""control_cpu":{"name":"range_modsq_fold_1b","sec":${f2(cpuSec)}},""" +
-          forcedJson +
+          cpuSecOpt.map(c =>
+            s""""control_cpu":{"name":"range_modsq_fold_1b","sec":${f2(c)}},""")
+            .getOrElse("") +
+          forcedJson + normJson +
           s""""queries":$full}""").getBytes)
     } catch { case _: Throwable => () }
     val failedPart =
@@ -192,8 +217,9 @@ object Bench {
     val controlPart = results.get(ControlQuery)
       .map(t => s""","control":{"name":"$ControlQuery","sec":${f2(t)}}""")
       .getOrElse("")
-    val cpuPart =
-      s""","control_cpu":{"name":"range_modsq_fold_1b","sec":${f2(cpuSec)}}"""
+    val cpuPart = cpuSecOpt.map(c =>
+      s""","control_cpu":{"name":"range_modsq_fold_1b","sec":${f2(c)}}""")
+      .getOrElse("")
     val forcedPart =
       if (forcedResults.isEmpty) ""
       else s""","forced_total_sec":${f2(forcedTotal)}"""

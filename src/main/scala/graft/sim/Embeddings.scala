@@ -780,7 +780,15 @@ object Embeddings {
     // the occupancy bound — ~3 h/rep); collapsed it is ~43e6. Off by
     // default (the historical exact plan at oracle sfs); the bucketed
     // registered path collapses always. Requires threshold ≤ 1.0 (a
-    // rounded self-cosine is exactly 1.0).
+    // rounded self-cosine is exactly 1.0) — enforced loudly below
+    // (ADVICE r10: with t > 1.0 the direct pair pass marks nothing,
+    // but expandExactCopies would still mark every non-representative
+    // copy — a silent divergence a comment cannot prevent).
+    if (collapseExact) require(threshold <= 1.0,
+      s"semDedup(collapseExact = true) requires threshold <= 1.0 (got " +
+        s"$threshold): the collapse marks exact copies as duplicates of " +
+        "their representative, which is only an exact rewrite of the " +
+        "pair pass when a rounded cosine of 1.0 reaches the threshold")
     val (scored, withRep) =
       if (!collapseExact) (scored0, None)
       else {
@@ -956,6 +964,12 @@ object Embeddings {
                        nCoarse: Int = 1, nCoarse2: Int = 1,
                        table: String = "semdedup_scored",
                        buckets: Int = 32): DataFrame = {
+    // this path always collapses exact copies — same loud precondition
+    // as semDedup(collapseExact = true) (ADVICE r10)
+    require(threshold <= 1.0,
+      s"semDedupBucketed requires threshold <= 1.0 (got $threshold): " +
+        "the always-on exact-copy collapse is only an exact rewrite " +
+        "when a rounded cosine of 1.0 reaches the threshold")
     val suffix =
       s"c${nCells}_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val uPath = s"$path/$suffix"

@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `root/v=<n>/{postings,centroids}` per version, a version
   * live iff its `_PUBLISHED` marker file exists. A rebuild stages into
-  * a hidden dir, renames it to `v=<n+1>` (atomic directory move), then
-  * creates the marker (atomic file create) — readers listing for the
-  * max published version either see n or n+1, never a half-written
+  * a hidden dir, creates the marker INSIDE the staged tree, then
+  * renames it to `v=<n+1>` — one atomic directory move IS the
+  * publication (ADVICE r10: the earlier rename-then-create pair left a
+  * crash window between the two steps whose unpublished leftover wedged
+  * every subsequent publish of that version; with the marker riding
+  * inside the rename there is no window, and a leftover unpublished dir
+  * can only be an abandoned old-protocol crash, which [[publish]] now
+  * reclaims instead of throwing). Readers listing for the max published
+  * version either see n or n+1, never a half-written
   * tree. Old versions are left intact, so a reader that resolved
   * [[current]] BEFORE a swap keeps reading its pinned version
   * consistently for the whole operation ([[vacuum]] reclaims retired
@@ -91,18 +97,37 @@ object IvfLifecycle {
     val staging = s"$root/.staging-v$v-" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     build(staging)
+    // the marker rides INSIDE the staged tree: the rename below is the
+    // single atomic publication step — a crash anywhere before it
+    // leaves only a hidden staging dir (harmless), a crash anywhere
+    // after it leaves a fully published version. No two-step window.
+    fs.createNewFile(new Path(s"$staging/$Marker"))
     val target = new Path(versionDir(root, v))
     fs.mkdirs(target.getParent)
-    // atomic move; a concurrent publisher of the same version loses the
-    // rename and must not half-publish — its staging is discarded
-    if (!fs.rename(new Path(staging), target)) {
-      fs.delete(new Path(staging), true)
-      require(fs.exists(new Path(s"$target/$Marker")),
-        s"version $v exists but is unpublished — crashed publisher? " +
-          "remove the stale dir and retry")
-      return target.toString
+    def published = fs.exists(new Path(s"$target/$Marker"))
+    if (fs.exists(target)) {
+      if (published) {
+        // lost to a concurrent same-version publisher before we even
+        // tried — its tree is complete (the marker rode inside its
+        // rename); discard our staging and serve the winner's version
+        fs.delete(new Path(staging), true)
+        return versionDir(root, v)
+      }
+      // an UNPUBLISHED leftover can only be an abandoned crash (under
+      // the marker-inside protocol a live publisher's tree is published
+      // the instant it appears): reclaim it so maintenance un-wedges
+      // itself instead of requiring manual cleanup (ADVICE r10)
+      fs.delete(target, true)
     }
-    fs.createNewFile(new Path(s"$target/$Marker"))
+    if (!fs.rename(new Path(staging), target)) {
+      // a concurrent winner appeared inside the check→rename window;
+      // its marker is already visible (it rode inside the rename)
+      fs.delete(new Path(staging), true)
+      require(published,
+        s"version $v publish lost the rename with no published tree " +
+          s"present — torn external state under $root; remove $target " +
+          "and retry")
+    }
     versionDir(root, v)
   }
 

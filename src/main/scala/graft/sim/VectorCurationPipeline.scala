@@ -83,11 +83,16 @@ object VectorCurationPipeline {
 
     // stage 2: SemDeDup keep/drop over derived k-means cells (or the
     // carried label cells) — the registered emb_semdedup operator on
-    // the deduped corpus
+    // the deduped corpus. Cells derive from nExact, the DEDUPED count
+    // (ADVICE r10): the exact-dedup stage feeds SemDeDup, so its size
+    // is the operator-contract input — deriving from nInput would
+    // over-provision cells on multiplicity-heavy corpora relative to
+    // the standalone emb_semdedup this stage claims to merely wire.
+    // Oracle-neutral: every oracle sf resolves both counts to the floor.
     val cells =
       if (labelCells) 0
       else if (nCells > 0) nCells
-      else graft.ops.ScaleKnobs.kmeansCells(nInput, floor = cellsFloor)
+      else graft.ops.ScaleKnobs.kmeansCells(nExact, floor = cellsFloor)
     val marked = Embeddings.semDedup(exact, threshold = semThreshold,
       nCells = cells,
       nCoarse = if (cells > 0) graft.ops.ScaleKnobs.kmeansCoarse(cells) else 1,
