@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, HllSketchEstimate, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
@@ -212,18 +212,29 @@ object MvRewrite {
         // and re-aggregating the partials answers every subtotal
         // exactly (VERDICT r9 #6). Matched BEFORE the flat case — an
         // Expand child never splits as a bare scan, so the two cases
-        // are disjoint; any grouping-set column outside the mv grouping
-        // refuses (the partial-lattice guard).
+        // are disjoint. A PARTIAL lattice (some grouping-set column
+        // outside the mv grouping) SPLIT-SERVES (VERDICT r10 #4):
+        // grouping sets that null every unservable column reroute to
+        // the mart, the rest stay on the base — see
+        // [[expandServability]] / the split construction below.
         case agg @ Aggregate(groupings, aggExprs,
             Expand(projections, output, echild), _) =>
           (for {
             (cond, scan) <- splitChild(echild)
             tag <- baseTagOf(scan)
             slots <- classifySlots(projections, output)
-            m <- mvs.find(m => tagMatches(tag, m.baseTag) &&
-              canRewriteExpand(m, groupings, aggExprs, cond, slots))
-          } yield rewriteExpand(m, groupings, aggExprs, cond,
-              projections, output, slots)).getOrElse(agg)
+            plan <- mvs.iterator.flatMap { m =>
+              if (!tagMatches(tag, m.baseTag)) None
+              else expandServability(m, groupings, aggExprs, cond, slots)
+                .flatMap { unserv =>
+                  if (unserv.isEmpty)
+                    Some(rewriteExpand(m, groupings, aggExprs, cond,
+                      projections, output, slots))
+                  else splitServeExpand(m, unserv, groupings, aggExprs,
+                    cond, projections, output, slots, echild)
+                }
+            }.nextOption()
+          } yield plan).getOrElse(agg)
         case agg @ Aggregate(groupings, aggExprs, child, _) =>
           (for {
             (cond, scan) <- splitChild(child)
@@ -271,25 +282,39 @@ object MvRewrite {
     else None
   }
 
-  private def canRewriteExpand(m: Mv, groupings: Seq[Expression],
-                               aggExprs: Seq[NamedExpression],
-                               cond: Option[Expression],
-                               slots: Map[ExprId, Slot]): Boolean = {
+  /** Shared servability for the Expand/lattice path. `None` = the query
+    * cannot be served at all (non-attr grouping, nulled measure slot —
+    * the distinct-aggregate Expand shape, unservable aggregate, or a
+    * row-level filter); `Some(unservable)` otherwise, where
+    * `unservable` is the set of grouping-slot exprIds whose base column
+    * the mv does NOT group by. Empty set = every grouping set is
+    * servable (the r10 full rewrite); nonempty = the lattice is
+    * PARTIAL, and [[splitServeExpand]] reroutes exactly the sets that
+    * null every unservable slot (VERDICT r10 #4). */
+  private def expandServability(m: Mv, groupings: Seq[Expression],
+                                aggExprs: Seq[NamedExpression],
+                                cond: Option[Expression],
+                                slots: Map[ExprId, Slot])
+      : Option[Set[ExprId]] = {
     val mvOut = m.mvPlan.output.map(_.name).toSet
-    // a grouping key is servable when it is the literal grouping id or
-    // a grouping column the mv groups by; a measure is servable when
-    // its slot passes through un-nulled and the aggregate re-aggregates
-    // from a registered partial (the shared servability match below)
+    val unserv = scala.collection.mutable.Set[ExprId]()
+    // a grouping-side reference is structurally servable when it is the
+    // literal grouping id or ANY grouping column's pass-through slot;
+    // a slot whose base column the mv lacks is recorded as a split
+    // candidate rather than refused — the sets that null it everywhere
+    // can still be answered from the mart
     def groupingServable(e: Expression): Boolean = e match {
       case ar: AttributeReference => slots.get(ar.exprId) match {
         case Some(LitSlot) => true
-        case Some(AttrSlot(base, _)) => m.groupCols.contains(base.name)
+        case Some(AttrSlot(base, _)) =>
+          if (!m.groupCols.contains(base.name)) unserv += ar.exprId
+          true
         case None => false
       }
       case _ => false
     }
     val groupsOk = groupings.forall(groupingServable)
-    groupsOk && filterOk(m, cond) && aggExprs.forall {
+    val ok = groupsOk && filterOk(m, cond) && aggExprs.forall {
       case ar: AttributeReference => groupingServable(ar)
       // grouping()/grouping_id() arithmetic over the gid attr (and any
       // other non-aggregate expression over grouping keys): kept
@@ -306,6 +331,48 @@ object MvRewrite {
           case _ => false
         }) && aggAliasOk(m, mvOut, al)
       case _ => false
+    }
+    if (ok) Some(unserv.toSet) else None
+  }
+
+  /** Split-serve a PARTIAL lattice (VERDICT r10 #4 — the common
+    * dashboard case: `ROLLUP(a, b, c)` over an mv grouped on (a, b)).
+    * Grouping sets are disjoint groups by construction — the analyzer
+    * puts the literal grouping id in `groupings`, so no aggregation
+    * group ever spans two Expand projections. The lattice therefore
+    * splits exactly: the projections that null EVERY unservable column
+    * (their sets need only mv grouping columns) re-aggregate mart
+    * partials through the rewritten Expand; the rest keep the original
+    * Expand over the base child (its filter intact), and a bag UNION of
+    * the two Aggregates is the original answer row-for-row. The base
+    * branch comes first so the Union's output carries the original
+    * output attributes — parent operators resolve unchanged (both
+    * branches emit the same exprIds, the self-union shape Catalyst
+    * already supports). Refuses (None) when no projection is servable —
+    * the full-refusal path is retained rather than building a
+    * degenerate empty-mart branch. */
+  private def splitServeExpand(m: Mv, unserv: Set[ExprId],
+                               groupings: Seq[Expression],
+                               aggExprs: Seq[NamedExpression],
+                               cond: Option[Expression],
+                               projections: Seq[Seq[Expression]],
+                               output: Seq[Attribute],
+                               slots: Map[ExprId, Slot],
+                               echild: LogicalPlan): Option[LogicalPlan] = {
+    val unservIdx = output.indices
+      .filter(i => unserv.contains(output(i).exprId))
+    val (servable, onBase) = projections.partition(p =>
+      unservIdx.forall(i => p(i) match {
+        case Literal(null, _) => true
+        case _ => false
+      }))
+    if (servable.isEmpty) None
+    else {
+      val mvSide = rewriteExpand(m, groupings, aggExprs, cond,
+        servable, output, slots)
+      val baseSide = Aggregate(groupings, aggExprs,
+        Expand(onBase, output, echild))
+      Some(Union(Seq(baseSide, mvSide)))
     }
   }
 

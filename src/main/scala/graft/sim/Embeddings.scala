@@ -337,6 +337,39 @@ object Embeddings {
     centroids(embeddings).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** [[buildIvfIndex]] with the stored-cell ≡ stream-routing invariant
+    * established AT BIRTH (VERDICT r10 #1): centroids derive from the
+    * caller's labels exactly as in [[buildIvfIndex]], but the postings
+    * store each vector under its FLAT [[routeToCells]] assignment
+    * against those centroids — [[IvfLifecycle.maintain]]'s final
+    * re-route, applied at version 1 instead of only at the first
+    * drift-triggered refresh.
+    *
+    * Why it matters: [[buildIvfIndex]] stores the caller's `label`
+    * verbatim. When those labels come from the two-level trained
+    * assignment ([[assignToCells]] with coarse routing), a boundary
+    * vector can be labeled into a cell its flat routing never probes —
+    * measured at the r10 ingest bench as 0.4% of a 200k store, which
+    * admitted 83 exact replicas as false novelty
+    * (BENCH_SEMDEDUP_INGEST batch 0). An index that serves STREAM
+    * admission ([[graft.streaming.SemDedupIngest]] /
+    * [[graft.streaming.VectorIngest]]) must be built through this
+    * entry or through [[IvfLifecycle.init]] (which calls it); the
+    * label-faithful [[buildIvfIndex]] remains the right build for the
+    * oracle paths, whose recorded answers reproduce the inline
+    * label-cell searches bit-exactly.
+    *
+    * Scale shape: one extra flat assign pass over the corpus
+    * (broadcast |cells|-row centroid table, the bounded-linear leg
+    * every decade measured) — nothing else changes. */
+  def buildIvfIndexRouted(embeddings: DataFrame, indexDir: String): Unit = {
+    val cents = centroids(embeddings)
+    appendRoutedToIvf(
+      routeToCells(embeddings.select(col("vec_id"), col("embedding")), cents),
+      indexDir, overwrite = true)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
   /** Incremental index maintenance: route NEW vectors to their nearest
     * existing centroid and append those postings partitions — no rebuild,
     * no touch of existing postings. This is standard IVF lifecycle:
@@ -379,10 +412,13 @@ object Embeddings {
       .select(col("vec_id"), col("emb"), col("vnorm"), col("cell"))
   }
 
-  /** Append a [[routeToIvfCells]]-shaped frame to the postings. */
-  def appendRoutedToIvf(routed: DataFrame, indexDir: String): Unit =
+  /** Append (or, for a fresh build, overwrite) a [[routeToIvfCells]]-
+    * shaped frame into the postings layout. */
+  def appendRoutedToIvf(routed: DataFrame, indexDir: String,
+                        overwrite: Boolean = false): Unit =
     routed.select(col("vec_id"), col("emb"), col("vnorm"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/postings")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell").parquet(s"$indexDir/postings")
 
   /** Search a [[buildIvfIndex]]-persisted index. Results are identical to
     * the inline [[ivfSearch]] over the same vectors (spec-asserted). */

@@ -85,10 +85,19 @@ object IvfLifecycle {
     versionDir(root, currentVersion(spark, root))
 
   /** Initialize version 1 from a labeled corpus (the
-    * [[Embeddings.buildIvfIndex]] contract: vec_id, embedding, label). */
+    * [[Embeddings.buildIvfIndex]] contract: vec_id, embedding, label) —
+    * via the ROUTED build (VERDICT r10 #1): centroids derive from the
+    * labels, postings store the flat [[Embeddings.routeToCells]]
+    * assignment against them, so the stored-cell ≡ stream-routing
+    * invariant every ingest admission probe rests on holds from birth,
+    * not only after the first [[maintain]] refresh. The r10 ingest
+    * bench measured the cost of the verbatim-label build this replaces:
+    * 83 exact replicas (0.4% of the store) admitted as false novelty
+    * because their stored twins sat in trained-label cells the flat
+    * routing never probes. */
   def init(spark: SparkSession, root: String, labeled: DataFrame): String =
     publish(spark, root, 1) { staging =>
-      Embeddings.buildIvfIndex(labeled, staging)
+      Embeddings.buildIvfIndexRouted(labeled, staging)
     }
 
   private def publish(spark: SparkSession, root: String, v: Int)

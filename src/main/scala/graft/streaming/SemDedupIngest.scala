@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -53,18 +54,56 @@ object SemDedupIngest {
   final case class BatchCounts(received: Long, droppedDupIds: Long,
                                admitted: Long, rejected: Long)
 
-  /** Fold one (vec_id, embedding) micro-batch. */
+  /** Fold one (vec_id, embedding) micro-batch.
+    *
+    * Exact-copy collapse (VERDICT r10 #3 — the batch operator's
+    * fifth-decade rewrite applied to the stream face): when
+    * `threshold ≤ 1.0`, the batch is collapsed to ONE representative
+    * per distinct embedding value (the min vec_id — earliest arrival,
+    * the survivor policy this face already uses) before routing; every
+    * non-representative copy is rejected WITHOUT being routed or
+    * joined, because its own representative is an earlier-arriving
+    * batch-mate at rounded cosine exactly 1.0 ≥ threshold — the
+    * identical veto the uncollapsed self-join would fire. Identical
+    * embeddings route to the identical cell and score identical
+    * cosines, so representative decisions match the uncollapsed run's
+    * (a copy that would veto a representative implies its own earlier
+    * representative vetoes it too — the same rank argument as
+    * [[Embeddings.semDedup]]'s collapse). This cuts the within-batch
+    * pair work by multiplicity² and the routing pass by multiplicity —
+    * the exact shape batch 0 of BENCH_SEMDEDUP_INGEST ships (20k rows
+    * of replicas). With `threshold > 1.0` (nothing is ever a dup) the
+    * collapse is skipped and the historical plan runs unchanged. */
   def applyBatch(batch: DataFrame, indexDir: String,
-                 threshold: Double = 0.9): BatchCounts = {
+                 threshold: Double = 0.9): BatchCounts =
+    applyBatchImpl(batch, indexDir, threshold,
+      collapseExact = threshold <= 1.0)
+
+  /** The A/B body behind [[applyBatch]]: `collapseExact = false` runs
+    * the historical uncollapsed plan — kept callable (test-private) so
+    * SemDedupIngestSpec pins collapsed ≡ uncollapsed admission
+    * decisions on crafted multiplicity batches. */
+  private[graft] def applyBatchImpl(batch: DataFrame, indexDir: String,
+                                    threshold: Double,
+                                    collapseExact: Boolean): BatchCounts = {
     val spark = batch.sparkSession
     require(new Path(s"$indexDir/centroids")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new Path(s"$indexDir/centroids")),
       s"no IVF index at $indexDir — build with Embeddings.buildIvfIndex")
     val nReceived = batch.count()
-    val routed = Embeddings.routeToIvfCells(spark, indexDir,
-      batch.dropDuplicates("vec_id")).persist()
+    val uniq = batch.dropDuplicates("vec_id")
+    // the collapse: one representative (min vec_id) per distinct
+    // embedding value; copies are vetoed by construction (see above)
+    val judged =
+      if (!collapseExact) uniq
+      else uniq
+        .withColumn("rep_id",
+          min("vec_id").over(Window.partitionBy("embedding")))
+        .filter(col("vec_id") === col("rep_id")).drop("rep_id")
+    val routed = Embeddings.routeToIvfCells(spark, indexDir, judged).persist()
     try {
+      val nUniq = if (collapseExact) uniq.count() else -1L
       val nTotal = routed.count()
 
       // batch-local: the LATER member of any same-cell pair at >= t is
@@ -105,7 +144,12 @@ object SemDedupIngest {
         .localCheckpoint(true)
       val nAdmit = admitted.count()
       if (toAppend.count() > 0) Embeddings.appendRoutedToIvf(toAppend, indexDir)
-      BatchCounts(nReceived, nReceived - nTotal, nAdmit, nTotal - nAdmit)
+      // under the collapse, non-representative copies were never routed:
+      // they are REJECTED rows (their representative's cos-1.0 veto),
+      // so the invariant received = droppedDupIds + admitted + rejected
+      // holds over distinct vec_ids exactly as in the uncollapsed plan
+      val nDistinct = if (collapseExact) nUniq else nTotal
+      BatchCounts(nReceived, nReceived - nDistinct, nAdmit, nDistinct - nAdmit)
     } finally { routed.unpersist(); () }
   }
 

@@ -100,4 +100,93 @@ class IvfLifecycleSpec extends AnyFunSuite {
     assert(IvfLifecycle.publishedVersions(spark, root) === Seq(2))
     assert(!new java.io.File(pinned).exists())
   }
+
+  /** The stored-cell ≡ flat-routing invariant, asserted directly over a
+    * published index's postings: every stored (vec_id, cell) equals the
+    * flat [[Embeddings.routeToCells]] of the stored vector against the
+    * stored centroid table. */
+  private def routingGapCount(dir: String): Long = {
+    val post = spark.read.parquet(s"$dir/postings")
+    val rerouted = Embeddings.routeToCells(
+      post.select(col("vec_id"), col("emb").as("embedding")),
+      spark.read.parquet(s"$dir/centroids"))
+      .select(col("vec_id"), col("cell").as("rcell"))
+    post.select(col("vec_id"), col("cell").cast("int").as("cell"))
+      .join(rerouted, "vec_id")
+      .filter(col("cell") =!= col("rcell").cast("int")).count()
+  }
+
+  test("route-and-build at init: an exact-replica batch admits ZERO (the r10 ingest-bench batch-0 scenario)") {
+    // The BENCH_SEMDEDUP_INGEST batch-0 mechanism in miniature: labels
+    // that disagree with flat routing for one boundary vector — vector
+    // `a` carries label 0 (the trained-assignment stand-in), but against
+    // the label-derived centroids it flat-routes to cell 1
+    // (cos(a, c1) ≈ 0.9986 > cos(a, c0) ≈ 0.7071). Threshold 0.999 keeps
+    // the near-miss cross-pair (a, d) below veto range, so ONLY an exact
+    // twin (cos 1.0) can reject a replica — the routing gap cannot be
+    // masked by a lucky neighbor.
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),  // a: label 0, flat-routes to 1
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),  // b: label 0, flat-routes to 0
+      (2L, Array(0.95f, 0.05f, 0.0f, 0.0f), 1) // d: label 1 (its own cell)
+    ).toDF("vec_id", "embedding", "label")
+    val replicas = labeled.select((col("vec_id") + 100L).as("vec_id"),
+      col("embedding"))
+
+    // the verbatim-label build REPRODUCES the gap: a's stored twin sits
+    // in trained-label cell 0, the replica probes flat cell 1, misses
+    // it, and is admitted as false novelty — the r10 bench's 83 admits
+    val legacy = Files.createTempDirectory("ivf_legacy").toString + "/index"
+    Embeddings.buildIvfIndex(labeled, legacy)
+    assert(routingGapCount(legacy) === 1L,
+      "the crafted corpus must carry exactly one label/routing disagreement")
+    val cLegacy = SemDedupIngest.applyBatch(replicas, legacy, threshold = 0.999)
+    assert(cLegacy.admitted === 1L,
+      "verbatim-label build: the mis-labeled vector's replica is admitted " +
+        s"as false novelty (got ${cLegacy.admitted})")
+
+    // the ROUTED build through lifecycle init: stored cell = flat
+    // routing from birth, so every replica finds its twin — zero admits
+    val root = Files.createTempDirectory("ivf_routed").toString + "/index"
+    IvfLifecycle.init(spark, root, labeled)
+    val live = IvfLifecycle.current(spark, root)
+    assert(routingGapCount(live) === 0L,
+      "route-and-build must store every vector in its flat routing cell")
+    val cRouted = SemDedupIngest.applyBatch(replicas, live, threshold = 0.999)
+    assert((cRouted.admitted, cRouted.rejected) === ((0L, 3L)),
+      "lifecycle-init index: an exact-replica batch must admit nothing")
+    assert(spark.read.parquet(s"$live/postings").count() === 3L,
+      "zero admits must also mean zero appends")
+  }
+
+  test("route-and-build at init: REAL two-level trained labels carry no routing gap") {
+    // the actual bench shape, miniaturized: a clustered corpus labeled
+    // by the two-level trained assignment (kmeansCells with coarse
+    // routing — the assignment whose boundary disagreements the r10
+    // bench measured at 0.4%), then lifecycle-init. The invariant is
+    // asserted DIRECTLY (stored cell = flat re-route for every row), so
+    // a gap cannot hide behind a lucky same-cell neighbor veto.
+    val rnd = new scala.util.Random(41)
+    val dirs = Array.tabulate(8, 8)((c, d) => if (d == c) 1.0f else 0.0f)
+    val corpus = (0 until 240).map { i =>
+      val base = dirs(i % 8)
+      (i.toLong, base.map(_ + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val trained = Embeddings.kmeansCells(corpus, nCells = 8, nCoarse = 2)
+    val labeled = corpus.join(trained, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell").as("label"))
+
+    val root = Files.createTempDirectory("ivf_trained").toString + "/index"
+    IvfLifecycle.init(spark, root, labeled)
+    val live = IvfLifecycle.current(spark, root)
+    assert(routingGapCount(live) === 0L,
+      "trained-label init must store every vector in its flat routing cell")
+    // and the operational consequence: a full exact-replica batch is
+    // fully rejected — every replica's probe finds its stored twin
+    val replicas = corpus.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    val c = SemDedupIngest.applyBatch(replicas, live, threshold = 0.999)
+    assert((c.admitted, c.rejected) === ((0L, 240L)))
+    assert(spark.read.parquet(s"$live/postings").count() === 240L)
+  }
 }

@@ -801,13 +801,58 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(servedF.collect().toSet ==
         fRoll(spark.read.parquet(baseDir)).collect().toSet)
 
-      // PARTIAL-LATTICE REFUSAL: any grouping-set column outside the mv
-      // grouping refuses the whole lattice (no per-set serving — a
-      // rewrite must never change answers)
-      val refused = base.rollup("source", "doc_id")
-        .agg(sum("n_chars").as("t"))
-      assert(!scanPaths(refused).exists(_.contains(mvDir)),
-        "a lattice over a non-mv grouping column must NOT rewrite")
+      // PARTIAL LATTICE SPLIT-SERVE (r11, VERDICT r10 #4 — the common
+      // dashboard case): a rollup over (source, doc_id) against an mv
+      // grouped on (source, lang) splits — the (source) and () sets
+      // reroute to the mart, the (source, doc_id) set stays on the
+      // base. Grouping sets are disjoint groups (the grouping id is a
+      // grouping key), so a bag union of the two Aggregates is the
+      // original answer row-for-row — still "never change answers".
+      def partial(df: DataFrame) = df.rollup("source", "doc_id")
+        .agg(sum("n_chars").as("t"), count(lit(1)).as("c"),
+          grouping("doc_id").as("g_doc"), grouping_id().as("gid"))
+      val split = partial(base)
+      assert(scanPaths(split).exists(_.contains(mvDir)),
+        s"servable sets of a partial lattice must hit the mart, got " +
+          scanPaths(split))
+      assert(scanPaths(split).exists(_.contains("documents.parquet")),
+        "the unservable set must stay on the base scan")
+      // plan-asserted split shape: a Union whose base-branch Expand
+      // carries exactly the one unservable projection and whose mart
+      // branch carries the two servable ones
+      import org.apache.spark.sql.catalyst.plans.logical.{Expand => LExpand, Union => LUnion}
+      val opt = split.queryExecution.optimizedPlan
+      assert(opt.collect { case u: LUnion => u }.nonEmpty,
+        "the split must plan as a Union of two Aggregates")
+      val expandSizes = opt.collect { case e: LExpand => e.projections.size }
+        .sorted
+      assert(expandSizes === Seq(1, 2),
+        s"split must route 2 sets to the mart and 1 to the base, got $expandSizes")
+      assert(split.collect().toSet ==
+        partial(spark.read.parquet(baseDir)).collect().toSet,
+        "split-served partial lattice must be bit-identical to the base scan")
+
+      // a grouping-column filter composes under the split: the mart
+      // branch rebases it onto the |groups|-row scan, the base branch
+      // keeps its original filtered child verbatim
+      def fPartial(df: DataFrame) = df.filter(col("source").isNotNull)
+        .rollup("source", "doc_id").agg(sum("n_chars").as("t"))
+      val splitF = fPartial(base)
+      assert(scanPaths(splitF).exists(_.contains(mvDir)),
+        "filtered partial lattice must still split-serve")
+      assert(splitF.collect().toSet ==
+        fPartial(spark.read.parquet(baseDir)).collect().toSet)
+
+      // FULL REFUSAL retained when NOTHING is servable: every grouping
+      // set touches the non-mv column
+      def noneServable(s: org.apache.spark.sql.SparkSession, t: String) =
+        s.sql(s"""SELECT source, doc_id, sum(n_chars) AS t FROM $t
+                  GROUP BY GROUPING SETS ((source, doc_id), (doc_id))""")
+      val refusedAll = noneServable(session, "lattice_docs")
+      assert(!scanPaths(refusedAll).exists(_.contains(mvDir)),
+        "a lattice with no servable set must NOT rewrite")
+      assert(refusedAll.collect().toSet ==
+        noneServable(spark, "lattice_docs_plain").collect().toSet)
 
       // measure-column filter refuses under a lattice exactly as flat
       val rowFiltered = base.filter(col("n_chars") > 100)

@@ -168,6 +168,43 @@ class SemDedupIngestSpec extends AnyFunSuite {
     assert(scan.dataFilters.isEmpty, scan.dataFilters.mkString(","))
   }
 
+  test("exact-copy collapse: collapsed ≡ uncollapsed decisions on a multiplicity batch, earliest arrival kept") {
+    // VERDICT r10 #3 — the crafted multiplicity shape: distinct vec_ids,
+    // identical embeddings. 5 copies of a NOVEL direction (ids shuffled
+    // so arrival order ≠ listing order; min id 50 must survive), 4
+    // copies of a STORED basis (all store-vetoed through their
+    // representative), one singleton admit, one same-id replay row. The
+    // collapsed plan (the applyBatch default at threshold ≤ 1.0) must
+    // reproduce the uncollapsed plan's counters AND its appended set —
+    // the multiplicity² pair-work cut is a rewrite, not a policy change.
+    def batch() = Seq(
+      (52L, tilted(1, 0.5f)), (50L, tilted(1, 0.5f)), (51L, tilted(1, 0.5f)),
+      (53L, tilted(1, 0.5f)), (54L, tilted(1, 0.5f)),
+      (60L, unit(0)), (61L, unit(0)), (62L, unit(0)), (63L, unit(0)),
+      (70L, tilted(2, 0.3f)),
+      (70L, tilted(2, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val t = 0.98
+    val dirA = freshIndex()
+    val dirB = freshIndex()
+    val cA = SemDedupIngest.applyBatchImpl(batch(), dirA, t, collapseExact = true)
+    val cB = SemDedupIngest.applyBatchImpl(batch(), dirB, t, collapseExact = false)
+    assert((cA.received, cA.droppedDupIds, cA.admitted, cA.rejected) ===
+      ((cB.received, cB.droppedDupIds, cB.admitted, cB.rejected)))
+    assert(ar(cA) === ((2L, 8L)))
+    assert(postings(dirA) === postings(dirB))
+    // earliest arrival: the min-id copy of the novel value survives;
+    // every later copy is its representative's cos-1.0 veto
+    assert(postings(dirA).contains(50L) && postings(dirA).contains(70L))
+    assert(Seq(51L, 52L, 53L, 54L, 60L, 61L, 62L, 63L)
+      .forall(id => !postings(dirA).contains(id)))
+    // and the collapsed store converges under replay exactly like the
+    // uncollapsed one (idempotence is untouched by the rewrite)
+    val cR = SemDedupIngest.applyBatch(batch(), dirA, threshold = t)
+    assert(ar(cR) === ((2L, 8L)))
+    assert(postings(dirA) === postings(dirB))
+  }
+
   test("same-batch repeated vec_ids are counted as droppedDupIds, not hidden") {
     val dir = freshIndex()
     // 40 appears twice in one batch (an at-least-once source replaying a
