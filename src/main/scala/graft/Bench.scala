@@ -135,7 +135,9 @@ object Bench {
     // Skipped in arg-filtered subset runs (the forcedResults gating,
     // ADVICE r10): subset runs are local iteration aids that don't feed
     // the cross-round regression read, and the 1B-row fold is a fixed
-    // multi-second tax per invocation.
+    // multi-second tax per invocation. SPARK_GRAFT_CPU_CONTROL=1
+    // overrides the skip: decade probes are arg-filtered subset runs
+    // that DO need the same-boot CPU calibration for their artifact.
     def cpuControlOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 1000000000L, 1L, 32)
@@ -144,7 +146,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val cpuSecOpt: Option[Double] =
-      if (args.nonEmpty) None
+      if (args.nonEmpty && !sys.env.get("SPARK_GRAFT_CPU_CONTROL").contains("1")) None
       else {
         cpuControlOnce()
         val cpuTimes = (0 until reps).map(_ => cpuControlOnce())

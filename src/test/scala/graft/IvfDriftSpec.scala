@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.{Embeddings, IvfLifecycle}
+
+/** The drift signal's MEASURED contract (VERDICT r10 #2): on a
+  * constructed ingest drift, [[IvfLifecycle.indexDrift]] is zero at
+  * birth and strictly monotone in the injected staleness, and the
+  * recall mechanism behind the threshold is real — a drifted query's
+  * true neighbors sit exactly one probe away across a stale cell
+  * boundary, so nprobe=1 recall drops below 1 while nprobe=2 restores
+  * it on the same stale index. [[IvfLifecycle.maintain]] is gated by
+  * the signal (None below threshold) and a triggered refresh collapses
+  * the signal. The measured drift → recall CURVE at scale (and the
+  * threshold it justifies) is BENCH_IVF_DRIFT.json, produced by
+  * [[IvfDriftBench]] over sf100emb; this spec pins the mechanism's
+  * direction deterministically.
+  *
+  * Geometry (4-dim): base clusters A ≈ e1 (ids 0–5) and B ≈ e2 (ids
+  * 10–15), trained labels = given labels, so stored centroids ≈ e1/e2.
+  * Drift steps append batches along the great-circle arc from e1
+  * toward e2 at growing t — step 1 at t≈0.3, step 2 at t≈0.4 (both
+  * route to A), step 3 at t≈0.53 (routes to B). After step 3, a
+  * t≈0.53 query's true top-5 = 3 batchmates (stored in B) + 2 step-2
+  * vectors (stored in A): nprobe=1 probes only B and scores 3/5.
+  */
+class IvfDriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def unit(c: Int, jitter4: Float = 0f): Array[Float] = {
+    val v = Array.tabulate(4)(d =>
+      if (d == c) 1.0f else if (d == 3) jitter4 else 0.0f)
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  /** normalize((1−t)·e1 + t·e2 + 0.001·j·e4) — the arc family. */
+  private def arc(t: Double, j: Int): Array[Float] = {
+    val v = Array((1 - t).toFloat, t.toFloat, 0f, 0.001f * j)
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  test("drift is zero at birth, strictly monotone under constructed ingest drift; " +
+    "stale boundary costs exactly one probe of recall; maintain is signal-gated and collapses drift") {
+    val root = Files.createTempDirectory("ivf_drift").toString + "/index"
+    val baseA = (0 until 6).map(i => (i.toLong, unit(0, 0.01f * i), 0))
+    val baseB = (0 until 6).map(i => (10L + i, unit(1, 0.01f * i), 1))
+    IvfLifecycle.init(spark, root,
+      (baseA ++ baseB).toDF("vec_id", "embedding", "label"))
+    val live = IvfLifecycle.current(spark, root)
+    assert(IvfLifecycle.indexDrift(spark, live) === 0.0)
+
+    def append(ids: Seq[Long], t: Double): Unit =
+      Embeddings.appendToIvfIndex(spark, live,
+        ids.zipWithIndex.map { case (id, j) => (id, arc(t, j)) }
+          .toDF("vec_id", "embedding"))
+
+    append(Seq(100L, 101L, 102L, 103L), 0.30)
+    val d1 = IvfLifecycle.indexDrift(spark, live)
+    append(Seq(110L, 111L, 112L, 113L), 0.41)
+    val d2 = IvfLifecycle.indexDrift(spark, live)
+    append(Seq(120L, 121L, 122L, 123L), 0.53)
+    val d3 = IvfLifecycle.indexDrift(spark, live)
+    assert(d1 > 0.0, s"drifted mass must register: $d1")
+    assert(d2 > d1, s"more + farther mass must raise the signal: $d1 -> $d2")
+    assert(d3 > d2, s"a second stale cell must raise the signal: $d2 -> $d3")
+
+    // the recall mechanism: step-3 queries' true top-5 span the stale
+    // A/B boundary — brute force is the referee over the same store
+    def store = spark.read.parquet(s"$live/postings")
+      .select(col("vec_id"), col("emb").as("embedding"))
+    val qf = col("vec_id").isin(120L, 121L, 122L, 123L)
+    val brute = Embeddings.knnBruteForce(store, qf, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(np: Int): Double = {
+      val hits = Embeddings.searchIvfIndex(spark, live, qf, k = 5, nprobe = np)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
+      hits.toDouble / brute.size
+    }
+    assert(recall(1) === 0.6,
+      "each stale-boundary query must find its 3 batchmates and miss its 2 cross-boundary neighbors")
+    assert(recall(2) === 1.0,
+      "the missed neighbors sit exactly one probe away on the same stale index")
+
+    // signal-gated refresh: None above the measured drift, a published
+    // new version below it — and the refresh collapses the signal
+    assert(IvfLifecycle.maintain(spark, root, driftThreshold = d3 + 0.01) === None)
+    assert(IvfLifecycle.currentVersion(spark, root) === 1)
+    val v2 = IvfLifecycle.maintain(spark, root, driftThreshold = d3 * 0.9)
+    assert(v2 === Some(2))
+    val d4 = IvfLifecycle.indexDrift(spark, IvfLifecycle.current(spark, root))
+    assert(d4 < d3 / 2,
+      s"a refresh must collapse the staleness signal: $d3 -> $d4")
+  }
+}
