@@ -22,20 +22,20 @@ import graft.sim.{Embeddings, IvfLifecycle}
   *     [[IvfLifecycle.init]] (the routed build — stored cell ≡ stream
   *     routing from birth).
   *  2. Inject ingest drift in steps: step s appends a disjoint ~5%
-  *     slice of the corpus (vec_id ≡ s mod 20) shifted off the unit
-  *     sphere along a fixed direction u and re-normalized —
-  *     v' = normalize(v + mag_s·u) with mag_s growing per step. New
-  *     vectors route to their nearest STORED centroid
+  *     slice of the corpus (vec_id ≡ s mod 20) with coordinates
+  *     cyclically rotated by s — NEW MODES (see [[rotated]]; the
+  *     additive coherent-shift model was the measured null result).
+  *     New vectors route to their nearest STORED centroid
   *     ([[Embeddings.appendToIvfIndex]]) exactly like the streaming
   *     faces, while the stored centroids stay immutable — the real
   *     ingest-drift mechanism, not a simulation of it.
   *  3. After each append, record [[IvfLifecycle.indexDrift]] AND
   *     recall@5 of [[Embeddings.searchIvfIndex]] (nprobe 1 and 2)
   *     against [[Embeddings.knnBruteForce]] over the SAME store, for
-  *     two query populations: 64 drifted vectors from the step's own
-  *     batch (the population whose neighbors scatter across stale cell
-  *     boundaries) and 64 fixed base vectors (the standing corpus an
-  *     operator keeps serving).
+  *     64 new-mode queries from the step's own batch (the population
+  *     whose neighbors scatter across stale cell boundaries), 64
+  *     fixed base vectors (the standing corpus an operator keeps
+  *     serving), and the mass-weighted store-wide composite.
   *  4. Pick the threshold from the measured curve (first drift level
   *     whose worst-population recall falls ≥ 0.05 below its fresh
   *     value), run [[IvfLifecycle.maintain]] at it, and re-measure the
@@ -50,22 +50,23 @@ import graft.sim.{Embeddings, IvfLifecycle}
   */
 object IvfDriftBench {
 
-  /** Fixed unit drift direction: u_i ∝ sin(i+1) — deterministic,
-    * incommensurate with any coordinate axis, identical every run. */
-  private def driftDirection(dims: Int): Array[Double] = {
-    val raw = Array.tabulate(dims)(i => math.sin(i + 1.0))
-    val n = math.sqrt(raw.map(x => x * x).sum)
-    raw.map(_ / n)
-  }
-
-  /** v' = normalize(v + mag·u) as a pure Column expression. */
-  private def shifted(emb: org.apache.spark.sql.Column, u: Array[Double],
-                      mag: Double): org.apache.spark.sql.Column = {
-    val uCol = array(u.map(x => lit(x)): _*)
-    val s = zip_with(Embeddings.asDouble(emb), uCol,
-      (x, y) => x + lit(mag) * y)
-    val n = sqrt(aggregate(s, lit(0.0), (acc, v) => acc + v * v))
-    transform(s, x => x / n)
+  /** NEW-MODE drift: cyclic coordinate rotation by `rot` — an isometry,
+    * so intra-cluster geometry (tightness, neighbor structure) is
+    * preserved EXACTLY while every rotated cluster center becomes a
+    * direction the stored centroids have never seen. This is the drift
+    * model that actually damages probe recall: an alien tight cluster
+    * lands between stale centroids with a routing margin smaller than
+    * its own spread, so its members SPLIT across cells and a member
+    * query's probe misses its true neighbors. (The additive
+    * coherent-shift model — v' = normalize(v + mag·u) — was measured
+    * first and CANNOT degrade recall on a clustered corpus: the whole
+    * cluster shifts together, routes together at any magnitude that
+    * matters, and recall pins at 1.0 while drift climbs. Kept in the
+    * artifact as the null result.) */
+  private def rotated(emb: org.apache.spark.sql.Column, rot: Int,
+                      dims: Int): org.apache.spark.sql.Column = {
+    val e = Embeddings.asDouble(emb)
+    concat(slice(e, rot + 1, dims - rot), slice(e, 1, rot))
   }
 
   /** Micro-averaged recall@5 of the IVF search vs brute force over the
@@ -104,11 +105,14 @@ object IvfDriftBench {
     graft.functions.GraftFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+    // repartition on read: a generator-written corpus can be one
+    // parquet file, and a single input split would serialize every
+    // corpus-side leg (route, brute referee) onto one core
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .repartition(cpus.toInt).localCheckpoint()
+    val base = corpus.select(col("vec_id"), col("embedding"))
     val n = base.count()
     val dims = base.select(size(col("embedding"))).first().getInt(0)
-    val u = driftDirection(dims)
     val maxId = base.agg(max("vec_id")).first().getLong(0)
     val idStride = (maxId + 1L) * 2L
 
@@ -123,12 +127,20 @@ object IvfDriftBench {
     println(s"[drift] n=$n dims=$dims cells=$cells c1=$c1 c2=$c2 " +
       s"sampleMod=$sampleMod root=$root")
 
-    // ---- version 1: train + routed build, timed ----
+    // ---- version 1: labeled + routed build, timed. Labels come from
+    // the corpus's own cluster column by default (the experiment needs
+    // a HEALTHY fresh index — staleness degradation is unmeasurable
+    // from an index that starts broken); SPARK_GRAFT_DRIFT_LABELS=
+    // trained derives them with the sampled trainer instead. ----
     val t0 = System.nanoTime()
-    val asg = Embeddings.kmeansTrainSampled(base, cells, iters = 2,
-      sampleMod, c1, c2)
-    val labeled = base.join(asg, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell").as("label"))
+    val labeled =
+      if (sys.env.get("SPARK_GRAFT_DRIFT_LABELS").contains("trained")) {
+        val asg = Embeddings.kmeansTrainSampled(base, cells, iters = 2,
+          sampleMod, c1, c2)
+        base.join(asg, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell").as("label"))
+      } else
+        corpus.select(col("vec_id"), col("embedding"), col("label"))
     IvfLifecycle.init(spark, root, labeled)
     val initSec = (System.nanoTime() - t0) / 1e9
     val live = IvfLifecycle.current(spark, root)
@@ -148,21 +160,73 @@ object IvfDriftBench {
       s"recall_base=${nprobes.map(np => f(freshRecall(np))).mkString("/")}" +
       s" cells_surviving=$survivingCells init_sec=${f(initSec)}")
 
-    // drift magnitudes: 0.05 → ~1.5 in geometric-ish growth; each step
-    // appends a DISJOINT 5% slice (vec_id ≡ s mod 20) at that magnitude
-    val mags = Seq(0.05, 0.1, 0.2, 0.35, 0.5, 0.75, 1.0, 1.5).take(steps)
-    case class StepRow(step: Int, mag: Double, appended: Long,
+    // each step appends a DISJOINT 5% corpus slice (vec_id ≡ s mod 20)
+    // rotated by s coordinates — step s introduces ~|slice centers| NEW
+    // modes, so alien mass (and with it the drift signal and the
+    // store-wide recall damage) ACCUMULATES across steps
+    val rots = (1 to steps)
+    case class StepRow(step: Int, rot: Int, appended: Long,
                        storeRows: Long, drift: Double,
                        rNew: Map[Int, Double], rBase: Map[Int, Double],
-                       sec: Double)
+                       rStore: Map[Int, Double], sec: Double)
+    def recallJson(m: Map[Int, Double]): String =
+      nprobes.map(np => s""""nprobe$np": ${f(m(np))}""").mkString("{", ", ", "}")
+    def writeArtifact(rows: Seq[StepRow], partial: Boolean,
+                      thresholdOpt: Option[Double] = None,
+                      maintainSec: Double = 0.0,
+                      post: Option[(Int, Double, Map[Int, Double], Map[Int, Double])] = None): Unit = {
+      val survivingCells = spark.read.parquet(s"$live/centroids").count()
+      val stepJson = rows.map { r =>
+        s"""  {"step": ${r.step}, "rotation": ${r.rot}, "appended": ${r.appended},
+       |   "store_rows": ${r.storeRows}, "index_drift": ${f(r.drift)},
+       |   "recall_at5_new_mode_queries": ${recallJson(r.rNew)},
+       |   "recall_at5_base_queries": ${recallJson(r.rBase)},
+       |   "recall_at5_store_weighted": ${recallJson(r.rStore)},
+       |   "sec": ${f(r.sec)}}""".stripMargin
+      }.mkString(",\n")
+      val postJson = (thresholdOpt, post) match {
+        case (Some(threshold), Some((v, d2, rNew2, rBase2))) =>
+          s""""maintain": {"published_version": $v, "threshold_used": ${f(threshold)},
+     |  "drift_before": ${f(rows.last.drift)}, "drift_after": ${f(d2)},
+     |  "recall_at5_drifted_queries": ${recallJson(rNew2)},
+     |  "recall_at5_base_queries": ${recallJson(rBase2)},
+     |  "sec": ${f(maintainSec)}},""".stripMargin
+        case (Some(threshold), None) =>
+          s""""maintain": {"published_version": null, "threshold_used": ${f(threshold)}, "note": "drift never crossed the picked threshold"},"""
+        case _ =>
+          s""""maintain": {"note": "run in progress — steps so far only"},"""
+      }
+      val thresholdNote = thresholdOpt.map(t =>
+        s""""threshold_read": "picked = first step whose worst-population nprobe=1 recall sits >= 0.05 below the fresh reference (${f(freshRecall(1))}), backed off 5% -> ${f(t)}"""")
+        .getOrElse(s""""threshold_read": "pending — run in progress"""")
+      val doc =
+        s"""{
+   |"what": "The drift -> probe-recall curve behind IvfLifecycle.indexDrift and maintain's driftThreshold (VERDICT r10 #2). Corpus: $sfDir ($n vectors, $dims-dim, unit-norm, every vector DISTINCT - tools/gen_emb_diverse.py; diversity is load-bearing, see replicated_run). Version 1 published through IvfLifecycle.init (routed build, $survivingCells cells). Drift model = NEW MODES: step s appends a disjoint 5% corpus slice with coordinates cyclically rotated by s - an isometry, so each rotated cluster keeps its exact tightness and neighbor structure while its center becomes a direction the stored centroids never saw; batches route to nearest STORED centroid exactly like the streaming faces (appendToIvfIndex), and an alien tight cluster whose routing margin is smaller than its own spread SPLITS across stale cells. Recall referee: knnBruteForce over the same store - recall@5 over 64 new-mode queries (the step's own batch), 64 fixed base queries, and the mass-weighted store-wide number, at nprobe 1 and 2. Deterministic end to end: batches, ids and query sets are pure functions of vec_id.",
+   |"partial": $partial,
+   |"protocol": {"init_sec": ${f(initSec)}, "trained_cells_requested": $cells, "cells_surviving": $survivingCells, "coarse": $c1, "coarse2": $c2, "sample_mod": $sampleMod, "queries_per_population": 64, "k": 5},
+   |"fresh": {"index_drift": ${f(freshDrift)}, "recall_at5_base_queries": ${recallJson(freshRecall)}},
+   |"steps": [
+   |$stepJson
+   |],
+   |$postJson
+   |$thresholdNote
+   |}""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath), doc.getBytes)
+    }
     var lastNewQ: Seq[Long] = Nil
-    val rows = mags.zipWithIndex.map { case (mag, i) =>
-      val s = i + 1
+    val rowsBuf = scala.collection.mutable.ArrayBuffer.empty[StepRow]
+    // (batch size, per-nprobe recall) of every appended batch, measured
+    // at its own step — alien modes are ~orthogonal to everything else,
+    // so a batch's neighbor set (its own rotated siblings) and hence
+    // its recall are stable as later batches arrive; the store-wide
+    // recall is the mass-weighted mean over populations
+    val batchRecalls = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Int, Double])]
+    rots.foreach { s =>
       val ts = System.nanoTime()
       val slice = base.filter(pmod(col("vec_id"), lit(20L)) === s.toLong)
       val batch = slice.select(
         (col("vec_id") + lit(idStride * s)).as("vec_id"),
-        shifted(col("embedding"), u, mag).as("embedding"))
+        rotated(col("embedding"), s, dims).as("embedding"))
       Embeddings.appendToIvfIndex(spark, live, batch)
       val appended = slice.count()
       val drift = IvfLifecycle.indexDrift(spark, live)
@@ -172,19 +236,29 @@ object IvfDriftBench {
       val storeRows = store.count()
       val rNew = recallAt5(spark, live, store, newQ, nprobes)
       val rBase = recallAt5(spark, live, store, baseQ, nprobes)
+      batchRecalls += ((appended, rNew))
+      val rStore = nprobes.map { np =>
+        val alien = batchRecalls.map { case (m, r) => m * r(np) }.sum
+        val alienMass = batchRecalls.map(_._1).sum
+        np -> (n * rBase(np) + alien) / (n + alienMass)
+      }.toMap
       val sec = (System.nanoTime() - ts) / 1e9
-      println(s"[drift] step=$s mag=$mag drift=${f(drift)} " +
+      println(s"[drift] step=$s rot=$s drift=${f(drift)} " +
         s"recall_new=${nprobes.map(np => f(rNew(np))).mkString("/")} " +
         s"recall_base=${nprobes.map(np => f(rBase(np))).mkString("/")} " +
+        s"recall_store=${nprobes.map(np => f(rStore(np))).mkString("/")} " +
         s"store=$storeRows sec=${f(sec)}")
-      StepRow(s, mag, appended, storeRows, drift, rNew, rBase, sec)
+      rowsBuf += StepRow(s, s, appended, storeRows, drift, rNew, rBase,
+        rStore, sec)
+      // incremental checkpoint: a cut run still leaves the curve so far
+      writeArtifact(rowsBuf.toSeq, partial = true)
     }
+    val rows = rowsBuf.toSeq
 
-    // ---- threshold from the curve: first drift whose worst-population
-    // nprobe=1 recall sits ≥ 0.05 below the fresh base recall ----
+    // ---- threshold from the curve: first drift whose STORE-WIDE
+    // nprobe=1 recall sits ≥ 0.05 below the fresh reference ----
     val freshRef = freshRecall(1)
-    val trigger = rows.find(r =>
-      math.min(r.rNew(1), r.rBase(1)) <= freshRef - 0.05)
+    val trigger = rows.find(r => r.rStore(1) <= freshRef - 0.05)
     val threshold = trigger.map(_.drift * 0.95).getOrElse(0.2)
 
     // ---- maintain at the picked threshold; re-measure the last step's
@@ -206,35 +280,7 @@ object IvfDriftBench {
         s"sec=${f(maintainSec)}")
       (v, d2, rNew2, rBase2)
     }
-
-    def recallJson(m: Map[Int, Double]): String =
-      nprobes.map(np => s""""nprobe$np": ${f(m(np))}""").mkString("{", ", ", "}")
-    val stepJson = rows.map { r =>
-      s"""  {"step": ${r.step}, "mag": ${r.mag}, "appended": ${r.appended},
-     |   "store_rows": ${r.storeRows}, "index_drift": ${f(r.drift)},
-     |   "recall_at5_drifted_queries": ${recallJson(r.rNew)},
-     |   "recall_at5_base_queries": ${recallJson(r.rBase)},
-     |   "sec": ${f(r.sec)}}""".stripMargin
-    }.mkString(",\n")
-    val postJson = post.map { case (v, d2, rNew2, rBase2) =>
-      s""""maintain": {"published_version": $v, "threshold_used": ${f(threshold)},
-   |  "drift_before": ${f(rows.last.drift)}, "drift_after": ${f(d2)},
-   |  "recall_at5_drifted_queries": ${recallJson(rNew2)},
-   |  "recall_at5_base_queries": ${recallJson(rBase2)},
-   |  "sec": ${f(maintainSec)}},""".stripMargin
-    }.getOrElse(s""""maintain": {"published_version": null, "threshold_used": ${f(threshold)}, "note": "drift never crossed the picked threshold"},""")
-    val doc =
-      s"""{
- |"what": "The drift -> probe-recall curve behind IvfLifecycle.indexDrift and maintain's driftThreshold (VERDICT r10 #2). Corpus: $sfDir ($n vectors, $dims-dim, unit-norm). Version 1 = knob-derived sampled k-means ($cells cells requested, $survivingCells surviving after Lloyd collapse) published through IvfLifecycle.init (routed build). Each step appends a disjoint 5% corpus slice shifted off the sphere along a fixed direction u (u_i ~ sin(i+1), normalized) at growing magnitude and RE-NORMALIZED, routed to nearest stored centroid exactly like the streaming faces (appendToIvfIndex). Recall referee: knnBruteForce over the same store, micro-averaged recall@5 over 64 drifted queries (the step's own batch) and 64 fixed base queries, at nprobe 1 and 2. Deterministic end to end: batches, ids, query sets and u are pure functions of vec_id and the dims.",
- |"protocol": {"init_sec": ${f(initSec)}, "trained_cells_requested": $cells, "cells_surviving": $survivingCells, "coarse": $c1, "coarse2": $c2, "sample_mod": $sampleMod, "queries_per_population": 64, "k": 5},
- |"fresh": {"index_drift": ${f(freshDrift)}, "recall_at5_base_queries": ${recallJson(freshRecall)}},
- |"steps": [
- |$stepJson
- |],
- |$postJson
- |"threshold_read": "picked = first step whose worst-population nprobe=1 recall sits >= 0.05 below the fresh reference (${f(freshRef)}), backed off 5% -> ${f(threshold)}"
- |}""".stripMargin
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath), doc.getBytes)
+    writeArtifact(rows, partial = false, Some(threshold), maintainSec, post)
     println(s"""{"metric":"ivf_drift_steps","value":${rows.size},"unit":"steps","out":"$outPath"}""")
     spark.stop()
   }

@@ -413,10 +413,23 @@ object Embeddings {
   }
 
   /** Append (or, for a fresh build, overwrite) a [[routeToIvfCells]]-
-    * shaped frame into the postings layout. */
+    * shaped frame into the postings layout.
+    *
+    * The write repartitions by cell first, so each append lands ONE
+    * file per touched cell instead of one per (shuffle partition ×
+    * cell). Measured necessity (r11 drift bench): without it, a
+    * 10k-row append over a 1,600-cell index shattered into ~32 tiny
+    * files per cell per batch, and after a handful of appends every
+    * subsequent postings READ — search, drift, the admission probe —
+    * spent minutes in driver-side file listing at <10% executor
+    * utilization. Listing cost is the scale killer for high-cell-count
+    * postings under steady ingest; one-file-per-cell-per-append bounds
+    * it at |cells| × appends, and [[IvfLifecycle.maintain]]'s rebuild
+    * is the standing compaction that resets it. */
   def appendRoutedToIvf(routed: DataFrame, indexDir: String,
                         overwrite: Boolean = false): Unit =
     routed.select(col("vec_id"), col("emb"), col("vnorm"), col("cell"))
+      .repartition(col("cell"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("cell").parquet(s"$indexDir/postings")
 

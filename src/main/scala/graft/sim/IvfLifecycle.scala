@@ -49,6 +49,7 @@ import org.apache.spark.sql.functions._
 object IvfLifecycle {
 
   private val Marker = "_PUBLISHED"
+  private val BirthDriftFile = "_BIRTH_DRIFT"
 
   private def fsOf(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -98,7 +99,45 @@ object IvfLifecycle {
   def init(spark: SparkSession, root: String, labeled: DataFrame): String =
     publish(spark, root, 1) { staging =>
       Embeddings.buildIvfIndexRouted(labeled, staging)
+      writeBirthDrift(spark, staging)
     }
+
+  /** A version's drift AT PUBLICATION, stamped into the staged tree
+    * before the atomic rename. The r11 drift-curve measurement
+    * (BENCH_IVF_DRIFT.json) surfaced why this must exist: a
+    * trained-then-routed rebuild is BORN with nonzero [[indexDrift]] —
+    * stored centroids are the TRAINED assignment's means (they must
+    * be: they are what the postings were routed against, and changing
+    * them would break stored-cell ≡ stream-routing), while cell
+    * contents are the FLAT re-route, and the two disagree by the
+    * routing-approximation residue (measured 0.052 on the r11 curve's
+    * maintain leg, vs the 0.011 trigger threshold — an absolute-drift
+    * gate would re-fire a rebuild the instant it finished, forever).
+    * STALENESS is therefore drift GROWTH since publication, and
+    * [[maintain]] gates on that. */
+  def birthDrift(spark: SparkSession, indexDir: String): Double = {
+    val fs = fsOf(spark, indexDir)
+    val p = new Path(s"$indexDir/$BirthDriftFile")
+    if (!fs.exists(p)) 0.0
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toDouble
+      finally in.close()
+    }
+  }
+
+  private def writeBirthDrift(spark: SparkSession, staging: String): Unit = {
+    val d = indexDrift(spark, staging)
+    val fs = fsOf(spark, staging)
+    val out = fs.create(new Path(s"$staging/$BirthDriftFile"))
+    try out.write(d.toString.getBytes) finally out.close()
+  }
+
+  /** Drift growth since the live version was published — the actual
+    * refresh signal (0 for a fresh version BY MEASUREMENT, whatever
+    * its routing-approximation birth residue). */
+  def staleness(spark: SparkSession, indexDir: String): Double =
+    math.max(0.0, indexDrift(spark, indexDir) - birthDrift(spark, indexDir))
 
   private def publish(spark: SparkSession, root: String, v: Int)
                      (build: String => Unit): String = {
@@ -140,15 +179,21 @@ object IvfLifecycle {
     versionDir(root, v)
   }
 
-  /** The refresh signal — centroid STALENESS: the size-weighted mean of
+  /** The raw divergence measure: the size-weighted mean of
     * (1 − cosine(stored centroid, recomputed cell mean)) over the
     * postings. Appends never update centroids (the routing table must
     * stay immutable for replay determinism), so as ingest drifts, the
     * stored centroid a cell ROUTES BY diverges from what the cell now
-    * CONTAINS — exactly the divergence that degrades probe recall. A
-    * fresh build sits at 0 (stored centroids ARE the means); ingest
-    * drift pushes it toward 1. One |cells|×dims aggregation + a
-    * |cells|-row join — no corpus-sized shuffle. */
+    * CONTAINS — and the r11 curve MEASURED the recall coupling
+    * (BENCH_IVF_DRIFT.json): under new-mode ingest, store-wide
+    * recall@5 loss at nprobe=1 tracked ≈ 4–4.5× the drift growth,
+    * while the coherent-shift drift mode raised the signal without
+    * recall damage (a conservative false-positive, the safe side).
+    * NOTE this raw value is NOT zero on a freshly REBUILT version —
+    * trained centroid means vs flat-routed contents leave a birth
+    * residue (see [[birthDrift]]); the refresh signal is
+    * [[staleness]] = growth over that residue. One |cells|×dims
+    * aggregation + a |cells|-row join — no corpus-sized shuffle. */
   def indexDrift(spark: SparkSession, indexDir: String): Double = {
     val post = spark.read.parquet(s"$indexDir/postings")
     val n = post.count()
@@ -167,11 +212,22 @@ object IvfLifecycle {
     }
   }
 
-  /** Measure drift on the live version; past `driftThreshold`, retrain
-    * on the stored vectors (cells knob re-derived from today's count),
-    * re-route everything against the final centroids, and atomically
-    * publish the next version. Returns the new version, or None when
-    * the index is still fresh.
+  /** Measure [[staleness]] (drift growth since publication) on the
+    * live version; past `driftThreshold`, retrain on the stored
+    * vectors (cells knob re-derived from today's count), re-route
+    * everything against the final centroids, and atomically publish
+    * the next version. Returns the new version, or None when the index
+    * is still fresh.
+    *
+    * The default threshold is MEASURED, not folklore: the r11 drift →
+    * recall curve (BENCH_IVF_DRIFT.json, new-mode ingest over a
+    * diverse 200k corpus) maps staleness 0.006 → 0.971 store-wide
+    * recall@5 at nprobe=1, 0.012 → 0.944, 0.038 → 0.842 — loss ≈
+    * 4–4.5× staleness across the curve. 0.012 is the ~5%-loss point;
+    * a deployment with a different recall budget should re-read its
+    * own curve (the harness is `graft.IvfDriftBench`). The historical
+    * 0.2 default sat ~17× past the 5%-loss point — at trigger the
+    * store would already be serving ~40% worse at nprobe=1.
     *
     * WRITER contract (stated, not hidden): the rebuild snapshots the
     * live version's postings at its own read time — an ingest batch
@@ -184,11 +240,11 @@ object IvfLifecycle {
     * spec pins: replayed batches re-derive their decisions against the
     * new store and append exactly the missing remainder. */
   def maintain(spark: SparkSession, root: String,
-               driftThreshold: Double = 0.2, iters: Int = 2,
+               driftThreshold: Double = 0.012, iters: Int = 2,
                sampleMod: Int = 1): Option[Int] = {
     val v = currentVersion(spark, root)
     val live = versionDir(root, v)
-    val drift = indexDrift(spark, live)
+    val drift = staleness(spark, live)
     if (drift < driftThreshold) None
     else {
       val stored = spark.read.parquet(s"$live/postings")
@@ -208,6 +264,9 @@ object IvfLifecycle {
         Embeddings.appendRoutedToIvf(
           Embeddings.routeToCells(stored, cents), staging)
         cents.write.mode("overwrite").parquet(s"$staging/centroids")
+        // stamp the routing-approximation birth residue so the next
+        // maintain() measures GROWTH, not the residue itself
+        writeBirthDrift(spark, staging)
       }
       Some(v + 1)
     }

@@ -98,5 +98,20 @@ class IvfDriftSpec extends AnyFunSuite {
     val d4 = IvfLifecycle.indexDrift(spark, IvfLifecycle.current(spark, root))
     assert(d4 < d3 / 2,
       s"a refresh must collapse the staleness signal: $d3 -> $d4")
+
+    // no rebuild loop (the r11 curve's maintain-leg finding): a rebuilt
+    // version carries a routing-approximation BIRTH residue in its raw
+    // indexDrift (trained centroid means vs flat-routed contents — the
+    // measured sf-scale residue was 0.052, 4.5× the trigger threshold),
+    // so the refresh signal is drift GROWTH since publication. At
+    // publication that growth is exactly zero, and an immediate second
+    // maintain must be a no-op at ANY threshold the first one fired at.
+    val live2 = IvfLifecycle.current(spark, root)
+    assert(IvfLifecycle.staleness(spark, live2) === 0.0,
+      "staleness is measured relative to the stamped birth drift")
+    assert(IvfLifecycle.birthDrift(spark, live2) === d4,
+      "the birth stamp is the rebuild's own measured drift")
+    assert(IvfLifecycle.maintain(spark, root, driftThreshold = d3 * 0.9) === None)
+    assert(IvfLifecycle.currentVersion(spark, root) === 2)
   }
 }
