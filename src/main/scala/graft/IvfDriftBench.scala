@@ -36,9 +36,12 @@ import graft.sim.{Embeddings, IvfLifecycle}
   *     whose neighbors scatter across stale cell boundaries), 64
   *     fixed base vectors (the standing corpus an operator keeps
   *     serving), and the mass-weighted store-wide composite.
-  *  4. Pick the threshold from the measured curve (first drift level
-  *     whose worst-population recall falls ≥ 0.05 below its fresh
-  *     value), run [[IvfLifecycle.maintain]] at it, and re-measure the
+  *  4. Pick the threshold from the measured curve (first step whose
+  *     STORE-WIDE nprobe=1 recall falls ≥ 0.05 below its fresh value,
+  *     taken on the staleness scale `maintain` gates on — the
+  *     worst population, new-mode queries, degrades far earlier and is
+  *     reported per step for that read), run [[IvfLifecycle.maintain]]
+  *     at it, and re-measure the
   *     final query sets against the published v2 — the recovery leg
   *     that closes the loop.
   *
@@ -115,6 +118,16 @@ object IvfDriftBench {
     val dims = base.select(size(col("embedding"))).first().getInt(0)
     val maxId = base.agg(max("vec_id")).first().getLong(0)
     val idStride = (maxId + 1L) * 2L
+    // the diversity sentence in the artifact is MEASURED, not asserted
+    // (ADVICE r11 #3): a default-env run lands on a replicated corpus
+    // whose recall curve is degenerate (Finding 1), and the artifact
+    // must say so about itself. One distinct-count shuffle, paid once.
+    val nDistinct = base.select(col("embedding")).distinct().count()
+    val diversitySentence =
+      if (nDistinct == n)
+        s"every vector DISTINCT (verified: $nDistinct/$n - the tools/gen_emb_diverse.py contract; diversity is load-bearing, see replicated_run)"
+      else
+        s"WARNING: only $nDistinct/$n embeddings distinct - a replicated corpus cannot measure recall (Finding 1: every query's true top-5 is its own exact copies), so this curve's recall columns are DEGENERATE; use tools/gen_emb_diverse.py"
 
     val cells = graft.ops.ScaleKnobs.kmeansCells(n)
     val c1 = graft.ops.ScaleKnobs.kmeansCoarse(cells)
@@ -155,6 +168,13 @@ object IvfDriftBench {
     val nprobes = Seq(1, 2)
 
     val freshDrift = IvfLifecycle.indexDrift(spark, live)
+    // the stamped birth drift — the baseline `maintain` actually gates
+    // against (staleness = indexDrift - birthDrift). With default
+    // labels v1's birth residue is ~0; under SPARK_GRAFT_DRIFT_LABELS=
+    // trained (or any corpus where the flat re-route disagrees with the
+    // labels) it is NOT, and a raw-drift threshold would silently sit
+    // above every staleness reading (ADVICE r11 #1).
+    val birthStamp = IvfLifecycle.birthDrift(spark, live)
     val freshRecall = recallAt5(spark, live, storeDf, baseQ, nprobes)
     println(s"[drift] fresh: drift=${f(freshDrift)} " +
       s"recall_base=${nprobes.map(np => f(freshRecall(np))).mkString("/")}" +
@@ -179,6 +199,7 @@ object IvfDriftBench {
       val stepJson = rows.map { r =>
         s"""  {"step": ${r.step}, "rotation": ${r.rot}, "appended": ${r.appended},
        |   "store_rows": ${r.storeRows}, "index_drift": ${f(r.drift)},
+       |   "staleness": ${f(r.drift - birthStamp)},
        |   "recall_at5_new_mode_queries": ${recallJson(r.rNew)},
        |   "recall_at5_base_queries": ${recallJson(r.rBase)},
        |   "recall_at5_store_weighted": ${recallJson(r.rStore)},
@@ -197,11 +218,11 @@ object IvfDriftBench {
           s""""maintain": {"note": "run in progress — steps so far only"},"""
       }
       val thresholdNote = thresholdOpt.map(t =>
-        s""""threshold_read": "picked = first step whose worst-population nprobe=1 recall sits >= 0.05 below the fresh reference (${f(freshRecall(1))}), backed off 5% -> ${f(t)}"""")
+        s""""threshold_read": "picked = first step whose STORE-WIDE nprobe=1 recall sits >= 0.05 below the fresh reference (${f(freshRecall(1))}), taken on the STALENESS scale ((drift - birth ${f(birthStamp)}) * 0.95) -> ${f(t)} - the scale maintain gates on"""")
         .getOrElse(s""""threshold_read": "pending — run in progress"""")
       val doc =
         s"""{
-   |"what": "The drift -> probe-recall curve behind IvfLifecycle.indexDrift and maintain's driftThreshold (VERDICT r10 #2). Corpus: $sfDir ($n vectors, $dims-dim, unit-norm, every vector DISTINCT - tools/gen_emb_diverse.py; diversity is load-bearing, see replicated_run). Version 1 published through IvfLifecycle.init (routed build, $survivingCells cells). Drift model = NEW MODES: step s appends a disjoint 5% corpus slice with coordinates cyclically rotated by s - an isometry, so each rotated cluster keeps its exact tightness and neighbor structure while its center becomes a direction the stored centroids never saw; batches route to nearest STORED centroid exactly like the streaming faces (appendToIvfIndex), and an alien tight cluster whose routing margin is smaller than its own spread SPLITS across stale cells. Recall referee: knnBruteForce over the same store - recall@5 over 64 new-mode queries (the step's own batch), 64 fixed base queries, and the mass-weighted store-wide number, at nprobe 1 and 2. Deterministic end to end: batches, ids and query sets are pure functions of vec_id.",
+   |"what": "The drift -> probe-recall curve behind IvfLifecycle.indexDrift and maintain's driftThreshold (VERDICT r10 #2). Corpus: $sfDir ($n vectors, $dims-dim, unit-norm, $diversitySentence). Version 1 published through IvfLifecycle.init (routed build, $survivingCells cells). Drift model = NEW MODES: step s appends a disjoint 5% corpus slice with coordinates cyclically rotated by s - an isometry, so each rotated cluster keeps its exact tightness and neighbor structure while its center becomes a direction the stored centroids never saw; batches route to nearest STORED centroid exactly like the streaming faces (appendToIvfIndex), and an alien tight cluster whose routing margin is smaller than its own spread SPLITS across stale cells. Recall referee: knnBruteForce over the same store - recall@5 over 64 new-mode queries (the step's own batch), 64 fixed base queries, and the mass-weighted store-wide number, at nprobe 1 and 2. Deterministic end to end: batches, ids and query sets are pure functions of vec_id.",
    |"partial": $partial,
    |"protocol": {"init_sec": ${f(initSec)}, "trained_cells_requested": $cells, "cells_surviving": $survivingCells, "coarse": $c1, "coarse2": $c2, "sample_mod": $sampleMod, "queries_per_population": 64, "k": 5},
    |"fresh": {"index_drift": ${f(freshDrift)}, "recall_at5_base_queries": ${recallJson(freshRecall)}},
@@ -255,11 +276,15 @@ object IvfDriftBench {
     }
     val rows = rowsBuf.toSeq
 
-    // ---- threshold from the curve: first drift whose STORE-WIDE
-    // nprobe=1 recall sits ≥ 0.05 below the fresh reference ----
+    // ---- threshold from the curve: first step whose STORE-WIDE
+    // nprobe=1 recall sits ≥ 0.05 below the fresh reference. Picked on
+    // the STALENESS scale (drift growth over the birth stamp) — the
+    // same scale `maintain` gates on — so the recovery leg fires even
+    // when v1 carries a nonzero birth residue (ADVICE r11 #1). ----
     val freshRef = freshRecall(1)
     val trigger = rows.find(r => r.rStore(1) <= freshRef - 0.05)
-    val threshold = trigger.map(_.drift * 0.95).getOrElse(0.2)
+    val threshold =
+      trigger.map(r => (r.drift - birthStamp) * 0.95).getOrElse(0.2)
 
     // ---- maintain at the picked threshold; re-measure the last step's
     // populations against the published v2 ----

@@ -367,7 +367,18 @@ object MvRewrite {
         case _ => false
       }))
     if (servable.isEmpty) None
-    else {
+    // defense-in-depth (r12, VERDICT r11 #7): unreachable today — an
+    // unservable slot classifies AttrSlot only when ≥1 projection
+    // carries the attribute, and that projection necessarily lands in
+    // onBase (a shape where EVERY projection nulls the column instead
+    // classifies LitSlot and takes the caller's full-rewrite path —
+    // pinned in MvRewriteSpec). Guarded anyway, symmetric with the
+    // servable.isEmpty refusal: serve mart-only rather than build a
+    // degenerate empty-projection base Expand.
+    else if (onBase.isEmpty) {
+      Some(rewriteExpand(m, groupings, aggExprs, cond,
+        servable, output, slots))
+    } else {
       val mvSide = rewriteExpand(m, groupings, aggExprs, cond,
         servable, output, slots)
       val baseSide = Aggregate(groupings, aggExprs,

@@ -107,9 +107,12 @@ class IvfDriftSpec extends AnyFunSuite {
     // publication that growth is exactly zero, and an immediate second
     // maintain must be a no-op at ANY threshold the first one fired at.
     val live2 = IvfLifecycle.current(spark, root)
-    assert(IvfLifecycle.staleness(spark, live2) === 0.0,
+    // tolerance, not exact equality: the post-publish indexDrift is a
+    // fresh Spark double aggregation whose partition/combine order is
+    // not guaranteed bit-identical to the value stamped at staging time
+    assert(IvfLifecycle.staleness(spark, live2) < 1e-9,
       "staleness is measured relative to the stamped birth drift")
-    assert(IvfLifecycle.birthDrift(spark, live2) === d4,
+    assert(math.abs(IvfLifecycle.birthDrift(spark, live2) - d4) < 1e-9,
       "the birth stamp is the rebuild's own measured drift")
     assert(IvfLifecycle.maintain(spark, root, driftThreshold = d3 * 0.9) === None)
     assert(IvfLifecycle.currentVersion(spark, root) === 2)

@@ -869,4 +869,73 @@ class MvRewriteSpec extends AnyFunSuite {
       // the proof)
     } finally MvRewrite.clear()
   }
+
+  test("degenerate lattice shape: every projection nulls the non-mv column" +
+      " -> mart-only, no Union (r12, VERDICT r11 #7)") {
+    // The onBase.isEmpty guard in splitServeExpand is defense-in-depth:
+    // classifySlots makes the empty-base partition unreachable (an
+    // unservable slot is AttrSlot only when some projection CARRIES the
+    // attribute, and that projection lands on the base side). This spec
+    // pins the adjacent reachable shape the guard documents: an Expand
+    // whose every projection nulls the non-mv column — hand-built, the
+    // analyzer never emits it — classifies that slot LitSlot and must be
+    // served ENTIRELY from the mart (full-rewrite path), producing no
+    // Union and no degenerate empty-projection base branch.
+    val session = spark.newSession()
+    MvRewrite.ensureRegistered(session)
+    MvRewrite.clear()
+    try {
+      val base = session.read.parquet(baseDir)
+      val mvDir = Files.createTempDirectory("mv_degenerate").toString
+      base.groupBy("source", "lang")
+        .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(mvDir)
+      MvRewrite.register(session.read.parquet(mvDir),
+        baseTag = "documents.parquet", groupCols = Seq("source", "lang"),
+        sumCols = Map("n_chars" -> "sum_chars"), countCol = Some("n_rows"))
+
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Expand => LExpand, Union => LUnion}
+      // rollup(source, doc_id) plans 3 projections, exactly one carrying
+      // doc_id; stripping that one by hand leaves doc_id's slot nulled
+      // in every surviving projection
+      def lattice(df: DataFrame) = df.rollup("source", "doc_id")
+        .agg(sum("n_chars").as("t"), count(lit(1)).as("c"))
+      def prune(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+        case e: LExpand =>
+          // doc_id appears twice in the Expand output: the child
+          // passthrough (never nulled) and the duplicated grouping
+          // attr (nulled in the sets that drop it) — prune on the
+          // grouping copy only
+          val docIdx = e.output.indices.filter(i =>
+            e.output(i).name.contains("doc_id") &&
+              e.projections.exists(p => p(i) match {
+                case Literal(null, _) => true
+                case _ => false
+              }))
+          assert(docIdx.nonEmpty)
+          e.copy(projections = e.projections.filter(p =>
+            docIdx.forall(i => p(i) match {
+              case Literal(null, _) => true
+              case _ => false
+            })))
+      }
+      val pruned = prune(lattice(base).queryExecution.analyzed)
+      val rewritten = MvRewrite.RewriteRule(pruned)
+      assert(rewritten.collect { case u: LUnion => u }.isEmpty,
+        "nothing for a base branch: must serve mart-only, not Union")
+      val sizes = rewritten.collect { case e: LExpand => e.projections.size }
+      assert(sizes === Seq(2),
+        s"both surviving sets ride the one mart Expand, got $sizes")
+      import org.apache.spark.sql.graft.ClassicBridge
+      val served = ClassicBridge.ofRows(session, rewritten)
+      assert(scanPaths(served).exists(_.contains(mvDir)) &&
+        !scanPaths(served).exists(_.contains("documents.parquet")),
+        s"must scan the mart only, got " + scanPaths(served))
+      val plain = ClassicBridge.ofRows(spark,
+        prune(lattice(spark.read.parquet(baseDir)).queryExecution.analyzed))
+      assert(served.collect().toSet == plain.collect().toSet,
+        "the hand-pruned lattice must answer identically from the mart")
+    } finally MvRewrite.clear()
+  }
 }
