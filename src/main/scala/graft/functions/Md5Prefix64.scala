@@ -141,6 +141,27 @@ object GraftFunctions {
       registry.registerFunction(di8lIdent, VecDotI8L.info,
         (children: Seq[Expression]) => VecDotI8L(children(0), children(1)))
     }
+    // the per-row nearest-centroid scan (r12): the Lloyd assign /
+    // routing-level argmax as one codegen'd expression over a collected
+    // centroid array — zero corpus exchanges per assign
+    val caIdent = FunctionIdentifier("cell_argmax")
+    if (!registry.functionExists(caIdent)) {
+      registry.registerFunction(caIdent, CellArgmax.info,
+        (children: Seq[Expression]) => CellArgmax(children(0), children(1)))
+    }
+    val vaIdent = FunctionIdentifier("vec_avg")
+    if (!registry.functionExists(vaIdent)) {
+      registry.registerFunction(vaIdent, VecAvg.info,
+        (children: Seq[Expression]) =>
+          VecAvg(children.head).toAggregateExpression())
+    }
+    val tkIdent = FunctionIdentifier("topk_by")
+    if (!registry.functionExists(tkIdent)) {
+      registry.registerFunction(tkIdent, TopKByScore.info,
+        (children: Seq[Expression]) =>
+          TopKByScore(children(0), children(1), children(2))
+            .toAggregateExpression())
+    }
     // the pure-JVM media codecs (r7): real WAV/BMP containers in, true
     // PCM samples / luma pixels out — all inside whole-stage codegen
     val weIdent = FunctionIdentifier("wav_encode")
@@ -249,6 +270,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => I8PackL(children.head)))
     ext.injectFunction((FunctionIdentifier("vec_dot_i8_l"), VecDotI8L.info,
       (children: Seq[Expression]) => VecDotI8L(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("cell_argmax"), CellArgmax.info,
+      (children: Seq[Expression]) => CellArgmax(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("vec_avg"), VecAvg.info,
+      (children: Seq[Expression]) =>
+        VecAvg(children.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("topk_by"), TopKByScore.info,
+      (children: Seq[Expression]) =>
+        TopKByScore(children(0), children(1), children(2))
+          .toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("wav_encode"), WavEncode.info,
       (children: Seq[Expression]) => WavEncode(children.head)))
     ext.injectFunction((FunctionIdentifier("wav_pcm_samples"), WavPcmSamples.info,

@@ -41,12 +41,20 @@ object Graph {
     var rank = nodes.crossJoin(broadcast(n))
       .select(col("node"), col("deg"), col("n_nodes"),
         (lit(1.0) / col("n_nodes")).as("rank"))
+    // rank/contrib are |nodes|-sized — ORDERS smaller than the edge
+    // table. Size-gate them onto the broadcast side (r12, guide §3.1):
+    // when they fit, an iteration never shuffles edges (one map-side-
+    // combined groupBy(dst) is the only exchange, down from three); when
+    // the node table outgrows the threshold the gate declines and the
+    // historical shuffle plan runs unchanged. Row-identical either way.
+    val gate = graft.ops.AutoBroadcast.decideFrom(nodes, 2.0)
+    def bSide(df: DataFrame) = if (gate) broadcast(df) else df
     for (_ <- 1 to iters) {
       val contrib = edges
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(bSide(rank.withColumnRenamed("node", "src")), "src")
         .groupBy("dst").agg(sum(col("rank") / col("deg")).as("in_rank"))
       rank = rank.drop("rank")
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .join(bSide(contrib.withColumnRenamed("dst", "node")), Seq("node"), "left")
         .select(col("node"), col("deg"), col("n_nodes"),
           ((lit(1.0) - damping) / col("n_nodes") +
             lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))

@@ -460,7 +460,7 @@ object Relational extends OpsModule {
                reach(part, hop) AS (
                  SELECT p, 0 FROM seed
                  UNION ALL
-                 SELECT e.dst, r.hop + 1
+                 SELECT /*+ BROADCAST(r) */ e.dst, r.hop + 1
                  FROM reach r JOIN copurchase_edges e ON e.src = r.part
                  WHERE r.hop < 2)
                SELECT part, min(hop) AS min_hops, count(*) AS n_paths

@@ -5466,9 +5466,13 @@ object TrainingOps extends OpsModule {
       "emb_sim_histogram" -> PlanTag(
         bnlj = Some("1-row broadcast pair-total attach onto the |bins|-sized histogram"),
         blockKnob = Some("cell-blocked pair join, |bins|-sized output")),
-      "emb_semdedup" -> PlanTag(bnlj = Some(centroids),
+      // (no bnlj tag since r12: the centroid-attach cross join runs
+      // inside the scored prelude's localCheckpoint — a separate
+      // execution with a ONE-ROW build side — so the audited final plan
+      // is pair join + mark join only)
+      "emb_semdedup" -> PlanTag(
         blockKnob = Some("kmeansCells(nCells) — pair work Σ|cell|²")),
-      "emb_semdedup_collapsed" -> PlanTag(bnlj = Some(centroids),
+      "emb_semdedup_collapsed" -> PlanTag(
         blockKnob = Some("kmeansCells(nCells) — pair work Σ|distinct per cell|², the r10 multiplicity-adaptive bound")),
       // (emb_curation_audit needs no bnlj tag: like td_curation_audit,
       // its returned frame is a LOCAL relation of already-collected

@@ -249,16 +249,18 @@ object Embeddings {
         round(col("cos"), 6).as("cosine"), col("knn_rank"))
   }
 
-  /** Per-cell mean centroid: posexplode → (cell, idx) partial avg →
-    * re-assemble ordered arrays. Two narrow-ish aggregations; the partial
-    * (map-side) combine keeps shuffle volume at |cells| × dims. */
+  /** Per-cell mean centroid via the native [[graft.functions.VecAvg]]
+    * aggregate: per-dim (sum, count) partials combined map-side, ONE
+    * |cells|-row exchange. Replaces the r1–r11 posexplode → (cell, idx)
+    * avg → collect_list/array_sort shape, which generated dims× the
+    * corpus row count before its first aggregate and paid two exchanges
+    * per centroid pass (r12, guide §2.3) — per-dim sums/merge structure
+    * and the final sum/count division are identical, so values (and the
+    * oracle hashes downstream of them) are unmoved. */
   def centroids(embeddings: DataFrame, cellCol: String = "label"): DataFrame =
     embeddings
-      .select(col(cellCol).as("cell"), posexplode(asDouble(col("embedding"))).as(Seq("idx", "v")))
-      .groupBy("cell", "idx").agg(avg("v").as("cv"))
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("cv")))),
-        s => s.getField("cv")).as("cemb"))
+      .groupBy(col(cellCol).as("cell"))
+      .agg(call_function("vec_avg", asDouble(col("embedding"))).as("cemb"))
 
   /** IVF-style ANN: route each query to its `nprobe` nearest centroids,
     * then exact top-k within those cells only. nprobe is the standard
@@ -555,12 +557,32 @@ object Embeddings {
     }
   }
 
+  /** One-row collected centroid table: the broadcastable argument of
+    * [[cellArgmax]]. |cells| × dims doubles in a single array — bounded
+    * by the routing floors (exhaustive assigns stop at
+    * [[graft.ops.ScaleKnobs.CoarseFloorCells]] cells; the routed levels
+    * are √cells / ∛cells wide), so the row stays well under broadcast
+    * range at every scale this library measures. */
+  private def centsArray(cents: DataFrame, cellCol: String,
+                         embCol: String): DataFrame =
+    cents.agg(collect_list(struct(col(cellCol).as("cell"),
+      col(embCol).as("cemb"))).as("cents"))
+
+  /** `cell_argmax(emb, cents)` — the codegen'd per-row nearest-centroid
+    * scan ([[graft.functions.CellArgmax]]): max cosine, ties to the
+    * lowest cell id, NULL on an empty table. Bit-identical to the
+    * historical `crossJoin(broadcast) → max(struct(cos, -cell))` plan
+    * while removing the N×|cells| row blowout AND the full-corpus
+    * re-group Exchange per assign — at 100 TB, one fewer corpus shuffle
+    * per Lloyd iteration / routing level (r12, guide §2.4). */
+  private def cellArgmax(emb: Column, cents: Column): Column =
+    call_function("cell_argmax", emb, cents)
+
   private def exhaustiveAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("acos", cosine(col("emb"), col("cemb")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
+    e.crossJoin(broadcast(centsArray(cents, "cell", "cemb")))
+      .select(col("vec_id"), cellArgmax(col("emb"), col("cents")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.ccos").as("ccos"))
 
   /** The routed (2- or 3-level) assign over a checkpointed centroid
     * table `c`, with EFFECTIVE level widths k1 (mid) / k2 (top). */
@@ -583,21 +605,21 @@ object Embeddings {
         c.join(cellCoarse, "cell")
           .select(col("coarse_id").as("label"), col("cemb").as("embedding")))
         .select(col("cell").as("coarse_id"), col("cemb").as("coarse_emb"))
-      // routing carries the embedding THROUGH the argmax aggregate
-      // (first() — every candidate row of a vector holds the same
-      // array), so the corpus crosses exactly ONE exchange per routing
-      // level (N narrow-ish rows, map-side pre-reduced) — never a
-      // corpus-side shuffle JOIN (the first formulation paid two array
-      // exchanges + sorts and measured SLOWER than exhaustive at sf10)
+      // every routing level is a per-row cell_argmax scan of a collected
+      // (one-row or per-group) centroid array — the corpus crosses ZERO
+      // exchanges on the whole routed assign (r12; the r11 shape paid
+      // one full-corpus exchange per level for the re-group argmax, and
+      // before that a corpus-side shuffle JOIN measured SLOWER than
+      // exhaustive at sf10). Argmax/tie rule identical at every level.
       val routed =
         if (nCoarse2 <= 1) {
           // two-level: score all nCoarse mid centroids directly
-          e.crossJoin(broadcast(coarseCents))
-            .withColumn("rcos", cosine(col("emb"), col("coarse_emb")))
-            .groupBy("vec_id")
-            .agg(first(col("emb")).as("emb"),
-              max(struct(col("rcos").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
-            .select(col("vec_id"), col("emb"), (-col("m.nc")).as("coarse_id"))
+          e.crossJoin(broadcast(
+              centsArray(coarseCents, "coarse_id", "coarse_emb")))
+            .select(col("vec_id"), col("emb"),
+              cellArgmax(col("emb"), col("cents")).getField("cell")
+                .as("coarse_id"))
+            .filter(col("coarse_id").isNotNull)
         } else {
           // THREE-level (r8): group the nCoarse mid centroids into
           // nCoarse2 top groups (exhaustive on the nCoarse-row table —
@@ -616,29 +638,30 @@ object Embeddings {
             l2.join(l2Top, "coarse_id")
               .select(col("l1_id").as("label"), col("coarse_emb").as("embedding")))
             .select(col("cell").as("l1_id"), col("cemb").as("l1_emb"))
-          val routedTop = e.crossJoin(broadcast(l1Cents))
-            .withColumn("rcos", cosine(col("emb"), col("l1_emb")))
-            .groupBy("vec_id")
-            .agg(first(col("emb")).as("emb"),
-              max(struct(col("rcos").as("s"), (-col("l1_id")).as("nc"))).as("m"))
-            .select(col("vec_id"), col("emb"), (-col("m.nc")).as("l1_id"))
-          val midCands = l2.join(l2Top, "coarse_id")
-          routedTop.join(broadcast(midCands), "l1_id")
-            .withColumn("rcos", cosine(col("emb"), col("coarse_emb")))
-            .groupBy("vec_id")
-            .agg(first(col("emb")).as("emb"),
-              max(struct(col("rcos").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
-            .select(col("vec_id"), col("emb"), (-col("m.nc")).as("coarse_id"))
+          val routedTop = e.crossJoin(broadcast(
+              centsArray(l1Cents, "l1_id", "l1_emb")))
+            .select(col("vec_id"), col("emb"),
+              cellArgmax(col("emb"), col("cents")).getField("cell")
+                .as("l1_id"))
+            .filter(col("l1_id").isNotNull)
+          val midArr = l2.join(l2Top, "coarse_id")
+            .groupBy("l1_id")
+            .agg(collect_list(struct(col("coarse_id").as("cell"),
+              col("coarse_emb").as("cemb"))).as("cents"))
+          routedTop.join(broadcast(midArr), "l1_id")
+            .select(col("vec_id"), col("emb"),
+              cellArgmax(col("emb"), col("cents")).getField("cell")
+                .as("coarse_id"))
         }
-      val cands = c.join(cellCoarse, "cell")
-      // BHJ on the winning group: each vector's row fans out to its
-      // ~cells/nCoarse member cells in place; the argmax then map-side
-      // combines back to one narrow row per vector
-      routed.join(broadcast(cands), "coarse_id")
-        .withColumn("acos", cosine(col("emb"), col("cemb")))
-        .groupBy("vec_id")
-        .agg(max(struct(col("acos").as("s"), (-col("cell")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.s").as("ccos"))
+      // BHJ on the winning group: each vector picks up its group's
+      // collected candidate-cell array in place and argmax-scans it —
+      // no fan-out rows, no re-group exchange
+      val candArr = c.join(cellCoarse, "cell")
+        .groupBy("coarse_id")
+        .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+      routed.join(broadcast(candArr), "coarse_id")
+        .select(col("vec_id"), cellArgmax(col("emb"), col("cents")).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.ccos").as("ccos"))
   }
 
   /** Deterministic k-means cell derivation with a CONFIGURABLE cell
@@ -728,7 +751,7 @@ object Embeddings {
           .select(col("cell").as("label"), col("emb").as("embedding")))
       asg = assignToCells(t, cents, nCoarse, nCoarse2)
         .select("vec_id", "cell")
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the next round / caller (r12)
     }
     if (sampleMod <= 1) asg
     else {
@@ -811,7 +834,16 @@ object Embeddings {
                nCells: Int = 0, nCoarse: Int = 1,
                nCoarse2: Int = 1, quantPre: Boolean = false,
                collapseExact: Boolean = false): DataFrame = {
+    // Materialize the scored prelude ONCE (r12, guide §3.3): downstream
+    // the frame is referenced by the collapse window, the rank window,
+    // BOTH sides of the within-cell pair join and the final mark join —
+    // without the cut, each reference re-expands (and re-EXECUTES) the
+    // whole kmeans-derivation + centroid-attach subtree; the executed
+    // nSem plan of emb_curation_audit carried 305 parquet-scan nodes
+    // from exactly this. One stored pass of the scored corpus replaces
+    // ~6 recomputations of its upstream at every scale.
     val scored0 = semDedupScored(embeddings, nCells, nCoarse, nCoarse2)
+      .localCheckpoint()
     // Exact-copy collapse (r10 — the fifth-decade finding): when the
     // corpus carries byte-identical embeddings (multiplicity m per
     // value), every later copy is trivially a semantic dup of its
@@ -841,8 +873,11 @@ object Embeddings {
     val (scored, withRep) =
       if (!collapseExact) (scored0, None)
       else {
+        // same plan-cut as scored0: wr feeds the representative filter
+        // AND the expand-back join
         val wr = scored0.withColumn("rep_id",
           min("vec_id").over(Window.partitionBy("cell", "emb")))
+          .localCheckpoint()
         (wr.filter(col("vec_id") === col("rep_id")).drop("rep_id"), Some(wr))
       }
     def expand(markedReps: DataFrame): DataFrame = withRep match {
@@ -851,7 +886,10 @@ object Embeddings {
     }
     val w = Window.partitionBy("cell").orderBy(col("ccos").asc, col("vec_id").asc)
     if (!quantPre) {
+      // ranked is read three times (both pair-join sides + the final
+      // mark join) — cut here keeps the window's exchange+sort single
       val ranked = scored.withColumn("crank", row_number().over(w))
+        .localCheckpoint()
       expand(semDedupPairMark(ranked, threshold))
     } else {
       // Quantized pre-verify (r9, VERDICT r8 "Next round" #1): the frame
@@ -892,6 +930,7 @@ object Embeddings {
         .select(col("cell"), col("vec_id"), col("ccos"), col("vnorm"),
           i8PackL(col("qz.q")).as("ql"), col("qz.scale").as("qs"), col("qe"))
       val ranked = slim.withColumn("crank", row_number().over(w))
+        .localCheckpoint() // three consumers, same cut as the exact path
       val a = ranked.select(col("cell"), col("crank").as("rank_a"),
         col("vec_id").as("vid_a"), col("ql").as("ql_a"), col("qs").as("qs_a"),
         col("vnorm").as("norm_a"), col("qe").as("qe_a"))
@@ -1316,8 +1355,19 @@ object Embeddings {
     * round-half boundary engines disagree on). The reported score is the
     * exact integer over 1e7 — the same double in any engine. The oracle
     * replays the identical k-step chain as unrolled CTEs.
-    * localCheckpoint per step truncates the iterative lineage, the same
-    * discipline as [[kmeansTrain]]. */
+    *
+    * r12 shape: the greedy chain runs ENTIRELY inside one row per query —
+    * the pool collects to a ≤pool-element array and each of the k steps
+    * is a layered projection (array argmax by exact integer score,
+    * pairwise sims computed on demand with the identical vec_dot /
+    * rounding composition). The r1–r11 form unrolled the chain as k
+    * iterations of [join + windowed argmax + anti join], each step
+    * localCheckpoint'd — 10 eager materialization jobs and ~15 exchanges
+    * whose inputs were ≤ |q|·pool ROWS; per-step work is pool-bounded by
+    * construction, so it belongs in expressions, not operators (guide
+    * §1.2: the distributed algorithm only needs the ANN pool scan — the
+    * corpus appears nowhere else). Selection path, scores, ties, and the
+    * rank-missing-when-pool-exhausted edge are bit-identical. */
   def mmrSelect(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
                 pool: Int = 20, lamTenths: Int = 7): DataFrame = {
     require(lamTenths > 0 && lamTenths <= 10, "λ in (0,1] tenths")
@@ -1325,47 +1375,64 @@ object Embeddings {
       .withColumn("vnorm", norm(col("emb")))
     val cand = knnBruteForce(embeddings, queryFilter, pool)
       .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
-      .localCheckpoint()
-    val pe = cand.join(e, cand("neighbor_id") === e("vec_id"))
-      .select(col("query_id"), col("neighbor_id"), col("emb"), col("vnorm"))
-    val psim = pe.select(col("query_id"), col("neighbor_id").as("na"),
-        col("emb").as("ea"), col("vnorm").as("norma"))
-      .join(pe.select(col("query_id"), col("neighbor_id").as("nb"),
-        col("emb").as("eb"), col("vnorm").as("normb")), "query_id")
-      .filter(col("na") =!= col("nb"))
-      .select(col("query_id"), col("na"), col("nb"),
-        round(cosinePre(col("ea"), col("eb"), col("norma"), col("normb")), 6)
-          .as("sim"))
-      .localCheckpoint()
-    val wPick = Window.partitionBy("query_id")
-      .orderBy(col("score_u").desc, col("neighbor_id").asc)
+    // pool attach: candidates are ≤ |q|·pool rows by construction —
+    // broadcast them; the corpus never shuffles
+    val pe = e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("emb"), col("vnorm"))
+    val pooled = pe.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("neighbor_id"), col("rel"),
+        col("emb"), col("vnorm")))).as("pool"))
     def micro(c: Column): Column = round(c * 1000000.0, 0).cast("long")
-    var selected: DataFrame = null
-    var remaining = cand
-    for (i <- 1 to k) {
-      val withMs =
-        if (selected == null) remaining.withColumn("maxsim", lit(0.0))
-        else remaining.join(
-          psim.join(selected.select(col("query_id"),
-              col("neighbor_id").as("nb")), Seq("query_id", "nb"))
-            .groupBy("query_id", "na").agg(max("sim").as("maxsim"))
-            .withColumnRenamed("na", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left")
-          .withColumn("maxsim", coalesce(col("maxsim"), lit(0.0)))
-      val pick = withMs
-        .withColumn("score_u", micro(col("rel")) * lamTenths -
-          micro(col("maxsim")) * (10 - lamTenths))
-        .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
-        .select(col("query_id"), col("neighbor_id"),
-          lit(i).as("mmr_rank"), col("rel"),
-          (col("score_u").cast("double") / 10000000.0).as("score"))
-      selected =
-        (if (selected == null) pick else selected.unionByName(pick))
-          .localCheckpoint()
-      remaining = remaining.join(pick.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_anti").localCheckpoint()
+    // rounded pairwise cosine, the exact psim composition (norms
+    // precomputed per pool member, vec_dot fold, 6-dp round)
+    def simC(a: Column, b: Column): Column = round(
+      call_function("vec_dot", a.getField("emb"), b.getField("emb")) /
+        (a.getField("vnorm") * b.getField("vnorm")), 6)
+    // argmax of score_u over the not-yet-selected pool members: exact
+    // longs, ties to the lowest neighbor id — row_number's order. The
+    // selected entries carry emb/vnorm so later steps' sims read them
+    // in place.
+    val selType =
+      "struct<neighbor_id:bigint,rel:double,emb:array<double>," +
+        "vnorm:double,su:bigint>"
+    def pick(sel: Column): Column = {
+      def scoreU(c: Column): Column = {
+        val ms = when(size(sel) === 0, lit(0.0))
+          .otherwise(array_max(transform(sel, s => simC(c, s))))
+        micro(c.getField("rel")) * lamTenths - micro(ms) * (10 - lamTenths)
+      }
+      val remaining = filter(col("pool"), c => !array_contains(
+        transform(sel, s => s.getField("neighbor_id")),
+        c.getField("neighbor_id")))
+      aggregate(remaining, lit(null).cast(selType), (best, c) => {
+        val su = scoreU(c)
+        val cs = struct(c.getField("neighbor_id").as("neighbor_id"),
+          c.getField("rel").as("rel"), c.getField("emb").as("emb"),
+          c.getField("vnorm").as("vnorm"), su.as("su"))
+        when(best.isNull, cs)
+          .when(su > best.getField("su") ||
+            (su === best.getField("su") &&
+              c.getField("neighbor_id") < best.getField("neighbor_id")), cs)
+          .otherwise(best)
+      })
     }
-    selected
+    // k layered projections: step i's argmax references step i−1's
+    // selected array as a bound COLUMN (evaluated once per row — the
+    // multi-reference keeps CollapseProject from inlining the chain)
+    var df = pooled.withColumn("sel", array().cast(s"array<$selType>"))
+    for (_ <- 1 to k) {
+      df = df.withColumn("p1", pick(col("sel")))
+        .withColumn("sel",
+          when(col("p1").isNotNull, array_append(col("sel"), col("p1")))
+            .otherwise(col("sel")))
+        .drop("p1")
+    }
+    // sel is selection-ordered; posexplode recovers mmr_rank
+    df.select(col("query_id"), posexplode(col("sel")).as(Seq("p", "s")))
+      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"),
+        (col("p") + 1).cast("int").as("mmr_rank"), col("s.rel").as("rel"),
+        (col("s.su").cast("double") / 10000000.0).as("score"))
   }
 
   /** Symmetric int8 scalar quantization: per-vector scale = max|v| / 127,

@@ -43,7 +43,12 @@ object VectorCurationPipeline {
 
   final case class Result(curated: DataFrame, audit: DataFrame,
                           cached: Seq[DataFrame] = Nil) {
-    /** Release the stage caches once `curated` has been consumed. */
+    /** Release the stage caches once `curated` has been consumed.
+      * Stage frames are localCheckpoint'd (r12 — lineage cut, see
+      * [[graft.text.CurationPipeline]]'s stage-cache note; same
+      * measured driver-side planning win), so this is best-effort:
+      * checkpoint blocks release via the ContextCleaner when the
+      * frames go unreferenced. */
     def unpersist(): Unit = cached.foreach(_.unpersist())
   }
 
@@ -67,9 +72,9 @@ object VectorCurationPipeline {
     val carried =
       if (labelCells) Seq(col("vec_id"), col("embedding"), col("label"))
       else Seq(col("vec_id"), col("embedding"))
-    val corpus = embeddings.filter(!evalFilter).select(carried: _*).persist()
+    val corpus = embeddings.filter(!evalFilter).select(carried: _*).localCheckpoint()
     val evalSet = embeddings.filter(evalFilter)
-      .select(col("vec_id"), col("embedding")).persist()
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
     val nInput = corpus.count()
 
     // stage 1: exact dedup — byte-identical embeddings collapse to the
@@ -78,7 +83,7 @@ object VectorCurationPipeline {
     val exact = corpus
       .withColumn("cvid", min("vec_id").over(Window.partitionBy("embedding")))
       .filter(col("vec_id") === col("cvid")).drop("cvid")
-      .persist()
+      .localCheckpoint()
     val nExact = exact.count()
 
     // stage 2: SemDeDup keep/drop over derived k-means cells (or the
@@ -99,7 +104,7 @@ object VectorCurationPipeline {
       nCoarse2 = if (cells > 0) graft.ops.ScaleKnobs.kmeansCoarse2(cells) else 1)
     val survivors = exact.join(
       marked.filter(col("is_dup") === 1).select("vec_id"),
-      Seq("vec_id"), "left_anti").persist()
+      Seq("vec_id"), "left_anti").localCheckpoint()
     val nSem = survivors.count()
 
     // stage 3: semantic decontamination of the survivors vs the eval
@@ -110,7 +115,7 @@ object VectorCurationPipeline {
       evalFilter, threshold = decontThreshold)
     val curated = survivors.join(
       flagged.filter(col("contaminated") === 1).select("vec_id"),
-      Seq("vec_id"), "left_anti").persist()
+      Seq("vec_id"), "left_anti").localCheckpoint()
     val nDecon = curated.count()
 
     // stage 4: deterministic split assignment rides along (same salt

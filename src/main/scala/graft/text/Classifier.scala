@@ -69,10 +69,16 @@ object Classifier {
     // only the buckets-sized gradient table — not the corpus. Without
     // this, each of the `iters` iterations re-shuffled the feature table
     // twice.
+    // localCheckpoint rather than persist (r12): each of the `iters`
+    // iterations is its own action over this frame, and with persist the
+    // driver re-analyzed the full feature lineage per iteration; the cut
+    // keeps the data AND the HashPartitioning(doc_id) (LogicalRDD
+    // preserves physical partitioning) while planning per iteration
+    // over a leaf — the CurationPipeline lineage-cut pattern.
     val feats = features(docs, buckets)
       .join(docs.select(col("doc_id"), labelCol.cast("double").as("y")), "doc_id")
       .repartition(col("doc_id"))
-      .persist()
+      .localCheckpoint()
     try {
       // document count, not feature count — a metadata-only scan of the
       // source table, no pass over the cached features

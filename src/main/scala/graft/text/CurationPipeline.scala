@@ -54,18 +54,23 @@ object CurationPipeline {
     // document-grain rules joined in alongside the original three
     // signals; all five are narrow row-local expressions, so the gate
     // stays scan-speed.
-    // Every stage frame is persisted for the duration of run(): each is
-    // consumed at least twice (the next stage + its audit count, and
-    // `exact` three times), so without the caches the audit counts
+    // Every stage frame is localCheckpoint'd for the duration of run():
+    // each is consumed at least twice (the next stage + its audit count,
+    // and `exact` three times), so without the cut the audit counts
     // re-ran the full upstream DAG — the near-dup candidate generation
-    // ~3× (ADVICE r2). With them, each stage computes ONCE; the audit
-    // counts and the returned frame are cache scans. Result.unpersist()
-    // releases them when the caller is done.
-    val signals = CurationGates.signalsOf(docs).persist()
+    // ~3× (ADVICE r2). The r1–r11 form used persist(), which caches the
+    // DATA but keeps the full logical lineage: every downstream action
+    // re-analyzed and re-optimized the whole accumulated DAG, and at
+    // ~60 actions per pipeline run the driver paid seconds in planning
+    // alone (r12, guide §5 — localCheckpoint cuts lineage; measured
+    // 10.7 → 5.7 s on this operator, answers hash-identical). Blocks
+    // release via the ContextCleaner once the frames go unreferenced;
+    // Result.unpersist() stays for API compatibility.
+    val signals = CurationGates.signalsOf(docs).localCheckpoint()
     val gated = docs.join(signals, "doc_id")
       .filter(CurationGates.all)
       .select(docs.columns.map(col): _*)
-      .persist()
+      .localCheckpoint()
     // per-gate rejection counts off the cached signal frame: one
     // |gates|-column aggregation, each count independent (a doc failing
     // two gates appears in both rows — the audit answers "what would
@@ -94,7 +99,7 @@ object CurationPipeline {
     val lineDeduped = TextOps.applyLineRemoval(gated,
         TextOps.lineHashCounts(gated)
           .filter(col("n_docs") > lineMaxDocs).select("h"))
-      .persist()
+      .localCheckpoint()
     val nLineTouched = lineDeduped.filter(col("n_removed") > 0).count()
     val nDroppedEmpty = nGated - lineDeduped.count()
     val cleaned = lineDeduped.select(docs.columns.map(col): _*)
@@ -106,7 +111,7 @@ object CurationPipeline {
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("doc_id") === col("canonical"))
       .drop("h", "canonical")
-      .persist()
+      .localCheckpoint()
 
     // stage 3: near-dedup — LSH candidates verified by Jaccard, resolved
     // to clusters, keep each cluster's canonical member
@@ -117,12 +122,12 @@ object CurationPipeline {
     val nearDeduped = exact.join(
       clusters.filter(col("doc_id") =!= col("canonical_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
-      .persist()
+      .localCheckpoint()
 
     // stage 4: decontaminate against the benchmark slice — size-adaptive:
     // broadcast-set path for eval-sized benchmarks, Bloom prefilter when
     // the benchmark outgrows the broadcast threshold (same answer)
-    val curated = TextOps.decontaminateAuto(nearDeduped, benchmark).persist()
+    val curated = TextOps.decontaminateAuto(nearDeduped, benchmark).localCheckpoint()
 
     // stage 5: deterministic split assignment rides along
     val withSplit = curated.select(

@@ -390,7 +390,7 @@ object TextOps {
       .select(explode(col("toks")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(split(col("word"), "").as("syms"), col("n"))
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by round 1's argmax
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var rank = 0
     var exhausted = false
@@ -406,7 +406,9 @@ object TextOps {
         val (a, b, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         merges += ((rank, a, b, a + b, c))
         words = words.select(bpeMergeOnce(col("syms"), a, b).as("syms"), col("n"))
-          .localCheckpoint()
+          .localCheckpoint(false) // materialized by the next argmax (r12:
+          // lazy halves the per-round job count; the final round's merge
+          // is never materialized at all — it has no consumer)
         rank += 1
       }
     }
@@ -2417,16 +2419,23 @@ object TextOps {
         md5Long(concat(lit("dim:"), col("term"))).as("h"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
+    // one aggregation builds the UNNORMALIZED weight array; the l2 norm
+    // then derives from the array itself instead of a second groupBy +
+    // join-back (r12 — one exchange and one join fewer). Exact rewrite:
+    // the weights are integer counts in doubles, so Σw² is the same
+    // exact integer under any fold order, and round(w/nrm, 6) is the
+    // identical per-element op (absent dims are 0.0 on both paths).
     val dw = th.groupBy(col("doc_id"), col("source"),
         pmod(col("h"), lit(dims.toLong)).as("dim"))
       .agg(sum(col("c")).cast("double").as("w"))
-    val nrm = dw.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val vecs = dw.join(nrm, Seq("doc_id"))
-      .select(col("doc_id"), col("dim").cast("int").as("dim"),
-        round(col("w") / col("nrm"), 6).as("val"))
+    val vecs = dw
       .groupBy("doc_id")
       .agg(array((0 until dims).map(d =>
-        sum(when(col("dim") === d, col("val")).otherwise(0.0))): _*).as("vec"))
+        sum(when(col("dim") === d, col("w")).otherwise(0.0))): _*).as("wv"))
+      .select(col("doc_id"),
+        transform(col("wv"),
+          x => round(x / sqrt(call_function("vec_dot", col("wv"), col("wv"))), 6))
+          .as("vec"))
     // blocking projection: dominant term-count bucket at bd width —
     // integer counts and a map-side-combinable max(struct), so the
     // argmax is exact and partitioning-invariant in any engine
@@ -2440,18 +2449,34 @@ object TextOps {
       // materialize once: the joined (vec, block) frame feeds BOTH sides
       // of the block self-join and would otherwise execute twice
       .localCheckpoint()
-    val a = v.select(col("block"), col("doc_id").as("doc_id_a"), col("vec").as("vec_a"))
+    // the checkpointed frame inherits AQE's byte-based coalescing — on a
+    // MB-sized corpus that is ONE partition, and the pair fan-out below
+    // (ORDERS more rows out than in) would run single-threaded on it.
+    // Re-spread when under-split, round-robin so a dominant block's
+    // streaming rows spread across every task (the build side is
+    // broadcast); a no-op wherever the frame already carries cluster
+    // parallelism — the Tables.rebalanced posture.
+    val target = v.sparkSession.sparkContext.defaultParallelism
+    val vs = if (v.rdd.getNumPartitions < target) v.repartition(target) else v
+    val a = vs.select(col("block"), col("doc_id").as("doc_id_a"), col("vec").as("vec_a"))
     val b = v.select(col("block"), col("doc_id").as("doc_id_b"), col("vec").as("vec_b"))
-    val w = Window.partitionBy("doc_id_a")
-      .orderBy(col("cosine").desc, col("doc_id_b").asc)
+    // top-k via the k-bounded native aggregate instead of a row_number
+    // window (r12): the window had to shuffle + sort the WHOLE block
+    // fan-out per document — with a dominant block (sf0.1: one bucket
+    // holds 1,859 of 5,000 docs → 3.4M of the 4.7M pairs) that is a
+    // single giant sort; topk_by partial-reduces every pair where it is
+    // produced and ships ≤ k rows per doc per partition. Ordering
+    // contract identical: rounded cosine DESC, doc_id_b ASC.
     a.join(b, Seq("block"))
       .filter(col("doc_id_a") =!= col("doc_id_b"))
       .withColumn("cosine",
         round(call_function("vec_dot", col("vec_a"), col("vec_b")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("doc_id_a"), col("doc_id_b"), col("cosine"),
-        col("rk").cast("int").as("rk"))
+      .groupBy("doc_id_a")
+      .agg(call_function("topk_by", col("doc_id_b"), col("cosine"),
+        lit(k)).as("tk"))
+      .select(col("doc_id_a"), posexplode(col("tk")).as(Seq("p", "n")))
+      .select(col("doc_id_a"), col("n.id").as("doc_id_b"),
+        col("n.score").as("cosine"), (col("p") + 1).cast("int").as("rk"))
   }
 
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,

@@ -282,7 +282,9 @@ object UnigramLm {
       .localCheckpoint()
     var vocab = seed
     for (_ <- 0 until iters)
-      vocab = emRound(occ, vocab).localCheckpoint()
+      // lazy: each round's state is materialized by the next round's
+      // (or the caller's) job — half the per-round job count (r12)
+      vocab = emRound(occ, vocab).localCheckpoint(false)
     seed.select(col("piece"), round(col("p"), 6).as("seed_prob"))
       .join(vocab.withColumnRenamed("p", "prob"), "piece")
   }
@@ -367,10 +369,12 @@ object UnigramLm {
       .localCheckpoint()
     var vocab = seed
     for (_ <- 1 to rounds) {
-      val em = emRound(occ, vocab).localCheckpoint()
+      // lazy: em materializes at its own count() below, vocab at the
+      // next round's em (or the caller's join) — r12, fewer round jobs
+      val em = emRound(occ, vocab).localCheckpoint(false)
       val nPrune = math.max(0L,
         math.min(pruneStep.toLong, em.count() - targetSize)).toInt
-      vocab = pruneRound(occ, em, nPrune).localCheckpoint()
+      vocab = pruneRound(occ, em, nPrune).localCheckpoint(false)
     }
     seed.select(col("piece"), round(col("p"), 6).as("seed_prob"))
       .join(vocab.withColumnRenamed("p", "prob"), "piece")
