@@ -162,6 +162,13 @@ object GraftFunctions {
           TopKByScore(children(0), children(1), children(2))
             .toAggregateExpression())
     }
+    // the k-step greedy MMR chain as one pool-bounded per-row scan (r12)
+    val mmrIdent = FunctionIdentifier("mmr_select")
+    if (!registry.functionExists(mmrIdent)) {
+      registry.registerFunction(mmrIdent, MmrSelect.info,
+        (children: Seq[Expression]) =>
+          MmrSelect(children(0), children(1), children(2)))
+    }
     // the pure-JVM media codecs (r7): real WAV/BMP containers in, true
     // PCM samples / luma pixels out — all inside whole-stage codegen
     val weIdent = FunctionIdentifier("wav_encode")
@@ -279,6 +286,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) =>
         TopKByScore(children(0), children(1), children(2))
           .toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("mmr_select"), MmrSelect.info,
+      (children: Seq[Expression]) =>
+        MmrSelect(children(0), children(1), children(2))))
     ext.injectFunction((FunctionIdentifier("wav_encode"), WavEncode.info,
       (children: Seq[Expression]) => WavEncode(children.head)))
     ext.injectFunction((FunctionIdentifier("wav_pcm_samples"), WavPcmSamples.info,

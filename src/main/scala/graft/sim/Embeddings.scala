@@ -1356,18 +1356,18 @@ object Embeddings {
     * exact integer over 1e7 — the same double in any engine. The oracle
     * replays the identical k-step chain as unrolled CTEs.
     *
-    * r12 shape: the greedy chain runs ENTIRELY inside one row per query —
-    * the pool collects to a ≤pool-element array and each of the k steps
-    * is a layered projection (array argmax by exact integer score,
-    * pairwise sims computed on demand with the identical vec_dot /
-    * rounding composition). The r1–r11 form unrolled the chain as k
-    * iterations of [join + windowed argmax + anti join], each step
-    * localCheckpoint'd — 10 eager materialization jobs and ~15 exchanges
-    * whose inputs were ≤ |q|·pool ROWS; per-step work is pool-bounded by
-    * construction, so it belongs in expressions, not operators (guide
-    * §1.2: the distributed algorithm only needs the ANN pool scan — the
-    * corpus appears nowhere else). Selection path, scores, ties, and the
-    * rank-missing-when-pool-exhausted edge are bit-identical. */
+    * r12 shape: the corpus appears ONLY in the ANN pool scan; the pool
+    * then collects to one ≤pool-element array per query and the whole
+    * greedy chain runs inside [[graft.functions.MmrSelect]] — a single
+    * flat per-row expression (see its scaladoc for the bit-equivalence
+    * contract and for why the first attempt, nested higher-order
+    * functions, planned exponentially). The r1–r11 form unrolled the
+    * chain as k iterations of [join + windowed argmax + anti join],
+    * each step localCheckpoint'd — 10 eager materialization jobs and
+    * ~15 exchanges whose inputs were ≤ |q|·pool ROWS (guide §1.2:
+    * pool-bounded work belongs in an expression, not in operators).
+    * Selection path, scores, ties, and the rank-missing-when-pool-
+    * exhausted edge are bit-identical. */
   def mmrSelect(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
                 pool: Int = 20, lamTenths: Int = 7): DataFrame = {
     require(lamTenths > 0 && lamTenths <= 10, "λ in (0,1] tenths")
@@ -1383,53 +1383,13 @@ object Embeddings {
     val pooled = pe.groupBy("query_id")
       .agg(sort_array(collect_list(struct(col("neighbor_id"), col("rel"),
         col("emb"), col("vnorm")))).as("pool"))
-    def micro(c: Column): Column = round(c * 1000000.0, 0).cast("long")
-    // rounded pairwise cosine, the exact psim composition (norms
-    // precomputed per pool member, vec_dot fold, 6-dp round)
-    def simC(a: Column, b: Column): Column = round(
-      call_function("vec_dot", a.getField("emb"), b.getField("emb")) /
-        (a.getField("vnorm") * b.getField("vnorm")), 6)
-    // argmax of score_u over the not-yet-selected pool members: exact
-    // longs, ties to the lowest neighbor id — row_number's order. The
-    // selected entries carry emb/vnorm so later steps' sims read them
-    // in place.
-    val selType =
-      "struct<neighbor_id:bigint,rel:double,emb:array<double>," +
-        "vnorm:double,su:bigint>"
-    def pick(sel: Column): Column = {
-      def scoreU(c: Column): Column = {
-        val ms = when(size(sel) === 0, lit(0.0))
-          .otherwise(array_max(transform(sel, s => simC(c, s))))
-        micro(c.getField("rel")) * lamTenths - micro(ms) * (10 - lamTenths)
-      }
-      val remaining = filter(col("pool"), c => !array_contains(
-        transform(sel, s => s.getField("neighbor_id")),
-        c.getField("neighbor_id")))
-      aggregate(remaining, lit(null).cast(selType), (best, c) => {
-        val su = scoreU(c)
-        val cs = struct(c.getField("neighbor_id").as("neighbor_id"),
-          c.getField("rel").as("rel"), c.getField("emb").as("emb"),
-          c.getField("vnorm").as("vnorm"), su.as("su"))
-        when(best.isNull, cs)
-          .when(su > best.getField("su") ||
-            (su === best.getField("su") &&
-              c.getField("neighbor_id") < best.getField("neighbor_id")), cs)
-          .otherwise(best)
-      })
-    }
-    // k layered projections: step i's argmax references step i−1's
-    // selected array as a bound COLUMN (evaluated once per row — the
-    // multi-reference keeps CollapseProject from inlining the chain)
-    var df = pooled.withColumn("sel", array().cast(s"array<$selType>"))
-    for (_ <- 1 to k) {
-      df = df.withColumn("p1", pick(col("sel")))
-        .withColumn("sel",
-          when(col("p1").isNotNull, array_append(col("sel"), col("p1")))
-            .otherwise(col("sel")))
-        .drop("p1")
-    }
-    // sel is selection-ordered; posexplode recovers mmr_rank
-    df.select(col("query_id"), posexplode(col("sel")).as(Seq("p", "s")))
+    // sel is selection-ordered; posexplode recovers mmr_rank, and
+    // score = su / 1e7 is the identical final op the unrolled plan used
+    pooled
+      .select(col("query_id"),
+        call_function("mmr_select", col("pool"), lit(k), lit(lamTenths))
+          .as("sel"))
+      .select(col("query_id"), posexplode(col("sel")).as(Seq("p", "s")))
       .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"),
         (col("p") + 1).cast("int").as("mmr_rank"), col("s.rel").as("rel"),
         (col("s.su").cast("double") / 10000000.0).as("score"))
