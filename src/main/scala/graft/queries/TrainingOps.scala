@@ -5421,7 +5421,12 @@ object TrainingOps extends OpsModule {
       "emb_nndescent" -> PlanTag(
         bnlj = Some("sampled brute-force truth leg is knnBruteForce on a 1-in-20 node sample — bounded broadcast query set, corpus streams once"),
         blockKnob = Some("nPlanes ∝ log N bounds the LSH seed; the NN-descent expansion itself is O(N·k²), not bucket-quadratic")),
-      "emb_mmr" -> PlanTag(
+      // r12: bnlj — the pool scan's BNLJ is VISIBLE in emb_mmr's
+      // single-pipeline plan now that the greedy chain is the mmr_select
+      // expression (the r1–r11 unrolled shape hid it behind the per-step
+      // localCheckpoint leaves, so only this audit's view changed — the
+      // executed join was always there)
+      "emb_mmr" -> PlanTag(bnlj = Some(querySet),
         blockKnob = Some("pairwise sims are pool² per query — pool is a constant")),
       "emb_hard_negatives" -> PlanTag(bnlj = Some(
         "label-mismatch is non-equi by design; broadcast side is the query set")),
