@@ -1258,8 +1258,17 @@ object TextOps {
     * [[graft.functions.JaroWinkler]]; both engines filter on the rounded
     * value. */
   def snmPairs(docs: DataFrame, window: Int = 10, simThreshold: Double = 0.95,
-               sigLen: Int = 160): DataFrame = {
-    val d = docs.select(col("doc_id"), fuzzySignature(col("text"), sigLen).as("sig"))
+               sigLen: Int = 160): DataFrame =
+    snmPairsOnSigs(docs.select(col("doc_id"),
+      fuzzySignature(col("text"), sigLen).as("sig")), window, simThreshold)
+
+  /** [[snmPairs]] over a pre-computed `(doc_id, sig)` frame — the shared
+    * entry [[dedupAgreement]] uses so its fuzzy and SNM legs pay the
+    * signature scan ONCE (r12, guide §1.2: both legs score the identical
+    * [[fuzzySignature]]). Behavior identical to [[snmPairs]]. */
+  private[text] def snmPairsOnSigs(sigs: DataFrame, window: Int = 10,
+                                   simThreshold: Double = 0.95): DataFrame = {
+    val d = sigs.select(col("doc_id"), col("sig"))
       .withColumn("shard", substring(col("sig"), 1, 1))
     val wSh = Window.partitionBy("shard").orderBy(col("sig"), col("doc_id"))
     val ranked = d.withColumn("srank", row_number().over(wSh))
@@ -1302,11 +1311,26 @@ object TextOps {
     // pipelines, so each leg must be its scalable form (the exhaustive
     // source-blocked fuzzy is 45.7x at 10x data; the prefix-blocked one
     // is 7.8x — measured in BENCH_SF1)
-    val fuzzy = fuzzyMatchesPrefixBlocked(docs)
-      .select("doc_id_a", "doc_id_b").localCheckpoint()
+    //
+    // r12 (profiled: 4.6 s wall over 34 jobs, scheduling-dominated —
+    // most jobs ≤0.2 s wall): (a) the fuzzy and SNM legs score the SAME
+    // fuzzySignature, so ONE signature scan (eager checkpoint) feeds
+    // both instead of two corpus passes (guide §1.2 — the fuzzy leg's
+    // checkpoint alone carried 13.6 s of task time, most of it the
+    // signature pass); (b) the three pair legs checkpoint LAZILY — the
+    // cut still bounds each pipeline to one execution (first consumer
+    // materializes, the other two reuse the stored blocks), but the
+    // materialization rides the final union action instead of three
+    // eager driver-blocking jobs. Pair sets, counts, and intersections
+    // are unchanged.
+    val sigs = docs.select(col("doc_id"), col("source"),
+      fuzzySignature(col("text"), 160).as("sig")).localCheckpoint()
+    val fuzzy = fuzzyMatchesPrefixBlockedOnSigs(sigs)
+      .select("doc_id_a", "doc_id_b").localCheckpoint(false)
     val lsh = lshCandidatePairs(docs).filter(col("jaccard") >= 0.5)
-      .select("doc_id_a", "doc_id_b").localCheckpoint()
-    val snm = snmPairs(docs).select("doc_id_a", "doc_id_b").localCheckpoint()
+      .select("doc_id_a", "doc_id_b").localCheckpoint(false)
+    val snm = snmPairsOnSigs(sigs.select("doc_id", "sig"))
+      .select("doc_id_a", "doc_id_b").localCheckpoint(false)
     def cnt(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_pairs"))
         .select(lit(name).as("metric"), col("n_pairs"))
@@ -1364,9 +1388,17 @@ object TextOps {
     * [[fuzzyMatches]]. Exact-recall alternatives (PassJoin-style
     * chunk signatures) trade this one join for band+1 of them. */
   def fuzzyMatchesPrefixBlocked(docs: DataFrame, simThreshold: Double = 0.95,
-                                sigLen: Int = 160, prefixLen: Int = 8): DataFrame = {
-    val d = docs.select(col("doc_id"), col("source"),
-      fuzzySignature(col("text"), sigLen).as("sig"))
+                                sigLen: Int = 160, prefixLen: Int = 8): DataFrame =
+    fuzzyMatchesPrefixBlockedOnSigs(docs.select(col("doc_id"), col("source"),
+      fuzzySignature(col("text"), sigLen).as("sig")),
+      simThreshold, sigLen, prefixLen)
+
+  /** [[fuzzyMatchesPrefixBlocked]] over a pre-computed
+    * `(doc_id, source, sig)` frame — see [[snmPairsOnSigs]]. */
+  private[text] def fuzzyMatchesPrefixBlockedOnSigs(
+      sigs: DataFrame, simThreshold: Double = 0.95,
+      sigLen: Int = 160, prefixLen: Int = 8): DataFrame = {
+    val d = sigs.select(col("doc_id"), col("source"), col("sig"))
       .withColumn("blk", substring(col("sig"), 1, prefixLen))
     val a = d.select(col("source"), col("blk"),
       col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
