@@ -52,9 +52,20 @@ case class Md5Prefix64(child: Expression) extends UnaryExpression {
 }
 
 object Md5Prefix64 {
+  /** One digest instance per task thread (r13): `MessageDigest.getInstance`
+    * allocates a fresh digest + provider lookup PER CALL, and this sits in
+    * the innermost loop of MinHash (k hashes × every shingle of every
+    * document). `digest()` resets the instance after each use, so reuse is
+    * safe; MessageDigest is not thread-safe, hence thread-local rather
+    * than a shared instance. Output is bit-identical (same MD5). */
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 60 bits of the MD5 digest == value of the first 15 hex chars. */
   def hash(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val d = localMd5.get().digest(bytes)
     var acc = 0L
     var i = 0
     while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }

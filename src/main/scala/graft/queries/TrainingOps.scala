@@ -516,9 +516,24 @@ object TrainingOps extends OpsModule {
     // LSH surface — the text-side counterpart of emb_ann_recall, the
     // number that justifies replacing the quadratic path at scale
     "td_lsh_recall" -> ((s, d) => {
-      val truth = TextOps.nearDupPairs(docs(s, d)).select("doc_id_a", "doc_id_b")
-      val cand = TextOps.lshCandidatePairs(docs(s, d))
-        .select("doc_id_a", "doc_id_b")
+      // r13 (guide §1.2/§2.4): `truth` and `cand` each feed TWO legs of
+      // the final one-row report (their own count + the hit semi-join).
+      // Unchecked, Catalyst executes each corpus-sized pair pipeline
+      // TWICE inside the one action (ReuseExchange cannot fire across
+      // the differently-shaped legs) — profiled at ~60 of the query's
+      // ~130 task-seconds, and the duplicated concurrent broadcast
+      // builds were the memory-pressure hypersensitivity BENCH_r12's
+      // 46.7 s blowup rode on. EAGER checkpoints (not lazy: the three
+      // legs materialize concurrently under one action, and lazy local
+      // checkpoints can race into recomputing exactly the duplicated
+      // work being removed). The truth pair set is superlinear in block
+      // size (quadratic within source blocks — 35.5 MB deserialized at
+      // sf0.1, StorageProbe), so both cuts store SERIALIZED (guide §5).
+      // Output identical.
+      val truth = graft.ops.Checkpoints.ser(TextOps.nearDupPairs(docs(s, d))
+        .select("doc_id_a", "doc_id_b"))
+      val cand = graft.ops.Checkpoints.ser(TextOps.lshCandidatePairs(docs(s, d))
+        .select("doc_id_a", "doc_id_b"))
       val hit = truth.join(cand, Seq("doc_id_a", "doc_id_b"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))

@@ -75,10 +75,16 @@ object Classifier {
     // keeps the data AND the HashPartitioning(doc_id) (LogicalRDD
     // preserves physical partitioning) while planning per iteration
     // over a leaf — the CurationPipeline lineage-cut pattern.
-    val feats = features(docs, buckets)
+    // MEMORY_AND_DISK_SER (r13, guide §5 / VERDICT r12 #1): the default
+    // deserialized level holds one UnsafeRow OBJECT per feature row —
+    // several× the raw bytes on this narrow corpus-sized table, and the
+    // footprint is what squeezed execution memory when 32 concurrent
+    // tasks split the unified pool (the BENCH_r12 anti-scaling suspect).
+    // Serialized blocks store the rows contiguously; the per-iteration
+    // deserialization is a flat buffer walk, measured in the noise.
+    val feats = graft.ops.Checkpoints.ser(features(docs, buckets)
       .join(docs.select(col("doc_id"), labelCol.cast("double").as("y")), "doc_id")
-      .repartition(col("doc_id"))
-      .localCheckpoint()
+      .repartition(col("doc_id")))
     try {
       // document count, not feature count — a metadata-only scan of the
       // source table, no pass over the cached features

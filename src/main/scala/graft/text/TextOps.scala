@@ -1317,14 +1317,17 @@ object TextOps {
     // fuzzySignature, so ONE signature scan (eager checkpoint) feeds
     // both instead of two corpus passes (guide §1.2 — the fuzzy leg's
     // checkpoint alone carried 13.6 s of task time, most of it the
-    // signature pass); (b) the three pair legs checkpoint LAZILY — the
-    // cut still bounds each pipeline to one execution (first consumer
-    // materializes, the other two reuse the stored blocks), but the
-    // materialization rides the final union action instead of three
-    // eager driver-blocking jobs. Pair sets, counts, and intersections
-    // are unchanged.
-    val sigs = docs.select(col("doc_id"), col("source"),
-      fuzzySignature(col("text"), 160).as("sig")).localCheckpoint()
+    // signature pass); (b) the three pair legs checkpoint LAZILY — at
+    // most one STORED execution per leg (first materialization persists;
+    // concurrent first-touch under the union action may recompute a
+    // partition before its block lands — results identical, the legs
+    // are deterministic), and the materialization rides the final union
+    // action instead of three eager driver-blocking jobs. Pair sets,
+    // counts, and intersections are unchanged.
+    // r13: the corpus-sized sigs cut stores SERIALIZED (guide §5 —
+    // bounded blocks; see graft.ops.Checkpoints).
+    val sigs = graft.ops.Checkpoints.ser(docs.select(col("doc_id"),
+      col("source"), fuzzySignature(col("text"), 160).as("sig")))
     val fuzzy = fuzzyMatchesPrefixBlockedOnSigs(sigs)
       .select("doc_id_a", "doc_id_b").localCheckpoint(false)
     val lsh = lshCandidatePairs(docs).filter(col("jaccard") >= 0.5)

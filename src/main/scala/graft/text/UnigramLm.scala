@@ -126,7 +126,7 @@ object UnigramLm {
     * vocabulary fits them. */
   def scoreWords(docs: DataFrame, maxPieceLen: Int = 4,
                  vocabSize: Int = 60): DataFrame = {
-    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val occ = graft.ops.Checkpoints.ser(occurrences(words(docs), maxPieceLen))
     val vocab = seedVocabFrom(occ, vocabSize)
     val lat = wordLattice(occ, vocab)
     val len = length(col("word"))
@@ -148,7 +148,7 @@ object UnigramLm {
     * ≤L-step fold per word — row-local like the lattice itself. */
   def segmentWords(docs: DataFrame, maxPieceLen: Int = 4,
                    vocabSize: Int = 60): DataFrame = {
-    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val occ = graft.ops.Checkpoints.ser(occurrences(words(docs), maxPieceLen))
     val vocab = seedVocabFrom(occ, vocabSize)
     val lat = wordLattice(occ, vocab)
     val len = length(col("word"))
@@ -217,7 +217,7 @@ object UnigramLm {
     * after the cross-partition sum, the repo float contract). */
   def pruneVocab(docs: DataFrame, maxPieceLen: Int = 4, vocabSize: Int = 60,
                  nPrune: Int = 15): DataFrame = {
-    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val occ = graft.ops.Checkpoints.ser(occurrences(words(docs), maxPieceLen))
     val vocab = seedVocabFrom(occ, vocabSize).localCheckpoint()
     val loss = pieceLoss(occ, vocab)
     val w = org.apache.spark.sql.expressions.Window
@@ -276,7 +276,10 @@ object UnigramLm {
     * (piece, seed_prob, prob) — final probabilities next to the seed. */
   def train(docs: DataFrame, maxPieceLen: Int = 4, vocabSize: Int = 60,
             iters: Int = 3): DataFrame = {
-    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    // occ is the corpus-derived working table of the family (distinct
+    // words × candidate pieces) — the serialized cut bounds its blocks
+    // (r13, guide §5); seed/vocab states are vocab-sized, default level
+    val occ = graft.ops.Checkpoints.ser(occurrences(words(docs), maxPieceLen))
     val seed = seedVocabFrom(occ, vocabSize)
       .select(col("piece"), col("p"))
       .localCheckpoint()
@@ -363,7 +366,7 @@ object UnigramLm {
   def trainPruned(docs: DataFrame, maxPieceLen: Int = 4, vocabSize: Int = 60,
                   targetSize: Int = 40, pruneStep: Int = 8,
                   rounds: Int = 3): DataFrame = {
-    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val occ = graft.ops.Checkpoints.ser(occurrences(words(docs), maxPieceLen))
     val seed = seedVocabFrom(occ, vocabSize)
       .select(col("piece"), col("p"))
       .localCheckpoint()
@@ -385,7 +388,7 @@ object UnigramLm {
     * probabilities. Returns one row per vocabulary piece. */
   def emStep(docs: DataFrame, maxPieceLen: Int = 4,
              vocabSize: Int = 60): DataFrame = {
-    val occ = occurrences(words(docs), maxPieceLen).localCheckpoint()
+    val occ = graft.ops.Checkpoints.ser(occurrences(words(docs), maxPieceLen))
     val vocab = seedVocabFrom(occ, vocabSize)
     val scored = occ.join(broadcast(vocab.select(col("piece"), col("p"))), "piece")
     val len = length(col("word"))
