@@ -72,19 +72,27 @@ object VectorCurationPipeline {
     val carried =
       if (labelCells) Seq(col("vec_id"), col("embedding"), col("label"))
       else Seq(col("vec_id"), col("embedding"))
-    val corpus = embeddings.filter(!evalFilter).select(carried: _*).localCheckpoint()
+    // r13 (VERDICT r12 #3, guide §1.5): stage counts ride the eager
+    // checkpoint materializations as observe metrics — no count() job
+    // per audit row (the td CurationPipeline fusion, same mechanism,
+    // pinned by CheckpointObservationSpec).
+    val inObs = org.apache.spark.sql.Observation()
+    val corpus = embeddings.filter(!evalFilter).select(carried: _*)
+      .observe(inObs, count(lit(1)).as("n")).localCheckpoint()
     val evalSet = embeddings.filter(evalFilter)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
-    val nInput = corpus.count()
+    val nInput = inObs.get("n").asInstanceOf[Long]
 
     // stage 1: exact dedup — byte-identical embeddings collapse to the
     // min-vec_id member (the text pipeline's content-hash canonical,
     // with the raw vector standing in for the hash at this width)
+    val exObs = org.apache.spark.sql.Observation()
     val exact = corpus
       .withColumn("cvid", min("vec_id").over(Window.partitionBy("embedding")))
       .filter(col("vec_id") === col("cvid")).drop("cvid")
+      .observe(exObs, count(lit(1)).as("n"))
       .localCheckpoint()
-    val nExact = exact.count()
+    val nExact = exObs.get("n").asInstanceOf[Long]
 
     // stage 2: SemDeDup keep/drop over derived k-means cells (or the
     // carried label cells) — the registered emb_semdedup operator on
@@ -102,10 +110,12 @@ object VectorCurationPipeline {
       nCells = cells,
       nCoarse = if (cells > 0) graft.ops.ScaleKnobs.kmeansCoarse(cells) else 1,
       nCoarse2 = if (cells > 0) graft.ops.ScaleKnobs.kmeansCoarse2(cells) else 1)
+    val semObs = org.apache.spark.sql.Observation()
     val survivors = exact.join(
       marked.filter(col("is_dup") === 1).select("vec_id"),
-      Seq("vec_id"), "left_anti").localCheckpoint()
-    val nSem = survivors.count()
+      Seq("vec_id"), "left_anti")
+      .observe(semObs, count(lit(1)).as("n")).localCheckpoint()
+    val nSem = semObs.get("n").asInstanceOf[Long]
 
     // stage 3: semantic decontamination of the survivors vs the eval
     // set — flagged rows drop (the audit column records what matched
@@ -113,10 +123,12 @@ object VectorCurationPipeline {
     val flagged = Embeddings.semanticDecontaminate(
       survivors.select(col("vec_id"), col("embedding")).unionByName(evalSet),
       evalFilter, threshold = decontThreshold)
+    val decObs = org.apache.spark.sql.Observation()
     val curated = survivors.join(
       flagged.filter(col("contaminated") === 1).select("vec_id"),
-      Seq("vec_id"), "left_anti").localCheckpoint()
-    val nDecon = curated.count()
+      Seq("vec_id"), "left_anti")
+      .observe(decObs, count(lit(1)).as("n")).localCheckpoint()
+    val nDecon = decObs.get("n").asInstanceOf[Long]
 
     // stage 4: deterministic split assignment rides along (same salt
     // and buckets as the text side, keyed on vec_id)

@@ -66,20 +66,33 @@ object CurationPipeline {
     // 10.7 → 5.7 s on this operator, answers hash-identical). Blocks
     // release via the ContextCleaner once the frames go unreferenced;
     // Result.unpersist() stays for API compatibility.
-    val signals = CurationGates.signalsOf(docs).localCheckpoint()
+    // r13 (VERDICT r12 #3, guide §1.5/§2.6): every audit count now RIDES
+    // its stage's eager-checkpoint materialization as a Dataset.observe
+    // metric instead of running as its own count() job afterwards — one
+    // job per stage where the r12 shape paid job-per-audit (7 audit jobs
+    // removed; checkpoint actions go through withAction, so the
+    // observation listener fires — pinned by CheckpointObservationSpec).
+    // Counts are computed over the identical frames, so the audit rows
+    // are value-identical (oracle-checked).
+    // per-gate rejection counts: one |gates|-column aggregation, each
+    // count independent (a doc failing two gates appears in both rows —
+    // the audit answers "what would this gate alone reject", which is
+    // what threshold tuning needs). coalesce: sum() over an EMPTY corpus
+    // is NULL, and the getLong below would NPE — an empty input must
+    // yield a zero-count audit.
+    val rejectCols = CurationGates.ordered.map { case (n, p) =>
+      coalesce(sum(when(!p, 1L).otherwise(0L)), lit(0L)).as(n) }
+    val rejectObs = org.apache.spark.sql.Observation()
+    val signals = CurationGates.signalsOf(docs)
+      .observe(rejectObs, rejectCols.head, rejectCols.tail: _*)
+      .localCheckpoint()
+    val gatedObs = org.apache.spark.sql.Observation()
     val gated = docs.join(signals, "doc_id")
       .filter(CurationGates.all)
       .select(docs.columns.map(col): _*)
+      .observe(gatedObs, count(lit(1)).as("n"))
       .localCheckpoint()
-    // per-gate rejection counts off the cached signal frame: one
-    // |gates|-column aggregation, each count independent (a doc failing
-    // two gates appears in both rows — the audit answers "what would
-    // this gate alone reject", which is what threshold tuning needs)
-    // coalesce: sum() over an EMPTY corpus is NULL, and rejects.getLong
-    // below would NPE — an empty input must yield a zero-count audit
-    val rejectCols = CurationGates.ordered.map { case (n, p) =>
-      coalesce(sum(when(!p, 1L).otherwise(0L)), lit(0L)).as(n) }
-    val rejects = signals.agg(rejectCols.head, rejectCols.tail: _*).collect()(0)
+    val rejects = rejectObs.get
 
     // stage 1.5: line-grain cross-doc boilerplate removal (the CCNet
     // step, [[TextOps.lineDedup]]) — BEFORE exact dedup, because shared
@@ -95,22 +108,28 @@ object CurationPipeline {
     // (n_chars here — the only derived doc column in this schema), so
     // downstream measures never mix pre-rewrite stats with post-rewrite
     // text.
-    val nGated = gated.count()
+    val nGated = gatedObs.get("n").asInstanceOf[Long]
+    val lineObs = org.apache.spark.sql.Observation()
     val lineDeduped = TextOps.applyLineRemoval(gated,
         TextOps.lineHashCounts(gated)
           .filter(col("n_docs") > lineMaxDocs).select("h"))
+      .observe(lineObs, count(lit(1)).as("n"),
+        coalesce(sum(when(col("n_removed") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("touched"))
       .localCheckpoint()
-    val nLineTouched = lineDeduped.filter(col("n_removed") > 0).count()
-    val nDroppedEmpty = nGated - lineDeduped.count()
+    val nLineTouched = lineObs.get("touched").asInstanceOf[Long]
+    val nDroppedEmpty = nGated - lineObs.get("n").asInstanceOf[Long]
     val cleaned = lineDeduped.select(docs.columns.map(col): _*)
 
     // stage 2: exact dedup — canonical doc per content hash
+    val exactObs = org.apache.spark.sql.Observation()
     val exact = cleaned
       .withColumn("h", md5(TextOps.normalized(col("text"))))
       .withColumn("canonical",
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("doc_id") === col("canonical"))
       .drop("h", "canonical")
+      .observe(exactObs, count(lit(1)).as("n"))
       .localCheckpoint()
 
     // stage 3: near-dedup — LSH candidates verified by Jaccard, resolved
@@ -119,28 +138,33 @@ object CurationPipeline {
       if (exhaustivePairs) TextOps.nearDupPairs(exact)
       else TextOps.lshCandidatePairs(exact).filter(col("jaccard") >= 0.5)
     val clusters = TextOps.dedupClusters(pairs)
+    val nearObs = org.apache.spark.sql.Observation()
     val nearDeduped = exact.join(
       clusters.filter(col("doc_id") =!= col("canonical_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
+      .observe(nearObs, count(lit(1)).as("n"))
       .localCheckpoint()
 
     // stage 4: decontaminate against the benchmark slice — size-adaptive:
     // broadcast-set path for eval-sized benchmarks, Bloom prefilter when
     // the benchmark outgrows the broadcast threshold (same answer)
-    val curated = TextOps.decontaminateAuto(nearDeduped, benchmark).localCheckpoint()
+    val curObs = org.apache.spark.sql.Observation()
+    val curated = TextOps.decontaminateAuto(nearDeduped, benchmark)
+      .observe(curObs, count(lit(1)).as("n"))
+      .localCheckpoint()
 
     // stage 5: deterministic split assignment rides along
     val withSplit = curated.select(
       col("*") +: Seq(TextOps.assignSplit().as("split")): _*)
 
-    // audit counts in stage order: each materializes its stage's cache
-    // exactly once and reuses every earlier one. docs.count() is a
-    // zero-column parquet metadata scan — no caching needed.
+    // audit counts in stage order — all already collected by the stage
+    // materializations above (observe metrics), no count jobs here.
+    // docs.count() is a zero-column parquet metadata scan.
     val audit = (Seq(
       ("0_input", docs.count()),
       ("1_gated", nGated)) ++
-      CurationGates.ordered.zipWithIndex.map { case ((n, _), i) =>
-        (s"1_reject_$n", rejects.getLong(i)) } ++ Seq(
+      CurationGates.ordered.map { case (n, _) =>
+        (s"1_reject_$n", rejects(n).asInstanceOf[Long]) } ++ Seq(
       // line dedup mostly rewrites — 'touched' counts documents that
       // LOST at least one boilerplate line; 'dropped_empty' counts the
       // documents it DROPPED outright (every line boilerplate), so the
@@ -149,9 +173,9 @@ object CurationPipeline {
       // exact-dedup losses
       ("1z_line_dedup_touched", nLineTouched),
       ("1z_line_dedup_dropped_empty", nDroppedEmpty),
-      ("2_exact_dedup", exact.count()),
-      ("3_near_dedup", nearDeduped.count()),
-      ("4_decontaminated", curated.count())))
+      ("2_exact_dedup", exactObs.get("n").asInstanceOf[Long]),
+      ("3_near_dedup", nearObs.get("n").asInstanceOf[Long]),
+      ("4_decontaminated", curObs.get("n").asInstanceOf[Long])))
       .toDF("stage", "n_docs")
     Result(withSplit, audit,
       cached = Seq(signals, gated, lineDeduped, exact, nearDeduped, curated))
