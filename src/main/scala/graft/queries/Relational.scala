@@ -449,10 +449,22 @@ object Relational extends OpsModule {
     // once-vs-per-level edge build is the difference that matters.
     "q44_recursive_cte" -> ((s, d) => {
       graft.SqlSurface.registerTables(s, d)
-      s.sql("""SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-               FROM lineitem a JOIN lineitem b
-                 ON a.l_orderkey = b.l_orderkey
-                AND NOT a.l_partkey = b.l_partkey""")
+      // r13 (guide §2.3): the edge table used to be a lineitem SELF-JOIN
+      // on l_orderkey — two corpus scans and a fan-out join whose map
+      // side inherits the SCAN's parallelism (3 open-cost-floored splits
+      // on the one small file — 2.4 s of the query's wall in one
+      // 3-task stage). Same DISTINCT pair set from ONE scan: per-order
+      // distinct partkey sets (map-side partial collect_set, the
+      // aggregate-before-shuffle move), pairs exploded AFTER the
+      // exchange at full shuffle parallelism. At 100 TB the self-join
+      // shuffles the full row fan-out; this shuffles one set row per
+      // order. Edge set identical (oracle-checked end to end).
+      s.sql("""SELECT DISTINCT src, dst
+               FROM (SELECT collect_set(l_partkey) AS ks
+                     FROM lineitem GROUP BY l_orderkey) t
+               LATERAL VIEW explode(ks) e1 AS src
+               LATERAL VIEW explode(ks) e2 AS dst
+               WHERE NOT src = dst""")
         .localCheckpoint()
         .createOrReplaceTempView("copurchase_edges")
       s.sql("""WITH RECURSIVE

@@ -239,18 +239,29 @@ object UnigramLm {
     * trainer applies to its weights: cross-partition float sums drift in
     * the last bits, and unpinned drift would COMPOUND over rounds. */
   private def emRound(occ: DataFrame, vocab: DataFrame): DataFrame = {
-    val scored = occ.join(broadcast(vocab.select(col("piece"), col("p"))), "piece")
+    // r13 (guide §2.3/§2.4): expected counts come straight off the
+    // lattice rows — each es entry [i,j,p] IS one scored occurrence, and
+    // its piece identity is the span substring (the exclEs pattern
+    // pieceLoss already relies on). The r12 shape re-joined the full
+    // occurrence table to the lattice on `word` (one exchange of occ +
+    // the join) only to re-attach (j,i,p) values the lattice already
+    // carries. Same ec multiset, same multiplication order, 6dp-rounded
+    // after the piece aggregation as before (the repo float contract).
     val len = length(col("word"))
     val lat = wordLattice(occ, vocab)
       .withColumn("alpha", alphaFold(col("es"), len))
       .withColumn("beta", betaFold(col("esb"), len))
-      .select(col("word"), col("alpha"), col("beta"),
-        element_at(col("alpha"), len + 1).as("z"))
-    val ec = scored.join(lat, "word")
-      .select(col("piece"),
+      .withColumn("z", element_at(col("alpha"), len + 1))
+    val e = col("e")
+    val ec = lat
+      .select(col("word"), col("wcount"), col("alpha"), col("beta"),
+        col("z"), explode(col("es")).as("e"))
+      .select(
+        col("word").substr(e.getItem(1).cast("int") + 1,
+          e.getItem(0).cast("int") - e.getItem(1).cast("int")).as("piece"),
         (col("wcount").cast("double") *
-          element_at(col("alpha"), col("j") + 1) * col("p") *
-          element_at(col("beta"), col("i") + 1) / col("z")).as("ec"))
+          element_at(col("alpha"), e.getItem(1).cast("int") + 1) * e.getItem(2) *
+          element_at(col("beta"), e.getItem(0).cast("int") + 1) / col("z")).as("ec"))
     val agg = ec.groupBy("piece").agg(round(sum(col("ec")), 6).as("e"))
     // floor at 1e-6 AFTER the 6dp rounding: a rare piece whose p rounds
     // to exactly 0.0 would zero every lattice path through it — and if
@@ -390,20 +401,27 @@ object UnigramLm {
              vocabSize: Int = 60): DataFrame = {
     val occ = graft.ops.Checkpoints.ser(occurrences(words(docs), maxPieceLen))
     val vocab = seedVocabFrom(occ, vocabSize)
-    val scored = occ.join(broadcast(vocab.select(col("piece"), col("p"))), "piece")
+    // r13: ec straight off the lattice entries (see emRound) — the
+    // occ⋈lattice word join is gone; the per-piece p re-attaches from
+    // the vocab-sized broadcast AFTER the aggregation.
     val len = length(col("word"))
     val lat = wordLattice(occ, vocab)
       .withColumn("alpha", alphaFold(col("es"), len))
       .withColumn("beta", betaFold(col("esb"), len))
-      .select(col("word"), col("alpha"), col("beta"),
-        element_at(col("alpha"), len + 1).as("z"))
-    val ec = scored.join(lat, "word")
-      .select(col("piece"), col("p"),
+      .withColumn("z", element_at(col("alpha"), len + 1))
+    val e = col("e")
+    val ec = lat
+      .select(col("word"), col("wcount"), col("alpha"), col("beta"),
+        col("z"), explode(col("es")).as("e"))
+      .select(
+        col("word").substr(e.getItem(1).cast("int") + 1,
+          e.getItem(0).cast("int") - e.getItem(1).cast("int")).as("piece"),
         (col("wcount").cast("double") *
-          element_at(col("alpha"), col("j") + 1) * col("p") *
-          element_at(col("beta"), col("i") + 1) / col("z")).as("ec"))
-    val agg = ec.groupBy("piece", "p")
+          element_at(col("alpha"), e.getItem(1).cast("int") + 1) * e.getItem(2) *
+          element_at(col("beta"), e.getItem(0).cast("int") + 1) / col("z")).as("ec"))
+    val agg = ec.groupBy("piece")
       .agg(round(sum(col("ec")), 6).as("expected_count"))
+      .join(broadcast(vocab.select(col("piece"), col("p"))), "piece")
     agg.crossJoin(broadcast(
         agg.agg(round(sum("expected_count"), 6).as("tot"))))
       .select(col("piece"), round(col("p"), 6).as("seed_prob"),
