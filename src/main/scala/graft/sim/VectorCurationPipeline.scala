@@ -42,14 +42,20 @@ import org.apache.spark.sql.functions._
 object VectorCurationPipeline {
 
   final case class Result(curated: DataFrame, audit: DataFrame,
-                          cached: Seq[DataFrame] = Nil) {
+                          cached: Seq[DataFrame] = Nil,
+                          blocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil) {
     /** Release the stage caches once `curated` has been consumed.
       * Stage frames are localCheckpoint'd (r12 — lineage cut, see
       * [[graft.text.CurationPipeline]]'s stage-cache note; same
-      * measured driver-side planning win), so this is best-effort:
-      * checkpoint blocks release via the ContextCleaner when the
-      * frames go unreferenced. */
-    def unpersist(): Unit = cached.foreach(_.unpersist())
+      * measured driver-side planning win). `blocks` holds every RDD
+      * run() persisted (r13 — registry id-diff; Dataset.unpersist on a
+      * checkpointed frame is a no-op), so release is now EXPLICIT, not
+      * ContextCleaner-best-effort. After unpersist the checkpointed
+      * frames are unrecomputable — consume `curated`/`audit` first. */
+    def unpersist(): Unit = {
+      cached.foreach(_.unpersist())
+      blocks.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** `evalFilter` splits the input: matching rows are the eval set
@@ -68,6 +74,8 @@ object VectorCurationPipeline {
           decontThreshold: Double = 0.4, labelCells: Boolean = false): Result = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // registry snapshot for Result.blocks (see text CurationPipeline)
+    val preRun = spark.sparkContext.getPersistentRDDs.keySet
 
     val carried =
       if (labelCells) Seq(col("vec_id"), col("embedding"), col("label"))
@@ -144,6 +152,8 @@ object VectorCurationPipeline {
       ("3_decontaminated", nDecon)) ++ splitRows.sortBy(_._1))
       .toDF("stage", "n_vecs")
     Result(withSplit, audit,
-      cached = Seq(corpus, evalSet, exact, survivors, curated))
+      cached = Seq(corpus, evalSet, exact, survivors, curated),
+      blocks = spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => preRun.contains(id) }.values.toSeq)
   }
 }
