@@ -59,7 +59,14 @@ import org.apache.spark.sql.types._
   *    0.0-when-empty is the only case);
   *  - score_u = micro(rel)·λ₁₀ − micro(maxsim)·(10−λ₁₀) on exact longs,
   *    micro(x) = cast(round(x · 1e6, 0) as long) with the same round
-  *    semantics and Spark's non-ANSI double→long cast (`.toLong`);
+  *    semantics and Spark's non-ANSI double→long cast (`.toLong`).
+  *    ANSI edge (ADVICE r12): on a NaN rel/maxsim, `.toLong` yields 0
+  *    where the replaced chain's `cast("long")` under Spark 4's ANSI
+  *    default would THROW — bit-identity holds on every non-NaN input;
+  *    NaN components are unreachable in production corpora (the
+  *    upstream norms are strictly positive), so the divergence is
+  *    SQL-surface-only and chosen deliberately (a total function over
+  *    a pool expression cannot throw per-row);
   *  - argmax ties resolve to the LOWEST neighbor_id —
   *    `row_number().over(orderBy(score_u.desc, neighbor_id.asc))`'s
   *    order; long comparisons, no float on the selection path;
@@ -124,20 +131,34 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression)
   override protected def nullSafeEval(poolAny: Any, kAny: Any,
                                       lamAny: Any): Any = {
     val pool = poolAny.asInstanceOf[ArrayData]
-    val k = kAny.asInstanceOf[Int]
+    // clamp: a SQL-surface mmr_select(pool, -1, …) must return empty,
+    // not throw NegativeArraySizeException (ADVICE r12); the Scala entry
+    // point always passes k ≥ 0
+    val k = math.max(0, kAny.asInstanceOf[Int])
     val lam = lamAny.asInstanceOf[Int]
-    val n = pool.numElements()
-    val ids = new Array[Long](n)
-    val rels = new Array[Double](n)
-    val embs = new Array[ArrayData](n)
-    val norms = new Array[Double](n)
+    val nRaw = pool.numElements()
+    val ids = new Array[Long](nRaw)
+    val rels = new Array[Double](nRaw)
+    val embs = new Array[ArrayData](nRaw)
+    val norms = new Array[Double](nRaw)
+    var n = 0
     var i = 0
-    while (i < n) {
-      val row = pool.getStruct(i, 4)
-      ids(i) = row.getLong(0)
-      rels(i) = row.getDouble(1)
-      embs(i) = row.getArray(2)
-      norms(i) = row.getDouble(3)
+    while (i < nRaw) {
+      // skip null/partial pool entries (ADVICE r12): a null-embedding row
+      // can reach the pool only on corpora smaller than k — the unrolled
+      // chain ranked such rows last via null-last ordering; dropping them
+      // degrades the same way without the NPE at ea.numElements()
+      if (!pool.isNullAt(i)) {
+        val row = pool.getStruct(i, 4)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2) &&
+            !row.isNullAt(3)) {
+          ids(n) = row.getLong(0)
+          rels(n) = row.getDouble(1)
+          embs(n) = row.getArray(2)
+          norms(n) = row.getDouble(3)
+          n += 1
+        }
+      }
       i += 1
     }
     val taken = new Array[Boolean](n)

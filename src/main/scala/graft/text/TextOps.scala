@@ -1143,12 +1143,17 @@ object TextOps {
     * is the same block-sums discipline as [[packSequences]]: at 100 TB
     * the corpus-side window has stages×shards partitions, never 1. */
   def curriculumOrder(docs: DataFrame, shards: Int = 64): DataFrame = {
-    val staged = perplexityBuckets(docs)
+    // r13 (guide §1.2): `staged` feeds BOTH the shard-rank window and the
+    // shard-count aggregate, and its perplexity scoring pass is the
+    // operator's dominant cost — profiled as two ~7-task-second stages
+    // at sf0.1 (the duplicated-subtree pattern). One serialized eager
+    // cut; both consumers read the stored blocks. Output identical.
+    val staged = graft.ops.Checkpoints.ser(perplexityBuckets(docs)
       .withColumn("stage",
         when(col("ppl_bucket") === "head", 0)
           .when(col("ppl_bucket") === "middle", 1).otherwise(2))
       .withColumn("skey", md5Long(concat(lit("curr:"), col("doc_id"))))
-      .withColumn("salt", (col("skey") % shards).cast("int"))
+      .withColumn("salt", (col("skey") % shards).cast("int")))
     val wShard = Window.partitionBy("stage", "salt")
       .orderBy(col("skey"), col("doc_id"))
     val ranked = staged.withColumn("shard_rank", row_number().over(wShard))

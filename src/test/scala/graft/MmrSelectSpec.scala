@@ -108,4 +108,26 @@ class MmrSelectSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.size == 2 && got.map(_._3) == Seq(1, 2))
   }
+
+  test("SQL surface: negative k returns empty, null pool entries skip (r13 guards)") {
+    graft.functions.GraftFunctions.register(spark)
+    // k = -1 must clamp to empty, not NegativeArraySizeException
+    val neg = spark.sql(
+      """SELECT mmr_select(array(named_struct(
+        |  'neighbor_id', 1L, 'rel', 0.5D,
+        |  'emb', array(1.0D, 0.0D), 'vnorm', 1.0D)), -1, 7) AS s""".stripMargin)
+      .collect()(0).getSeq[Any](0)
+    assert(neg.isEmpty)
+    // a null-embedding pool entry is skipped, not an NPE; the valid
+    // entry still selects
+    val mixed = spark.sql(
+      """SELECT mmr_select(array(
+        |  named_struct('neighbor_id', 1L, 'rel', 0.9D,
+        |    'emb', array(1.0D, 0.0D), 'vnorm', 1.0D),
+        |  named_struct('neighbor_id', 2L, 'rel', CAST(NULL AS DOUBLE),
+        |    'emb', CAST(NULL AS ARRAY<DOUBLE>), 'vnorm', 1.0D)), 2, 7) AS s""".stripMargin)
+      .selectExpr("explode(s) AS r").selectExpr("r.neighbor_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(mixed == Seq(1L))
+  }
 }
