@@ -92,6 +92,12 @@ object GraftFunctions {
       registry.registerFunction(dotIdent, VecDot.info,
         (children: Seq[Expression]) => VecDot(children(0), children(1)))
     }
+    val r6Ident = FunctionIdentifier("round6")
+    if (!registry.functionExists(r6Ident)) {
+      registry.registerFunction(r6Ident,
+        new ExpressionInfo(classOf[Round6].getName, "round6"),
+        (children: Seq[Expression]) => Round6(children.head))
+    }
     val bdIdent = FunctionIdentifier("bounded_distinct")
     if (!registry.functionExists(bdIdent)) {
       registry.registerFunction(bdIdent, BoundedDistinct.info,

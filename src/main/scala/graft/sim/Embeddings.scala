@@ -66,6 +66,11 @@ object Embeddings {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native `round6(x)` ≡ Spark `round(x, 6)` bit-for-bit (Round6Spec) —
+    * used on the per-PAIR scoring paths where Spark's BigDecimal-based
+    * double rounding was the hottest scalar (r13, guide §1.2). */
+  private def r6(c: Column): Column = call_function("round6", c)
+
   /** Cosine with the norms hoisted out: inside a pair join, norm(v) is a
     * per-vector quantity — computing it per PAIR multiplies the vector
     * passes by the pair fan-out. Callers precompute a norm column per side
@@ -487,7 +492,7 @@ object Embeddings {
     val binned = a.join(b, Seq("cell"))
       .filter(col("va") < col("vb"))
       .withColumn("cosine",
-        round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 6))
+        r6(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))))
       .withColumn("bin", floor(col("cosine") * 10).cast("int"))
       .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
     val tot = binned.agg(sum("n_pairs").as("total"))
@@ -958,8 +963,8 @@ object Embeddings {
         .join(fat.select(col("vec_id").as("vid_a"), col("emb").as("emb_a"),
           col("vnorm").as("norm_a")), Seq("vid_a"))
         .join(fat, Seq("vec_id"))
-        .filter(round(cosinePre(col("emb_a"), col("emb"),
-          col("norm_a"), col("vnorm")), 6) >= threshold)
+        .filter(r6(cosinePre(col("emb_a"), col("emb"),
+          col("norm_a"), col("vnorm"))) >= threshold)
         .select("vec_id").distinct()
       val dup = sure.unionByName(confirmed).distinct()
         .withColumn("is_dup", lit(1))
@@ -1000,7 +1005,7 @@ object Embeddings {
     base
       .withColumn("vnorm", norm(col("emb")))
       .join(broadcast(cents), Seq("cell"))
-      .withColumn("ccos", round(cosine(col("emb"), col("cemb")), 6))
+      .withColumn("ccos", r6(cosine(col("emb"), col("cemb"))))
       .drop("cemb")
   }
 
@@ -1013,8 +1018,8 @@ object Embeddings {
       col("emb").as("emb_a"), col("vnorm").as("norm_a"))
     val dup = a.join(ranked, Seq("cell"))
       .filter(col("rank_a") < col("crank"))
-      .filter(round(cosinePre(col("emb_a"), col("emb"),
-        col("norm_a"), col("vnorm")), 6) >= threshold)
+      .filter(r6(cosinePre(col("emb_a"), col("emb"),
+        col("norm_a"), col("vnorm"))) >= threshold)
       .select("vec_id").distinct()
       .withColumn("is_dup", lit(1))
     ranked.join(dup, Seq("vec_id"), "left")
@@ -1119,7 +1124,7 @@ object Embeddings {
     val corpus = e.filter(!evalFilter)
     corpus.join(broadcast(ev), col("vec_id") =!= col("eval_id"))
       .withColumn("cos",
-        round(cosinePre(col("eemb"), col("emb"), col("enorm"), col("vnorm")), 6))
+        r6(cosinePre(col("eemb"), col("emb"), col("enorm"), col("vnorm"))))
       .groupBy("vec_id")
       .agg(max(struct(col("cos").as("c"), (-col("eval_id")).as("ni"))).as("m"))
       .select(col("vec_id"),

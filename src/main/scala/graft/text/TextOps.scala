@@ -141,7 +141,8 @@ object TextOps {
     }
     a.join(built, Seq("source"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
+      .withColumn("jaccard",
+        call_function("round6", inter.cast("double") / union.cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming_distance"))
@@ -193,7 +194,8 @@ object TextOps {
       .join(vSide(shingleSets.select(col("doc_id").as("doc_id_a"), col("shset").as("shset_a"))), "doc_id_a")
       .join(vSide(shingleSets.select(col("doc_id").as("doc_id_b"), col("shset").as("shset_b"))), "doc_id_b")
       .select(col("doc_id_a"), col("doc_id_b"), col("n_shared_bands"),
-        round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
+        call_function("round6",
+          inter.cast("double") / union.cast("double")).as("jaccard"))
   }
 
   /** Incremental (delta) near-dup — the NIGHTLY-INGEST form of
@@ -2458,6 +2460,12 @@ object TextOps {
       .groupBy(col("doc_id"), col("source"),
         md5Long(concat(lit("dim:"), col("term"))).as("h"))
       .agg(count(lit(1)).as("c"))
+      // default (deserialized) level deliberately: th is TERM-grain —
+      // tens of millions of 4-field rows at sf10 — and serialized
+      // storage pays a per-row ObjectOutputStream round trip that
+      // profiled 6× the aggregation itself (103 vs 17 task-s); the
+      // object-form blocks of narrow rows are cheap. Fat-ROW frames
+      // (v below, with its 16-wide arrays) are where ser wins.
       .localCheckpoint()
     // one aggregation builds the UNNORMALIZED weight array; the l2 norm
     // then derives from the array itself instead of a second groupBy +
@@ -2488,7 +2496,9 @@ object TextOps {
     val v = vecs.join(blocks, "doc_id")
       // materialize once: the joined (vec, block) frame feeds BOTH sides
       // of the block self-join and would otherwise execute twice
-      .localCheckpoint()
+      // (serialized blocks — the deserialized form burned 16 s of GC in
+      // this one checkpoint job at sf10, r13 profile)
+      .transform(graft.ops.Checkpoints.ser)
     // the checkpointed frame inherits AQE's byte-based coalescing — on a
     // MB-sized corpus that is ONE partition, and the pair fan-out below
     // (ORDERS more rows out than in) would run single-threaded on it.
@@ -2510,7 +2520,8 @@ object TextOps {
     a.join(b, Seq("block"))
       .filter(col("doc_id_a") =!= col("doc_id_b"))
       .withColumn("cosine",
-        round(call_function("vec_dot", col("vec_a"), col("vec_b")), 6))
+        call_function("round6",
+          call_function("vec_dot", col("vec_a"), col("vec_b"))))
       .groupBy("doc_id_a")
       .agg(call_function("topk_by", col("doc_id_b"), col("cosine"),
         lit(k)).as("tk"))
