@@ -5458,8 +5458,13 @@ object TrainingOps extends OpsModule {
       "td_bm25" -> PlanTag(bnlj = Some(oneRow)),
       "td_ppl_buckets" -> PlanTag(bnlj = Some(
         "composes unigramLogProb, inheriting its 1-row corpus-total attach")),
-      "td_curriculum" -> PlanTag(bnlj = Some(
-        "composes perplexityBuckets, same inherited 1-row attach")),
+      // td_curriculum: NO tag since r13 — the staged frame (which
+      // composes perplexityBuckets and its 1-row-attach BNLJ) is now an
+      // eager checkpoint executed at query construction, so the audited
+      // plan sees only the post-checkpoint window/join; the BNLJ still
+      // executes, behind the leaf (the emb_mmr r1–r11 situation in
+      // reverse). perplexityBuckets' own tag (td_ppl_buckets) keeps the
+      // shape audited where it is visible.
       "td_unigram_vocab" -> PlanTag(bnlj = Some(oneRow)),
       "td_unigram_score" -> PlanTag(bnlj = Some(oneRow)),
       "td_unigram_em" -> PlanTag(bnlj = Some(oneRow)),

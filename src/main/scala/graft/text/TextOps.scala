@@ -2841,7 +2841,7 @@ object TextOps {
       }
     verified
       .withColumn("jaccard",
-        round(inter.cast("double") / union.cast("double"), 6))
+        call_function("round6", inter.cast("double") / union.cast("double")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
